@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Lsh, VectorFunctions => V}
+
+/** Engine configuration — the analog of the reference's `Index` fields
+  * (/root/reference/vector_lake/core/index.py:431-448). Unlike the
+  * reference, `metric` is actually honored (there it is declared but
+  * never read — SURVEY.md §1.3).
+  *
+  * @param location   table root (local path or any Hadoop FS URI — s3a://
+  *                   replaces the reference's hand-rolled S3Bucket tier,
+  *                   index.py:344-428)
+  * @param dim        embedding dimension (index.py:433)
+  * @param numHashes  LSH hyperplane count → 2^numHashes shards; the
+  *                   reference derives it as round(log2(approx_shards))
+  *                   (index.py:454-455)
+  * @param metric     "cosine" | "l2" | "dot" (index.py:436 intent)
+  * @param partitionKey when Some(colName): user-controlled partitioning
+  *                   instead of LSH — the reference's `Partition` subclass
+  *                   (index.py:592-607)
+  */
+final case class LakeConfig(
+    location: String,
+    dim: Int,
+    numHashes: Int = 8,
+    metric: String = "cosine",
+    seed: Long = 42L,
+    partitionKey: Option[String] = None) {
+  require(Set("cosine", "l2", "dot")(metric), s"unknown metric $metric")
+}
+
+/** A sharded vector lake on partitioned Parquet.
+  *
+  * Data model (SURVEY.md §1.1): rows of
+  * `(id, vector, metadata, document, timestamp)` + a derived `shard`
+  * partition column. One DataFrame, `partitionBy("shard")` on write;
+  * Catalyst partition pruning on a literal `shard = h(q)` predicate
+  * replaces the reference's "load only the routed bucket"
+  * (index.py:487-489). Writes are append-mode parquet (the reference
+  * rewrites whole segment files on every sync, index.py:294-308 — append
+  * is strictly better and is what scales).
+  */
+final class Lake(spark: SparkSession, val cfg: LakeConfig) {
+  import Lake._
+
+  val lsh: Lsh = Lsh(cfg.dim, cfg.numHashes, cfg.seed)
+
+  private def partCol: String = cfg.partitionKey.getOrElse("shard")
+
+  /** Ingest rows with at least a `vector` column; `metadata`, `document`
+    * optional. Adds `id` (uuid), `timestamp`, routes `shard`, coerces
+    * empty metadata to {"id": "1"} (the reference's quirk,
+    * index.py:572-575 — an ingest rule, not a query rule), and
+    * append-writes partitioned parquet.
+    *
+    * Scale: routing is a map-side expression (no shuffle); the write
+    * shuffles nothing — each task writes its rows into per-shard
+    * directories.
+    */
+  def ingest(rows: DataFrame): Unit = {
+    var df = rows
+    if (!df.columns.contains("metadata"))
+      df = df.withColumn("metadata",
+        map(lit("name"), lit("unknown")).cast(MapType(StringType, StringType)))
+    else
+      df = df.withColumn("metadata",
+        when(col("metadata").isNull || size(col("metadata")) === 0,
+          map(lit("id"), lit("1")).cast(MapType(StringType, StringType)))
+          .otherwise(col("metadata")))
+    if (!df.columns.contains("document")) df = df.withColumn("document", lit(""))
+    df = df
+      .withColumn("id", expr("uuid()"))
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
+    if (cfg.partitionKey.isEmpty)
+      df = df.withColumn("shard", lsh.shardCol(col("vector")))
+    df.select((dataCols.map(col) :+ col(partCol)): _*)
+      .write.mode(SaveMode.Append)
+      .option("compression", "gzip") // reference writes gzip parquet (index.py:308)
+      .partitionBy(partCol)
+      .parquet(cfg.location)
+    writeMetaSidecar()
+  }
+
+  /** Schema-validated read (reference validates column list on load,
+    * index.py:249-250). Empty-location bootstrap returns an empty frame
+    * with the canonical schema (index.py:247). */
+  def read(): DataFrame = {
+    if (!exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+ StructField(partCol, IntegerType)))
+    val df = spark.read.parquet(cfg.location)
+    val got = df.columns.toSet
+    val want = dataCols.toSet + partCol
+    require(got == want, s"schema mismatch: got $got want $want")
+    df
+  }
+
+  private def distCol(q: Seq[Double]): Column = cfg.metric match {
+    case "cosine" => V.cosineDist(col("vector"), V.vecLit(q))
+    case "l2"     => V.l2Dist(col("vector"), V.vecLit(q))
+    case "dot"    => -V.dot(col("vector"), V.vecLit(q)) // nearest = max dot
+  }
+
+  /** Single-probe kNN: prune to the LSH-routed shard (a *literal*
+    * predicate so Catalyst prunes partition directories at planning),
+    * then exact top-k — `TakeOrderedAndProject` does per-partition heap
+    * top-k on executors + driver merge, structurally the reference's
+    * per-shard search + merge (index.py:499-537). */
+  def topK(q: Seq[Double], k: Int): DataFrame = {
+    val routed = lsh.shardOf(q)
+    topKWhere(q, k, col(partCol) === lit(routed))
+  }
+
+  /** Multi-probe variant: search all shards within Hamming distance 1 of
+    * the routed shard (IVF-style recall/cost dial; still prunes 247 of
+    * 256 directories at 8 hashes). */
+  def topKMultiProbe(q: Seq[Double], k: Int): DataFrame = {
+    val routed = lsh.shardOf(q)
+    val probes = routed +: (0 until cfg.numHashes).map(j => routed ^ (1 << j))
+    topKWhere(q, k, col(partCol).isin(probes: _*))
+  }
+
+  /** Exact kNN over the whole lake (no pruning). */
+  def topKExact(q: Seq[Double], k: Int): DataFrame =
+    topKWhere(q, k, lit(true))
+
+  private def topKWhere(q: Seq[Double], k: Int, pred: Column): DataFrame =
+    read()
+      .where(pred)
+      .withColumn("dist", round(distCol(q), 6))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
+
+  /** Force-materialize (the reference's warm `load_local`, index.py:565-568). */
+  def loadWarm(): Long = { val df = read().cache(); df.count() }
+
+  /** Estimated bytes (reference `memory_footprint`, index.py:332-335). */
+  def sizeInBytes(): BigInt =
+    read().queryExecution.optimizedPlan.stats.sizeInBytes
+
+  def count(): Long = read().count()
+
+  /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */
+  def delete(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  def exists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Sidecar `_meta.json` — replaces the reference's parquet-attrs
+    * `last_update` stamp (index.py:296-305); Spark's DataFrameWriter has
+    * no per-file custom-metadata hook. */
+  private def writeMetaSidecar(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}}"""
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
+}
+
+object Lake {
+  /** Canonical stored-row schema (SURVEY.md §1.1; reference frame_schema
+    * index.py:198-200). `shard` is a directory partition column on top. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("document", StringType),
+    StructField("timestamp", TimestampType)))
+
+  val dataCols: Seq[String] = schema.fields.map(_.name).toSeq
+
+  def apply(spark: SparkSession, cfg: LakeConfig): Lake = new Lake(spark, cfg)
+}

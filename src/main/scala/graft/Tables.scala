@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md /
+  * FIXTURES.md §B). One parquet file per table under `$dir/`.
+  *
+  * All queries take the table directory as a parameter so the same code
+  * runs at any scale factor — at cluster scale `dir` would be an
+  * `s3a://bucket/prefix` and nothing else changes (Spark's Hadoop FS
+  * layer handles the tiering the reference hand-rolls in its S3Bucket,
+  * /root/reference/vector_lake/core/index.py:344-428).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and convert to a
+    * microsecond TimestampType column (integer div — exact for any
+    * sub-second truncation we do downstream). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as Column-returning builders over Spark's higher-order
+  * functions (`zip_with` / `aggregate`) — no UDFs, everything stays in
+  * whole-stage codegen and Catalyst can push/prune around it.
+  *
+  * Semantics mirror the reference's distance layer
+  * (/root/reference/vector_lake/core/hnsw.py:12-17) with one deliberate
+  * divergence, documented in SURVEY.md §2.3 Q3: the reference's
+  * `cosine_distance` actually returns cosine *similarity* (so its HNSW
+  * "nearest" is least-similar). We implement the correct
+  * `1 - similarity` distance.
+  *
+  * Determinism contract (SURVEY.md §7.5): all accumulation is DoubleType,
+  * strictly left-to-right over the array order — the same order DuckDB's
+  * list functions use, so results hash-match the oracle after round(…,6).
+  */
+object VectorFunctions {
+
+  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (float->double is exact). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ, left-to-right, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ = sqrt(Σ aᵢ²). */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Euclidean distance sqrt(Σ (aᵢ-bᵢ)²) — reference `l2_distance`
+    * (hnsw.py:12-13). */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity dot/(‖a‖·‖b‖). NaN on zero-norm input (documented;
+    * the reference would likewise divide by zero, hnsw.py:16-17). */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Correct cosine distance 1 − sim (fixes reference bug, SURVEY §2.3 Q3). */
+  def cosineDist(a: Column, b: Column): Column =
+    lit(1.0) - cosineSim(a, b)
+
+  /** A literal vector as an ARRAY<DOUBLE> column. */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  // ---- SQL-literal helpers for the DuckDB oracle ----------------------
+
+  /** Exact decimal round-trip text for a double (Double.toString is the
+    * shortest string that parses back to the same double in both JVMs
+    * and DuckDB). */
+  def sqlDouble(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    // DuckDB accepts E-notation; keep as-is.
+    s
+  }
+
+  /** `[x1, x2, …]::DOUBLE[]` DuckDB list literal. */
+  def sqlVec(v: Seq[Double]): String =
+    v.map(sqlDouble).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** DuckDB expression for dot(col, literal vec) in doubles. */
+  def sqlDotLit(col: String, v: Seq[Double]): String =
+    s"list_dot_product($col::DOUBLE[], ${sqlVec(v)})"
+
+  /** DuckDB expression mirroring [[cosineDist]] against a literal query
+    * vector — same formula shape: 1 - dot/(sqrt(dot_aa)*sqrt(dot_bb)). */
+  def sqlCosineDistLit(col: String, v: Seq[Double]): String = {
+    val qq = v.foldLeft(0.0)((acc, x) => acc + x * x)
+    s"(1.0 - ${sqlDotLit(col, v)} / " +
+      s"(sqrt(list_dot_product($col::DOUBLE[], $col::DOUBLE[])) * sqrt(${sqlDouble(qq)})))"
+  }
+
+  /** DuckDB expression mirroring [[l2Dist]] against a literal. */
+  def sqlL2DistLit(col: String, v: Seq[Double]): String =
+    s"list_distance($col::DOUBLE[], ${sqlVec(v)})"
+
+  /** DuckDB cosine similarity between two list columns, same formula
+    * shape as [[cosineSim]]. */
+  def sqlCosineSimCols(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+
+  /** DuckDB cosine distance between two list columns. */
+  def sqlCosineDistCols(a: String, b: String): String =
+    s"(1.0 - ${sqlCosineSimCols(a, b)})"
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Fixtures, Lake, LakeConfig, Tables}
+import graft.functions.{Lsh, VectorFunctions => V}
+
+/** The core query inventory (SURVEY.md §7.4): the reference's vector-store
+  * semantics (kNN, LSH routing, shard pruning) plus the relational /
+  * analytic coverage the reference lacks (§2.10). Every query is fully
+  * deterministic: rounded floats, total ordering with id tiebreaks, no
+  * uuids/timestamps in output (SURVEY.md §7.5).
+  */
+object CoreQueries {
+  private val Qv = Fixtures.queryVec
+  private val lsh = Lsh.default
+
+  /** Cosine-distance column vs the flagship literal query vector. */
+  private def cosQ = round(V.cosineDist(col("embedding"), V.vecLit(Qv)), 6)
+
+  // -------------------------------------------------------------- kNN --
+
+  val qKnnCosine = Q(
+    "q_knn_cosine",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"), cosQ.as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10),
+    Some(s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+             FROM embeddings ORDER BY dist, vec_id LIMIT 10"""))
+
+  val qKnnL2 = Q(
+    "q_knn_l2",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(V.l2Dist(col("embedding"), V.vecLit(Qv)), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10),
+    Some(s"""SELECT vec_id, round(${V.sqlL2DistLit("embedding", Qv)}, 6) AS dist
+             FROM embeddings ORDER BY dist, vec_id LIMIT 10"""))
+
+  val qKnnDot = Q(
+    "q_knn_dot",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(V.dot(col("embedding"), V.vecLit(Qv)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10),
+    Some(s"""SELECT vec_id, round(${V.sqlDotLit("embedding", Qv)}, 6) AS score
+             FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  // ------------------------------------------------- LSH routing/prune --
+
+  val qLshRoute = Q(
+    "q_lsh_route",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(lsh.shardCol(col("embedding")).as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .orderBy("shard"),
+    Some(s"""SELECT ${lsh.sqlShardExpr("embedding")} AS shard,
+             CAST(count(*) AS BIGINT) AS cnt
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
+  val qKnnPruned = Q(
+    "q_knn_pruned",
+    (s, dir) => {
+      val routed = lsh.shardOf(Qv)
+      Tables.embeddings(s, dir)
+        .where(lsh.shardCol(col("embedding")) === lit(routed))
+        .select(col("vec_id"), cosQ.as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val routed = lsh.shardOf(Qv)
+      s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+          FROM embeddings WHERE ${lsh.sqlShardExpr("embedding")} = $routed
+          ORDER BY dist, vec_id LIMIT 10"""
+    })
+
+  /** Multi-probe (Hamming≤1) pruned kNN — the IVF-style recall dial. */
+  val qKnnMultiProbe = Q(
+    "q_knn_multiprobe",
+    (s, dir) => {
+      val routed = lsh.shardOf(Qv)
+      val probes = routed +: (0 until lsh.numHashes).map(j => routed ^ (1 << j))
+      Tables.embeddings(s, dir)
+        .where(lsh.shardCol(col("embedding")).isin(probes: _*))
+        .select(col("vec_id"), cosQ.as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val routed = lsh.shardOf(Qv)
+      val probes = routed +: (0 until lsh.numHashes).map(j => routed ^ (1 << j))
+      s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+          FROM embeddings
+          WHERE ${lsh.sqlShardExpr("embedding")} IN (${probes.mkString(", ")})
+          ORDER BY dist, vec_id LIMIT 10"""
+    })
+
+  // -------------------------------------------------------- batch kNN --
+
+  /** 10 query vectors × top-5 each: broadcast the (small) query set, one
+    * scan of the data, per-query top-k via window row_number — the batch
+    * form the reference cannot express (SURVEY.md §3.3). At 100 TB the
+    * query set stays broadcast; only (data × |Q|) distance rows shuffle
+    * into the per-qid top-k. */
+  val qKnnBatch = Q(
+    "q_knn_batch",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.orderBy("vec_id").limit(10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(V.cosineDist(col("embedding"), col("qvec")), 6).as("dist"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+                        ORDER BY vec_id LIMIT 10),
+             d AS (SELECT q.qid, e.vec_id,
+                          round(${V.sqlCosineDistCols("e.embedding", "q.qvec")}, 6) AS dist
+                   FROM embeddings e CROSS JOIN q),
+             r AS (SELECT qid, vec_id, dist,
+                          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+                   FROM d)
+             SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 5
+             ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------- near-dup --
+
+  /** Exact all-pairs cosine near-dup (correctness baseline; quadratic —
+    * the LSH-bucketed variant below is the 100 TB path). */
+  val qNearDup = Q(
+    "q_near_dup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(V.cosineSim(col("a_vec"), col("b_vec")), 6).as("sim"))
+        .where(col("sim") > 0.5)
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+    },
+    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) AS sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) > 0.5
+             ORDER BY sim DESC, a_id, b_id"""))
+
+  /** LSH-bucketed near-dup: equi-join on the shard id — candidate pairs
+    * only within a bucket, which is what makes near-dup linear-ish at
+    * scale (shuffle on shard key instead of all-pairs). */
+  val qNearDupLsh = Q(
+    "q_near_dup_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("shard", lsh.shardCol(col("embedding")))
+      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.join(b, Seq("shard"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("shard"), col("a_id"), col("b_id"),
+          round(V.cosineSim(col("a_vec"), col("b_vec")), 6).as("sim"))
+        .where(col("sim") > 0.4)
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+                               ${lsh.sqlShardExpr("embedding")} AS shard FROM embeddings)
+             SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,
+                    round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) AS sim
+             FROM e a JOIN e b ON a.shard = b.shard AND a.vec_id < b.vec_id
+             WHERE round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) > 0.4
+             ORDER BY sim DESC, a_id, b_id"""))
+
+  // ------------------------------------------------------- filter/agg --
+
+  val qFilterKnn = Q(
+    "q_filter_knn",
+    (s, dir) => Tables.embeddings(s, dir)
+      .where(col("label") === 3)
+      .select(col("vec_id"), col("label"), cosQ.as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10),
+    Some(s"""SELECT vec_id, label, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+             FROM embeddings WHERE label = 3 ORDER BY dist, vec_id LIMIT 10"""))
+
+  /** Per-label centroids via posexplode + avg — array agg without UDFs. */
+  val qLabelCentroids = Q(
+    "q_label_centroids",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(V.asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg("v"), 6).as("c"))
+      .orderBy("label", "pos"),
+    Some("""SELECT label, pos, round(avg(v), 6) AS c FROM (
+              SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+              FROM embeddings)
+            GROUP BY label, pos ORDER BY label, pos"""))
+
+  // ------------------------------------------------------------ joins --
+
+  val qJoinDocs = Q(
+    "q_join_docs",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      e.join(broadcast(d), e("vec_id") === d("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            GROUP BY lang ORDER BY lang"""))
+
+  // ------------------------------------------------------- text/events --
+
+  val qTextStats = Q(
+    "q_text_stats",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(length(col("text"))), 6).as("avg_len"),
+        countDistinct(col("text")).as("n_uniq"))
+      .orderBy("lang", "source"),
+    Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(length(text)), 6) AS avg_len,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_uniq
+            FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  val qEventsWindow = Q(
+    "q_events_window",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("day", "event_type"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  val qEventsRollup = Q(
+    "q_events_rollup",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "day"),
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS sum_value
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events)
+            GROUP BY ROLLUP(event_type, day) ORDER BY event_type, day"""))
+
+  // -------------------------------------------- lake write/read round --
+
+  /** Ingests embeddings through the Lake write path (uuid/ts/shard,
+    * partitioned parquet), reads it back, aggregates per shard. The
+    * oracle computes the same stats straight from `embeddings` — equality
+    * proves the roundtrip preserved vectors and routed identically. */
+  val qShardStats = Q(
+    "q_shard_stats",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lake = Lake(s, LakeConfig(tmp, dim = 64))
+      lake.delete()
+      lake.ingest(Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT ${lsh.sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
+  def all: Seq[Q] = Seq(
+    qKnnCosine, qKnnL2, qKnnDot,
+    qLshRoute, qKnnPruned, qKnnMultiProbe,
+    qKnnBatch, qNearDup, qNearDupLsh,
+    qFilterKnn, qLabelCentroids, qJoinDocs,
+    qTextStats, qEventsWindow, qEventsRollup,
+    qShardStats)
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's end-to-end store tests
+  * (/root/reference/tests/test_unit.py:46-71,
+  * tests/test_properties.py:49-110): empty-store query, add→query,
+  * persist→re-open round-trip with exact vector equality, |topK| ≤ k,
+  * plus our partitioning/pruning guarantees. */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLake(metric: String = "cosine"): Lake = {
+    val dir = Files.createTempDirectory("graft_lake_test").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4, metric = metric))
+  }
+
+  private def vecsDF(vs: Seq[Seq[Double]]) =
+    vs.zipWithIndex.map { case (v, i) => (v.map(_.toFloat), s"doc $i") }
+      .toDF("vector", "document")
+
+  test("empty store: query returns 0 rows, count 0") {
+    val lake = freshLake()
+    assert(lake.count() === 0L)
+    assert(lake.topK(Seq(1.0, 0, 0, 0, 0), 4).count() === 0L)
+  }
+
+  test("add one vector, query returns it with exact values") {
+    val lake = freshLake()
+    val v = Seq(0.1, 0.2, 0.3, 0.4, 0.5)
+    lake.ingest(vecsDF(Seq(v)))
+    val rows = lake.topK(v, 4).collect()
+    assert(rows.length === 1)
+    val got = rows.head.getAs[scala.collection.Seq[Float]]("vector")
+    assert(got === v.map(_.toFloat).toSeq)
+    assert(rows.head.getAs[Double]("dist") === 0.0)
+  }
+
+  test("persist -> re-open from disk -> query still matches (round-trip)") {
+    val lake = freshLake()
+    val v = Seq(-0.3, 0.9, 0.04, 0.1, -0.5)
+    lake.ingest(vecsDF(Seq(v)))
+    val reopened = Lake(spark, lake.cfg) // fresh handle, same location
+    val rows = reopened.topK(v, 4).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[scala.collection.Seq[Float]]("vector") === v.map(_.toFloat).toSeq)
+  }
+
+  test("|topK| <= k and results sorted by dist") {
+    val lake = freshLake()
+    val rng = new scala.util.Random(42)
+    lake.ingest(vecsDF(Seq.fill(50)(Seq.fill(5)(rng.nextGaussian()))))
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val rows = lake.topKExact(q, 7).collect()
+    assert(rows.length <= 7)
+    val dists = rows.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("ingest defaults: uuid id, metadata coercion, empty document") {
+    val lake = freshLake()
+    lake.ingest(Seq((Seq(1.0f, 0f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("vector", "metadata"))
+    val row = lake.read().collect().head
+    assert(row.getAs[String]("id").length === 36) // uuid
+    // reference coerces empty metadata to {"id": "1"} (index.py:572-575)
+    assert(row.getAs[Map[String, String]]("metadata") === Map("id" -> "1"))
+    assert(row.getAs[String]("document") === "")
+  }
+
+  test("append (second ingest) adds rows, does not rewrite") {
+    val lake = freshLake()
+    lake.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0))))
+    lake.ingest(vecsDF(Seq(Seq(0.0, 1.0, 0, 0, 0))))
+    assert(lake.count() === 2L)
+  }
+
+  test("delete removes the store") {
+    val lake = freshLake()
+    lake.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0))))
+    assert(lake.exists())
+    lake.delete()
+    assert(!lake.exists())
+    assert(lake.count() === 0L) // bootstrap empty frame, like index.py:247
+  }
+
+  test("metric=l2 and metric=dot are honored (reference declared-but-ignored)") {
+    val l2 = freshLake(metric = "l2")
+    l2.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0), Seq(5.0, 0, 0, 0, 0))))
+    val near = l2.topKExact(Seq(1.1, 0, 0, 0, 0), 1).collect().head
+    assert(math.abs(near.getAs[Double]("dist") - 0.1) < 1e-6)
+
+    val dl = freshLake(metric = "dot")
+    dl.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0), Seq(5.0, 0, 0, 0, 0))))
+    val best = dl.topKExact(Seq(1.0, 0, 0, 0, 0), 1).collect().head
+    // nearest by dot = max dot = the larger vector
+    assert(best.getAs[scala.collection.Seq[Float]]("vector").head === 5.0f)
+  }
+
+  test("single-probe topK prunes partitions (literal shard predicate)") {
+    val lake = freshLake()
+    val rng = new scala.util.Random(1)
+    lake.ingest(vecsDF(Seq.fill(100)(Seq.fill(5)(rng.nextGaussian()))))
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val plan = lake.topK(q, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("shard"))
+    // all returned rows are from the routed shard
+    val routed = lake.lsh.shardOf(q)
+    lake.topK(q, 3).collect().foreach(r => assert(r.getAs[Int]("shard") === routed))
+  }
+
+  test("user-keyed partitioning (reference Partition subclass analog)") {
+    val dir = Files.createTempDirectory("graft_lake_test").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5,
+      partitionKey = Some("tenant")))
+    lake.ingest(Seq(
+      (Seq(1.0f, 0f, 0f, 0f, 0f), "a"),
+      (Seq(0f, 1.0f, 0f, 0f, 0f), "b")).toDF("vector", "tenant"))
+    val df = lake.read()
+    assert(df.columns.contains("tenant"))
+    assert(df.where(col("tenant") === "a").count() === 1L)
+  }
+
+  test("multi-probe topK returns at least as many candidates as single-probe") {
+    val lake = freshLake()
+    val rng = new scala.util.Random(9)
+    lake.ingest(vecsDF(Seq.fill(200)(Seq.fill(5)(rng.nextGaussian()))))
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val single = lake.topK(q, 50).count()
+    val multi = lake.topKMultiProbe(q, 50).count()
+    assert(multi >= single)
+  }
+}

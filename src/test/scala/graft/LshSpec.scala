@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Lsh
+
+/** Mirrors the reference's router properties
+  * (/root/reference/tests/test_properties.py:33-46): shard ids in range,
+  * deterministic across processes, and the Column expression agrees with
+  * the plain-Scala router. */
+class LshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lsh = Lsh(dim = 5, numHashes = 4)
+
+  test("shard in [0, numShards) for arbitrary vectors") {
+    val rng = new scala.util.Random(123)
+    (0 until 500).foreach { _ =>
+      val v = Seq.fill(5)(rng.nextGaussian())
+      val s = lsh.shardOf(v)
+      assert(s >= 0 && s < lsh.numShards)
+    }
+  }
+
+  test("deterministic: same seed -> same planes -> same routing") {
+    val a = Lsh(dim = 5, numHashes = 4)
+    val b = Lsh(dim = 5, numHashes = 4)
+    assert(a.planes.map(_.toSeq).toSeq === b.planes.map(_.toSeq).toSeq)
+    val v = Seq(0.1, -0.2, 0.3, 0.4, -0.5)
+    assert(a.shardOf(v) === b.shardOf(v))
+  }
+
+  test("Column expression agrees with plain-Scala router") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(5)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vector")
+      .select(col("id"), lsh.shardCol(col("vector")).as("shard"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === lsh.shardOf(v.map(_.toDouble)), s"vector $id")
+    }
+  }
+
+  test("default router matches testdata dims: 8 hashes -> 256 shards") {
+    assert(Lsh.default.numShards === 256)
+    assert(Lsh.default.planes.length === 8)
+    assert(Lsh.default.planes.head.length === 64)
+  }
+}

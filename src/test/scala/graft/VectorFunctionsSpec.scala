@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Golden hand-computed distance checks — including the metric-*direction*
+  * case the reference's tests miss (its cosine_distance returns
+  * similarity, so its "nearest" is least-similar; SURVEY.md §2.3 Q3). */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.as("v")).head().getDouble(0)
+
+  test("dot product, golden") {
+    val c = V.dot(V.vecLit(Seq(1.0, 2.0, 3.0)), V.vecLit(Seq(4.0, -5.0, 6.0)))
+    assert(one(c) === 4.0 - 10.0 + 18.0)
+  }
+
+  test("l2 distance, golden") {
+    val c = V.l2Dist(V.vecLit(Seq(0.0, 3.0)), V.vecLit(Seq(4.0, 0.0)))
+    assert(one(c) === 5.0)
+  }
+
+  test("l2 norm, golden") {
+    assert(one(V.l2Norm(V.vecLit(Seq(3.0, 4.0)))) === 5.0)
+  }
+
+  test("cosine distance: identical vectors -> 0, orthogonal -> 1, opposite -> 2") {
+    assert(math.abs(one(V.cosineDist(V.vecLit(Seq(1.0, 0.0)), V.vecLit(Seq(2.0, 0.0))))) < 1e-12)
+    assert(math.abs(one(V.cosineDist(V.vecLit(Seq(1.0, 0.0)), V.vecLit(Seq(0.0, 7.0)))) - 1.0) < 1e-12)
+    assert(math.abs(one(V.cosineDist(V.vecLit(Seq(1.0, 0.0)), V.vecLit(Seq(-3.0, 0.0)))) - 2.0) < 1e-12)
+  }
+
+  test("metric direction: nearest-by-cosineDist is the most similar vector") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.9f, 0.1f, 0.0f))).toDF("id", "vector")
+    val q = Seq(1.0, 0.0, 0.0)
+    val top = vecs
+      .select(col("id"), V.cosineDist(col("vector"), V.vecLit(q)).as("d"))
+      .orderBy(col("d"), col("id"))
+      .head()
+    assert(top.getLong(0) === 1L) // the reference's inverted metric would pick id=3
+  }
+
+  test("float arrays are cast exactly to double") {
+    val c = V.dot(
+      array(lit(0.5f), lit(0.25f)).cast("array<float>"),
+      V.vecLit(Seq(2.0, 4.0)))
+    assert(one(c) === 2.0)
+  }
+}
