@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines: tokenizing,
+  * portable string hashing, shingling, MinHash, SimHash, rolling-hash
+  * fingerprints, quality scoring, language markers.
+  *
+  * Everything is a pure Column expression (no UDFs — whole-stage codegen
+  * end-to-end) with a paired DuckDB SQL generator so every operator is
+  * oracle-checkable. The portable hash contract:
+  *
+  *   h60(s) = int64(first 15 hex chars of md5(utf8(s)))   // in [0, 2^60)
+  *   h31(s) = h60(s) % 2147483647                          // mod-mult-safe
+  *
+  * identical in Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substring(md5(x),1,15))::BIGINT`), so MinHash/SimHash
+  * signatures hash-match across engines. All composite arithmetic stays
+  * in integers → no float-ordering hazards.
+  */
+object TextFunctions {
+  val P31 = 2147483647L // 2^31 - 1; (a*h31 + b) stays < 2^62
+
+  // ------------------------------------------------------ portable hash
+
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def h31(c: Column): Column = h60(c) % P31
+
+  def sqlH60(e: String): String =
+    s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
+
+  def sqlH31(e: String): String = s"(${sqlH60(e)} % $P31)"
+
+  // ------------------------------------------------------- tokenization
+
+  /** Whitespace tokens (single-space split — matches DuckDB
+    * string_split(text, ' ') including empties on runs). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def sqlTokens(e: String): String = s"string_split($e, ' ')"
+
+  /** Word n-gram shingles, space-joined (guarded: <n tokens → []). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def sqlShingles(e: String, n: Int): String = {
+    val toks = sqlTokens(e)
+    val parts = (0 until n).map(o => s"($toks)[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len($toks) - ${n - 1}), i -> $parts)"
+  }
+
+  /** Character n-grams of a string (for n-gram Jaccard dedup). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => substring(c, lit(i), lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  def sqlCharNgrams(e: String, n: Int): String =
+    s"list_transform(generate_series(1, length($e) - ${n - 1}), i -> substring($e, i, $n))"
+
+  // ----------------------------------------------------------- MinHash
+
+  /** Seeded (a, b) parameters for the universal-hash family
+    * h_j(x) = (a_j·h31(x) + b_j) mod P31. */
+  def minhashParams(k: Int, seed: Long = 13L): Seq[(Long, Long)] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(k)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-element MinHash signature of a (distinct) shingle set column. */
+  def minhashSig(shingleSet: Column, params: Seq[(Long, Long)]): Seq[Column] =
+    params.map { case (a, b) =>
+      array_min(transform(shingleSet, s => (lit(a) * h31(s) + lit(b)) % P31))
+    }
+
+  def sqlMinhashSig(setExpr: String, params: Seq[(Long, Long)]): Seq[String] =
+    params.map { case (a, b) =>
+      s"list_min(list_transform($setExpr, s -> ($a * ${sqlH31("s")} + $b) % $P31))"
+    }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** `bits`-bit SimHash over a token-set column: bit k of the fingerprint
+    * is 1 iff (#tokens with bit k set) > (#without) — computed as
+    * 2·|filter| − |set| > 0, pure integer ops. */
+  def simhash(tokenSet: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      val ones = size(filter(tokenSet, t => shiftright(h31(t), k) % 2 === 1))
+      when(ones * 2 > size(tokenSet), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def sqlSimhash(setExpr: String, bits: Int): String =
+    (0 until bits).map { k =>
+      s"(CASE WHEN 2 * len(list_filter($setExpr, t -> (${sqlH31("t")} >> $k) & 1 = 1)) > len($setExpr) THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ------------------------------------------------------- fingerprint
+
+  /** Polynomial rolling-hash fingerprint of the whole document:
+    * fold chars left-to-right: h ← (h·31 + ascii(c)) mod 1e9+7. */
+  val FpMod = 1000000007L
+
+  def fingerprint(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % FpMod)
+
+  def sqlFingerprint(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % $FpMod)"
+
+  // ---------------------------------------------------------- language
+
+  /** Tiny stopword marker sets per language (public common function
+    * words), for n-gram-heuristic language ID. Preference order on ties:
+    * en > de > es > fr (deterministic CASE chain, mirrored in SQL). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "que", "est"))
+
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  def sqlMarkerCount(toksExpr: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksExpr, t -> list_contains($lst, t)))"
+  }
+
+  /** Predicted language by marker-count argmax with fixed tie order. */
+  def predictedLang(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, s), i), rest) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(o => s >= o).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+
+  def sqlPredictedLang(toksExpr: String): String = {
+    val scores = langMarkers.map { case (l, ws) => l -> sqlMarkerCount(toksExpr, ws) }
+    val cases = scores.init.zipWithIndex.map { case ((lang, s), i) =>
+      val cond = scores.drop(i + 1).map(o => s"$s >= ${o._2}").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"(CASE ${cases.mkString(" ")} ELSE '${scores.last._1}' END)"
+  }
+
+  // ----------------------------------------------------------- quality
+
+  /** Composite quality score in [0,1]: token-count saturation,
+    * letter-character ratio, marker-stopword ratio, mean word length
+    * band. Pure arithmetic, mirrored in SQL; callers round(…,6). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lenC = length(text).cast("double")
+    val letters = length(regexp_replace(text, "[^a-z]", "")).cast("double")
+    val stop = markerCount(toks, langMarkers.flatMap(_._2)).cast("double")
+    val avgWl = (lenC - (n - 1)) / n
+    least(n / 60.0, lit(1.0)) * 0.4 +
+      (letters / lenC) * 0.3 +
+      least(stop / n * 10.0, lit(1.0)) * 0.2 +
+      when(avgWl >= 3.0 && avgWl <= 8.0, 0.1).otherwise(0.0)
+  }
+
+  def sqlQualityScore(e: String): String = {
+    val toks = sqlTokens(e)
+    val stop = sqlMarkerCount(toks, langMarkers.flatMap(_._2))
+    s"""(least(len($toks)::DOUBLE / 60.0, 1.0) * 0.4
+       + (length(regexp_replace($e, '[^a-z]', '', 'g'))::DOUBLE / length($e)::DOUBLE) * 0.3
+       + least($stop::DOUBLE / len($toks)::DOUBLE * 10.0, 1.0) * 0.2
+       + (CASE WHEN (length($e)::DOUBLE - (len($toks)::DOUBLE - 1)) / len($toks)::DOUBLE BETWEEN 3.0 AND 8.0 THEN 0.1 ELSE 0.0 END))"""
+  }
+}

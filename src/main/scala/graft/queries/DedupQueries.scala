@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+
+/** Deduplication operators over `documents` — the core training-data
+  * pipeline family: exact (hash group), MinHash+LSH banding, SimHash,
+  * and character-n-gram Jaccard. Each pairs a Spark program with a
+  * DuckDB oracle built from the same portable-hash contract
+  * ([[graft.functions.TextFunctions]]), so signatures match bit-for-bit.
+  *
+  * Scale notes (the reason these shapes were chosen):
+  *  - exact dedup = one hash-aggregate, fully map-side-combinable;
+  *  - MinHash banding turns all-pairs O(n²) into an equi-join on band
+  *    keys (shuffle on band, candidates only within buckets);
+  *  - SimHash groups by a 16-bit fingerprint — a plain hash aggregate;
+  *  - all-pairs n-gram Jaccard is kept as the *correctness baseline*
+  *    and deliberately restricted to a bounded id range.
+  */
+object DedupQueries {
+
+  /** Exact duplicate detection: per-lang row count, distinct-text count,
+    * and duplicate-row count via md5 grouping. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).as("n_dup_rows"))
+      .orderBy("lang"),
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val MinhashK = 16
+  private val Bands = 4 // 4 bands × 4 rows
+  private val mhParams = T.minhashParams(MinhashK)
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact
+    * Jaccard over word-bigram shingle sets. Pipeline: shingle → 16
+    * minhashes → 4 band keys → explode → equi-join on band → distinct
+    * candidate pairs → exact Jaccard ≥ 0.2. */
+  val qMinhashLsh = Q(
+    "q_minhash_lsh",
+    (s, dir) => {
+      val sig = T.minhashSig(col("sh"), mhParams)
+      val bands = (0 until Bands).map { b =>
+        concat_ws("-", lit(b) +: (0 until MinhashK / Bands).map(r => col(s"mh${b * (MinhashK / Bands) + r}")): _*)
+      }
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(T.shingles(col("text"), 2)).as("sh"))
+        .select(Seq(col("doc_id"), col("sh")) ++
+          sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+        .withColumn("band", explode(array(bands: _*)))
+      val a = d.select(col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = d.select(col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+      a.join(b, Seq("band"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+        .select(col("a_id"), col("b_id"),
+          round(inter / (size(col("a_sh")) + size(col("b_sh")) - inter), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.2)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+    },
+    Some {
+      val setE = s"list_distinct(${T.sqlShingles("text", 2)})"
+      val sigE = T.sqlMinhashSig("sh", mhParams)
+      val bandE = (0 until Bands).map { b =>
+        val rows = (0 until MinhashK / Bands).map(r => s"mh${b * (MinhashK / Bands) + r}")
+        s"('$b' || '-' || " + rows.mkString(" || '-' || ") + ")"
+      }.mkString("[", ", ", "]")
+      val mhCols = sigE.zipWithIndex.map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, $setE AS sh FROM documents),
+          d1 AS (SELECT doc_id, sh, $mhCols FROM d0),
+          d2 AS (SELECT doc_id, sh, unnest($bandE) AS band FROM d1),
+          p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM d2 a JOIN d2 b ON a.band = b.band AND a.doc_id < b.doc_id),
+          j AS (SELECT p.a_id, p.b_id,
+                       round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                             (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))::DOUBLE, 6) AS jaccard
+                FROM p JOIN d0 da ON p.a_id = da.doc_id JOIN d0 db ON p.b_id = db.doc_id)
+          SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.2
+          ORDER BY jaccard DESC, a_id, b_id"""
+    })
+
+  /** 16-bit SimHash fingerprint groups: collision buckets with >1 doc
+    * (hash-aggregate dedup at fingerprint granularity). */
+  val qSimhash = Q(
+    "q_simhash",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.simhash(array_distinct(T.tokens(col("text"))), 16).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .where(col("n") > 1)
+      .orderBy("simhash"),
+    Some {
+      val sh = T.sqlSimhash(s"list_distinct(${T.sqlTokens("text")})", 16)
+      s"""SELECT simhash, CAST(count(*) AS BIGINT) AS n,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM (SELECT doc_id, $sh AS simhash FROM documents)
+          GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""
+    })
+
+  /** Character-3-gram Jaccard near-dup — exact all-pairs baseline,
+    * bounded to doc_id < 200 within the same lang; top-20 pairs. */
+  val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(T.charNgrams(col("text"), 3)).as("g"))
+      val a = d.select(col("lang"), col("doc_id").as("a_id"), col("g").as("a_g"))
+      val b = d.select(col("lang"), col("doc_id").as("b_id"), col("g").as("b_g"))
+      val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
+      a.join(b, Seq("lang"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("lang"), col("a_id"), col("b_id"),
+          round(inter / (size(col("a_g")) + size(col("b_g")) - inter), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some {
+      val g = s"list_distinct(${T.sqlCharNgrams("text", 3)})"
+      s"""WITH d AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200)
+          SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(len(list_intersect(a.g, b.g))::DOUBLE /
+                       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS jaccard
+          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          ORDER BY jaccard DESC, a_id, b_id LIMIT 20"""
+    })
+
+  /** Rolling-hash document fingerprints: per-source distinct fingerprint
+    * count vs rows (content-identity summary). */
+  val qFingerprint = Q(
+    "q_fingerprint",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("source"), T.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct("fp").as("n_fp"))
+      .orderBy("source"),
+    Some {
+      val fp = T.sqlFingerprint("text")
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT fp) AS BIGINT) AS n_fp
+          FROM (SELECT source, $fp AS fp FROM documents)
+          GROUP BY source ORDER BY source"""
+    })
+
+  def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qSimhash, qNgramJaccard, qFingerprint)
+}

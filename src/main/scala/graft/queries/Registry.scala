@@ -10,7 +10,8 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  def all: Seq[Q] = CoreQueries.all
+  def all: Seq[Q] =
+    CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++ RelationalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

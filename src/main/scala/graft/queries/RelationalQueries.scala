@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational/analytic coverage over the TPC-H-ish star schema and the
+  * events stream-analog table (SURVEY.md §2.10 right column): scan-heavy
+  * aggregation, multi-way broadcast joins, and window-function
+  * sessionization. */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: one scan, hash aggregate with
+    * map-side partials — the canonical "does aggregation scale" probe. */
+  val qTpchQ1 = Q(
+    "q_tpch_q1",
+    (s, dir) => Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Orders ⋈ customer ⋈ nation rollup to nation: the dimensions are
+    * broadcast (no shuffle of the fact side beyond the final agg). */
+  val qOrdersNation = Q(
+    "q_orders_nation",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 6).as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 6) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                          JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Market-segment top spenders: join + window ranking (top-3 customers
+    * by account balance per segment). */
+  val qSegmentTop = Q(
+    "q_segment_top",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 6).as("bal"), col("rank"))
+        .orderBy("c_mktsegment", "rank")
+    },
+    Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 6) AS bal,
+                   CAST(row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank
+            FROM customer QUALIFY rank <= 3
+            ORDER BY c_mktsegment, rank"""))
+
+  /** Sessionization over events: a new session starts when a user's gap
+    * from the previous event exceeds 30 min (lag window). Output: per
+    * event_type, number of sessions started and events. The batch form
+    * of the streaming state-machine (see graft.streaming). */
+  val qSessionize = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_session_starts"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+                   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+            FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_session) AS BIGINT) AS n_session_starts
+            FROM e GROUP BY event_type ORDER BY event_type"""))
+
+  /** JSON extraction over events.props + filter + agg (§2.10 JSON fns). */
+  val qEventsJson = Q(
+    "q_events_json",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k
+            FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+            WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qOrdersNation, qSegmentTop, qSessionize, qEventsJson)
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+
+/** Text-analysis operators over `documents`: language-ID (marker-token
+  * heuristic), quality scoring, token counting (whitespace + regex).
+  * All single-pass hash aggregates — map-side combinable, no joins. */
+object TextQueries {
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang. */
+  val qLangId = Q(
+    "q_lang_id",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("lang"), T.predictedLang(T.tokens(col("text"))).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted"),
+    Some(s"""SELECT lang, ${T.sqlPredictedLang(T.sqlTokens("text"))} AS predicted,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2 ORDER BY lang, predicted"""))
+
+  /** Per-source quality-score profile (composite heuristic in [0,1]). */
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("source"), round(T.qualityScore(col("text")), 6).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_q"),
+        min("q").as("min_q"), max("q").as("max_q"))
+      .orderBy("source"),
+    Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+                    round(avg(q), 6) AS avg_q, min(q) AS min_q, max(q) AS max_q
+             FROM (SELECT source, round(${T.sqlQualityScore("text")}, 6) AS q FROM documents)
+             GROUP BY source ORDER BY source"""))
+
+  /** Token counting: whitespace tokens, regex word tokens ([a-z0-9]+),
+    * and distinct word-token count, summed per lang. */
+  val qTokenStats = Q(
+    "q_token_stats",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("lang"),
+        size(T.tokens(col("text"))).as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re"),
+        size(array_distinct(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))).as("uniq"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_ws_tokens"),
+        sum("re").as("n_re_tokens"),
+        sum("uniq").as("n_uniq_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_re_tokens,
+                   CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))) AS BIGINT) AS n_uniq_tokens
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats)
+}
