@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata, and
+  * decode/feature-extraction runs as a partition-wise operator so a real
+  * decoder (JNI/ffmpeg/image lib) would amortize per-partition init —
+  * the Scala analog of a Pandas-UDF `mapInPandas` batch.
+  *
+  * The decode step itself is STUBBED: this container has no image/audio
+  * libraries, so [[FakeDecoder]] derives deterministic pseudo-features
+  * from the payload's md5 (clearly marked below). Everything around it —
+  * schema, Dataset plumbing, per-partition batching, downstream
+  * transforms (resize, frame sampling) — is real and tested, and
+  * [[Multimodal.featureCols]] provides an expression-only twin of the
+  * fake decode so the whole path is DuckDB-oracle-checkable.
+  */
+final case class Asset(asset_id: Long, kind: String, bytes: Array[Byte])
+
+final case class AssetFeatures(
+    asset_id: Long, kind: String, byte_len: Long,
+    width: Int, height: Int, duration_ms: Long)
+
+/** Partition-wise decoder contract. A production implementation would
+  * open its native library once per partition (see decodeAll). */
+trait Decoder extends Serializable {
+  def decode(a: Asset): AssetFeatures
+}
+
+/** STUB decoder — deterministic pseudo-features from md5(bytes).
+  * A real implementation would replace exactly this class:
+  * e.g. javax.imageio / ffmpeg bindings. */
+object FakeDecoder extends Decoder {
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Same arithmetic as [[Multimodal.featureCols]] — h31 of the payload
+    * md5 prefix drives every pseudo-dimension. */
+  def decode(a: Asset): AssetFeatures = {
+    val h = java.lang.Long.parseLong(md5Hex(a.bytes).substring(0, 15), 16) % 2147483647L
+    AssetFeatures(
+      asset_id = a.asset_id,
+      kind = a.kind,
+      byte_len = a.bytes.length.toLong,
+      width = (64 + h % 1856).toInt,
+      height = (64 + (h / 7) % 1016).toInt,
+      duration_ms = if (a.kind == "image") 0L else 1000L + h % 599000L)
+  }
+}
+
+object Multimodal {
+
+  /** Partition-wise decode: the real execution path for a native decoder
+    * (one decoder init per partition, streamed rows — no collect). */
+  def decodeAll(assets: Dataset[Asset], decoder: Decoder = FakeDecoder): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // a real Decoder would open its native context here, once
+      it.map(decoder.decode)
+    }
+  }
+
+  /** Expression-only twin of [[FakeDecoder]] over (id, kind, payload
+    * *text*) columns — used by the oracle-checked query so the decode
+    * arithmetic is verifiable cross-engine. h = h60(md5-hex-prefix of
+    * utf8 payload), dims derived with pure integer ops. */
+  def featureCols(text: org.apache.spark.sql.Column, kind: org.apache.spark.sql.Column) = {
+    // h31 (< 2^31) keeps every derived op exact in both engines:
+    // Spark's `/` is double division, exact only below 2^53.
+    val h = T.h31(text)
+    Seq(
+      length(text).cast("long").as("byte_len"), // ascii payloads: chars == bytes
+      (lit(64) + h % 1856).cast("int").as("width"),
+      (lit(64) + floor(h / 7).cast("long") % 1016).cast("int").as("height"),
+      when(kind === "image", 0L).otherwise(lit(1000L) + h % 599000L).as("duration_ms"))
+  }
+
+  /** DuckDB mirror of [[featureCols]] for a text payload expression. */
+  def sqlFeatureCols(e: String, kindE: String): Seq[String] = {
+    val h = T.sqlH31(e)
+    Seq(
+      s"CAST(length($e) AS BIGINT) AS byte_len",
+      s"CAST(64 + $h % 1856 AS INTEGER) AS width",
+      s"CAST(64 + ($h // 7) % 1016 AS INTEGER) AS height",
+      s"CAST(CASE WHEN $kindE = 'image' THEN 0 ELSE 1000 + $h % 599000 END AS BIGINT) AS duration_ms")
+  }
+
+  /** Resize-to-fit: integer-exact target dims for a max-side budget
+    * (e.g. 224): out = dim * budget / max(w, h), integer division. */
+  def resizeCols(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column, budget: Int) = {
+    val m = greatest(w, h).cast("long")
+    Seq(
+      (w.cast("long") * budget / m).cast("int").as("out_w"),
+      (h.cast("long") * budget / m).cast("int").as("out_h"))
+  }
+
+  def sqlResizeCols(w: String, h: String, budget: Int): Seq[String] = Seq(
+    s"CAST(($w::BIGINT * $budget) // greatest($w, $h)::BIGINT AS INTEGER) AS out_w",
+    s"CAST(($h::BIGINT * $budget) // greatest($w, $h)::BIGINT AS INTEGER) AS out_h")
+
+  /** Frame sampling: one frame index per second of duration, capped —
+    * `sequence`-generated, no UDF. */
+  def frameSampleCol(durationMs: org.apache.spark.sql.Column, maxFrames: Int) =
+    when(durationMs > 0,
+      sequence(lit(0L),
+        least(floor(durationMs / 1000).cast("long"), lit(maxFrames.toLong - 1)), lit(1L)))
+      .otherwise(array().cast("array<bigint>"))
+
+  def sqlFrameSampleLen(durationMs: String, maxFrames: Int): String =
+    s"(CASE WHEN $durationMs > 0 THEN least($durationMs // 1000, ${maxFrames - 1}) + 1 ELSE 0 END)"
+
+  /** Build an Asset dataset from documents (payload = utf8 text bytes,
+    * kind assigned round-robin) — the fixture generator for specs and
+    * the oracle query. */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes")).as[Asset]
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.{Asset, FakeDecoder, Multimodal}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps"),
+    (1L, "spark scan join merge sort"),
+    (2L, "vector lake shard route"),
+    (3L, "a much longer document with many more words in it than the others"))
+    .toDF("doc_id", "text")
+
+  test("mapPartitions decode equals the expression twin (same arithmetic)") {
+    val assets = Multimodal.assetsFromDocuments(spark, docs)
+    val viaPartitions = Multimodal.decodeAll(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val viaExprs = docs
+      .select(Seq(col("doc_id"), kind.as("kind")) ++
+        Multimodal.featureCols(col("text"), kind): _*)
+      .collect()
+
+    viaExprs.foreach { r =>
+      val f = viaPartitions(r.getLong(0))
+      assert(f.kind === r.getString(1))
+      assert(f.byte_len === r.getLong(2), s"byte_len of ${r.getLong(0)}")
+      assert(f.width === r.getInt(3), s"width of ${r.getLong(0)}")
+      assert(f.height === r.getInt(4), s"height of ${r.getLong(0)}")
+      assert(f.duration_ms === r.getLong(5), s"duration of ${r.getLong(0)}")
+    }
+  }
+
+  test("decoder output ranges: width/height/duration bounded, image has no duration") {
+    val feats = Multimodal.decodeAll(Multimodal.assetsFromDocuments(spark, docs)).collect()
+    feats.foreach { f =>
+      assert(f.width >= 64 && f.width < 64 + 1856)
+      assert(f.height >= 64 && f.height < 64 + 1016)
+      if (f.kind == "image") assert(f.duration_ms === 0L)
+      else assert(f.duration_ms >= 1000L && f.duration_ms < 600000L)
+    }
+  }
+
+  test("resize fits the max side to the budget, preserves aspect-ish") {
+    val df = Seq((1920, 1080), (100, 400), (224, 224)).toDF("w", "h")
+      .select(Seq(col("w"), col("h")) ++
+        Multimodal.resizeCols(col("w"), col("h"), 224): _*)
+    df.collect().foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(ow, oh) === 224, s"($w,$h) -> ($ow,$oh)")
+      assert(ow <= 224 && oh <= 224)
+    }
+  }
+
+  test("frame sampling: 1 fps capped at maxFrames, none for images") {
+    val df = Seq(0L, 500L, 5500L, 600000L).toDF("d")
+      .select(col("d"), Multimodal.frameSampleCol(col("d"), 32).as("frames"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1)).toMap
+    assert(m(0L).isEmpty)
+    assert(m(500L).toSeq === Seq(0L)) // sub-second clip still yields frame 0
+    assert(m(5500L).toSeq === (0L to 5L))
+    assert(m(600000L).length === 32) // capped
+  }
+
+  test("custom decoder plugs into the partition-wise path") {
+    object ConstDecoder extends graft.multimodal.Decoder {
+      def decode(a: Asset) =
+        graft.multimodal.AssetFeatures(a.asset_id, a.kind, a.bytes.length.toLong, 1, 2, 3L)
+    }
+    val out = Multimodal.decodeAll(
+      Multimodal.assetsFromDocuments(spark, docs), ConstDecoder).collect()
+    assert(out.forall(f => f.width == 1 && f.height == 2 && f.duration_ms == 3L))
+  }
+
+  test("FakeDecoder md5 matches jvm MessageDigest golden") {
+    assert(FakeDecoder.md5Hex("hello".getBytes("UTF-8"))
+      === "5d41402abc4b2a76b9719d911017c592")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg over a memory stream: tumbling day windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 11:00:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-02 09:00:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both day windows
+      stream.addData(Event(9, ts("2024-01-10 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-02 00:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: stateful per-user session counting across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(stream.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (1 session)
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 returns 2 hours later -> second session (state kept)
+      stream.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // latest update for user 1: 2 sessions, 3 events
+      assert(last.contains((1L, 2L, 3L)))
+    } finally q.stop()
+  }
+}
