@@ -29,7 +29,8 @@ final case class LakeConfig(
     numHashes: Int = 8,
     metric: String = "cosine",
     seed: Long = 42L,
-    partitionKey: Option[String] = None) {
+    partitionKey: Option[String] = None,
+    codec: String = "snappy") {
   require(Set("cosine", "l2", "dot")(metric), s"unknown metric $metric")
 }
 
@@ -57,9 +58,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * index.py:572-575 — an ingest rule, not a query rule), and
     * append-writes partitioned parquet.
     *
-    * Scale: routing is a map-side expression (no shuffle); the write
-    * shuffles nothing — each task writes its rows into per-shard
-    * directories.
+    * Scale: routing is a map-side expression; the only shuffle is the
+    * cluster-by-shard exchange before the write, which keeps file count
+    * = O(shards) instead of O(tasks × shards).
     */
   def ingest(rows: DataFrame): Unit = {
     var df = rows
@@ -79,8 +80,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (cfg.partitionKey.isEmpty)
       df = df.withColumn("shard", lsh.shardCol(col("vector")))
     df.select((dataCols.map(col) :+ col(partCol)): _*)
+      // cluster rows by partition value before the write: each task then
+      // writes whole shard files instead of every task touching every
+      // shard directory (the small-files explosion at scale)
+      .repartition(col(partCol))
       .write.mode(SaveMode.Append)
-      .option("compression", "gzip") // reference writes gzip parquet (index.py:308)
+      .option("compression", cfg.codec) // reference hard-codes gzip (index.py:308); snappy default scans faster
       .partitionBy(partCol)
       .parquet(cfg.location)
     writeMetaSidecar()

@@ -76,11 +76,22 @@ object TextFunctions {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
+  /** h31 of every element of a string-set column — materialize this ONCE
+    * (withColumn) and feed the *FromHashes variants below: the md5 chain
+    * is the expensive part and Spark can't CSE it across the k per-term
+    * lambdas. */
+  def hashes31(set: Column): Column = transform(set, x => h31(x))
+
+  /** k-element MinHash signature from a pre-hashed set (cheap integer
+    * ops only per term). */
+  def minhashSigFromHashes(hs: Column, params: Seq[(Long, Long)]): Seq[Column] =
+    params.map { case (a, b) =>
+      array_min(transform(hs, x => (lit(a) * x + lit(b)) % P31))
+    }
+
   /** k-element MinHash signature of a (distinct) shingle set column. */
   def minhashSig(shingleSet: Column, params: Seq[(Long, Long)]): Seq[Column] =
-    params.map { case (a, b) =>
-      array_min(transform(shingleSet, s => (lit(a) * h31(s) + lit(b)) % P31))
-    }
+    minhashSigFromHashes(hashes31(shingleSet), params)
 
   def sqlMinhashSig(setExpr: String, params: Seq[(Long, Long)]): Seq[String] =
     params.map { case (a, b) =>
@@ -89,14 +100,19 @@ object TextFunctions {
 
   // ----------------------------------------------------------- SimHash
 
-  /** `bits`-bit SimHash over a token-set column: bit k of the fingerprint
-    * is 1 iff (#tokens with bit k set) > (#without) — computed as
-    * 2·|filter| − |set| > 0, pure integer ops. */
-  def simhash(tokenSet: Column, bits: Int): Column =
+  /** `bits`-bit SimHash from a pre-hashed token set: bit k of the
+    * fingerprint is 1 iff (#tokens with bit k set) > (#without) —
+    * computed as 2·|filter| − |set| > 0, pure integer ops. */
+  def simhashFromHashes(hs: Column, bits: Int): Column =
     (0 until bits).map { k =>
-      val ones = size(filter(tokenSet, t => shiftright(h31(t), k) % 2 === 1))
-      when(ones * 2 > size(tokenSet), lit(1L << k)).otherwise(lit(0L))
+      val ones = size(filter(hs, x => shiftright(x, k) % 2 === 1))
+      when(ones * 2 > size(hs), lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** `bits`-bit SimHash over a token-set column. Prefer materializing
+    * [[hashes31]] first and calling [[simhashFromHashes]]. */
+  def simhash(tokenSet: Column, bits: Int): Column =
+    simhashFromHashes(hashes31(tokenSet), bits)
 
   def sqlSimhash(setExpr: String, bits: Int): String =
     (0 until bits).map { k =>

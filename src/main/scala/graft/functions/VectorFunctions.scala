@@ -23,8 +23,20 @@ object VectorFunctions {
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (float->double is exact). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ, left-to-right, in doubles. */
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftShims.column(e)
+  private def unwrap(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftShims.expression(c)
+
+  /** Σ aᵢ·bᵢ, left-to-right, in doubles — fused native kernel
+    * ([[graft.expressions.DotProductExpr]]): no intermediate array,
+    * tight codegen loop. Bit-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    wrap(graft.expressions.DotProductExpr(unwrap(asDouble(a)), unwrap(asDouble(b))))
+
+  /** HOF formulation of [[dot]] (kept for equivalence testing and as the
+    * no-custom-expression fallback). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
@@ -32,8 +44,12 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Euclidean distance sqrt(Σ (aᵢ-bᵢ)²) — reference `l2_distance`
-    * (hnsw.py:12-13). */
+    * (hnsw.py:12-13). Fused kernel, see [[graft.expressions.SquaredL2Expr]]. */
   def l2Dist(a: Column, b: Column): Column =
+    sqrt(wrap(graft.expressions.SquaredL2Expr(unwrap(asDouble(a)), unwrap(asDouble(b)))))
+
+  /** HOF formulation of [[l2Dist]] (equivalence-test twin). */
+  def l2DistHof(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))

@@ -112,12 +112,13 @@ object CoreQueries {
     "q_knn_batch",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("nrm"))
       val q = e.orderBy("vec_id").limit(10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
       e.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"),
-          round(V.cosineDist(col("embedding"), col("qvec")), 6).as("dist"))
+          round(lit(1.0) - V.dot(col("embedding"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .orderBy("qid", "rank")
@@ -140,12 +141,15 @@ object CoreQueries {
   val qNearDup = Q(
     "q_near_dup",
     (s, dir) => {
+      // norms are precomputed per ROW (n ops), not per PAIR (n² ops) —
+      // bit-identical to the oracle's per-pair sqrt(dot(x,x)) formula
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(V.cosineSim(col("a_vec"), col("b_vec")), 6).as("sim"))
+          round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("sim"))
         .where(col("sim") > 0.5)
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
     },
@@ -162,13 +166,15 @@ object CoreQueries {
     "q_near_dup_lsh",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .withColumn("shard", lsh.shardCol(col("embedding")))
-      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        .select(col("vec_id"), col("embedding"),
+          lsh.shardCol(col("embedding")).as("shard"),
+          V.l2Norm(col("embedding")).as("nrm"))
+      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
       a.join(b, Seq("shard"))
         .where(col("a_id") < col("b_id"))
         .select(col("shard"), col("a_id"), col("b_id"),
-          round(V.cosineSim(col("a_vec"), col("b_vec")), 6).as("sim"))
+          round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("sim"))
         .where(col("sim") > 0.4)
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
     },

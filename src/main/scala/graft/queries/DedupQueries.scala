@@ -47,14 +47,22 @@ object DedupQueries {
   val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, dir) => {
-      val sig = T.minhashSig(col("sh"), mhParams)
+      // hash every shingle ONCE (md5 chain is the hot path), then the 16
+      // signature terms are cheap integer transforms over the hash array
+      val sig = T.minhashSigFromHashes(col("hs"), mhParams)
       val bands = (0 until Bands).map { b =>
         concat_ws("-", lit(b) +: (0 until MinhashK / Bands).map(r => col(s"mh${b * (MinhashK / Bands) + r}")): _*)
       }
+      // localCheckpoint: the signature table feeds BOTH sides of the
+      // band self-join — truncating lineage computes shingling + 1.5M
+      // md5 hashes once instead of twice (and stops Catalyst inlining
+      // the hash array into the 16 signature terms)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), array_distinct(T.shingles(col("text"), 2)).as("sh"))
+        .withColumn("hs", T.hashes31(col("sh")))
         .select(Seq(col("doc_id"), col("sh")) ++
           sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+        .localCheckpoint()
         .withColumn("band", explode(array(bands: _*)))
       val a = d.select(col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -94,7 +102,8 @@ object DedupQueries {
     "q_simhash",
     (s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"),
-        T.simhash(array_distinct(T.tokens(col("text"))), 16).as("simhash"))
+        T.hashes31(array_distinct(T.tokens(col("text")))).as("hs"))
+      .select(col("doc_id"), T.simhashFromHashes(col("hs"), 16).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .where(col("n") > 1)

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for wrapping custom Catalyst expressions as user-facing
+  * Columns: `ExpressionUtils` is `private[sql]` in Spark 4, so the
+  * (conventional) extension shim lives in the org.apache.spark.sql
+  * namespace. Used only by graft.functions.VectorFunctions. */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -46,6 +46,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(top.getLong(0) === 1L) // the reference's inverted metric would pick id=3
   }
 
+  test("native kernels are bit-identical to the HOF formulation") {
+    val rng = new scala.util.Random(5)
+    val pairs = Seq.fill(50)((Seq.fill(64)(rng.nextGaussian() * 0.15),
+      Seq.fill(64)(rng.nextGaussian() * 0.15)))
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (V.vecLit(a), V.vecLit(b))
+      assert(one(V.dot(va, vb)) === one(V.dotHof(va, vb)))     // exact ==
+      assert(one(V.l2Dist(va, vb)) === one(V.l2DistHof(va, vb)))
+    }
+  }
+
   test("float arrays are cast exactly to double") {
     val c = V.dot(
       array(lit(0.5f), lit(0.25f)).cast("array<float>"),
