@@ -142,6 +142,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .orderBy(col("dist"), col("id"))
       .limit(k)
 
+  /** Retrieval-surface projection mirroring the reference's LangChain
+    * adapter `similarity_search` (langchain/__init__.py:78-90): top-k
+    * rows projected to (document, metadata, dist). Embedding the query
+    * text is the caller's job — no model inference in-engine (§2.6). */
+  def similaritySearch(queryEmbedding: Seq[Double], k: Int): DataFrame =
+    topK(queryEmbedding, k).select(col("document"), col("metadata"), col("dist"))
+
+  /** Batch ingest of (text, embedding) pairs — the `add_texts` analog
+    * (langchain/__init__.py:43-67): returns the row count written. */
+  def addTexts(texts: DataFrame): Long = {
+    val n = texts.count()
+    ingest(texts.withColumnRenamed("text", "document")
+      .withColumnRenamed("embedding", "vector"))
+    n
+  }
+
   /** Force-materialize (the reference's warm `load_local`, index.py:565-568). */
   def loadWarm(): Long = { val df = read().cache(); df.count() }
 

@@ -17,6 +17,19 @@ object Smoke {
     println(s"[smoke] entry rows=${rows.length}")
     rows.take(5).foreach(r => println(s"[smoke] $r"))
     require(rows.nonEmpty, "entry returned 0 rows")
+
+    // retrieval-surface drive: ingest sf0.001 docs+embeddings, search
+    val lake = Lake(spark, LakeConfig(
+      s"${sys.props("java.io.tmpdir")}/graft_smoke_lake", dim = 64))
+    lake.delete()
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = lake.addTexts(e.join(d, e("vec_id") === d("doc_id"))
+      .select(d("text"), e("embedding")))
+    val hits = lake.similaritySearch(Fixtures.queryVec, 3).collect()
+    println(s"[smoke] lake ingested=$n similaritySearch hits=${hits.length}")
+    hits.foreach(r => println(s"[smoke] dist=${r.getAs[Double]("dist")} doc='${r.getAs[String]("document").take(40)}…'"))
+    require(hits.nonEmpty, "similaritySearch returned 0 rows")
     spark.stop()
   }
 }

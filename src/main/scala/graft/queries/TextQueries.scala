@@ -57,5 +57,19 @@ object TextQueries {
                    CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))) AS BIGINT) AS n_uniq_tokens
             FROM documents GROUP BY lang ORDER BY lang"""))
 
-  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats)
+  /** approx_count_distinct (HLL++) vs exact distinct per lang. No DuckDB
+    * oracle — HLL sketch implementations differ across engines, so the
+    * driver records a rows-only check; the exact column is covered by
+    * q_text_stats and the relative-error bound is asserted in tests. */
+  val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("text").as("exact_distinct"),
+        approx_count_distinct("text", 0.02).as("approx_distinct"))
+      .orderBy("lang"),
+    None)
+
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qApproxDistinct)
 }

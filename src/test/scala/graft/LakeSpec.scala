@@ -122,6 +122,24 @@ class LakeSpec extends SparkSpec {
     assert(df.where(col("tenant") === "a").count() === 1L)
   }
 
+  test("similaritySearch projects (document, metadata, dist) - LangChain adapter analog") {
+    val lake = freshLake()
+    val v = Seq(0.5, 0.1, -0.2, 0.3, 0.9)
+    lake.addTexts(Seq((v.map(_.toFloat), "hello world doc"))
+      .toDF("embedding", "text"))
+    val rows = lake.similaritySearch(v, 3).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("document") === "hello world doc")
+    assert(rows.head.schema.fieldNames.toSeq === Seq("document", "metadata", "dist"))
+  }
+
+  test("loadWarm materializes and counts; sizeInBytes is positive") {
+    val lake = freshLake()
+    lake.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0), Seq(0.0, 1.0, 0, 0, 0))))
+    assert(lake.loadWarm() === 2L)
+    assert(lake.sizeInBytes() > 0)
+  }
+
   test("multi-probe topK returns at least as many candidates as single-probe") {
     val lake = freshLake()
     val rng = new scala.util.Random(9)
