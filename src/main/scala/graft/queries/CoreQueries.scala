@@ -248,11 +248,12 @@ object CoreQueries {
     "q_events_window",
     (s, dir) => Tables.events(s, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type"),
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    CAST(count(*) AS BIGINT) AS cnt,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
   val qEventsRollup = Q(
@@ -260,7 +261,8 @@ object CoreQueries {
     (s, dir) => Tables.events(s, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .rollup("event_type", "day")
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("day"), lit("ALL")).as("day"),
         col("cnt"), col("sum_value"))
@@ -268,7 +270,7 @@ object CoreQueries {
     Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(day, 'ALL') AS day,
                    CAST(count(*) AS BIGINT) AS cnt,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events)
             GROUP BY ROLLUP(event_type, day) ORDER BY event_type, day"""))
 

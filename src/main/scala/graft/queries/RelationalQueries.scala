@@ -19,17 +19,20 @@ object RelationalQueries {
       .where(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 6).as("sum_qty"),
-        round(sum("l_extendedprice"), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        // money-scale sums accumulate in DECIMAL(18,6): exact and
+        // order-independent, so they hash-match the oracle at any SF
+        // (double sums differ in the last ulp across engines, §7.5)
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(avg(l_discount), 6) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
@@ -48,11 +51,11 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 6).as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
-                   round(sum(o_totalprice), 6) AS revenue
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                           JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
