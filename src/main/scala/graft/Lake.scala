@@ -91,6 +91,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     writeMetaSidecar()
   }
 
+  /** Continuous ingest: the streaming form of [[ingest]] — same derived
+    * columns and shard routing, written by Structured Streaming's
+    * file sink (exactly-once via checkpointed manifests). The reference
+    * has no streaming path at all (SURVEY.md §2.10). */
+  def ingestStream(rows: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
+    var df = rows
+    if (!df.columns.contains("metadata"))
+      df = df.withColumn("metadata",
+        map(lit("name"), lit("unknown")).cast(MapType(StringType, StringType)))
+    if (!df.columns.contains("document")) df = df.withColumn("document", lit(""))
+    df = df
+      .withColumn("id", expr("uuid()"))
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
+    if (cfg.partitionKey.isEmpty)
+      df = df.withColumn("shard", lsh.shardCol(col("vector")))
+    df.select((dataCols.map(col) :+ col(partCol)): _*)
+      .writeStream
+      .format("parquet")
+      .option("path", cfg.location)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", cfg.codec)
+      .partitionBy(partCol)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Schema-validated read (reference validates column list on load,
     * index.py:249-250). Empty-location bootstrap returns an empty frame
     * with the canonical schema (index.py:247). */

@@ -50,3 +50,23 @@ object MultimodalQueries {
 
   def all: Seq[Q] = Seq(qAssetFeatures)
 }
+
+/** ANN with learned centroids (graft.operators.Ivf). Rows-only check:
+  * k-means centroids are float-iterative, not portable to a SQL oracle;
+  * exactness/recall invariants live in IvfSpec. */
+object AnnQueries {
+  import graft.operators.Ivf
+
+  val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val emb = graft.Tables.embeddings(s, dir)
+      val model = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 3)
+      Ivf.search(Ivf.index(emb, model, "embedding"), model,
+        "embedding", "vec_id", graft.Fixtures.queryVec, 10, nprobe = 2)
+        .select(col("vec_id"), col("cell"), col("dist"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(qAnnIvf)
+}

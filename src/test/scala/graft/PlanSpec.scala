@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan shape guards: the properties that make these queries
+  * scale are asserted, not assumed — filter pushdown into the parquet
+  * scan, column pruning, broadcast joins for small sides, and top-k via
+  * TakeOrderedAndProject instead of a global sort. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_filter_knn pushes the label predicate into the scan") {
+    val p = plan("q_filter_knn")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p.take(800))
+  }
+
+  test("q_knn_cosine reads only the two needed columns and uses heap top-k") {
+    val p = plan("q_knn_cosine")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("label"), "label column must be pruned")
+  }
+
+  test("q_join_docs broadcasts the dimension side") {
+    assert(plan("q_join_docs").contains("BroadcastHashJoin"))
+  }
+
+  test("q_orders_nation broadcasts both dimension tables") {
+    val p = plan("q_orders_nation")
+    assert(p.split("BroadcastHashJoin").length >= 3, "expect 2 broadcast joins")
+  }
+
+  test("q_knn_batch broadcasts the query set, not the data") {
+    val p = plan("q_knn_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q_near_dup_lsh is an equi-join on shard (hash/merge), not nested-loop") {
+    val p = plan("q_near_dup_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("fused kernels appear in plans (vector_dot), whole-stage codegen active") {
+    val p = plan("q_knn_cosine")
+    assert(p.contains("vector_dot"))
+    assert(p.contains("*")) // WholeStageCodegen marker
+  }
+
+  test("lake single-probe scan prunes to one shard directory") {
+    import spark.implicits._
+    val lake = Lake(spark, LakeConfig(
+      s"${java.nio.file.Files.createTempDirectory("graft_plan")}/lake", dim = 5, numHashes = 4))
+    val rng = new scala.util.Random(2)
+    lake.ingest(Seq.fill(64)((Seq.fill(5)(rng.nextGaussian().toFloat), "d"))
+      .toDF("vector", "document"))
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val scan = lake.topK(q, 3).queryExecution.executedPlan.toString
+    val routed = lake.lsh.shardOf(q)
+    assert(scan.contains(s"shard#") && scan.contains(s"= $routed)") ||
+      scan.contains(s"shard = $routed"), scan.take(1200))
+  }
+}

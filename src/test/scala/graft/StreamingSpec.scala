@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: continuous writes land in the sharded lake and are queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+    val stream = MemoryStream[(Seq[Float], String)]
+    val q = lake.ingestStream(
+      stream.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    try {
+      stream.addData((Seq(1.0f, 0f, 0f, 0f, 0f), "doc a"))
+      q.processAllAvailable()
+      stream.addData((Seq(0f, 1.0f, 0f, 0f, 0f), "doc b"))
+      q.processAllAvailable()
+      assert(lake.count() === 2L)
+      val hit = lake.topKExact(Seq(1.0, 0, 0, 0, 0), 1).collect().head
+      assert(hit.getAs[String]("document") === "doc a")
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user session counting across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
