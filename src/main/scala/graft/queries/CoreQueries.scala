@@ -280,11 +280,17 @@ object CoreQueries {
     * partitioned parquet), reads it back, aggregates per shard. The
     * oracle computes the same stats straight from `embeddings` — equality
     * proves the roundtrip preserved vectors and routed identically. */
+  /** 6 hashes → 64 shards here, not the reference-mirroring 256 of
+    * q_lsh_route: partition count should track data volume (dirs-per-row
+    * matters — at sf0.1 the table is 2k rows; 256 dirs would be the
+    * small-files antipattern this engine is built to avoid). The
+    * hyperplane matrix is prefix-stable, so 6-hash routing is the
+    * 8-hash routing masked to 6 bits on both engines. */
   val qShardStats = Q(
     "q_shard_stats",
     (s, dir) => {
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val lake = Lake(s, LakeConfig(tmp, dim = 64))
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
       lake.delete()
       lake.ingest(Tables.embeddings(s, dir)
         .select(col("embedding").as("vector"),
@@ -295,7 +301,7 @@ object CoreQueries {
           round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
         .orderBy("shard")
     },
-    Some(s"""SELECT ${lsh.sqlShardExpr("embedding")} AS shard,
+    Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
                     CAST(count(*) AS BIGINT) AS cnt,
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
