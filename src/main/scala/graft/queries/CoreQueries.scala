@@ -112,13 +112,14 @@ object CoreQueries {
     "q_knn_batch",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
+          V.l2Norm(col("embedding")).as("nrm"))
       val q = e.orderBy("vec_id").limit(10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nrm").as("qnrm"))
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
       e.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"),
-          round(lit(1.0) - V.dot(col("embedding"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
+          round(lit(1.0) - V.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .orderBy("qid", "rank")
@@ -144,9 +145,10 @@ object CoreQueries {
       // norms are precomputed per ROW (n ops), not per PAIR (n² ops) —
       // bit-identical to the oracle's per-pair sqrt(dot(x,x)) formula
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
+          V.l2Norm(col("embedding")).as("nrm")) // cast to double per ROW, not per pair
+      val a = e.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("sim"))
@@ -166,11 +168,11 @@ object CoreQueries {
     "q_near_dup_lsh",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
           lsh.shardCol(col("embedding")).as("shard"),
           V.l2Norm(col("embedding")).as("nrm"))
-      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
       a.join(b, Seq("shard"))
         .where(col("a_id") < col("b_id"))
         .select(col("shard"), col("a_id"), col("b_id"),
