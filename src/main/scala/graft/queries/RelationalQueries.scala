@@ -122,5 +122,27 @@ object RelationalQueries {
             FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
             WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qOrdersNation, qSegmentTop, qSessionize, qEventsJson)
+  /** Exact interpolated percentiles per event type (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, both linear interpolation over the sorted
+    * set — order-insensitive, so cross-engine-stable unlike sums). */
+  val qEventPercentiles = Q(
+    "q_event_percentiles",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(min("value"), 6).as("vmin"),
+        round(max("value"), 6).as("vmax"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qOrdersNation, qSegmentTop, qSessionize,
+    qEventsJson, qEventPercentiles)
 }
