@@ -98,6 +98,13 @@ object TextFunctions {
       s"list_min(list_transform($setExpr, s -> ($a * ${sqlH31("s")} + $b) % $P31))"
     }
 
+  /** SQL mirror of [[minhashSigFromHashes]] — input is already a BIGINT
+    * hash list, so the per-term work is arithmetic only. */
+  def sqlMinhashSigFromHashes(hsExpr: String, params: Seq[(Long, Long)]): Seq[String] =
+    params.map { case (a, b) =>
+      s"list_min(list_transform($hsExpr, x -> ($a * x + $b) % $P31))"
+    }
+
   // ----------------------------------------------------------- SimHash
 
   /** `bits`-bit SimHash from a pre-hashed token set: bit k of the

@@ -55,43 +55,45 @@ object DedupQueries {
       }
       // localCheckpoint: the signature table feeds BOTH sides of the
       // band self-join — truncating lineage computes shingling + 1.5M
-      // md5 hashes once instead of twice (and stops Catalyst inlining
-      // the hash array into the 16 signature terms)
+      // md5 hashes once instead of twice. Exact Jaccard runs on the
+      // distinct int hash set (hsd) rather than the string shingle set:
+      // far cheaper to carry and intersect, and the oracle uses the
+      // identical hashed sets so collisions (if any) agree.
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(T.shingles(col("text"), 2)).as("sh"))
-        .withColumn("hs", T.hashes31(col("sh")))
-        .select(Seq(col("doc_id"), col("sh")) ++
+        .select(col("doc_id"),
+          T.hashes31(array_distinct(T.shingles(col("text"), 2))).as("hs"))
+        .select(Seq(col("doc_id"), array_distinct(col("hs")).as("hsd")) ++
           sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
         .localCheckpoint()
         .withColumn("band", explode(array(bands: _*)))
-      val a = d.select(col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = d.select(col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+      val a = d.select(col("band"), col("doc_id").as("a_id"), col("hsd").as("a_h"))
+      val b = d.select(col("band"), col("doc_id").as("b_id"), col("hsd").as("b_h"))
+      val inter = size(array_intersect(col("a_h"), col("b_h"))).cast("double")
       a.join(b, Seq("band"))
         .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+        .select(col("a_id"), col("b_id"), col("a_h"), col("b_h")).distinct()
         .select(col("a_id"), col("b_id"),
-          round(inter / (size(col("a_sh")) + size(col("b_sh")) - inter), 6).as("jaccard"))
+          round(inter / (size(col("a_h")) + size(col("b_h")) - inter), 6).as("jaccard"))
         .where(col("jaccard") >= 0.2)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
     },
     Some {
-      val setE = s"list_distinct(${T.sqlShingles("text", 2)})"
-      val sigE = T.sqlMinhashSig("sh", mhParams)
+      val hsE = s"list_transform(list_distinct(${T.sqlShingles("text", 2)}), s -> ${T.sqlH31("s")})"
+      val sigE = T.sqlMinhashSigFromHashes("hs", mhParams)
       val bandE = (0 until Bands).map { b =>
         val rows = (0 until MinhashK / Bands).map(r => s"mh${b * (MinhashK / Bands) + r}")
         s"('$b' || '-' || " + rows.mkString(" || '-' || ") + ")"
       }.mkString("[", ", ", "]")
       val mhCols = sigE.zipWithIndex.map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
-      s"""WITH d0 AS (SELECT doc_id, $setE AS sh FROM documents),
-          d1 AS (SELECT doc_id, sh, $mhCols FROM d0),
-          d2 AS (SELECT doc_id, sh, unnest($bandE) AS band FROM d1),
+      s"""WITH dh AS (SELECT doc_id, $hsE AS hs FROM documents),
+          d1 AS (SELECT doc_id, list_distinct(hs) AS hsd, $mhCols FROM dh),
+          d2 AS (SELECT doc_id, unnest($bandE) AS band FROM d1),
           p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM d2 a JOIN d2 b ON a.band = b.band AND a.doc_id < b.doc_id),
           j AS (SELECT p.a_id, p.b_id,
-                       round(len(list_intersect(da.sh, db.sh))::DOUBLE /
-                             (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))::DOUBLE, 6) AS jaccard
-                FROM p JOIN d0 da ON p.a_id = da.doc_id JOIN d0 db ON p.b_id = db.doc_id)
+                       round(len(list_intersect(da.hsd, db.hsd))::DOUBLE /
+                             (len(da.hsd) + len(db.hsd) - len(list_intersect(da.hsd, db.hsd)))::DOUBLE, 6) AS jaccard
+                FROM p JOIN d1 da ON p.a_id = da.doc_id JOIN d1 db ON p.b_id = db.doc_id)
           SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.2
           ORDER BY jaccard DESC, a_id, b_id"""
     })

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark suppresses replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0)) // replay
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user session counting across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

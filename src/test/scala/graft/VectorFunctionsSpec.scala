@@ -57,6 +57,15 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("registered SQL functions: vector_dot / vector_sq_l2 usable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d, " +
+        "vector_sq_l2(array(0.0, 3.0), array(4.0, 0.0)) AS s").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 25.0)
+  }
+
   test("float arrays are cast exactly to double") {
     val c = V.dot(
       array(lit(0.5f), lit(0.25f)).cast("array<float>"),
