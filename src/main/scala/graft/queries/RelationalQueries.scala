@@ -143,6 +143,45 @@ object RelationalQueries {
                    round(max(value), 6) AS vmax
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** As-of join events→orders: each event picks up the user's latest
+    * order at event time (graft.operators.AsofJoin, the union+window
+    * formulation). Oracle: DuckDB's native ASOF LEFT JOIN — two utterly
+    * different implementations agreeing on every aggregate. Right side
+    * deduped to one order per (cust, date) (max orderkey) since ASOF tie
+    * order is engine-defined. */
+  val qAsofOrders = Q(
+    "q_asof_orders",
+    (s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("user_id").as("cust"), unix_micros(col("ts")).as("t_us"))
+      val r = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("cust"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rt_us"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("cust"), col("rt_us"),
+          col("m.o_orderkey").as("o_orderkey"), col("m.o_totalprice").as("o_totalprice"))
+      val joined = graft.operators.AsofJoin.asof(
+        l, r, key = "cust", leftTime = "t_us", rightTime = "rt_us",
+        rightCols = Seq("o_orderkey", "o_totalprice"), rightTieBreak = "o_orderkey")
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), lit(0.0)).as("revenue"))
+        .orderBy("event_type")
+    },
+    Some("""WITH l AS (SELECT event_id, event_type, user_id AS cust, epoch_us(ts) AS t_us FROM events),
+            r AS (SELECT o_custkey AS cust, epoch_us(o_orderdate) AS rt_us,
+                         max(o_orderkey) AS o_orderkey,
+                         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                  FROM orders GROUP BY 1, 2),
+            j AS (SELECT l.event_type, r.o_orderkey, r.o_totalprice
+                  FROM l ASOF LEFT JOIN r ON l.cust = r.cust AND r.rt_us <= l.t_us)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_matched,
+                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS revenue
+            FROM j GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qOrdersNation, qSegmentTop, qSessionize,
-    qEventsJson, qEventPercentiles)
+    qEventsJson, qEventPercentiles, qAsofOrders)
 }
