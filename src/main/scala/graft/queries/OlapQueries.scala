@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Remaining OLAP surface (§2.10): set operations, CUBE grouping sets,
+  * and pivot — each expressed both through the DataFrame/SQL API and an
+  * equivalent DuckDB oracle. */
+object OlapQueries {
+
+  /** INTERSECT / EXCEPT / UNION over customer-key sets (building-segment
+    * customers vs high-value order customers), as scalar subqueries —
+    * exercises Spark SQL's native set operators end-to-end. */
+  val qSetOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        WITH seg AS (SELECT c_custkey AS k FROM graft_customer WHERE c_mktsegment = 'BUILDING'),
+             big AS (SELECT DISTINCT o_custkey AS k FROM graft_orders WHERE o_totalprice > 300000)
+        SELECT
+          CAST((SELECT count(*) FROM (SELECT k FROM seg INTERSECT SELECT k FROM big)) AS BIGINT) AS n_intersect,
+          CAST((SELECT count(*) FROM (SELECT k FROM seg EXCEPT SELECT k FROM big)) AS BIGINT) AS n_except,
+          CAST((SELECT count(*) FROM (SELECT k FROM seg UNION SELECT k FROM big)) AS BIGINT) AS n_union""")
+    },
+    Some("""WITH seg AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+            SELECT
+              CAST((SELECT count(*) FROM (SELECT k FROM seg INTERSECT SELECT k FROM big)) AS BIGINT) AS n_intersect,
+              CAST((SELECT count(*) FROM (SELECT k FROM seg EXCEPT SELECT k FROM big)) AS BIGINT) AS n_except,
+              CAST((SELECT count(*) FROM (SELECT k FROM seg UNION SELECT k FROM big)) AS BIGINT) AS n_union"""))
+
+  /** CUBE over (event_type, iso weekday): all four grouping combinations
+    * in one pass (Spark `cube` ≡ GROUP BY CUBE). */
+  val qEventsCube = Q(
+    "q_events_cube",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("dow", (weekday(col("ts")) + 1).cast("int")) // ISO: Mon=1
+      .cube("event_type", "dow")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1)).as("dow"), col("cnt"), col("sum_value"))
+      .orderBy("event_type", "dow"),
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, -1) AS dow,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, value FROM events)
+            GROUP BY CUBE(event_type, dow) ORDER BY event_type, dow"""))
+
+  /** Pivot: per-source document counts spread across language columns
+    * (explicit value list -> stable schema; DuckDB mirror via FILTER). */
+  val qPivotLangs = Q(
+    "q_pivot_langs",
+    (s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val pivoted = Tables.documents(s, dir)
+        .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+      pivoted.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+                   CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+                   CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+                   CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+                   CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qPivotLangs)
+}

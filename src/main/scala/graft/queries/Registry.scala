@@ -12,7 +12,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++
-      RelationalQueries.all ++ MultimodalQueries.all ++ AnnQueries.all
+      RelationalQueries.all ++ OlapQueries.all ++
+      MultimodalQueries.all ++ AnnQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
