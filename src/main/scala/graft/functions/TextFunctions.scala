@@ -189,18 +189,21 @@ object TextFunctions {
     val letters = length(regexp_replace(text, "[^a-z]", "")).cast("double")
     val stop = markerCount(toks, langMarkers.flatMap(_._2)).cast("double")
     val avgWl = (lenC - (n - 1)) / n
-    least(n / 60.0, lit(1.0)) * 0.4 +
+    val score = least(n / 60.0, lit(1.0)) * 0.4 +
       (letters / lenC) * 0.3 +
       least(stop / n * 10.0, lit(1.0)) * 0.2 +
       when(avgWl >= 3.0 && avgWl <= 8.0, 0.1).otherwise(0.0)
+    // empty docs score 0 (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    when(lenC === 0.0, 0.0).otherwise(score)
   }
 
   def sqlQualityScore(e: String): String = {
     val toks = sqlTokens(e)
     val stop = sqlMarkerCount(toks, langMarkers.flatMap(_._2))
-    s"""(least(len($toks)::DOUBLE / 60.0, 1.0) * 0.4
+    s"""(CASE WHEN length($e) = 0 THEN 0.0 ELSE
+        (least(len($toks)::DOUBLE / 60.0, 1.0) * 0.4
        + (length(regexp_replace($e, '[^a-z]', '', 'g'))::DOUBLE / length($e)::DOUBLE) * 0.3
        + least($stop::DOUBLE / len($toks)::DOUBLE * 10.0, 1.0) * 0.2
-       + (CASE WHEN (length($e)::DOUBLE - (len($toks)::DOUBLE - 1)) / len($toks)::DOUBLE BETWEEN 3.0 AND 8.0 THEN 0.1 ELSE 0.0 END))"""
+       + (CASE WHEN (length($e)::DOUBLE - (len($toks)::DOUBLE - 1)) / len($toks)::DOUBLE BETWEEN 3.0 AND 8.0 THEN 0.1 ELSE 0.0 END)) END)"""
   }
 }

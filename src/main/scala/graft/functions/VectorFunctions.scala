@@ -54,10 +54,16 @@ object VectorFunctions {
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity dot/(‖a‖·‖b‖). NaN on zero-norm input (documented;
-    * the reference would likewise divide by zero, hnsw.py:16-17). */
-  def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity dot/(‖a‖·‖b‖). NaN on zero-norm input — matching
+    * the reference's numpy behavior (hnsw.py:16-17) — via an explicit
+    * guard, because Spark 4's default ANSI mode otherwise turns the
+    * division into a job-killing DIVIDE_BY_ZERO error (one degenerate
+    * row must not fail a 100 TB scan; NaN sorts last in ascending
+    * distance order, which is the right retrieval semantics). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /** Correct cosine distance 1 − sim (fixes reference bug, SURVEY §2.3 Q3). */
   def cosineDist(a: Column, b: Column): Column =

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{AsofJoin, Ivf}
+
+/** Degenerate-input behavior, pinned: these are the documented edges
+  * (NaN cosine on zero norm, schema-mismatch rejection, short/empty
+  * payloads, fewer rows than centroids, empty join sides). */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column): A =
+    Seq(1).toDF("x").select(c.as("v")).head().getAs[A](0)
+
+  test("cosine distance of a zero-norm vector is NaN (documented), and topK does not throw") {
+    assert(one[Double](V.cosineDist(V.vecLit(Seq(0.0, 0.0)), V.vecLit(Seq(1.0, 0.0)))).isNaN)
+    val lake = Lake(spark, LakeConfig(
+      s"${Files.createTempDirectory("graft_edge")}/lake", dim = 2, numHashes = 2))
+    lake.ingest(Seq((Seq(1.0f, 0f), "d")).toDF("vector", "document"))
+    // NaN distances sort last in ascending order; query must not throw
+    assert(lake.topKExact(Seq(0.0, 0.0), 3).collect().length === 1)
+  }
+
+  test("Lake.read rejects a location holding a foreign schema") {
+    val dir = Files.createTempDirectory("graft_edge").toString
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/lake")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2))
+    val e = intercept[IllegalArgumentException](lake.read())
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("text functions on empty/short strings do not throw") {
+    assert(one[Long](T.fingerprint(lit(""))) === 0L)
+    assert(one[scala.collection.Seq[String]](T.charNgrams(lit("ab"), 3)).isEmpty)
+    assert(one[scala.collection.Seq[String]](T.shingles(lit(""), 2)).isEmpty)
+    assert(one[String](T.predictedLang(T.tokens(lit("")))) === "en") // tie -> preference order
+    assert(one[Long](T.simhash(array(), 16)) === 0L)
+  }
+
+  test("IVF with fewer rows than requested centroids degrades to k=rows") {
+    val tiny = Seq((1L, Seq(1.0f, 0f)), (2L, Seq(0f, 1.0f))).toDF("vec_id", "embedding")
+    val m = Ivf.train(tiny, "embedding", "vec_id", k = 8, iters = 2)
+    assert(m.k === 2)
+    val out = Ivf.search(Ivf.index(tiny, m, "embedding"), m,
+      "embedding", "vec_id", Seq(1.0, 0.0), 5, nprobe = 2)
+    assert(out.count() === 2)
+  }
+
+  test("as-of join with an empty side behaves (all-null payload / empty result)") {
+    val left = Seq(("A", 1L, 10L)).toDF("k", "t_us", "lid")
+    val right = Seq.empty[(String, Long, Long, Double)].toDF("k", "rt_us", "rid", "v")
+    val noRight = AsofJoin.asof(left, right, "k", "t_us", "rt_us", Seq("rid", "v"), "rid")
+    assert(noRight.count() === 1)
+    assert(noRight.collect().head.isNullAt(3))
+
+    val noLeft = AsofJoin.asof(
+      Seq.empty[(String, Long, Long)].toDF("k", "t_us", "lid"),
+      Seq(("A", 1L, 2L, 0.5)).toDF("k", "rt_us", "rid", "v"),
+      "k", "t_us", "rt_us", Seq("rid", "v"), "rid")
+    assert(noLeft.count() === 0)
+  }
+
+  test("lake ingest requires a vector column") {
+    val lake = Lake(spark, LakeConfig(
+      s"${Files.createTempDirectory("graft_edge")}/lake", dim = 2))
+    intercept[Exception](lake.ingest(Seq(("x")).toDF("document")))
+  }
+}
