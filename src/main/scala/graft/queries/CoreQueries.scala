@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Fixtures, Lake, LakeConfig, Tables}
@@ -104,10 +103,12 @@ object CoreQueries {
   // -------------------------------------------------------- batch kNN --
 
   /** 10 query vectors × top-5 each: broadcast the (small) query set, one
-    * scan of the data, per-query top-k via window row_number — the batch
-    * form the reference cannot express (SURVEY.md §3.3). At 100 TB the
-    * query set stays broadcast; only (data × |Q|) distance rows shuffle
-    * into the per-qid top-k. */
+    * scan of the data, per-query top-k via the bounded-heap
+    * TypedImperativeAggregate — the batch form the reference cannot
+    * express (SURVEY.md §3.3). At 100 TB the query set stays broadcast
+    * and, unlike a window row_number (which shuffles every candidate
+    * row), map-side partial aggregation ships at most k rows per query
+    * per executor into the shuffle. */
   val qKnnBatch = Q(
     "q_knn_batch",
     (s, dir) => {
@@ -116,12 +117,14 @@ object CoreQueries {
           V.l2Norm(col("embedding")).as("nrm"))
       val q = e.orderBy("vec_id").limit(10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
       e.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"),
           round(lit(1.0) - V.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
+        .groupBy("qid")
+        .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("vec_id")), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("qid"), col("p.id").as("vec_id"), col("p.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy("qid", "rank")
     },
     Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
