@@ -164,6 +164,29 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def topKExact(q: Seq[Double], k: Int): DataFrame =
     topKWhere(q, k, lit(true))
 
+  /** Batch kNN: many queries in ONE scan of the lake. The query set is
+    * broadcast; per-query top-k uses the bounded-heap aggregate, so the
+    * shuffle carries at most k rows per query per executor — the batch
+    * shape the reference's one-query-at-a-time API cannot express
+    * (SURVEY.md §3.3). Cosine metric. Returns (qid, rank, id, dist). */
+  def topKBatch(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+      .select(col("qid"), col("qvec"), V.l2Norm(col("qvec")).as("qnrm"))
+    read()
+      .select(col("id"), V.asDouble(col("vector")).as("vec"),
+        V.l2Norm(col("vector")).as("nrm"))
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("id"),
+        round(lit(1.0) - V.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("id"), col("p.dist").as("dist"))
+      .orderBy("qid", "rank")
+  }
+
   private def topKWhere(q: Seq[Double], k: Int, pred: Column): DataFrame =
     read()
       .where(pred)

@@ -48,6 +48,25 @@ class TopKAggregateSpec extends SparkSpec {
     assert(viaHeap === viaWindow)
   }
 
+  test("string ids: Lake.topKBatch returns per-query ranked uuid hits") {
+    val lake = Lake(spark, LakeConfig(
+      s"${java.nio.file.Files.createTempDirectory("graft_topk")}/lake", dim = 3, numHashes = 3))
+    lake.ingest(Seq(
+      (Seq(1.0f, 0f, 0f), "d1"), (Seq(0f, 1.0f, 0f), "d2"),
+      (Seq(0.9f, 0.1f, 0f), "d3")).toDF("vector", "document"))
+    val out = lake.topKBatch(Seq((100L, Seq(1.0, 0.0, 0.0)), (200L, Seq(0.0, 1.0, 0.0))), 2)
+      .collect()
+    assert(out.length === 4)
+    val byQid = out.groupBy(_.getLong(0))
+    assert(byQid(100L).map(_.getInt(1)).toSeq === Seq(1, 2)) // ranks
+    assert(byQid(100L).head.getAs[String]("id").length === 36) // uuid ids
+    // ranked ascending by distance per query
+    byQid.values.foreach { rows =>
+      val d = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(d.sameElements(d.sorted))
+    }
+  }
+
   test("partial aggregation appears in the plan (map-side combine)") {
     val df = Seq(("a", 1.0, 1L)).toDF("g", "dist", "id")
       .groupBy("g").agg(TopKAggregate.topK(struct(col("dist"), col("id")), 2).as("t"))
