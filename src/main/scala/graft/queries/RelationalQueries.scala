@@ -182,6 +182,50 @@ object RelationalQueries {
                    coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS revenue
             FROM j GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qOrdersNation, qSegmentTop, qSessionize,
-    qEventsJson, qEventPercentiles, qAsofOrders)
+  /** TPC-H Q6-style: tight filter + single scalar sum — the predicate-
+    * pushdown and scan-efficiency probe. */
+  val qTpchQ6 = Q(
+    "q_tpch_q6",
+    (s, dir) => Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(coalesce(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)")).cast("double"),
+        lit(0.0)).as("revenue")),
+    Some("""SELECT coalesce(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** TPC-H Q3-style: 3-way join, group, top-10 by revenue — the
+    * join-order/broadcast probe. */
+  val qTpchQ3 = Q(
+    "q_tpch_q3",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, odate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ6, qOrdersNation, qSegmentTop,
+    qSessionize, qEventsJson, qEventPercentiles, qAsofOrders)
 }
