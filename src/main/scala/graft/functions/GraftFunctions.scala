@@ -19,5 +19,9 @@ object GraftFunctions {
       "vector_dot", exprs => DotProductExpr(d(exprs(0)), d(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "vector_sq_l2", exprs => SquaredL2Expr(d(exprs(0)), d(exprs(1))), "built-in")
+    // default 64-dim seed-42 router as a SQL function (the planes are
+    // baked into the expression tree as literals)
+    reg.createOrReplaceTempFunction(
+      "lsh_shard", exprs => Lsh.default.catalystShardExpr(exprs.head), "built-in")
   }
 }

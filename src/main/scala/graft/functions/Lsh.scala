@@ -42,6 +42,24 @@ final case class Lsh(dim: Int, numHashes: Int, seed: Long = 42L) {
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Shard id as a raw Catalyst expression over an already-resolved
+    * input — for FunctionRegistry registration (the Column DSL builds
+    * unresolved nodes that cannot round-trip through a registry
+    * builder). Same arithmetic as [[shardCol]], using the fused dot
+    * kernel. */
+  def catalystShardExpr(input: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cast = Cast(input, ArrayType(DoubleType))
+    planes.zipWithIndex.map { case (p, j) =>
+      If(GreaterThan(
+          graft.expressions.DotProductExpr(cast, CreateArray(p.map(Literal(_)).toSeq)),
+          Literal(0.0)),
+        Literal(1 << j), Literal(0)): Expression
+    }.reduceLeft((a, b) => Add(a, b))
+  }
+
   /** Plain-Scala router (same arithmetic, for tests / driver-side literal
     * shard computation when pruning with a constant predicate). */
   def shardOf(v: Seq[Double]): Int =

@@ -48,7 +48,36 @@ object MultimodalQueries {
           FROM r GROUP BY kind ORDER BY kind"""
     })
 
-  def all: Seq[Q] = Seq(qAssetFeatures)
+  /** Same per-kind profile computed through the PARTITION-WISE decoder
+    * (Dataset mapPartitions + FakeDecoder) instead of the expression
+    * twin — the oracle is the same md5 arithmetic, so this proves the
+    * typed executor path (the one a real ffmpeg/imageio decoder would
+    * take) agrees with SQL cross-engine, not just the Column twin. */
+  val qAssetDecode = Q(
+    "q_asset_decode",
+    (s, dir) => {
+      val feats = Multimodal.decodeAll(
+        Multimodal.assetsFromDocuments(s, Tables.documents(s, dir)))
+      feats.groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum("byte_len").as("total_bytes"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          sum("duration_ms").as("sum_duration_ms"))
+        .orderBy("kind")
+    },
+    Some {
+      val kindE = "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]"
+      val featE = Multimodal.sqlFeatureCols("text", kindE).mkString(", ")
+      s"""WITH f AS (SELECT doc_id AS asset_id, $kindE AS kind, $featE FROM documents)
+          SELECT kind, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+                 CAST(sum(width) AS BIGINT) AS sum_w,
+                 CAST(sum(height) AS BIGINT) AS sum_h,
+                 CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+          FROM f GROUP BY kind ORDER BY kind"""
+    })
+
+  def all: Seq[Q] = Seq(qAssetFeatures, qAssetDecode)
 }
 
 /** ANN with learned centroids (graft.operators.Ivf). Rows-only check:

@@ -64,6 +64,15 @@ class VectorFunctionsSpec extends SparkSpec {
         "vector_sq_l2(array(0.0, 3.0), array(4.0, 0.0)) AS s").head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 25.0)
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("graft_emb")
+    val viaSql = spark.sql("SELECT vec_id, lsh_shard(embedding) AS s FROM graft_emb")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCol = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), graft.functions.Lsh.default.shardCol(col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql === viaCol) // registry expression == Column DSL expression
+    assert(viaSql.values.forall(s => s >= 0 && s < 256))
   }
 
   test("float arrays are cast exactly to double") {
