@@ -164,5 +164,42 @@ object DedupQueries {
           GROUP BY source ORDER BY source"""
     })
 
-  def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qSimhash, qNgramJaccard, qFingerprint)
+  /** The dedup ACTION, not just detection: within each 16-bit SimHash
+    * bucket keep the highest-quality document (quality-score argmax,
+    * doc_id tiebreak) and drop the rest — the canonical training-data
+    * "dedup + keep best" pipeline composed from the detection and
+    * scoring operators. Output is the per-lang keep/drop tally. */
+  val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          T.hashes31(array_distinct(T.tokens(col("text")))).as("hs"),
+          round(T.qualityScore(col("text")), 6).as("q"))
+        .select(col("doc_id"), col("lang"), col("q"),
+          T.simhashFromHashes(col("hs"), 16).as("simhash"))
+      val w = Window.partitionBy("simhash").orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("lang")
+    },
+    Some {
+      val sh = T.sqlSimhash(s"list_distinct(${T.sqlTokens("text")})", 16)
+      val q = T.sqlQualityScore("text")
+      s"""WITH scored AS (SELECT doc_id, lang, round($q, 6) AS q, $sh AS simhash FROM documents),
+          ranked AS (SELECT lang,
+                            row_number() OVER (PARTITION BY simhash ORDER BY q DESC, doc_id) AS rn
+                     FROM scored)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          FROM ranked GROUP BY lang ORDER BY lang"""
+    })
+
+  def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qSimhash, qNgramJaccard,
+    qFingerprint, qDedupKeepBest)
 }

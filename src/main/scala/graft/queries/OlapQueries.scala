@@ -71,5 +71,27 @@ object OlapQueries {
                    CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
             FROM documents GROUP BY source ORDER BY source"""))
 
-  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qPivotLangs)
+  /** Correlated-analysis shape: orders priced far above their own
+    * customer's average (window avg as the decorrelated form). Counts
+    * only — boundary-safe across engines. */
+  val qAboveAvg = Q(
+    "q_above_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, dir)
+        .withColumn("cavg", avg("o_totalprice").over(w))
+        .where(col("o_totalprice") > col("cavg") * 1.5)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT o_orderpriority, o_totalprice,
+                         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+                  FROM orders)
+            WHERE o_totalprice > cavg * 1.5
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qPivotLangs, qAboveAvg)
 }
