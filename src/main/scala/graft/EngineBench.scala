@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Like-for-like throughput bench against tools/ref_bench.py: ingest N
+  * seeded gaussian vectors through the Lake write path, then run batch
+  * and single kNN. Prints one JSON line. Args: [n] [dim] [nQueries]. */
+object EngineBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 60000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nQ = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // distributed deterministic data: seed per row id
+    val vecs = spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => sin(col("id") * 7919 + i * 104729) * 0.15).as("vector"))
+
+    val lake = Lake(spark, LakeConfig(
+      s"${sys.props("java.io.tmpdir")}/graft_engine_bench", dim = dim))
+    lake.delete()
+
+    val t0 = System.nanoTime()
+    lake.ingest(vecs.select(col("vector").cast("array<float>").as("vector"),
+      concat(lit("doc-"), col("id")).as("document")))
+    val tIngest = (System.nanoTime() - t0) / 1e9
+
+    val rng = new java.util.Random(7)
+    val queries = (0 until nQ).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian() * 0.15)))
+
+    val t1 = System.nanoTime()
+    val batchRows = lake.topKBatch(queries, 10).count()
+    val tBatch = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val single = lake.topK(queries.head._2, 10).count()
+    val tSingle = (System.nanoTime() - t2) / 1e9
+
+    println(s"""{"impl":"graft","rows":$n,"dim":$dim,"ingest_sec":${f"$tIngest%.3f"},""" +
+      s""""batch_q":$nQ,"batch_sec":${f"$tBatch%.3f"},"batch_qps":${f"${nQ / tBatch}%.1f"},""" +
+      s""""batch_rows":$batchRows,"single_pruned_sec":${f"$tSingle%.3f"},"single_rows":$single}""")
+    spark.stop()
+  }
+}
