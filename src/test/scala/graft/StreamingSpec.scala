@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream checkpoint recovery: restart resumes exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rec")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 3))
+
+    val s1 = MemoryStream[(Seq[Float], String)]
+    val q1 = lake.ingestStream(s1.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    s1.addData((Seq(1.0f, 0f, 0f), "a"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(lake.count() === 1L)
+
+    // restart from the SAME source + checkpoint: the committed batch must
+    // not replay (offset 1 is recorded), only post-restart data lands
+    s1.addData((Seq(0f, 1.0f, 0f), "b"))
+    val q2 = lake.ingestStream(s1.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    try {
+      q2.processAllAvailable()
+      assert(lake.count() === 2L)
+      val docs = lake.read().select("document").collect().map(_.getString(0)).sorted
+      assert(docs.toSeq === Seq("a", "b"))
+    } finally q2.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark suppresses replayed events") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
