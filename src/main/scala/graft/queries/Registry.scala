@@ -13,7 +13,7 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++
       RelationalQueries.all ++ OlapQueries.all ++
-      MultimodalQueries.all ++ AnnQueries.all
+      MultimodalQueries.all ++ AnnQueries.all ++ PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
