@@ -44,9 +44,12 @@ object PipelineQueries {
         .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
           lsh.shardCol(col("embedding")).as("shard"),
           V.l2Norm(col("embedding")).as("nrm"))
+      // checkpoint: `joined` feeds the near-dup self-join AND the final
+      // anti-join — truncate the lineage so scoring/SimHash/window run once
       val joined = kept.join(emb, kept("doc_id") === emb("vec_id"))
         .select(col("doc_id"), col("lang"), col("q"),
           col("vec"), col("shard"), col("nrm"))
+        .localCheckpoint()
 
       val a = joined.select(col("shard"), col("doc_id").as("a_id"),
         col("vec").as("a_vec"), col("nrm").as("a_nrm"))
@@ -60,7 +63,10 @@ object PipelineQueries {
       joined.join(dupIds, Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("q"), 6).as("avg_q"),
+          // q is pre-rounded to 6dp, so a plain double avg can land
+          // exactly on a rounding boundary and flip vs the oracle:
+          // sum exactly in decimal, divide once in double
+          round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_q"),
           round(avg("nrm"), 6).as("avg_norm"))
         .orderBy("lang")
     },
@@ -90,7 +96,7 @@ object PipelineQueries {
           survivors AS (
             SELECT * FROM joined WHERE doc_id NOT IN (SELECT doc_id FROM dups))
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                 round(avg(q), 6) AS avg_q,
+                 round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_q,
                  round(avg(nrm), 6) AS avg_norm
           FROM survivors GROUP BY lang ORDER BY lang"""
     })

@@ -28,11 +28,13 @@ object TextQueries {
     (s, dir) => Tables.documents(s, dir)
       .select(col("source"), round(T.qualityScore(col("text")), 6).as("q"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_q"),
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_q"),
         min("q").as("min_q"), max("q").as("max_q"))
       .orderBy("source"),
     Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
-                    round(avg(q), 6) AS avg_q, min(q) AS min_q, max(q) AS max_q
+                    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_q,
+                    min(q) AS min_q, max(q) AS max_q
              FROM (SELECT source, round(${T.sqlQualityScore("text")}, 6) AS q FROM documents)
              GROUP BY source ORDER BY source"""))
 
