@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registry query at `SPARK_GRAFT_SF_DIR`,
+  * prints ONE JSON line with per-query seconds. A failing query is
+  * REPORTED (per-query `errors` entry + non-zero exit), never silently
+  * timed as a fast no-op — a regression must not hide in a good total. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,13 +23,22 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").take(160) + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(m))) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }

@@ -22,6 +22,10 @@ import graft.functions.{Lsh, VectorFunctions => V}
   * @param partitionKey when Some(colName): user-controlled partitioning
   *                   instead of LSH — the reference's `Partition` subclass
   *                   (index.py:592-607)
+  * @param partitionKeyType type of the user partition column — used only
+  *                   for the empty-lake bootstrap schema, so read() on an
+  *                   empty lake agrees with what ingest will later write
+  *                   (the LSH `shard` column is always IntegerType)
   */
 final case class LakeConfig(
     location: String,
@@ -30,6 +34,7 @@ final case class LakeConfig(
     metric: String = "cosine",
     seed: Long = 42L,
     partitionKey: Option[String] = None,
+    partitionKeyType: DataType = StringType,
     codec: String = "snappy") {
   require(Set("cosine", "l2", "dot")(metric), s"unknown metric $metric")
 }
@@ -63,6 +68,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * = O(shards) instead of O(tasks × shards).
     */
   def ingest(rows: DataFrame): Unit = {
+    withDerived(rows)
+      // cluster rows by partition value before the write: each task then
+      // writes whole shard files instead of every task touching every
+      // shard directory (the small-files explosion at scale)
+      .repartition(col(partCol))
+      .write.mode(SaveMode.Append)
+      .option("compression", cfg.codec) // reference hard-codes gzip (index.py:308); snappy default scans faster
+      .partitionBy(partCol)
+      .parquet(cfg.location)
+    writeMetaSidecar()
+  }
+
+  /** The ONE derived-column block, shared by batch and streaming ingest
+    * so the two paths can never diverge: metadata coercion (column
+    * missing → {"name":"unknown"}; null or EMPTY map → {"id":"1"}, the
+    * reference's ingest quirk, index.py:572-575), document default,
+    * uuid id, ingest timestamp, float vector cast, LSH shard routing.
+    * All row-local expressions — map-side at any scale. */
+  private def withDerived(rows: DataFrame): DataFrame = {
     var df = rows
     if (!df.columns.contains("metadata"))
       df = df.withColumn("metadata",
@@ -80,36 +104,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (cfg.partitionKey.isEmpty)
       df = df.withColumn("shard", lsh.shardCol(col("vector")))
     df.select((dataCols.map(col) :+ col(partCol)): _*)
-      // cluster rows by partition value before the write: each task then
-      // writes whole shard files instead of every task touching every
-      // shard directory (the small-files explosion at scale)
-      .repartition(col(partCol))
-      .write.mode(SaveMode.Append)
-      .option("compression", cfg.codec) // reference hard-codes gzip (index.py:308); snappy default scans faster
-      .partitionBy(partCol)
-      .parquet(cfg.location)
-    writeMetaSidecar()
   }
 
-  /** Continuous ingest: the streaming form of [[ingest]] — same derived
-    * columns and shard routing, written by Structured Streaming's
-    * file sink (exactly-once via checkpointed manifests). The reference
-    * has no streaming path at all (SURVEY.md §2.10). */
+  /** Continuous ingest: the streaming form of [[ingest]] — the SAME
+    * [[withDerived]] block (shard routing, metadata coercion incl. the
+    * empty-map quirk), written by Structured Streaming's file sink
+    * (exactly-once via checkpointed manifests). The reference has no
+    * streaming path at all (SURVEY.md §2.10). The `_meta.json` sidecar
+    * is stamped once at stream start (the file sink owns the directory
+    * afterwards; per-batch stamping would race the sink's manifests). */
   def ingestStream(rows: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
-    var df = rows
-    if (!df.columns.contains("metadata"))
-      df = df.withColumn("metadata",
-        map(lit("name"), lit("unknown")).cast(MapType(StringType, StringType)))
-    if (!df.columns.contains("document")) df = df.withColumn("document", lit(""))
-    df = df
-      .withColumn("id", expr("uuid()"))
-      .withColumn("timestamp", current_timestamp())
-      .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
-    if (cfg.partitionKey.isEmpty)
-      df = df.withColumn("shard", lsh.shardCol(col("vector")))
-    df.select((dataCols.map(col) :+ col(partCol)): _*)
+    writeMetaSidecar()
+    withDerived(rows)
       .writeStream
       .format("parquet")
       .option("path", cfg.location)
@@ -127,7 +135,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields :+ StructField(partCol, IntegerType)))
+        StructType(schema.fields :+ StructField(partCol,
+          if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
     val df = spark.read.parquet(cfg.location)
     val got = df.columns.toSet
     val want = dataCols.toSet + partCol
@@ -178,7 +187,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         V.l2Norm(col("vector")).as("nrm"))
       .crossJoin(broadcast(qdf))
       .select(col("qid"), col("id"),
-        round(lit(1.0) - V.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
+        // zero-norm guarded (cosineSimPre): one degenerate row must not
+        // ANSI-fail the scan; round6z keeps self-pair dist at +0.0
+        V.round6z(lit(1.0) - V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))).as("dist"))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
@@ -190,7 +201,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def topKWhere(q: Seq[Double], k: Int, pred: Column): DataFrame =
     read()
       .where(pred)
-      .withColumn("dist", round(distCol(q), 6))
+      .withColumn("dist", V.round6z(distCol(q)))
       .orderBy(col("dist"), col("id"))
       .limit(k)
 
@@ -200,6 +211,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * text is the caller's job — no model inference in-engine (§2.6). */
   def similaritySearch(queryEmbedding: Seq[Double], k: Int): DataFrame =
     topK(queryEmbedding, k).select(col("document"), col("metadata"), col("dist"))
+
+  /** The reference's actual `Index.query` contract (index.py:539-541):
+    * nearest-neighbor VECTORS only, nothing else projected — column
+    * pruning reaches the parquet scan, so only the vector column is
+    * read. */
+  def query(queryEmbedding: Seq[Double], k: Int): DataFrame =
+    topK(queryEmbedding, k).select(col("vector"))
 
   /** Batch ingest of (text, embedding) pairs — the `add_texts` analog
     * (langchain/__init__.py:43-67): returns the row count written. */
@@ -257,4 +275,13 @@ object Lake {
   val dataCols: Seq[String] = schema.fields.map(_.name).toSeq
 
   def apply(spark: SparkSession, cfg: LakeConfig): Lake = new Lake(spark, cfg)
+
+  /** Construct-and-ingest in one call — the reference's `from_texts`
+    * classmethod (langchain/__init__.py:92-116): build the lake at
+    * `cfg.location` and append the (text, embedding) rows. */
+  def fromTexts(spark: SparkSession, texts: DataFrame, cfg: LakeConfig): Lake = {
+    val lake = new Lake(spark, cfg)
+    lake.addTexts(texts)
+    lake
+  }
 }

@@ -16,8 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed-plan cache: `spark.read.parquet` lists files and reads
+    * footers for schema inference on EVERY call; a registry run touches
+    * the same tables dozens of times. DataFrames are immutable plans, so
+    * reusing one per (session, path) is safe and shaves fixed per-query
+    * planning cost (no data is cached — scans stay lazy). */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    planCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

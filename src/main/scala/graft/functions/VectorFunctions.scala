@@ -69,6 +69,27 @@ object VectorFunctions {
   def cosineDist(a: Column, b: Column): Column =
     lit(1.0) - cosineSim(a, b)
 
+  /** Cosine similarity from a precomputed dot product and per-row norms
+    * (the self-join shape: norms computed per ROW, n ops, not per PAIR,
+    * n² ops). Zero-norm guarded like [[cosineSim]]: one degenerate row
+    * must not fail a 100 TB scan with ANSI DIVIDE_BY_ZERO. */
+  def cosineSimPre(dotAb: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dotAb / denom)
+  }
+
+  /** `round(x, 6)` with negative zero normalized away (IEEE: −0.0 + 0.0
+    * = +0.0). Needed on every oracle-paired distance/score column: when
+    * the true value is a hair below zero (self-pairs, near-orthogonal
+    * dots), Spark's `round` emits +0.0 but DuckDB's keeps the sign, and
+    * the driver's byte-level hash sees -0.0 ≠ +0.0 even though `==`
+    * says equal. Normalize on BOTH sides ([[sqlRound6z]]). NaN/NULL pass
+    * through unchanged. */
+  def round6z(c: Column): Column = round(c, 6) + lit(0.0)
+
+  /** Oracle-side mirror of [[round6z]]. */
+  def sqlRound6z(e: String): String = s"(round($e, 6) + 0.0)"
+
   /** A literal vector as an ARRAY<DOUBLE> column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
 
@@ -92,11 +113,13 @@ object VectorFunctions {
     s"list_dot_product($col::DOUBLE[], ${sqlVec(v)})"
 
   /** DuckDB expression mirroring [[cosineDist]] against a literal query
-    * vector — same formula shape: 1 - dot/(sqrt(dot_aa)*sqrt(dot_bb)). */
+    * vector — same formula shape: 1 - dot/(sqrt(dot_aa)*sqrt(dot_bb)).
+    * NULLIF mirrors the engine's zero-norm guard (NULL vs NaN — both
+    * sort last / fail > filters, documented divergence). */
   def sqlCosineDistLit(col: String, v: Seq[Double]): String = {
     val qq = v.foldLeft(0.0)((acc, x) => acc + x * x)
     s"(1.0 - ${sqlDotLit(col, v)} / " +
-      s"(sqrt(list_dot_product($col::DOUBLE[], $col::DOUBLE[])) * sqrt(${sqlDouble(qq)})))"
+      s"NULLIF(sqrt(list_dot_product($col::DOUBLE[], $col::DOUBLE[])) * sqrt(${sqlDouble(qq)}), 0))"
   }
 
   /** DuckDB expression mirroring [[l2Dist]] against a literal. */
@@ -107,8 +130,8 @@ object VectorFunctions {
     * shape as [[cosineSim]]. */
   def sqlCosineSimCols(a: String, b: String): String =
     s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+      s"NULLIF(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])), 0))"
 
   /** DuckDB cosine distance between two list columns. */
   def sqlCosineDistCols(a: String, b: String): String =

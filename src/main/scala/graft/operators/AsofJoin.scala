@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join — an operator Spark lacks natively: for
   * every left row, attach the latest right row with the same key and
@@ -35,35 +36,40 @@ object AsofJoin {
       rightTieBreak: String): DataFrame = {
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // ALL right payload columns ride in ONE struct carried by a single
+    // last(ignoreNulls): the struct is non-null for every right row even
+    // when its members are NULL, so the latest right row's values arrive
+    // atomically — per-column carry would stitch a newer NULL member
+    // together with an older non-null one (rows that never coexisted).
+    val payloadType = StructType(rightCols.map(c => StructField(c, rightTypes(c))))
+
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast(rightTypes(rightTieBreak)))
-    val lWithNullPayload = rightCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"_r_$c", lit(null).cast(rightTypes(c))))
+      .withColumn("_r", lit(null).cast(payloadType))
 
-    val rBase = right
+    val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_tie", col(rightTieBreak))
-    val r = rightCols.foldLeft(rBase)((df, c) => df.withColumn(s"_r_$c", col(c)))
+      .withColumn("_r", struct(rightCols.map(col): _*))
 
-    val unioned = lWithNullPayload
-      .select((Seq(key, "_t", "_side", "_tie") ++ left.columns.filter(_ != key)
-        ++ rightCols.map(c => s"_r_$c")).distinct.map(col): _*)
+    val unioned = l
+      .select((Seq(key, "_t", "_side", "_tie", "_r")
+        ++ left.columns.filter(_ != key)).distinct.map(col): _*)
       .unionByName(
-        r.select((Seq(key, "_t", "_side", "_tie") ++ rightCols.map(c => s"_r_$c")).map(col): _*),
+        r.select(Seq(key, "_t", "_side", "_tie", "_r").map(col): _*),
         allowMissingColumns = true)
 
     // right rows sort before left rows at equal times => inclusive "<="
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
 
     carried
       .where(col("_side") === 1)
       .select((left.columns.map(col) ++
-        rightCols.map(c => col(s"_asof_$c").as(c))): _*)
+        rightCols.map(c => col("_asof").getField(c).as(c))): _*)
   }
 }

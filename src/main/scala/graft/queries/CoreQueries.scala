@@ -16,8 +16,9 @@ object CoreQueries {
   private val Qv = Fixtures.queryVec
   private val lsh = Lsh.default
 
-  /** Cosine-distance column vs the flagship literal query vector. */
-  private def cosQ = round(V.cosineDist(col("embedding"), V.vecLit(Qv)), 6)
+  /** Cosine-distance column vs the flagship literal query vector
+    * (round6z: −0.0-free on both engine and oracle sides). */
+  private def cosQ = V.round6z(V.cosineDist(col("embedding"), V.vecLit(Qv)))
 
   // -------------------------------------------------------------- kNN --
 
@@ -27,7 +28,7 @@ object CoreQueries {
       .select(col("vec_id"), cosQ.as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(10),
-    Some(s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+    Some(s"""SELECT vec_id, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
              FROM embeddings ORDER BY dist, vec_id LIMIT 10"""))
 
   val qKnnL2 = Q(
@@ -44,10 +45,10 @@ object CoreQueries {
     "q_knn_dot",
     (s, dir) => Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        round(V.dot(col("embedding"), V.vecLit(Qv)), 6).as("score"))
+        V.round6z(V.dot(col("embedding"), V.vecLit(Qv))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10),
-    Some(s"""SELECT vec_id, round(${V.sqlDotLit("embedding", Qv)}, 6) AS score
+    Some(s"""SELECT vec_id, ${V.sqlRound6z(V.sqlDotLit("embedding", Qv))} AS score
              FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"""))
 
   // ------------------------------------------------- LSH routing/prune --
@@ -74,7 +75,7 @@ object CoreQueries {
     },
     Some {
       val routed = lsh.shardOf(Qv)
-      s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+      s"""SELECT vec_id, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
           FROM embeddings WHERE ${lsh.sqlShardExpr("embedding")} = $routed
           ORDER BY dist, vec_id LIMIT 10"""
     })
@@ -94,7 +95,7 @@ object CoreQueries {
     Some {
       val routed = lsh.shardOf(Qv)
       val probes = routed +: (0 until lsh.numHashes).map(j => routed ^ (1 << j))
-      s"""SELECT vec_id, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+      s"""SELECT vec_id, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
           FROM embeddings
           WHERE ${lsh.sqlShardExpr("embedding")} IN (${probes.mkString(", ")})
           ORDER BY dist, vec_id LIMIT 10"""
@@ -119,7 +120,7 @@ object CoreQueries {
         .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
       e.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"),
-          round(lit(1.0) - V.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("dist"))
+          V.round6z(lit(1.0) - V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))).as("dist"))
         .groupBy("qid")
         .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("vec_id")), 5).as("top"))
         .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
@@ -130,7 +131,7 @@ object CoreQueries {
     Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
                         ORDER BY vec_id LIMIT 10),
              d AS (SELECT q.qid, e.vec_id,
-                          round(${V.sqlCosineDistCols("e.embedding", "q.qvec")}, 6) AS dist
+                          ${V.sqlRound6z(V.sqlCosineDistCols("e.embedding", "q.qvec"))} AS dist
                    FROM embeddings e CROSS JOIN q),
              r AS (SELECT qid, vec_id, dist,
                           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
@@ -140,28 +141,33 @@ object CoreQueries {
 
   // ---------------------------------------------------------- near-dup --
 
-  /** Exact all-pairs cosine near-dup (correctness baseline; quadratic —
-    * the LSH-bucketed variant below is the 100 TB path). */
+  /** Exact all-pairs cosine near-dup — the correctness BASELINE, bounded
+    * to `vec_id < 500` exactly like its text twin q_ngram_jaccard
+    * (doc_id < 200): a deliberately quadratic oracle check must never be
+    * an unbounded cartesian in the registry. The LSH-bucketed variant
+    * below is the unbounded 100 TB path. */
   val qNearDup = Q(
     "q_near_dup",
     (s, dir) => {
       // norms are precomputed per ROW (n ops), not per PAIR (n² ops) —
       // bit-identical to the oracle's per-pair sqrt(dot(x,x)) formula
       val e = Tables.embeddings(s, dir)
+        .where(col("vec_id") < 500)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
           V.l2Norm(col("embedding")).as("nrm")) // cast to double per ROW, not per pair
       val a = e.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
       val b = e.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("sim"))
+          V.round6z(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm"))).as("sim"))
         .where(col("sim") > 0.5)
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
     },
-    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                    round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) AS sim
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) > 0.5
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} AS sim
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} > 0.5
              ORDER BY sim DESC, a_id, b_id"""))
 
   /** LSH-bucketed near-dup: equi-join on the shard id — candidate pairs
@@ -179,16 +185,16 @@ object CoreQueries {
       a.join(b, Seq("shard"))
         .where(col("a_id") < col("b_id"))
         .select(col("shard"), col("a_id"), col("b_id"),
-          round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("sim"))
+          V.round6z(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm"))).as("sim"))
         .where(col("sim") > 0.4)
         .orderBy(col("sim").desc, col("a_id"), col("b_id"))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding,
                                ${lsh.sqlShardExpr("embedding")} AS shard FROM embeddings)
              SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,
-                    round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) AS sim
+                    ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} AS sim
              FROM e a JOIN e b ON a.shard = b.shard AND a.vec_id < b.vec_id
-             WHERE round(${V.sqlCosineSimCols("a.embedding", "b.embedding")}, 6) > 0.4
+             WHERE ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} > 0.4
              ORDER BY sim DESC, a_id, b_id"""))
 
   // ------------------------------------------------------- filter/agg --
@@ -200,7 +206,7 @@ object CoreQueries {
       .select(col("vec_id"), col("label"), cosQ.as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(10),
-    Some(s"""SELECT vec_id, label, round(${V.sqlCosineDistLit("embedding", Qv)}, 6) AS dist
+    Some(s"""SELECT vec_id, label, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
              FROM embeddings WHERE label = 3 ORDER BY dist, vec_id LIMIT 10"""))
 
   /** Per-label centroids via posexplode + avg — array agg without UDFs. */

@@ -43,35 +43,47 @@ object DedupQueries {
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard over word-bigram shingle sets. Pipeline: shingle → 16
     * minhashes → 4 band keys → explode → equi-join on band → distinct
-    * candidate pairs → exact Jaccard ≥ 0.2. */
+    * candidate pairs (ids only) → re-join signatures → exact Jaccard
+    * ≥ 0.2. */
   val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, dir) => {
       // hash every shingle ONCE (md5 chain is the hot path), then the 16
       // signature terms are cheap integer transforms over the hash array
       val sig = T.minhashSigFromHashes(col("hs"), mhParams)
-      val bands = (0 until Bands).map { b =>
-        concat_ws("-", lit(b) +: (0 until MinhashK / Bands).map(r => col(s"mh${b * (MinhashK / Bands) + r}")): _*)
-      }
-      // localCheckpoint: the signature table feeds BOTH sides of the
-      // band self-join — truncating lineage computes shingling + 1.5M
-      // md5 hashes once instead of twice. Exact Jaccard runs on the
-      // distinct int hash set (hsd) rather than the string shingle set:
-      // far cheaper to carry and intersect, and the oracle uses the
-      // identical hashed sets so collisions (if any) agree.
+      val R = MinhashK / Bands
+      // one band-key ARRAY column instead of 16 named mh columns feeding
+      // 4 concat_ws — identical keys, a fraction of the plan for
+      // Catalyst/codegen to chew on (planning time dominated this query)
+      val bandKeys = array((0 until Bands).map { b =>
+        concat_ws("-", lit(b) +: (0 until R).map(r => element_at(col("mh"), b * R + r + 1)): _*)
+      }: _*)
+      // localCheckpoint: the signature table feeds both band-join sides
+      // AND the post-distinct signature re-joins — shingling + ~1.5M md5
+      // hashes run once. Exact Jaccard runs on the distinct int hash set
+      // (hsd), far cheaper to carry and intersect than string shingles;
+      // the oracle uses the identical hashed sets so collisions agree.
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
           T.hashes31(array_distinct(T.shingles(col("text"), 2))).as("hs"))
-        .select(Seq(col("doc_id"), array_distinct(col("hs")).as("hsd")) ++
-          sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+        .select(col("doc_id"), array_distinct(col("hs")).as("hsd"),
+          array(sig: _*).as("mh"))
         .localCheckpoint()
-        .withColumn("band", explode(array(bands: _*)))
-      val a = d.select(col("band"), col("doc_id").as("a_id"), col("hsd").as("a_h"))
-      val b = d.select(col("band"), col("doc_id").as("b_id"), col("hsd").as("b_h"))
-      val inter = size(array_intersect(col("a_h"), col("b_h"))).cast("double")
-      a.join(b, Seq("band"))
+      // candidate pairs carry ONLY (band, id): the wide hash arrays stay
+      // out of the band join, the distinct, and both their shuffles —
+      // signatures re-join by id AFTER dedup (the oracle's own CTE
+      // shape; previously each candidate pair dragged two ~50-element
+      // BIGINT arrays through distinct's hash-compare)
+      val bands = d.select(col("doc_id"), explode(bandKeys).as("band"))
+      val a = bands.select(col("band"), col("doc_id").as("a_id"))
+      val b = bands.select(col("band"), col("doc_id").as("b_id"))
+      val pairs = a.join(b, Seq("band"))
         .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_h"), col("b_h")).distinct()
+        .select("a_id", "b_id").distinct()
+      val inter = size(array_intersect(col("a_h"), col("b_h"))).cast("double")
+      pairs
+        .join(d.select(col("doc_id").as("a_id"), col("hsd").as("a_h")), Seq("a_id"))
+        .join(d.select(col("doc_id").as("b_id"), col("hsd").as("b_h")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           round(inter / (size(col("a_h")) + size(col("b_h")) - inter), 6).as("jaccard"))
         .where(col("jaccard") >= 0.2)

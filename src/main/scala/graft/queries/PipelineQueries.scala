@@ -57,7 +57,7 @@ object PipelineQueries {
         col("vec").as("b_vec"), col("nrm").as("b_nrm"))
       val dupIds = a.join(b, Seq("shard"))
         .where(col("a_id") < col("b_id"))
-        .where(round(V.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6) > 0.4)
+        .where(round(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")), 6) > 0.4)
         .select(col("b_id").as("doc_id")).distinct()
 
       joined.join(dupIds, Seq("doc_id"), "left_anti")
@@ -92,7 +92,7 @@ object PipelineQueries {
             SELECT DISTINCT b.doc_id
             FROM joined a JOIN joined b ON a.shard = b.shard AND a.doc_id < b.doc_id
             WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                        (a.nrm * b.nrm), 6) > 0.4),
+                        NULLIF(a.nrm * b.nrm, 0), 6) > 0.4),
           survivors AS (
             SELECT * FROM joined WHERE doc_id NOT IN (SELECT doc_id FROM dups))
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -27,6 +27,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(200L) === (None, None))            // key with no right side
   }
 
+  test("asof: a NULL payload column in the latest right row arrives atomically") {
+    // right row at t=5 has v = NULL; the result for a left row at t=7
+    // must be (rid=12, v=NULL) — NOT rid 12 stitched with the OLDER
+    // row's non-null v=1.5 (the per-column-carry bug)
+    val left = Seq(("A", 7L, 1L)).toDF("k", "t_us", "lid")
+    val right = Seq(
+      ("A", 1L, 11L, Option(1.5)),
+      ("A", 5L, 12L, Option.empty[Double]))
+      .toDF("k", "rt_us", "rid", "v")
+    val row = AsofJoin.asof(left, right, "k", "t_us", "rt_us",
+      Seq("rid", "v"), "rid").collect().head
+    assert(row.getLong(3) === 12L)
+    assert(row.isNullAt(4))
+  }
+
   test("asof: ties on (key, time) resolve to the max tie-break row") {
     val left = Seq(("A", 10L, 1L)).toDF("k", "t_us", "lid")
     val right = Seq(("A", 10L, 5L, 0.1), ("A", 10L, 9L, 0.2))

@@ -140,6 +140,42 @@ class LakeSpec extends SparkSpec {
     assert(lake.sizeInBytes() > 0)
   }
 
+  test("query returns vectors only (reference Index.query contract, index.py:539-541)") {
+    val lake = freshLake()
+    val v = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
+    lake.ingest(vecsDF(Seq(v)))
+    val rows = lake.query(v, 3).collect()
+    assert(rows.length === 1)
+    assert(rows.head.schema.fieldNames.toSeq === Seq("vector"))
+    assert(rows.head.getAs[scala.collection.Seq[Float]]("vector") === v.map(_.toFloat).toSeq)
+  }
+
+  test("fromTexts constructs and ingests in one call (langchain from_texts analog)") {
+    val dir = Files.createTempDirectory("graft_lake_test").toString
+    val v = Seq(0.1, 0.9, 0.0, 0.0, 0.2)
+    val lake = Lake.fromTexts(spark,
+      Seq((v.map(_.toFloat), "from_texts doc")).toDF("embedding", "text"),
+      LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+    assert(lake.count() === 1L)
+    assert(lake.similaritySearch(v, 1).collect().head
+      .getAs[String]("document") === "from_texts doc")
+  }
+
+  test("empty-lake bootstrap types the user partition column from config") {
+    val dir = Files.createTempDirectory("graft_lake_test").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5,
+      partitionKey = Some("tenant"),
+      partitionKeyType = org.apache.spark.sql.types.StringType))
+    // read() before any write: the bootstrap schema must agree with what
+    // ingest will later write (tenant is a string, not the old
+    // hardcoded IntegerType)
+    val boot = lake.read()
+    assert(boot.schema("tenant").dataType === org.apache.spark.sql.types.StringType)
+    lake.ingest(Seq((Seq(1.0f, 0f, 0f, 0f, 0f), "a")).toDF("vector", "tenant"))
+    assert(lake.read().schema("tenant").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("multi-probe topK returns at least as many candidates as single-probe") {
     val lake = freshLake()
     val rng = new scala.util.Random(9)

@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: present-but-empty metadata map coerces to {id:1} like batch ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_meta")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 3))
+    val stream = MemoryStream[(Seq[Float], String, Map[String, String])]
+    val q = lake.ingestStream(
+      stream.toDF().toDF("vector", "document", "metadata"), s"$dir/ckpt")
+    try {
+      stream.addData((Seq(1.0f, 0f, 0f), "empty meta", Map.empty[String, String]))
+      stream.addData((Seq(0f, 1.0f, 0f), "has meta", Map("k" -> "v")))
+      q.processAllAvailable()
+      val got = lake.read().select("document", "metadata").collect()
+        .map(r => r.getString(0) -> r.getAs[Map[String, String]]("metadata")).toMap
+      // the reference's ingest quirk (index.py:572-575) — identical on
+      // the batch and streaming paths because both run withDerived
+      assert(got("empty meta") === Map("id" -> "1"))
+      assert(got("has meta") === Map("k" -> "v"))
+      // streaming start also stamps the sidecar
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lake/_meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p))
+    } finally q.stop()
+  }
+
   test("ingestStream checkpoint recovery: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_rec")
