@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
   val P31 = 2147483647L // 2^31 - 1; (a*h31 + b) stays < 2^62
 
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftShims.column(e)
+  private def unwrap(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftShims.expression(c)
+
   // ------------------------------------------------------ portable hash
 
   def h60(c: Column): Column =
@@ -77,13 +82,33 @@ object TextFunctions {
   }
 
   /** h31 of every element of a string-set column — materialize this ONCE
-    * (withColumn) and feed the *FromHashes variants below: the md5 chain
-    * is the expensive part and Spark can't CSE it across the k per-term
-    * lambdas. */
-  def hashes31(set: Column): Column = transform(set, x => h31(x))
+    * (withColumn) and feed the *FromHashes variants below. Fused native
+    * kernel ([[graft.expressions.Hashes31Expr]]): `transform`'s lambda
+    * is interpreted per element in Spark, and the md5→hex→`conv` chain
+    * walked that way dominated the dedup family's runtime. Bit-identical
+    * to [[hashes31Hof]] (equivalence-tested). */
+  def hashes31(set: Column): Column =
+    wrap(graft.expressions.Hashes31Expr(unwrap(set.cast("array<string>"))))
 
-  /** k-element MinHash signature from a pre-hashed set (cheap integer
-    * ops only per term). */
+  /** HOF formulation of [[hashes31]] (equivalence-test twin / the
+    * no-custom-expression fallback). */
+  def hashes31Hof(set: Column): Column = transform(set, x => h31(x))
+
+  /** Fused `hashes31(array_distinct(shingles(text, n)))` in one kernel
+    * pass ([[graft.expressions.ShingleHash31Expr]]) — shingling through
+    * interpreted HOF lambdas dominated the MinHash pipeline. */
+  def shingleHashes(text: Column, n: Int): Column =
+    wrap(graft.expressions.ShingleHash31Expr(unwrap(text.cast("string")), n))
+
+  /** Whole k-element MinHash signature as ONE array column in one pass
+    * over the hash set ([[graft.expressions.MinhashSigExpr]]) — the
+    * fused form of [[minhashSigFromHashes]]'s k interpreted array walks. */
+  def minhashSigArr(hs: Column, params: Seq[(Long, Long)]): Column =
+    wrap(graft.expressions.MinhashSigExpr(unwrap(hs),
+      params.map(_._1), params.map(_._2)))
+
+  /** k separate signature columns from a pre-hashed set — HOF twin of
+    * [[minhashSigArr]] (equivalence-tested). */
   def minhashSigFromHashes(hs: Column, params: Seq[(Long, Long)]): Seq[Column] =
     params.map { case (a, b) =>
       array_min(transform(hs, x => (lit(a) * x + lit(b)) % P31))
@@ -108,9 +133,15 @@ object TextFunctions {
   // ----------------------------------------------------------- SimHash
 
   /** `bits`-bit SimHash from a pre-hashed token set: bit k of the
-    * fingerprint is 1 iff (#tokens with bit k set) > (#without) —
-    * computed as 2·|filter| − |set| > 0, pure integer ops. */
+    * fingerprint is 1 iff (#tokens with bit k set) > (#without). Fused
+    * one-pass kernel ([[graft.expressions.SimhashExpr]]) — the HOF form
+    * walks the array `bits` times with an interpreted lambda each. */
   def simhashFromHashes(hs: Column, bits: Int): Column =
+    wrap(graft.expressions.SimhashExpr(unwrap(hs), bits))
+
+  /** HOF formulation of [[simhashFromHashes]] (equivalence-test twin):
+    * 2·|filter| − |set| > 0 per bit, pure integer ops. */
+  def simhashFromHashesHof(hs: Column, bits: Int): Column =
     (0 until bits).map { k =>
       val ones = size(filter(hs, x => shiftright(x, k) % 2 === 1))
       when(ones * 2 > size(hs), lit(1L << k)).otherwise(lit(0L))

@@ -48,9 +48,6 @@ object DedupQueries {
   val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, dir) => {
-      // hash every shingle ONCE (md5 chain is the hot path), then the 16
-      // signature terms are cheap integer transforms over the hash array
-      val sig = T.minhashSigFromHashes(col("hs"), mhParams)
       val R = MinhashK / Bands
       // one band-key ARRAY column instead of 16 named mh columns feeding
       // 4 concat_ws — identical keys, a fraction of the plan for
@@ -64,10 +61,9 @@ object DedupQueries {
       // (hsd), far cheaper to carry and intersect than string shingles;
       // the oracle uses the identical hashed sets so collisions agree.
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          T.hashes31(array_distinct(T.shingles(col("text"), 2))).as("hs"))
+        .select(col("doc_id"), T.shingleHashes(col("text"), 2).as("hs"))
         .select(col("doc_id"), array_distinct(col("hs")).as("hsd"),
-          array(sig: _*).as("mh"))
+          T.minhashSigArr(col("hs"), mhParams).as("mh"))
         .localCheckpoint()
       // candidate pairs carry ONLY (band, id): the wide hash arrays stay
       // out of the band join, the distinct, and both their shuffles —

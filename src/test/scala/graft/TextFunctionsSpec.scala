@@ -55,6 +55,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a >= 0 && a < (1 << 16))
   }
 
+  test("fused kernels are bit-identical to their HOF twins") {
+    // a realistic shingle set: hashed once, then sig + simhash both ways
+    val shingles = array((1 to 40).map(i => lit(s"tok$i tok${i + 1}")): _*)
+    val hsKernel = one[scala.collection.Seq[Long]](T.hashes31(shingles))
+    val hsHof = one[scala.collection.Seq[Long]](T.hashes31Hof(shingles))
+    assert(hsKernel.toSeq === hsHof.toSeq)
+
+    val params = T.minhashParams(16)
+    val sigKernel = one[scala.collection.Seq[Long]](T.minhashSigArr(T.hashes31(shingles), params))
+    val sigHof = T.minhashSigFromHashes(T.hashes31Hof(shingles), params).map(one[Long](_))
+    assert(sigKernel.toSeq === sigHof)
+
+    val shKernel = one[Long](T.simhashFromHashes(T.hashes31(shingles), 16))
+    val shHof = one[Long](T.simhashFromHashesHof(T.hashes31Hof(shingles), 16))
+    assert(shKernel === shHof)
+  }
+
+  test("shingleHashes kernel === hashes31(array_distinct(shingles)) composition") {
+    for (text <- Seq("a b c d a b c", "single", "", "x  y  x  y", "a b a b a b")) {
+      val kernel = one[scala.collection.Seq[Long]](T.shingleHashes(lit(text), 2))
+      val composed = one[scala.collection.Seq[Long]](
+        T.hashes31Hof(array_distinct(T.shingles(lit(text), 2))))
+      assert(kernel.toSeq === composed.toSeq, s"text='$text'")
+    }
+  }
+
+  test("fused kernels: empty-set semantics match the HOF forms") {
+    val empty = array().cast("array<string>")
+    assert(one[scala.collection.Seq[Long]](T.hashes31(empty)).toSeq === Seq.empty)
+    // array_min over empty → null per signature slot
+    val params = T.minhashParams(4)
+    val sig = Seq(1).toDF("x")
+      .select(T.minhashSigArr(T.hashes31(empty), params).as("v"))
+      .head().getSeq[Any](0)
+    assert(sig === Seq(null, null, null, null))
+    assert(one[Long](T.simhashFromHashes(T.hashes31(empty), 16)) === 0L)
+  }
+
   test("predictedLang picks the max-marker language with en-first ties") {
     assert(one[String](T.predictedLang(T.tokens(lit("der und die hund")))) === "de")
     assert(one[String](T.predictedLang(T.tokens(lit("the of and le")))) === "en")
