@@ -237,6 +237,79 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   def count(): Long = read().count()
 
+  /** Compact the lake's small files: every append (`ingest`,
+    * `ingestStream` micro-batch) adds at least one file per touched
+    * shard, so a long-lived lake accumulates the small-files
+    * antipattern (listing pressure, per-file open cost, tiny scans —
+    * the thing that actually kills 100 TB parquet lakes). Rewrites each
+    * shard's data into ~`targetBytes` files: shards get
+    * ceil(bytes/target) slices, rows are clustered by (shard, slice) so
+    * each output file is whole, then the directories are swapped.
+    *
+    * This is the maintenance operation the reference cannot express —
+    * its sync already rewrites EVERY segment file on EVERY persist
+    * (index.py:294-308); here rewriting is explicit, sized, and
+    * distributed (one shuffle, no driver-side data).
+    *
+    * Refuses to touch a lake with a Structured Streaming `_spark_metadata`
+    * sink log: the sink's manifest names the original files, and a swap
+    * would silently orphan them — stop the stream and rename the log
+    * away first (or read through a new location).
+    *
+    * @return number of data files after compaction */
+  def compact(targetBytes: Long = 128L * 1024L * 1024L): Long = {
+    if (!exists()) return 0L
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      "refusing to compact a streaming-sink lake: _spark_metadata manifest present")
+
+    // per-shard compressed bytes from one directory listing
+    val shardBytes: Map[String, Long] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(s => s.getPath.getName.split("=", 2)(1) ->
+        fs.getContentSummary(s.getPath).getLength)
+      .toMap
+    if (shardBytes.isEmpty) return 0L
+
+    val slices = shardBytes.map { case (sh, b) =>
+      sh -> math.max(1L, (b + targetBytes - 1) / targetBytes)
+    }
+    val totalSlices = math.max(1, math.min(slices.values.sum, Int.MaxValue).toInt)
+
+    // broadcast the (shard → slice count) table, cluster by (shard, slice):
+    // each output file is written whole by one task, files-per-shard is
+    // proportional to that shard's bytes (small shards stay one file)
+    import spark.implicits._
+    val sliceDf = broadcast(
+      slices.toSeq.toDF(partCol + "_s", "n_slices")
+        .withColumn(partCol + "_s", col(partCol + "_s").cast(
+          if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location + "__compacting")
+    fs.delete(tmp, true)
+    read()
+      .join(sliceDf, col(partCol) === col(partCol + "_s"))
+      .withColumn("_slice", pmod(abs(hash(col("id"))), col("n_slices")))
+      .repartition(totalSlices, col(partCol), col("_slice"))
+      .select((dataCols.map(col) :+ col(partCol)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", cfg.codec)
+      .partitionBy(partCol)
+      .parquet(tmp.toString)
+
+    // swap: keep the old tree until the new one is fully in place
+    val bak = new org.apache.hadoop.fs.Path(cfg.location + "__precompact")
+    fs.delete(bak, true)
+    require(fs.rename(root, bak), s"rename $root -> $bak failed")
+    require(fs.rename(tmp, root), s"rename $tmp -> $root failed")
+    fs.delete(bak, true)
+    writeMetaSidecar()
+
+    fs.listStatus(root).filter(_.isDirectory).map(d =>
+      fs.listStatus(d.getPath).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
+  }
+
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */
   def delete(): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.location)

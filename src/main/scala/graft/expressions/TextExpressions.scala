@@ -27,15 +27,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 object TextKernels {
   val P31 = 2147483647L
 
-  /** First-15-hex-chars md5 → h31, shared by eval and codegen. */
-  def md5h31(bytes: Array[Byte], md: MessageDigest): Long = {
+  /** First-15-hex-chars md5 as a 60-bit value, shared by eval and
+    * codegen (== int64 of the first 15 hex chars of the digest). */
+  def md5h60(bytes: Array[Byte], md: MessageDigest): Long = {
     md.reset()
     val d = md.digest(bytes)
     var be = 0L
     var i = 0
     while (i < 8) { be = (be << 8) | (d(i) & 0xffL); i += 1 }
-    (be >>> 4) % P31
+    be >>> 4
   }
+
+  /** [[md5h60]] reduced mod P31 (MinHash arithmetic stays < 2^62). */
+  def md5h31(bytes: Array[Byte], md: MessageDigest): Long =
+    md5h60(bytes, md) % P31
 
   private val localMd = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -67,6 +72,29 @@ object TextKernels {
       if (seen.add(s)) {
         out.add(md5h31(s.getBytes("UTF-8"), md))
       }
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Fused char-n-gram → distinct → h60 used by [[CharNgramHash60Expr]]:
+    * code-point n-grams (matching Spark/DuckDB `substring` character
+    * semantics), string-level first-occurrence dedup, 60-bit md5 hash —
+    * h60 rather than h31 because Jaccard only needs equality and 60 bits
+    * makes cross-engine collision divergence negligible. */
+  def charNgramHash60(text: org.apache.spark.unsafe.types.UTF8String, n: Int): GenericArrayData = {
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(new Array[Long](0))
+    val md = threadMd5()
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[java.lang.Long](cps.length)
+    var i = 0
+    while (i <= cps.length - n) {
+      val g = new String(cps, i, n)
+      if (seen.add(g)) out.add(md5h60(g.getBytes("UTF-8"), md))
       i += 1
     }
     val arr = new Array[Long](out.size())
@@ -151,6 +179,28 @@ case class ShingleHash31Expr(child: Expression, n: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.expressions.TextKernels.shingleHash31($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string → array<long>`: distinct char n-grams hashed to 60-bit md5
+  * values in one pass — the fused form of
+  * `transform(array_distinct(charNgrams(text, n)), h60)`. Used for
+  * n-gram Jaccard: integer intersections beat string intersections and
+  * the interpreted per-gram lambda disappears. */
+case class CharNgramHash60Expr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgramHash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.charNgramHash60($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

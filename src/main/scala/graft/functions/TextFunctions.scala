@@ -71,6 +71,15 @@ object TextFunctions {
   def sqlCharNgrams(e: String, n: Int): String =
     s"list_transform(generate_series(1, length($e) - ${n - 1}), i -> substring($e, i, $n))"
 
+  /** Distinct char n-grams hashed to h60, fused
+    * ([[graft.expressions.CharNgramHash60Expr]]) — integer Jaccard sets. */
+  def charNgramHashes(text: Column, n: Int): Column =
+    wrap(graft.expressions.CharNgramHash60Expr(unwrap(text.cast("string")), n))
+
+  /** Oracle mirror of [[charNgramHashes]]. */
+  def sqlCharNgramHashes(e: String, n: Int): String =
+    s"list_transform(list_distinct(${sqlCharNgrams(e, n)}), s -> ${sqlH60("s")})"
+
   // ----------------------------------------------------------- MinHash
 
   /** Seeded (a, b) parameters for the universal-hash family

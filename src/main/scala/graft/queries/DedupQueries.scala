@@ -127,14 +127,19 @@ object DedupQueries {
     })
 
   /** Character-3-gram Jaccard near-dup — exact all-pairs baseline,
-    * bounded to doc_id < 200 within the same lang; top-20 pairs. */
+    * bounded to doc_id < 200 within the same lang; top-20 pairs.
+    * Jaccard runs over 60-bit HASHED n-gram sets on both engines
+    * (string-set Jaccard ≡ hash-set Jaccard at 2^-60 collision odds):
+    * the per-pair intersection compares longs instead of strings, and
+    * the n-gram generation is one fused kernel pass instead of an
+    * interpreted per-gram lambda. */
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
         .where(col("doc_id") < 200)
         .select(col("doc_id"), col("lang"),
-          array_distinct(T.charNgrams(col("text"), 3)).as("g"))
+          T.charNgramHashes(col("text"), 3).as("g"))
       val a = d.select(col("lang"), col("doc_id").as("a_id"), col("g").as("a_g"))
       val b = d.select(col("lang"), col("doc_id").as("b_id"), col("g").as("b_g"))
       val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
@@ -146,7 +151,7 @@ object DedupQueries {
         .limit(20)
     },
     Some {
-      val g = s"list_distinct(${T.sqlCharNgrams("text", 3)})"
+      val g = T.sqlCharNgramHashes("text", 3)
       s"""WITH d AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200)
           SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
                  round(len(list_intersect(a.g, b.g))::DOUBLE /

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{TextFunctions => T}
+
+/** Streaming near-dup admission gate — the continuous form of the batch
+  * SimHash dedup family (q_simhash / q_dedup_keep_best): documents
+  * arrive on a stream, the FIRST document to claim a SimHash bucket is
+  * admitted, and every later arrival hashing into the same bucket is
+  * rejected as a near-duplicate — across batches, because the claim
+  * lives in keyed state.
+  *
+  * Scale shape: the bucket is computed as a COLUMN (fused codegen
+  * SimHash kernel — distributed, map-side), so only the grouping
+  * shuffles; state is ONE long per occupied bucket and the bucket space
+  * is bounded at 2^bits keys, so total state is bounded no matter how
+  * long the stream runs. The reference has no streaming at all
+  * (SURVEY.md §2.10).
+  */
+object DedupStreaming {
+
+  final case class DedupDecision(doc_id: Long, bucket: Long, admitted: Boolean)
+
+  /** @param docs streaming (or batch) frame with (doc_id, text)
+    * @param bits SimHash width — the dedup aggressiveness dial */
+  def nearDupGate(docs: DataFrame, bits: Int = 16): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        T.simhashFromHashes(T.hashes31(array_distinct(T.tokens(col("text")))), bits)
+          .as("bucket"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, it, state: GroupState[Long]) =>
+          var keeper = state.getOption.getOrElse(Long.MinValue)
+          // doc_id order within the batch for determinism
+          val out = it.toSeq.sortBy(_._1).map { case (id, _) =>
+            if (keeper == Long.MinValue) {
+              keeper = id
+              DedupDecision(id, bucket, admitted = true)
+            } else DedupDecision(id, bucket, admitted = id == keeper)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
+}

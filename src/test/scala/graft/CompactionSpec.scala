@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Small-files maintenance: many appends fragment shards into many tiny
+  * files; compact() must merge them to ~target-size files per shard
+  * while preserving every row, the shard routing, and queryability. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileCount(location: String): Long = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory).map(d =>
+      fs.listStatus(d.getPath).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
+  }
+
+  test("compact merges per-shard fragments, preserves rows and queries") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 2))
+    val rng = new scala.util.Random(7)
+    // 6 separate appends -> >= 6 files in every touched shard dir
+    val batches = Seq.fill(6)(Seq.fill(20)(Seq.fill(5)(rng.nextGaussian().toFloat)))
+    batches.foreach { vs =>
+      lake.ingest(vs.zipWithIndex.map { case (v, i) => (v, s"doc $i") }
+        .toDF("vector", "document"))
+    }
+    val before = fileCount(lake.cfg.location)
+    val shards = lake.read().select("shard").distinct().count()
+    assert(before > shards, s"expected fragmentation, got $before files / $shards shards")
+
+    val preRows = lake.read()
+      .select(col("document"), col("shard"), V(col("vector")))
+      .collect().map(_.toString).sorted
+    val after = lake.compact()
+
+    // one file per shard at this size (far below the default target)
+    assert(after === shards, s"after=$after shards=$shards")
+    assert(fileCount(lake.cfg.location) === after)
+    val postRows = lake.read()
+      .select(col("document"), col("shard"), V(col("vector")))
+      .collect().map(_.toString).sorted
+    assert(postRows.toSeq === preRows.toSeq) // rows + routing bit-preserved
+    assert(lake.topKExact(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
+  }
+
+  test("compact splits an oversized shard into multiple target-sized files") {
+    val dir = Files.createTempDirectory("graft_compact_split").toString
+    // single shard (0 hyperplanes is invalid; use partitionKey to pin one)
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 4,
+      partitionKey = Some("bucket"),
+      partitionKeyType = org.apache.spark.sql.types.IntegerType))
+    val rng = new scala.util.Random(3)
+    lake.ingest(Seq.fill(4000)(Seq.fill(4)(rng.nextGaussian().toFloat))
+      .zipWithIndex.map { case (v, i) => (v, s"doc $i", 1) }
+      .toDF("vector", "document", "bucket"))
+    // tiny target forces ceil(bytes/target) > 1 slices for the one shard
+    val files = lake.compact(targetBytes = 16L * 1024)
+    assert(files > 1, s"expected a split, got $files file(s)")
+    assert(lake.count() === 4000L)
+  }
+
+  test("compact refuses a streaming-sink lake (_spark_metadata present)") {
+    val dir = Files.createTempDirectory("graft_compact_stream").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
+    val p = new Path(s"${lake.cfg.location}/_spark_metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val e = intercept[IllegalArgumentException] { lake.compact() }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
+  // stable per-row vector rendering for set comparison
+  private def V(c: org.apache.spark.sql.Column) =
+    concat_ws(",", c.cast("array<string>")).as("v")
+}

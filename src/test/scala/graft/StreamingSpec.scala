@@ -124,6 +124,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupGate: first doc claims its SimHash bucket, later dups rejected across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStreaming
+      .nearDupGate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_gate_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      val textB = "completely different content about spark shuffles and joins"
+      stream.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats textA -> same bucket -> rejected (state
+      // remembers doc 1's claim); doc 4 is novel -> admitted
+      stream.addData((3L, textA), (4L, "a third topic entirely about parquet footers"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_gate_out")
+        .select("doc_id", "admitted").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got(1L) === true)
+      assert(got(2L) === true)
+      assert(got(3L) === false)
+      assert(got(4L) === true)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user session counting across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

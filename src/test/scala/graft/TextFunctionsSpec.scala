@@ -72,6 +72,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(shKernel === shHof)
   }
 
+  test("charNgramHashes kernel === h60 over distinct charNgrams composition") {
+    for (text <- Seq("abcdefg", "ab", "", "aaaa", "spark scan")) {
+      val kernel = one[scala.collection.Seq[Long]](T.charNgramHashes(lit(text), 3))
+      val composed = one[scala.collection.Seq[Long]](
+        transform(array_distinct(T.charNgrams(lit(text), 3)), x => T.h60(x)))
+      assert(kernel.toSeq === composed.toSeq, s"text='$text'")
+    }
+  }
+
   test("shingleHashes kernel === hashes31(array_distinct(shingles)) composition") {
     for (text <- Seq("a b c d a b c", "single", "", "x  y  x  y", "a b a b a b")) {
       val kernel = one[scala.collection.Seq[Long]](T.shingleHashes(lit(text), 2))
