@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Lake, LakeConfig, Tables}
+import graft.functions.{Lsh, TextFunctions => T, VectorFunctions => V}
+
+/** Training-data CURATION operators — the steps between "cleaned corpus"
+  * and "training shards" that a 100 TB pipeline runs after the dedup
+  * family: deterministic train/test splitting, eval-set decontamination,
+  * sequence packing, vocabulary extraction, and compaction-preserving
+  * round-trips. Every query is oracle-paired and fully deterministic.
+  */
+object CurationQueries {
+
+  /** Deterministic hash-based train/test split — THE way to split at
+    * scale (no sampling state, no shuffling a 100 TB corpus: the split
+    * is a pure map-side expression on a stable key, reproducible across
+    * runs and engines). 90/10 by md5-h60(doc_id) mod 100. */
+  val qSplitTrainTest = Q(
+    "q_split_train_test",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("lang"),
+        when(T.h60(col("doc_id").cast("string")) % 100 < 90, "train")
+          .otherwise("test").as("split"),
+        size(T.tokens(col("text"))).as("t"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+      .orderBy("lang", "split"),
+    Some(s"""SELECT lang,
+                    CASE WHEN ${T.sqlH60("doc_id::VARCHAR")} % 100 < 90
+                         THEN 'train' ELSE 'test' END AS split,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  /** Eval-set decontamination: flag training documents sharing any word
+    * 5-gram with the held-out set (doc_id < 20). The eval shingle set is
+    * tiny and BROADCAST; the corpus side is one scan + explode — the
+    * shape that works when the corpus is 100 TB and the eval set is a
+    * few thousand documents. Hashes, not strings, cross the join. */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), T.shingleHashes(col("text"), 5).as("sh"))
+      val evalSet = docs.where(col("doc_id") < 20)
+        .select(explode(col("sh")).as("h")).distinct()
+      docs.where(col("doc_id") >= 20)
+        .select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
+        .join(broadcast(evalSet), Seq("h"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          count(lit(1)).as("n_hits"))
+        .orderBy("lang")
+    },
+    Some {
+      val shE = s"list_transform(list_distinct(${T.sqlShingles("text", 5)}), s -> ${T.sqlH31("s")})"
+      s"""WITH sh AS (SELECT doc_id, lang, $shE AS sh FROM documents),
+          ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id < 20),
+          tr AS (SELECT doc_id, lang, unnest(sh) AS h FROM sh WHERE doc_id >= 20)
+          SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+                 CAST(count(*) AS BIGINT) AS n_hits
+          FROM tr JOIN ev USING (h) GROUP BY lang ORDER BY lang"""
+    })
+
+  /** Sequence packing: assign docs (in stable doc_id order per lang) to
+    * fixed token-budget packs via a running token sum — pack_id =
+    * (cumsum - own) div budget, the deterministic streaming-friendly
+    * form of greedy packing. One window per lang partition; integer
+    * arithmetic only. */
+  val qPackDocs = Q(
+    "q_pack_docs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(T.tokens(col("text"))).cast("long").as("t"))
+        .withColumn("cum", sum("t").over(w))
+        .select(col("lang"), expr("(cum - t) div 2048").as("pack_id"), col("t"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+                              len(string_split(text, ' '))::BIGINT AS t
+                       FROM documents),
+            c AS (SELECT lang, t,
+                         sum(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+                  FROM t)
+            SELECT lang, (cum - t) // 2048 AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
+
+  /** Vocabulary extraction: top-20 word tokens by corpus term frequency
+    * with document frequency — the first step of any tokenizer/BPE
+    * training run. Explode + hash-aggregate; ties broken by token. */
+  val qVocabTop = Q(
+    "q_vocab_top",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20),
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY tf DESC, token LIMIT 20"""))
+
+  /** Lake round-trip THROUGH compaction: ingest a bounded slice in two
+    * fragmenting appends, compact to target-size files, read back and
+    * profile per shard. The oracle computes the same stats straight from
+    * the source table — equality proves compact() preserved every row,
+    * every vector byte, and the shard routing. */
+  val qCompactStats = Q(
+    "q_compact_stats",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document"))
+      // two identical appends -> fragmented shards; compact() merges
+      // them (the oracle expects 2 × the source rows per shard)
+      (0 until 2).foreach(_ => lake.ingest(src))
+      lake.compact()
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard,
+                    CAST(2 * count(*) AS BIGINT) AS cnt,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings WHERE vec_id < 500 GROUP BY 1 ORDER BY shard"""))
+
+  def all: Seq[Q] = Seq(qSplitTrainTest, qDecontaminate, qPackDocs,
+    qVocabTop, qCompactStats)
+}

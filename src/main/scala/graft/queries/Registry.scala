@@ -13,7 +13,8 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++
       RelationalQueries.all ++ OlapQueries.all ++
-      MultimodalQueries.all ++ AnnQueries.all ++ PipelineQueries.all
+      MultimodalQueries.all ++ AnnQueries.all ++ PipelineQueries.all ++
+      CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
