@@ -47,6 +47,13 @@ object TextKernels {
   }
   def threadMd5(): MessageDigest = localMd.get()
 
+  /** Word set for [[MarkerCountExpr]] — built once per generated class. */
+  def toUtf8Set(words: Array[String]): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.length * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
   /** Fused shingle→distinct→hash used by [[ShingleHash31Expr]]'s eval
     * AND generated code: single-space tokenize (keeping empties, the
     * `split(text, " ")` contract), word n-grams space-joined, string-level
@@ -264,6 +271,51 @@ case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> → int`: how many elements are in a fixed marker-word
+  * set — the fused form of `size(filter(toks, t => array_contains(...)))`
+  * whose lambda runs interpreted per token (language-ID evaluates it
+  * once per candidate language per document). Hash-set membership on
+  * UTF8String, no per-token tree walks. */
+case class MarkerCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.nonEmpty)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "marker_count"
+
+  @transient private lazy val set = TextKernels.toUtf8Set(words.toArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) { if (set.contains(arr.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("markerWords", words.toArray, "java.lang.String[]")
+    val setVar = ctx.addMutableState("java.util.HashSet", "markerSet",
+      v => s"$v = graft.expressions.TextKernels.toUtf8Set($wordsRef);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($setVar.contains($a.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
        """.stripMargin
     })
   }

@@ -190,7 +190,14 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "que", "es"),
     "fr" -> Seq("le", "les", "et", "que", "est"))
 
+  /** Marker-word occurrences — fused hash-set membership kernel
+    * ([[graft.expressions.MarkerCountExpr]]); [[markerCountHof]] is the
+    * equivalence-tested HOF twin. */
   def markerCount(toks: Column, words: Seq[String]): Column =
+    wrap(graft.expressions.MarkerCountExpr(
+      unwrap(toks.cast("array<string>")), words))
+
+  def markerCountHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
   def sqlMarkerCount(toksExpr: String, words: Seq[String]): String = {

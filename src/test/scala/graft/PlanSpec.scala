@@ -50,6 +50,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*")) // WholeStageCodegen marker
   }
 
+  test("q_decontaminate broadcasts the eval shingle set against the corpus scan") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q_split_train_test is one scan + one aggregate exchange (map-side split)") {
+    val p = plan("q_split_train_test")
+    // the split expression must not add a shuffle of its own: exactly one
+    // exchange pair (partial agg -> final agg) plus the ordering exchange
+    assert(p.split("Exchange").length - 1 <= 2, p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"), p.take(1200))
+  }
+
+  test("q_vocab_top prunes to (doc_id, text) and uses heap top-k") {
+    val p = plan("q_vocab_top")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_minhash_lsh band join carries only (band, id) — no hash arrays in the exchange") {
+    val p = plan("q_minhash_lsh")
+    // the exchanges feeding the band self-join must not ship hsd/mh arrays
+    val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
+    assert(!joinSection.contains("hsd#") || joinSection.indexOf("hsd#") >
+      joinSection.indexOf("Join"), "hash arrays must re-join after distinct")
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(

@@ -72,6 +72,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(shKernel === shHof)
   }
 
+  test("markerCount kernel === HOF filter/array_contains composition") {
+    val words = T.langMarkers.flatMap(_._2)
+    for (text <- Seq("the der el le mix", "no markers here at all", "", "the the the")) {
+      val k = one[Int](T.markerCount(T.tokens(lit(text)), words))
+      val h = one[Int](T.markerCountHof(T.tokens(lit(text)), words))
+      assert(k === h, s"text='$text'")
+    }
+  }
+
   test("charNgramHashes kernel === h60 over distinct charNgrams composition") {
     for (text <- Seq("abcdefg", "ab", "", "aaaa", "spark scan")) {
       val kernel = one[scala.collection.Seq[Long]](T.charNgramHashes(lit(text), 3))
