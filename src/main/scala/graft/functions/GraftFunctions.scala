@@ -4,14 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.{DotProductExpr, SquaredL2Expr}
+import graft.expressions.{DotProductExpr, Hashes31Expr, ShingleHash31Expr,
+  SimhashExpr, SquaredL2Expr}
 
-/** SQL surface for the native vector kernels: after `register(spark)`,
+/** SQL surface for the native kernels: after `register(spark)`,
   * `spark.sql("SELECT vector_dot(a, b) …")` works anywhere the Scala
   * Column API does (children are cast to ARRAY<DOUBLE> automatically,
   * exact for float inputs). */
 object GraftFunctions {
   private def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)
@@ -23,5 +28,16 @@ object GraftFunctions {
     // baked into the expression tree as literals)
     reg.createOrReplaceTempFunction(
       "lsh_shard", exprs => Lsh.default.catalystShardExpr(exprs.head), "built-in")
+    // text-hash kernels (round 2): the SQL names of the dedup family
+    reg.createOrReplaceTempFunction(
+      "hashes31", exprs => Hashes31Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hash31",
+      exprs => ShingleHash31Expr(exprs(0), litInt(exprs(1), "shingle width n")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimhashExpr(exprs(0), litInt(exprs(1), "simhash bits")),
+      "built-in")
   }
 }

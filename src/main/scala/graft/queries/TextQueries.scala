@@ -59,6 +59,34 @@ object TextQueries {
                    CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))) AS BIGINT) AS n_uniq_tokens
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Repetition detection — the duplicated-token quality signal used by
+    * large-corpus filters: per doc, 1 − distinct/total whitespace
+    * tokens; profiled per source with a heavy-repetition count. One
+    * scan, map-side expression, hash aggregate. */
+  val qRepetition = Q(
+    "q_repetition",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("source"),
+        round(lit(1.0) -
+          size(array_distinct(T.tokens(col("text")))).cast("double") /
+          size(T.tokens(col("text"))).cast("double"), 6).as("rep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        // rep is pre-rounded: sum exactly in decimal, divide once
+        round(sum(col("rep").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_rep"),
+        max("rep").as("max_rep"),
+        sum(when(col("rep") > 0.5, 1L).otherwise(0L)).as("n_heavy"))
+      .orderBy("source"),
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(rep AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_rep,
+                   max(rep) AS max_rep,
+                   CAST(sum(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+            FROM (SELECT source,
+                         round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                               len(string_split(text, ' '))::DOUBLE, 6) AS rep
+                  FROM documents)
+            GROUP BY source ORDER BY source"""))
+
   /** approx_count_distinct (HLL++) vs exact distinct per lang. No DuckDB
     * oracle — HLL sketch implementations differ across engines, so the
     * driver records a rows-only check; the exact column is covered by
@@ -73,5 +101,6 @@ object TextQueries {
       .orderBy("lang"),
     None)
 
-  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qApproxDistinct)
+  def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
+    qApproxDistinct)
 }

@@ -75,6 +75,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaSql.values.forall(s => s >= 0 && s < 256))
   }
 
+  test("registered SQL text kernels: shingle_hash31 / hashes31 / simhash64") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_hash31('a b c', 2) AS sh, " +
+        "simhash64(hashes31(array('x', 'y')), 16) AS f").head()
+    // same contract as the Column DSL
+    val expect = Seq(1).toDF("x").select(
+      graft.functions.TextFunctions.shingleHashes(lit("a b c"), 2).as("sh"),
+      graft.functions.TextFunctions.simhashFromHashes(
+        graft.functions.TextFunctions.hashes31(array(lit("x"), lit("y"))), 16).as("f")).head()
+    assert(r.getSeq[Long](0) === expect.getSeq[Long](0))
+    assert(r.getLong(1) === expect.getLong(1))
+  }
+
   test("float arrays are cast exactly to double") {
     val c = V.dot(
       array(lit(0.5f), lit(0.25f)).cast("array<float>"),
