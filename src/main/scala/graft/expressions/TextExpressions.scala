@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object TextKernels {
   val P31 = 2147483647L
+  val FpMod = 1000000007L
 
   /** First-15-hex-chars md5 as a 60-bit value, shared by eval and
     * codegen (== int64 of the first 15 hex chars of the digest). */
@@ -273,6 +274,50 @@ case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
          |}
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string → long`: polynomial rolling-hash document fingerprint
+  * h ← (h·31 + codepoint) mod 1e9+7, left-to-right over the text — the
+  * fused form of `aggregate(transform(split(text, ''), ascii), 0, …)`
+  * which walks TWO interpreted lambdas per character. Code-point
+  * iteration matches `ascii()`/DuckDB semantics. */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % TextKernels.FpMod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val cp = ctx.freshName("cp")
+    val h = ctx.freshName("h")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |java.lang.String $s = $a.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % ${TextKernels.FpMod}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

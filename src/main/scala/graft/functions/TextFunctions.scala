@@ -172,7 +172,12 @@ object TextFunctions {
     * fold chars left-to-right: h ← (h·31 + ascii(c)) mod 1e9+7. */
   val FpMod = 1000000007L
 
+  /** Fused one-pass kernel ([[graft.expressions.FingerprintExpr]]);
+    * [[fingerprintHof]] is the equivalence-tested HOF twin. */
   def fingerprint(c: Column): Column =
+    wrap(graft.expressions.FingerprintExpr(unwrap(c.cast("string"))))
+
+  def fingerprintHof(c: Column): Column =
     aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, x) => (acc * 31L + x) % FpMod)
 

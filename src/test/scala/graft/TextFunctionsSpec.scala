@@ -72,6 +72,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(shKernel === shHof)
   }
 
+  test("fingerprint kernel === HOF rolling-hash composition") {
+    for (text <- Seq("ab", "", "a", "the quick brown fox", "x y z 123")) {
+      assert(one[Long](T.fingerprint(lit(text))) ===
+        one[Long](T.fingerprintHof(lit(text))), s"text='$text'")
+    }
+  }
+
   test("markerCount kernel === HOF filter/array_contains composition") {
     val words = T.langMarkers.flatMap(_._2)
     for (text <- Seq("the der el le mix", "no markers here at all", "", "the the the")) {
