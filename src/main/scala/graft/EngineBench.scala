@@ -21,18 +21,24 @@ object EngineBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // distributed deterministic data: seed per row id
-    val vecs = spark.range(n).select(col("id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => sin(col("id") * 7919 + i * 104729) * 0.15).as("vector"))
+    // distributed deterministic data: seed per row id. MATERIALIZED
+    // before the clock starts — tools/ref_bench.py also pre-loads its
+    // vectors into memory before timing `add`, so the timed section
+    // must be routing + write only, not synthetic data generation.
+    val vecs = spark.range(n).select(
+        col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15).as("vector"))
+      .select(col("vector").cast("array<float>").as("vector"),
+        concat(lit("doc-"), col("id")).as("document"))
+      .localCheckpoint()
 
     val lake = Lake(spark, LakeConfig(
       s"${sys.props("java.io.tmpdir")}/graft_engine_bench", dim = dim))
     lake.delete()
 
     val t0 = System.nanoTime()
-    lake.ingest(vecs.select(col("vector").cast("array<float>").as("vector"),
-      concat(lit("doc-"), col("id")).as("document")))
+    lake.ingest(vecs)
     val tIngest = (System.nanoTime() - t0) / 1e9
 
     val rng = new java.util.Random(7)
