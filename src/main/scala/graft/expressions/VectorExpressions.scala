@@ -56,6 +56,46 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `array<double> → long`: sign-bit packing of the first min(64, n)
+  * dimensions — bit i set iff vᵢ > 0. The binarized-embedding
+  * compression used for Hamming-distance retrieval: 64 floats become
+  * one word, distance becomes `bit_count(a ^ b)` (pure integer ops,
+  * 32× smaller scans). */
+case class SignPackExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 64)
+    var w = 0L
+    var i = 0
+    while (i < n) { if (x.getDouble(i) > 0) w |= (1L << i); i += 1 }
+    w
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |long $w = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getDouble($i) > 0) $w |= (1L << $i);
+         |}
+         |${ev.value} = $w;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Σ (aᵢ−bᵢ)² with the same left-to-right contract (callers sqrt it). */
 case class SquaredL2Expr(left: Expression, right: Expression)
     extends BinaryExpression {

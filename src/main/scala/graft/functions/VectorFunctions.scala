@@ -93,6 +93,24 @@ object VectorFunctions {
   /** A literal vector as an ARRAY<DOUBLE> column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
 
+  /** Sign-bit packing: bit i ⇔ vᵢ > 0, first min(64, dim) dims — the
+    * binarized-embedding compression (fused kernel
+    * [[graft.expressions.SignPackExpr]]; [[signPackStatic]] is the
+    * equivalence twin built from 64 static when-expressions). */
+  def signPack(v: Column): Column =
+    wrap(graft.expressions.SignPackExpr(unwrap(asDouble(v))))
+
+  def signPackStatic(v: Column, dim: Int): Column =
+    (0 until math.min(dim, 64)).map { i =>
+      when(element_at(asDouble(v), i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side twin for literal query vectors. */
+  def signPackOf(v: Seq[Double]): Long =
+    v.take(64).zipWithIndex.foldLeft(0L) {
+      case (w, (x, i)) => if (x > 0) w | (1L << i) else w
+    }
+
   // ---- SQL-literal helpers for the DuckDB oracle ----------------------
 
   /** Exact decimal round-trip text for a double (Double.toString is the
@@ -136,4 +154,14 @@ object VectorFunctions {
   /** DuckDB cosine distance between two list columns. */
   def sqlCosineDistCols(a: String, b: String): String =
     s"(1.0 - ${sqlCosineSimCols(a, b)})"
+
+  /** DuckDB mirror of [[signPack]] (64-dim assumed ≥ actual). DuckDB's
+    * checked `<<` rejects 1 << 63, so bit 63 is the min-long literal;
+    * ascending series keeps all positive bits summed before it, so the
+    * checked addition never overflows. */
+  def sqlSignPack(col: String): String =
+    s"list_reduce(list_transform(generate_series(0, 63), " +
+      s"i -> CASE WHEN ($col::DOUBLE[])[i + 1] > 0 THEN " +
+      s"(CASE WHEN i = 63 THEN (-9223372036854775808)::BIGINT ELSE (1::BIGINT << i) END) " +
+      s"ELSE 0::BIGINT END), (a, b) -> a + b)"
 }

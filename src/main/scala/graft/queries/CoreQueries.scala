@@ -101,6 +101,30 @@ object CoreQueries {
           ORDER BY dist, vec_id LIMIT 10"""
     })
 
+  /** Hamming kNN over binarized embeddings: 64 float dims packed into
+    * ONE sign-bit word per row (SignPackExpr), distance =
+    * bit_count(xor) — the 32×-compression retrieval mode. At 100 TB the
+    * packed column is what you'd materialize: integer-only scans, no
+    * float math, and the word doubles as a coarse pre-filter for exact
+    * reranking (compose with cosQ top-k). */
+  val qKnnHamming = Q(
+    "q_knn_hamming",
+    (s, dir) => {
+      val qWord = V.signPackOf(Qv)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          bit_count(V.signPack(col("embedding")).bitwiseXOR(lit(qWord)))
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val qWord = V.signPackOf(Qv)
+      s"""SELECT vec_id,
+                 CAST(bit_count(xor(${V.sqlSignPack("embedding")}, $qWord)) AS INTEGER) AS hamming
+          FROM embeddings ORDER BY hamming, vec_id LIMIT 10"""
+    })
+
   // -------------------------------------------------------- batch kNN --
 
   /** 10 query vectors × top-5 each: broadcast the (small) query set, one
@@ -318,7 +342,7 @@ object CoreQueries {
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
   def all: Seq[Q] = Seq(
-    qKnnCosine, qKnnL2, qKnnDot,
+    qKnnCosine, qKnnL2, qKnnDot, qKnnHamming,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
     qKnnBatch, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qJoinDocs,

@@ -75,6 +75,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaSql.values.forall(s => s >= 0 && s < 256))
   }
 
+  test("signPack kernel === static expression twin === driver-side fold") {
+    def oneL(c: org.apache.spark.sql.Column): Long =
+      Seq(1).toDF("x").select(c.as("v")).head().getLong(0)
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val v = Seq.fill(64)(rng.nextGaussian() * 0.2)
+      val k = oneL(V.signPack(V.vecLit(v)))
+      assert(k === oneL(V.signPackStatic(V.vecLit(v), 64)))
+      assert(k === V.signPackOf(v))
+    }
+    // short vector: only the present dims contribute
+    assert(oneL(V.signPack(V.vecLit(Seq(1.0, -1.0, 0.5)))) === 5L)
+  }
+
   test("registered SQL text kernels: shingle_hash31 / hashes31 / simhash64") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
