@@ -256,6 +256,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * would silently orphan them — stop the stream and rename the log
     * away first (or read through a new location).
     *
+    * Atomicity: the two renames are atomic on HDFS/POSIX; object stores
+    * implement rename as copy+delete, so there readers may briefly see
+    * a missing root — schedule compaction in a maintenance window or
+    * front the location with a catalog pointer there (standard practice
+    * for any rewrite-in-place on S3-class storage).
+    *
     * @return number of data files after compaction */
   def compact(targetBytes: Long = 128L * 1024L * 1024L): Long = {
     if (!exists()) return 0L

@@ -18,26 +18,28 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)
-    reg.createOrReplaceTempFunction(
-      "vector_dot", exprs => DotProductExpr(d(exprs(0)), d(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vector_sq_l2", exprs => SquaredL2Expr(d(exprs(0)), d(exprs(1))), "built-in")
+  /** Name → expression builder for every SQL-exposed kernel; one list
+    * shared by per-session [[register]] and the cluster-wide
+    * [[graft.plans.GraftExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> (exprs => DotProductExpr(d(exprs(0)), d(exprs(1)))),
+    "vector_sq_l2" -> (exprs => SquaredL2Expr(d(exprs(0)), d(exprs(1)))),
+    "sign_pack" -> (exprs => graft.expressions.SignPackExpr(d(exprs(0)))),
     // default 64-dim seed-42 router as a SQL function (the planes are
     // baked into the expression tree as literals)
-    reg.createOrReplaceTempFunction(
-      "lsh_shard", exprs => Lsh.default.catalystShardExpr(exprs.head), "built-in")
+    "lsh_shard" -> (exprs => Lsh.default.catalystShardExpr(exprs.head)),
     // text-hash kernels (round 2): the SQL names of the dedup family
-    reg.createOrReplaceTempFunction(
-      "hashes31", exprs => Hashes31Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hash31",
-      exprs => ShingleHash31Expr(exprs(0), litInt(exprs(1), "shingle width n")),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64",
-      exprs => SimhashExpr(exprs(0), litInt(exprs(1), "simhash bits")),
-      "built-in")
+    "hashes31" -> (exprs => Hashes31Expr(exprs.head)),
+    "shingle_hash31" ->
+      (exprs => ShingleHash31Expr(exprs(0), litInt(exprs(1), "shingle width n"))),
+    "simhash64" ->
+      (exprs => SimhashExpr(exprs(0), litInt(exprs(1), "simhash bits"))),
+    "doc_fingerprint" -> (exprs => graft.expressions.FingerprintExpr(exprs.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

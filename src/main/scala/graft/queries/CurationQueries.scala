@@ -141,6 +141,52 @@ object CurationQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings WHERE vec_id < 500 GROUP BY 1 ORDER BY shard"""))
 
+  /** Int8 scalar quantization audit — the 4× embedding-storage
+    * compression a 100 TB lake actually applies: per-vector scale
+    * 127/max|v|, q = round(v·scale), plus the reconstruction-error
+    * profile per label that tells you whether the compression is safe.
+    * Integer sums are exact cross-engine; the error reuses the fused
+    * L2 kernel vs DuckDB's list_distance (established parity pair).
+    * (Per-element lambdas here are interpreted — at real scale this
+    * audit becomes one more fused kernel; flagged, not hidden.) */
+  val qQuantizeInt8 = Q(
+    "q_quantize_int8",
+    (s, dir) => {
+      val v = V.asDouble(col("embedding"))
+      val maxAbs = array_max(transform(v, x => abs(x)))
+      val scale = lit(127.0) / maxAbs
+      val qarr = transform(v, x => round(x * scale).cast("long"))
+      val deq = transform(qarr, x => x.cast("double") / scale)
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          aggregate(transform(qarr, x => abs(x)), lit(0L), (a, x) => a + x).as("abs_q"),
+          round(V.l2Dist(v, deq), 6).as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum("abs_q").as("sum_abs_q"),
+          round(sum(col("err").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_err"),
+          max("err").as("max_err"))
+        .orderBy("label")
+    },
+    Some("""WITH b AS (
+              SELECT label, embedding::DOUBLE[] AS v,
+                     127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+              FROM embeddings),
+            t AS (
+              SELECT label, v, scale,
+                     list_transform(v, x -> round(x * scale)::BIGINT) AS q
+              FROM b),
+            e AS (
+              SELECT label,
+                     CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS abs_q,
+                     round(list_distance(v, list_transform(q, x -> x / scale)), 6) AS err
+              FROM t)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(abs_q) AS BIGINT) AS sum_abs_q,
+                   round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_err,
+                   max(err) AS max_err
+            FROM e GROUP BY label ORDER BY label"""))
+
   def all: Seq[Q] = Seq(qSplitTrainTest, qDecontaminate, qPackDocs,
-    qVocabTop, qCompactStats)
+    qVocabTop, qQuantizeInt8, qCompactStats)
 }
