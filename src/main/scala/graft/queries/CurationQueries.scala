@@ -154,7 +154,9 @@ object CurationQueries {
     (s, dir) => {
       val v = V.asDouble(col("embedding"))
       val maxAbs = array_max(transform(v, x => abs(x)))
-      val scale = lit(127.0) / maxAbs
+      // zero-vector guard (ANSI double/0 is a job-killing error): a
+      // degenerate row quantizes to all-zeros under any scale, so pin 1
+      val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
       val qarr = transform(v, x => round(x * scale).cast("long"))
       val deq = transform(qarr, x => x.cast("double") / scale)
       Tables.embeddings(s, dir)
@@ -170,7 +172,10 @@ object CurationQueries {
     },
     Some("""WITH b AS (
               SELECT label, embedding::DOUBLE[] AS v,
-                     127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+                     CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+                          THEN 1.0
+                          ELSE 127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                     END AS scale
               FROM embeddings),
             t AS (
               SELECT label, v, scale,

@@ -79,6 +79,22 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("kernels match HOF twins on non-ASCII text (incl. astral plane)") {
+    val texts = Seq("héllo wörld héllo", "日本語 テスト 日本語", "mixé ascii 字 and 𝄞 music 𝄞")
+    for (text <- texts) {
+      assert(one[Long](T.fingerprint(lit(text))) ===
+        one[Long](T.fingerprintHof(lit(text))), s"fingerprint '$text'")
+      assert(one[scala.collection.Seq[Long]](T.shingleHashes(lit(text), 2)).toSeq ===
+        one[scala.collection.Seq[Long]](
+          T.hashes31Hof(array_distinct(T.shingles(lit(text), 2)))).toSeq,
+        s"shingles '$text'")
+      assert(one[scala.collection.Seq[Long]](T.charNgramHashes(lit(text), 3)).toSeq ===
+        one[scala.collection.Seq[Long]](
+          transform(array_distinct(T.charNgrams(lit(text), 3)), x => T.h60(x))).toSeq,
+        s"charNgrams '$text'")
+    }
+  }
+
   test("markerCount kernel === HOF filter/array_contains composition") {
     val words = T.langMarkers.flatMap(_._2)
     for (text <- Seq("the der el le mix", "no markers here at all", "", "the the the")) {
