@@ -21,8 +21,7 @@ object CurationQueries {
     "q_split_train_test",
     (s, dir) => Tables.documents(s, dir)
       .select(col("lang"),
-        when(T.h60(col("doc_id").cast("string")) % 100 < 90, "train")
-          .otherwise("test").as("split"),
+        graft.operators.Curation.splitCol(col("doc_id"), 90).as("split"),
         size(T.tokens(col("text"))).as("t"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
@@ -42,13 +41,12 @@ object CurationQueries {
   val qDecontaminate = Q(
     "q_decontaminate",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), T.shingleHashes(col("text"), 5).as("sh"))
-      val evalSet = docs.where(col("doc_id") < 20)
-        .select(explode(col("sh")).as("h")).distinct()
-      docs.where(col("doc_id") >= 20)
-        .select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
-        .join(broadcast(evalSet), Seq("h"))
+      // the reusable operator (graft.operators.Curation) — this oracle
+      // row proves it end-to-end
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      graft.operators.Curation
+        .contaminationHits(docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20), "text", shingleN = 5)
         .groupBy("lang")
         .agg(countDistinct(col("doc_id")).as("n_contaminated"),
           count(lit(1)).as("n_hits"))
@@ -72,13 +70,10 @@ object CurationQueries {
   val qPackDocs = Q(
     "q_pack_docs",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, dir)
+      val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(T.tokens(col("text"))).cast("long").as("t"))
-        .withColumn("cum", sum("t").over(w))
-        .select(col("lang"), expr("(cum - t) div 2048").as("pack_id"), col("t"))
+      graft.operators.Curation.packIds(tokens, "lang", "doc_id", "t", 2048L)
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("t").as("pack_tokens"))
         .orderBy("lang", "pack_id")

@@ -48,41 +48,18 @@ object DedupQueries {
   val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, dir) => {
-      val R = MinhashK / Bands
-      // one band-key ARRAY column instead of 16 named mh columns feeding
-      // 4 concat_ws — identical keys, a fraction of the plan for
-      // Catalyst/codegen to chew on (planning time dominated this query)
-      val bandKeys = array((0 until Bands).map { b =>
-        concat_ws("-", lit(b) +: (0 until R).map(r => element_at(col("mh"), b * R + r + 1)): _*)
-      }: _*)
+      // the reusable operator pipeline (graft.operators.TextDedup) —
+      // this oracle row is what proves the operator end-to-end.
       // localCheckpoint: the signature table feeds both band-join sides
       // AND the post-distinct signature re-joins — shingling + ~1.5M md5
-      // hashes run once. Exact Jaccard runs on the distinct int hash set
-      // (hsd), far cheaper to carry and intersect than string shingles;
-      // the oracle uses the identical hashed sets so collisions agree.
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), T.shingleHashes(col("text"), 2).as("hs"))
-        .select(col("doc_id"), array_distinct(col("hs")).as("hsd"),
-          T.minhashSigArr(col("hs"), mhParams).as("mh"))
+      // hashes run once. Candidate pairs carry ONLY (band, id); the wide
+      // hash arrays re-join by id AFTER dedup (the oracle's CTE shape).
+      val sigs = graft.operators.TextDedup
+        .minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 2, k = MinhashK)
         .localCheckpoint()
-      // candidate pairs carry ONLY (band, id): the wide hash arrays stay
-      // out of the band join, the distinct, and both their shuffles —
-      // signatures re-join by id AFTER dedup (the oracle's own CTE
-      // shape; previously each candidate pair dragged two ~50-element
-      // BIGINT arrays through distinct's hash-compare)
-      val bands = d.select(col("doc_id"), explode(bandKeys).as("band"))
-      val a = bands.select(col("band"), col("doc_id").as("a_id"))
-      val b = bands.select(col("band"), col("doc_id").as("b_id"))
-      val pairs = a.join(b, Seq("band"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val inter = size(array_intersect(col("a_h"), col("b_h"))).cast("double")
-      pairs
-        .join(d.select(col("doc_id").as("a_id"), col("hsd").as("a_h")), Seq("a_id"))
-        .join(d.select(col("doc_id").as("b_id"), col("hsd").as("b_h")), Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(inter / (size(col("a_h")) + size(col("b_h")) - inter), 6).as("jaccard"))
-        .where(col("jaccard") >= 0.2)
+      val pairs = graft.operators.TextDedup.bandedCandidates(sigs, MinhashK, Bands)
+      graft.operators.TextDedup.jaccardVerify(pairs, sigs, 0.2)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
     },
     Some {
@@ -112,8 +89,7 @@ object DedupQueries {
     "q_simhash",
     (s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"),
-        T.hashes31(array_distinct(T.tokens(col("text")))).as("hs"))
-      .select(col("doc_id"), T.simhashFromHashes(col("hs"), 16).as("simhash"))
+        graft.operators.TextDedup.simhashCol(col("text"), 16).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .where(col("n") > 1)
@@ -185,19 +161,14 @@ object DedupQueries {
   val qDedupKeepBest = Q(
     "q_dedup_keep_best",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          T.hashes31(array_distinct(T.tokens(col("text")))).as("hs"),
-          round(T.qualityScore(col("text")), 6).as("q"))
-        .select(col("doc_id"), col("lang"), col("q"),
-          T.simhashFromHashes(col("hs"), 16).as("simhash"))
-      val w = Window.partitionBy("simhash").orderBy(col("q").desc, col("doc_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .groupBy("lang")
+      // the reusable keep-best operator; this oracle row proves it
+      val flagged = graft.operators.TextDedup.keepBestBySimhash(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", round(T.qualityScore(col("text")), 6), bits = 16)
+      flagged.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
         .orderBy("lang")
     },
     Some {
