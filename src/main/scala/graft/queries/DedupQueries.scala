@@ -62,26 +62,66 @@ object DedupQueries {
       graft.operators.TextDedup.jaccardVerify(pairs, sigs, 0.2)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
     },
-    Some {
-      val hsE = s"list_transform(list_distinct(${T.sqlShingles("text", 2)}), s -> ${T.sqlH31("s")})"
-      val sigE = T.sqlMinhashSigFromHashes("hs", mhParams)
-      val bandE = (0 until Bands).map { b =>
-        val rows = (0 until MinhashK / Bands).map(r => s"mh${b * (MinhashK / Bands) + r}")
-        s"('$b' || '-' || " + rows.mkString(" || '-' || ") + ")"
-      }.mkString("[", ", ", "]")
-      val mhCols = sigE.zipWithIndex.map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
-      s"""WITH dh AS (SELECT doc_id, $hsE AS hs FROM documents),
-          d1 AS (SELECT doc_id, list_distinct(hs) AS hsd, $mhCols FROM dh),
-          d2 AS (SELECT doc_id, unnest($bandE) AS band FROM d1),
-          p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM d2 a JOIN d2 b ON a.band = b.band AND a.doc_id < b.doc_id),
-          j AS (SELECT p.a_id, p.b_id,
-                       round(len(list_intersect(da.hsd, db.hsd))::DOUBLE /
-                             (len(da.hsd) + len(db.hsd) - len(list_intersect(da.hsd, db.hsd)))::DOUBLE, 6) AS jaccard
-                FROM p JOIN d1 da ON p.a_id = da.doc_id JOIN d1 db ON p.b_id = db.doc_id)
+    Some(s"""WITH $sqlPairsCtes
           SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.2
-          ORDER BY jaccard DESC, a_id, b_id"""
-    })
+          ORDER BY jaccard DESC, a_id, b_id"""))
+
+  /** Shared oracle CTE chain ending in `j` = jaccard-scored candidate
+    * pairs — the SQL twin of minhashSignatures→bandedCandidates→
+    * jaccardVerify, reused by q_minhash_lsh and q_dedup_clusters. */
+  private lazy val sqlPairsCtes: String = {
+    val hsE = s"list_transform(list_distinct(${T.sqlShingles("text", 2)}), s -> ${T.sqlH31("s")})"
+    val sigE = T.sqlMinhashSigFromHashes("hs", mhParams)
+    val bandE = (0 until Bands).map { b =>
+      val rows = (0 until MinhashK / Bands).map(r => s"mh${b * (MinhashK / Bands) + r}")
+      s"('$b' || '-' || " + rows.mkString(" || '-' || ") + ")"
+    }.mkString("[", ", ", "]")
+    val mhCols = sigE.zipWithIndex.map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+    s"""dh AS (SELECT doc_id, $hsE AS hs FROM documents),
+        d1 AS (SELECT doc_id, list_distinct(hs) AS hsd, $mhCols FROM dh),
+        d2 AS (SELECT doc_id, unnest($bandE) AS band FROM d1),
+        p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM d2 a JOIN d2 b ON a.band = b.band AND a.doc_id < b.doc_id),
+        j AS (SELECT p.a_id, p.b_id,
+                     round(len(list_intersect(da.hsd, db.hsd))::DOUBLE /
+                           (len(da.hsd) + len(db.hsd) - len(list_intersect(da.hsd, db.hsd)))::DOUBLE, 6) AS jaccard
+              FROM p JOIN d1 da ON p.a_id = da.doc_id JOIN d1 db ON p.b_id = db.doc_id)"""
+  }
+
+  /** Dedup CLUSTERING: near-dup pairs are not transitive (a~b, b~c ⇒
+    * one group {a,b,c}), so the canonical-document choice needs the
+    * connected component. Spark side: iterative min-label propagation
+    * ([[graft.operators.ConnectedComponents]]); oracle side: DuckDB
+    * recursive CTE transitive closure — two entirely different
+    * algorithms agreeing on the same fixpoint is the strongest parity
+    * row in the registry. Per-component profile output. */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val sigs = graft.operators.TextDedup
+        .minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 2, k = MinhashK)
+        .localCheckpoint()
+      val pairs = graft.operators.TextDedup
+        .jaccardVerify(graft.operators.TextDedup.bandedCandidates(sigs, MinhashK, Bands), sigs, 0.2)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.components(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("min_doc"), max("id").as("max_doc"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE $sqlPairsCtes,
+          v AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.2),
+          edges AS (SELECT a_id AS src, b_id AS dst FROM v
+                    UNION SELECT b_id, a_id FROM v),
+          reach AS (SELECT src, dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (SELECT src AS id, least(src, min(dst)) AS component
+                   FROM reach GROUP BY src)
+          SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(id) AS min_doc, max(id) AS max_doc
+          FROM comp GROUP BY component ORDER BY component"""))
 
   /** 16-bit SimHash fingerprint groups: collision buckets with >1 doc
     * (hash-aggregate dedup at fingerprint granularity). */
@@ -184,6 +224,6 @@ object DedupQueries {
           FROM ranked GROUP BY lang ORDER BY lang"""
     })
 
-  def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qFingerprint, qDedupKeepBest)
+  def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
+    qNgramJaccard, qFingerprint, qDedupKeepBest)
 }

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comp(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses to one component labeled by its min id") {
+    // 1-2, 2-3, 3-4: diameter 3, needs multiple propagation rounds
+    val c = comp(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val c = comp(Seq((5L, 9L), (2L, 7L), (7L, 3L)))
+    assert(c(5L) === 5L && c(9L) === 5L)
+    assert(c(2L) === 2L && c(7L) === 2L && c(3L) === 2L)
+  }
+
+  test("a cycle converges") {
+    val c = comp(Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L)))
+    assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 1L)
+    assert(c(8L) === 8L && c(9L) === 8L)
+  }
+
+  test("empty edge set yields empty labeling") {
+    assert(comp(Seq.empty).isEmpty)
+  }
+}
