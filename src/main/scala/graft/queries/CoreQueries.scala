@@ -125,6 +125,36 @@ object CoreQueries {
           FROM embeddings ORDER BY hamming, vec_id LIMIT 10"""
     })
 
+  /** Two-stage retrieval: coarse Hamming top-100 over the packed
+    * sign-bit words (integer-only scan), exact cosine rerank to top-10
+    * — how a compressed embedding column is actually used at 100 TB
+    * (the full-precision vectors are touched for only 100 candidates).
+    * Both stages are TakeOrderedAndProject heaps. */
+  val qKnnRerank = Q(
+    "q_knn_rerank",
+    (s, dir) => {
+      val qWord = V.signPackOf(Qv)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          bit_count(V.signPack(col("embedding")).bitwiseXOR(lit(qWord)))
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(100)
+        .select(col("vec_id"), cosQ.as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val qWord = V.signPackOf(Qv)
+      s"""WITH coarse AS (
+            SELECT vec_id, embedding
+            FROM embeddings
+            ORDER BY bit_count(xor(${V.sqlSignPack("embedding")}, $qWord)), vec_id
+            LIMIT 100)
+          SELECT vec_id, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
+          FROM coarse ORDER BY dist, vec_id LIMIT 10"""
+    })
+
   // -------------------------------------------------------- batch kNN --
 
   /** 10 query vectors × top-5 each: broadcast the (small) query set, one
@@ -342,7 +372,7 @@ object CoreQueries {
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
   def all: Seq[Q] = Seq(
-    qKnnCosine, qKnnL2, qKnnDot, qKnnHamming,
+    qKnnCosine, qKnnL2, qKnnDot, qKnnHamming, qKnnRerank,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
     qKnnBatch, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qJoinDocs,
