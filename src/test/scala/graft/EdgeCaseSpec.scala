@@ -69,4 +69,30 @@ class EdgeCaseSpec extends SparkSpec {
       s"${Files.createTempDirectory("graft_edge")}/lake", dim = 2))
     intercept[Exception](lake.ingest(Seq(("x")).toDF("document")))
   }
+
+  test("compact on an empty or nonexistent lake is a no-op returning 0") {
+    val lake = Lake(spark, LakeConfig(
+      s"${Files.createTempDirectory("graft_edge")}/lake", dim = 2, numHashes = 2))
+    assert(lake.compact() === 0L)
+    assert(!lake.exists())
+  }
+
+  test("streaming nearDupGate handles empty-string documents deterministically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStreaming
+      .nearDupGate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("edge_gate_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((1L, ""), (2L, ""))
+      q.processAllAvailable()
+      val got = spark.table("edge_gate_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // both empty docs hash to the same bucket; first claims, second drops
+      assert(got === Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
 }

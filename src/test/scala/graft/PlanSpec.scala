@@ -77,6 +77,12 @@ class PlanSpec extends SparkSpec {
       joinSection.indexOf("Join"), "hash arrays must re-join after distinct")
   }
 
+  test("q_knn_rerank runs both stages as heap top-k, no global sort") {
+    val p = plan("q_knn_rerank")
+    assert(p.split("TakeOrderedAndProject").length - 1 >= 2, p.take(1200))
+    assert(!p.contains("Sort ["), "no full sort in a two-stage rerank")
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
