@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registry query at `SPARK_GRAFT_SF_DIR`,
   * prints ONE JSON line with per-query seconds. A failing query is
   * REPORTED (per-query `errors` entry + non-zero exit), never silently
-  * timed as a fast no-op — a regression must not hide in a good total. */
+  * timed as a fast no-op — a regression must not hide in a good total.
+  *
+  * Each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
+  * per-query MEDIAN; single-run numbers at these sizes swing ±20% with
+  * container load and suite ordering (BENCHNOTES), which round 2 paid
+  * for in phantom "regressions". `value` = sum of medians. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,23 +27,32 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      name -> ((System.nanoTime() - t0) / 1e9, err)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val runs = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      name -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+    }
+    // truncate BEFORE escaping: a cut through the middle of an escape
+    // sequence would emit invalid JSON
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ").take(160) + "\""
+      "\"" + s.take(160).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(m))) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

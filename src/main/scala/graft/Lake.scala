@@ -270,10 +270,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
       "refusing to compact a streaming-sink lake: _spark_metadata manifest present")
 
-    // per-shard compressed bytes from one directory listing
-    val shardBytes: Map[String, Long] = fs.listStatus(root)
+    // per-shard compressed bytes from one directory listing. Directory
+    // names carry ESCAPED partition values (Spark writes ':','%','=' etc
+    // as %XX and null as the Hive sentinel) while read() yields decoded
+    // values — decode here or the slice join below misses those shards
+    val shardBytes: Map[Option[String], Long] = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(s => s.getPath.getName.split("=", 2)(1) ->
+      .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)) ->
         fs.getContentSummary(s.getPath).getLength)
       .toMap
     if (shardBytes.isEmpty) return 0L
@@ -288,20 +291,36 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // proportional to that shard's bytes (small shards stay one file)
     import spark.implicits._
     val sliceDf = broadcast(
-      slices.toSeq.toDF(partCol + "_s", "n_slices")
+      slices.toSeq.map { case (sh, n) => (sh.orNull, n) }
+        .toDF(partCol + "_s", "n_slices")
         .withColumn(partCol + "_s", col(partCol + "_s").cast(
           if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
     val tmp = new org.apache.hadoop.fs.Path(cfg.location + "__compacting")
     fs.delete(tmp, true)
-    read()
-      .join(sliceDf, col(partCol) === col(partCol + "_s"))
-      .withColumn("_slice", pmod(abs(hash(col("id"))), col("n_slices")))
+    // null-safe LEFT join with a 1-slice default: a shard whose directory
+    // name failed to map (or a null partition value) must still be
+    // rewritten — dropping it here would turn into silent data loss at
+    // the swap below
+    val src = read()
+    val srcRows = src.count()
+    src
+      .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
+      .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
       .repartition(totalSlices, col(partCol), col("_slice"))
       .select((dataCols.map(col) :+ col(partCol)): _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", cfg.codec)
       .partitionBy(partCol)
       .parquet(tmp.toString)
+
+    // verify BEFORE the destructive swap: any rewrite shortfall aborts
+    // with both trees intact instead of surfacing as permanent loss
+    val tmpRows = spark.read.parquet(tmp.toString).count()
+    if (tmpRows != srcRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compact aborted: rewrote $tmpRows rows but source has $srcRows ($root left untouched)")
+    }
 
     // swap: keep the old tree until the new one is fully in place
     val bak = new org.apache.hadoop.fs.Path(cfg.location + "__precompact")
@@ -314,6 +333,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     fs.listStatus(root).filter(_.isDirectory).map(d =>
       fs.listStatus(d.getPath).count(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
+  }
+
+  /** Inverse of Spark's partition-path escaping (the behavior of
+    * catalyst's `ExternalCatalogUtils.unescapePathName`, reimplemented
+    * to stay off the internal API): `%XX` → char, the Hive null
+    * sentinel → None. */
+  private def unescapePartitionValue(raw: String): Option[String] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '%' && i + 2 < raw.length) {
+        val code =
+          try Integer.parseInt(raw.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
   }
 
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */

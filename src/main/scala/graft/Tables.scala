@@ -20,7 +20,14 @@ object Tables {
     * footers for schema inference on EVERY call; a registry run touches
     * the same tables dozens of times. DataFrames are immutable plans, so
     * reusing one per (session, path) is safe and shaves fixed per-query
-    * planning cost (no data is cached — scans stay lazy). */
+    * planning cost (no data is cached — scans stay lazy).
+    *
+    * SCOPE: for the IMMUTABLE driver-generated fixture tables only —
+    * the cached plan pins the file listing captured at first load, so
+    * files appended to a path later are invisible to subsequent load()
+    * calls. Lake data (which mutates) never goes through this cache;
+    * `Lake.read()` re-lists on every call. Bounded by construction:
+    * ≤ |sessions| × |scale factors| × 10 table entries. */
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -21,19 +21,32 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges undirected edge list
+    * @param maxIter iteration bound; if the loop hits it before the
+    *        fixpoint (only possible for graphs with diameter > maxIter —
+    *        not a dedup shape) an IllegalStateException is thrown rather
+    *        than silently returning split components
+    * @param checkpointDir when Some(dir): cut lineage with RELIABLE
+    *        checkpoints written to `dir` (an HDFS/object-store path on a
+    *        real cluster) so a 20-round job survives executor loss.
+    *        Default None = `localCheckpoint` — executor-local blocks,
+    *        fine in local mode and fastest, but lost on preemption.
     * @return (id, component) for every node appearing in `edges`;
     *         component = min node id in the component */
   def components(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val sym = cut(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
 
     var changed = 1L
     var i = 0
@@ -44,15 +57,18 @@ object ConnectedComponents {
         .agg(min("nc").as("nmin"))
       // carry the old label through the update so convergence is a
       // filter-count on the (checkpointed) result — no second join
-      val updated = labels
+      val updated = cut(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("_old"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       changed = updated.where(col("component") =!= col("_old")).count()
       labels = updated.select("id", "component")
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter for long-diameter graphs")
     labels
   }
 }

@@ -39,7 +39,14 @@ object TextDedup {
       concat_ws("-", lit(b) +: (0 until rowsPerBand).map(r =>
         element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
     }: _*)
-    val exploded = sigs.select(col("doc_id"), explode(bandKeys).as("band"))
+    // empty-shingle docs have an all-null signature; concat_ws SKIPS
+    // nulls, so without this filter every such doc would share the bare
+    // band keys "0".."3" and pair with all other empty docs (quadratic
+    // blowup, only caught later by NaN jaccard) — while the SQL oracle's
+    // `||` yields NULL bands and no pairs. Drop them before banding:
+    // no shingles ⇒ nothing to near-dup against.
+    val exploded = sigs.where(size(col("hsd")) > 0)
+      .select(col("doc_id"), explode(bandKeys).as("band"))
     val a = exploded.select(col("band"), col("doc_id").as("a_id"))
     val b = exploded.select(col("band"), col("doc_id").as("b_id"))
     a.join(b, Seq("band"))

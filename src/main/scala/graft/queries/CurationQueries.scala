@@ -84,7 +84,7 @@ object CurationQueries {
             c AS (SELECT lang, t,
                          sum(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
                   FROM t)
-            SELECT lang, (cum - t) // 2048 AS pack_id,
+            SELECT lang, CAST((cum - t) // 2048 AS BIGINT) AS pack_id,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(t) AS BIGINT) AS pack_tokens
             FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))

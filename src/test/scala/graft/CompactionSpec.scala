@@ -64,6 +64,29 @@ class CompactionSpec extends SparkSpec {
     assert(lake.count() === 4000L)
   }
 
+  test("compact preserves escaped and null partition values (no silent drop)") {
+    val dir = Files.createTempDirectory("graft_compact_esc").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2,
+      partitionKey = Some("bucket"),
+      partitionKeyType = org.apache.spark.sql.types.StringType))
+    // ':' and '%' are Spark-escaped to %XX in partition directory names
+    // and null becomes the Hive default-partition sentinel; read()
+    // returns the DECODED values, so a naive dir-name join would drop
+    // all four buckets' rows and the swap would make the loss permanent
+    val rows = Seq(
+      (Seq(1f, 0f), "colon", "a:b"),
+      (Seq(0f, 1f), "pct", "p%3Aq"),
+      (Seq(1f, 1f), "space", "x y"),
+      (Seq(0f, 2f), "null-bucket", null))
+    lake.ingest(rows.toDF("vector", "document", "bucket"))
+    lake.ingest(rows.toDF("vector", "document", "bucket")) // fragment
+    assert(lake.compact() >= 4L)
+    val got = lake.read().groupBy("bucket").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got === Map(Some("a:b") -> 2L, Some("p%3Aq") -> 2L,
+      Some("x y") -> 2L, None -> 2L))
+  }
+
   test("compact refuses a streaming-sink lake (_spark_metadata present)") {
     val dir = Files.createTempDirectory("graft_compact_stream").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))

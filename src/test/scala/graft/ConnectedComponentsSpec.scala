@@ -30,4 +30,24 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge set yields empty labeling") {
     assert(comp(Seq.empty).isEmpty)
   }
+
+  test("reliable-checkpoint mode produces the same labeling and writes to the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val c = ConnectedComponents.components(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L)).toDF("a_id", "b_id"),
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 8L, 9L -> 8L))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(p).nonEmpty) // checkpoints actually went to disk
+  }
+
+  test("hitting maxIter before the fixpoint throws instead of returning split labels") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
 }

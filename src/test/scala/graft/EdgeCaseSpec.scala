@@ -77,6 +77,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!lake.exists())
   }
 
+  test("empty-shingle docs generate no LSH band candidates") {
+    // all-null signatures would otherwise share bare band keys (concat_ws
+    // skips nulls) and pair every empty doc with every other — quadratic,
+    // and divergent from the SQL oracle where NULL bands produce no pairs
+    val docs = Seq((1L, ""), (2L, ""), (3L, "solo"),
+      (10L, "the quick brown fox"), (11L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.TextDedup
+      .minhashSignatures(docs, "doc_id", "text").localCheckpoint()
+    val pairs = graft.operators.TextDedup.bandedCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)))
+  }
+
   test("streaming nearDupGate handles empty-string documents deterministically") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
