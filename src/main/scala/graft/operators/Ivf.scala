@@ -22,9 +22,11 @@ import graft.functions.{VectorFunctions => V}
   *     `Lake.topKMultiProbe`.
   *
   * At 100 TB: train on a sample, assign map-side on ingest, and a query
-  * touches nprobe/k of the data. No oracle pairing (k-means is
-  * float-iterative, not portably bit-stable); covered by IvfSpec recall
-  * and invariant tests instead.
+  * touches nprobe/k of the data. The k-means ITERATION is not portably
+  * bit-stable across engines, but the consumed surface is:
+  * [[graft.queries.AnnQueries]] oracle-pairs assignment + nprobe scan by
+  * inlining the rounded final centroids as SQL literals; recall and
+  * invariant coverage lives in IvfSpec.
   */
 object Ivf {
 

@@ -226,23 +226,19 @@ object CoreQueries {
 
   /** LSH-bucketed near-dup: equi-join on the shard id — candidate pairs
     * only within a bucket, which is what makes near-dup linear-ish at
-    * scale (shuffle on shard key instead of all-pairs). */
+    * scale (shuffle on shard key instead of all-pairs). Runs through
+    * [[graft.operators.EmbeddingDedup]] with blocks=4 salting: a skewed
+    * hot bucket's quadratic pairing is spread over 10 block-pair keys
+    * instead of stalling one task. Salting never changes the pair set,
+    * so the oracle (a plain bucket join) stays row-identical; the width
+    * dial (wider Lsh for exponentially smaller buckets) is exercised in
+    * EmbeddingDedupSpec. */
   val qNearDupLsh = Q(
     "q_near_dup_lsh",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
-          lsh.shardCol(col("embedding")).as("shard"),
-          V.l2Norm(col("embedding")).as("nrm"))
-      val a = e.select(col("shard"), col("vec_id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
-      val b = e.select(col("shard"), col("vec_id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
-      a.join(b, Seq("shard"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("shard"), col("a_id"), col("b_id"),
-          V.round6z(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm"))).as("sim"))
-        .where(col("sim") > 0.4)
-        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
-    },
+    (s, dir) => graft.operators.EmbeddingDedup
+      .nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        lsh, minSim = 0.4, blocks = 4)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id")),
     Some(s"""WITH e AS (SELECT vec_id, embedding,
                                ${lsh.sqlShardExpr("embedding")} AS shard FROM embeddings)
              SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,

@@ -80,22 +80,72 @@ object MultimodalQueries {
   def all: Seq[Q] = Seq(qAssetFeatures, qAssetDecode)
 }
 
-/** ANN with learned centroids (graft.operators.Ivf). Rows-only check:
-  * k-means centroids are float-iterative, not portable to a SQL oracle;
-  * exactness/recall invariants live in IvfSpec. */
+/** ANN with learned centroids (graft.operators.Ivf) — fully
+  * oracle-paired. k-means ITERATION is float-accumulative and not
+  * bit-portable across engines, but the part users consume — cell
+  * assignment + nprobe scan + top-k — is: train in Scala, ROUND the
+  * final centroids to 6dp, run the Spark query with the rounded
+  * literals, and inline the same literals into the oracle SQL (the
+  * `Lsh.sqlShardExpr` hyperplane trick). Assignment distances are
+  * rounded to 6dp on BOTH engines before the argmin (first-index on
+  * ties), so the argmin compares identical bits — no ulp-level
+  * cross-engine flips. */
 object AnnQueries {
   import graft.operators.Ivf
+  import graft.functions.{VectorFunctions => V}
 
-  val qAnnIvf = Q(
+  private val K = 8
+  private val NProbe = 2
+
+  /** Centroids from the LAST qAnnIvf run. `Registry.oracleSql` is a def
+    * evaluated AFTER every query has run (Verify dumps oracle_sql.json
+    * last), so the oracle replays exactly the literals the Spark side
+    * used. Before any run there is no entry → rows-only fallback. */
+  @volatile private var lastModel: Option[Ivf.IvfModel] = None
+
+  private def round6(m: Ivf.IvfModel): Ivf.IvfModel =
+    Ivf.IvfModel(m.centroids.map(_.map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+
+  /** Cell = first index of the minimum ROUNDED L2 distance — the same
+    * array_position/list_position construction on both engines. */
+  private def assignRounded(vec: org.apache.spark.sql.Column, m: Ivf.IvfModel) = {
+    val ds = array(m.centroids.map(c => round(V.l2Dist(vec, V.vecLit(c)), 6)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  private def sqlAssignRounded(c: String, m: Ivf.IvfModel): String = {
+    val ds = m.centroids.map(cn => s"round(${V.sqlL2DistLit(c, cn)}, 6)")
+      .mkString("[", ", ", "]")
+    s"CAST(list_position($ds, list_min($ds)) - 1 AS INTEGER)"
+  }
+
+  def qAnnIvf = Q(
     "q_ann_ivf",
     (s, dir) => {
       val emb = graft.Tables.embeddings(s, dir)
-      val model = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 3)
-      Ivf.search(Ivf.index(emb, model, "embedding"), model,
-        "embedding", "vec_id", graft.Fixtures.queryVec, 10, nprobe = 2)
-        .select(col("vec_id"), col("cell"), col("dist"))
+      val m = round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3))
+      lastModel = Some(m)
+      val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
+      emb
+        .withColumn("cell", assignRounded(col("embedding"), m))
+        .where(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("cell"),
+          V.round6z(V.cosineDist(col("embedding"),
+            V.vecLit(graft.Fixtures.queryVec))).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     },
-    None)
+    lastModel.map { m =>
+      val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
+      s"""WITH c AS (SELECT vec_id, embedding,
+                            ${sqlAssignRounded("embedding", m)} AS cell
+                     FROM embeddings)
+          SELECT vec_id, cell,
+                 ${V.sqlRound6z(V.sqlCosineDistLit("embedding", graft.Fixtures.queryVec))} AS dist
+          FROM c WHERE cell IN (${cells.mkString(", ")})
+          ORDER BY dist, vec_id LIMIT 10"""
+    })
 
   def all: Seq[Q] = Seq(qAnnIvf)
 }

@@ -51,13 +51,13 @@ object PipelineQueries {
           col("vec"), col("shard"), col("nrm"))
         .localCheckpoint()
 
-      val a = joined.select(col("shard"), col("doc_id").as("a_id"),
-        col("vec").as("a_vec"), col("nrm").as("a_nrm"))
-      val b = joined.select(col("shard"), col("doc_id").as("b_id"),
-        col("vec").as("b_vec"), col("nrm").as("b_nrm"))
-      val dupIds = a.join(b, Seq("shard"))
-        .where(col("a_id") < col("b_id"))
-        .where(round(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")), 6) > 0.4)
+      // stage 5 through the salted bucket join (EmbeddingDedup): blocks=4
+      // spreads a hot LSH bucket's quadratic pairing across 10 block-pair
+      // shuffle keys; the pair set — and so the oracle rows — is unchanged
+      val dupIds = graft.operators.EmbeddingDedup
+        .bucketPairs(
+          joined.select(col("shard"), col("doc_id").as("id"), col("vec"), col("nrm")),
+          minSim = 0.4, blocks = 4)
         .select(col("b_id").as("doc_id")).distinct()
 
       joined.join(dupIds, Seq("doc_id"), "left_anti")
