@@ -26,6 +26,12 @@ import graft.functions.{Lsh, VectorFunctions => V}
   *                   for the empty-lake bootstrap schema, so read() on an
   *                   empty lake agrees with what ingest will later write
   *                   (the LSH `shard` column is always IntegerType)
+  * @param packSignBits when true, ingest MATERIALIZES a `packed` long
+  *                   column (sign bit per dimension, first 64 dims) so
+  *                   compressed Hamming retrieval reads 8 stored bytes
+  *                   per row instead of recomputing the pack from the
+  *                   full vector — the 32× column-compression actually
+  *                   lands as stored bytes; see [[Lake.topKCompressed]]
   */
 final case class LakeConfig(
     location: String,
@@ -35,7 +41,8 @@ final case class LakeConfig(
     seed: Long = 42L,
     partitionKey: Option[String] = None,
     partitionKeyType: DataType = StringType,
-    codec: String = "snappy") {
+    codec: String = "snappy",
+    packSignBits: Boolean = false) {
   require(Set("cosine", "l2", "dot")(metric), s"unknown metric $metric")
 }
 
@@ -56,6 +63,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   val lsh: Lsh = Lsh(cfg.dim, cfg.numHashes, cfg.seed)
 
   private def partCol: String = cfg.partitionKey.getOrElse("shard")
+
+  /** Data columns as stored: canonical schema plus the optional
+    * materialized `packed` sign-bit word. */
+  private def storedCols: Seq[String] =
+    if (cfg.packSignBits) dataCols :+ "packed" else dataCols
+
+  private def storedFields: Seq[StructField] =
+    if (cfg.packSignBits) schema.fields.toSeq :+ StructField("packed", LongType)
+    else schema.fields.toSeq
 
   /** Ingest rows with at least a `vector` column; `metadata`, `document`
     * optional. Adds `id` (uuid), `timestamp`, routes `shard`, coerces
@@ -101,10 +117,29 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .withColumn("id", expr("uuid()"))
       .withColumn("timestamp", current_timestamp())
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
+    if (cfg.packSignBits)
+      df = df.withColumn("packed", V.signPack(col("vector")))
     if (cfg.partitionKey.isEmpty)
       df = df.withColumn("shard", lsh.shardCol(col("vector")))
-    df.select((dataCols.map(col) :+ col(partCol)): _*)
+    // footer attrs parity (reference index.py:296-305): Spark's parquet
+    // writer serializes field metadata into the footer's spark-schema
+    // key/value entry, so stamping the timestamp field lands last_update
+    // + index attrs in EVERY data file's footer — readable by any
+    // parquet reader (FooterMetaSpec proves it) — not just the sidecar
+    val stamped = storedCols.map {
+      case "timestamp" => col("timestamp").as("timestamp", footerStamp)
+      case c           => col(c)
+    }
+    df.select((stamped :+ col(partCol)): _*)
   }
+
+  /** Per-write footer attrs, stamped at plan-construction time (once per
+    * batch ingest; once at stream start for the streaming path). */
+  private def footerStamp: Metadata = new MetadataBuilder()
+    .putString("graft.last_update", java.time.Instant.now().toString)
+    .putLong("graft.dim", cfg.dim.toLong)
+    .putString("graft.metric", cfg.metric)
+    .build()
 
   /** Continuous ingest: the streaming form of [[ingest]] — the SAME
     * [[withDerived]] block (shard routing, metadata coercion incl. the
@@ -135,11 +170,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields :+ StructField(partCol,
+        StructType(storedFields :+ StructField(partCol,
           if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
     val df = spark.read.parquet(cfg.location)
     val got = df.columns.toSet
-    val want = dataCols.toSet + partCol
+    val want = storedCols.toSet + partCol
     require(got == want, s"schema mismatch: got $got want $want")
     df
   }
@@ -196,6 +231,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("p.id").as("id"), col("p.dist").as("dist"))
       .orderBy("qid", "rank")
+  }
+
+  /** Two-stage compressed retrieval over the MATERIALIZED `packed`
+    * column (requires `cfg.packSignBits`): a coarse Hamming top-`coarseK`
+    * whose scan reads only (id, packed) — 8 bytes of vector data per row
+    * instead of dim×4, which is where the 32× compression pays off at
+    * 100 TB — then an exact rerank that touches full-precision vectors
+    * for ≤ coarseK rows (the coarse id set is broadcast back as a
+    * semi-join filter). Both stages are TakeOrderedAndProject heaps;
+    * recall/cost dial = coarseK. */
+  def topKCompressed(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame = {
+    require(cfg.packSignBits,
+      "topKCompressed needs a materialized packed column: set packSignBits = true")
+    val qWord = V.signPackOf(q)
+    val coarse = read()
+      .select(col("id"),
+        bit_count(col("packed").bitwiseXOR(lit(qWord))).cast("int").as("hamming"))
+      .orderBy(col("hamming"), col("id"))
+      .limit(coarseK)
+      .select("id")
+    read()
+      .join(broadcast(coarse), Seq("id"))
+      .withColumn("dist", V.round6z(distCol(q)))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
   }
 
   private def topKWhere(q: Seq[Double], k: Int, pred: Column): DataFrame =
@@ -307,7 +367,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
       .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
       .repartition(totalSlices, col(partCol), col("_slice"))
-      .select((dataCols.map(col) :+ col(partCol)): _*)
+      .select((storedCols.map(col) :+ col(partCol)): _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", cfg.codec)
       .partitionBy(partCol)

@@ -185,4 +185,43 @@ class LakeSpec extends SparkSpec {
     val multi = lake.topKMultiProbe(q, 50).count()
     assert(multi >= single)
   }
+
+  test("packed sign-bit column: materialized at ingest, compressed retrieval reads it") {
+    import graft.functions.{VectorFunctions => V}
+    val dir = Files.createTempDirectory("graft_lake_packed").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4,
+      packSignBits = true))
+    val rng = new scala.util.Random(17)
+    lake.ingest(vecsDF(Seq.fill(80)(Seq.fill(5)(rng.nextGaussian()))))
+
+    // stored word == pack of the stored vector, and it survives compaction
+    assert(lake.read().where(col("packed") =!= V.signPack(col("vector"))).count() === 0L)
+    lake.compact()
+    assert(lake.read().where(col("packed") =!= V.signPack(col("vector"))).count() === 0L)
+
+    // with coarseK >= n the two-stage result IS the exact top-k
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val exact = lake.topKExact(q, 5).select("id").collect().map(_.getString(0)).toSeq
+    val comp = lake.topKCompressed(q, 5, coarseK = 200)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(comp === exact)
+
+    // plan shape: the coarse scan reads ONLY (id, packed) — no vector
+    // bytes — and full vectors re-enter via a broadcast id semi-join
+    // bounded by coarseK rows
+    val plan = lake.topKCompressed(q, 5, coarseK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("struct<id:string,packed:bigint>"),
+      s"coarse scan should be vector-free:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("topKCompressed without a packed column is refused") {
+    val lake = freshLake()
+    val e = intercept[IllegalArgumentException] {
+      lake.topKCompressed(Seq(1.0, 0, 0, 0, 0), 3)
+    }
+    assert(e.getMessage.contains("packSignBits"))
+  }
 }
