@@ -52,8 +52,17 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(m))) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    // Emit the JSON line LAST, after the session is down and its logging
+    // silenced: Spark's shutdown INFO logs go to stderr and interleave
+    // arbitrarily with stdout in a combined capture, which can bury the
+    // line mid-stream for a tail-reading harness (BENCH_r01/r02 both
+    // recorded `parsed: None` with a log-noise tail).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }

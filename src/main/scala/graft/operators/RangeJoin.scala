@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval × point range join as a bucketed EQUI-join.
+  *
+  * The naive formulation `points JOIN intervals ON pt BETWEEN lo AND hi`
+  * has no equality predicate, so Spark plans a broadcast nested-loop (or
+  * worse, a cartesian) — O(|points| × |intervals|) comparisons, the
+  * classic 100 TB stage-killer. This operator restores an equi-key by
+  * quantizing time into fixed-width bins:
+  *
+  *   1. each interval explodes into the bins it covers
+  *      (`sequence(floor(lo/w), floor(hi/w))` — bounded by the interval
+  *      length / bin width);
+  *   2. each point maps to exactly ONE bin (`floor(pt/w)`);
+  *   3. equi-join on the bin, then the exact `lo <= pt <= hi` residual.
+  *
+  * Because a point owns a single bin, a (point, interval) pair can meet
+  * in at most one bin — no post-join dedup is needed, which keeps the
+  * whole thing one shuffle (or zero with `broadcastIntervals`, the right
+  * call whenever the interval table is dimension-sized).
+  *
+  * Pick `binSeconds` ≈ the typical interval length: shorter bins mean
+  * more exploded rows per interval, longer bins mean more residual
+  * filtering per bin. Skewed bins (a hot hour) can further be salted
+  * with [[Skew]].
+  *
+  * The reference engine has no join at all (its tables are independent
+  * pandas frames, /root/reference/vector_lake/core/frame.py) — this is
+  * part of the §2.10 relational completion.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval of `intervals` containing
+    * `pointTs` (inclusive bounds). `loTs`/`hiTs`/`pointTs` are timestamp
+    * columns; output carries all columns of both inputs.
+    *
+    * @param broadcastIntervals hint the exploded interval side as
+    *        broadcast — use when intervals are dimension-sized.
+    */
+  def pointInInterval(
+      intervals: DataFrame,
+      points: DataFrame,
+      loTs: String,
+      hiTs: String,
+      pointTs: String,
+      binSeconds: Long = 86400L,
+      broadcastIntervals: Boolean = true): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    // cast: fixture timestamps are TIMESTAMP_NTZ, unix_seconds wants LTZ.
+    // Bin values are engine-internal (only equality matters), so the
+    // session-timezone interpretation of the cast is harmless.
+    def bin(c: Column): Column = floor(unix_seconds(c.cast("timestamp")) / binSeconds)
+    val binned = intervals.withColumn(
+      "_gbin", explode(sequence(bin(col(loTs)), bin(col(hiTs)))))
+    val lhs = if (broadcastIntervals) broadcast(binned) else binned
+    points
+      .withColumn("_gbin", bin(col(pointTs)))
+      .join(lhs, Seq("_gbin"))
+      .where(col(pointTs) >= col(loTs) && col(pointTs) <= col(hiTs))
+      .drop("_gbin")
+  }
+}

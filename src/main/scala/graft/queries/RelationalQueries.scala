@@ -226,6 +226,80 @@ object RelationalQueries {
             GROUP BY l_orderkey, odate
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ6, qOrdersNation, qSegmentTop,
-    qSessionize, qEventsJson, qEventPercentiles, qAsofOrders)
+  /** TPC-H Q5-style: six-table star join — regional supplier revenue
+    * where the supplying and ordering nations coincide. Every dimension
+    * (customer, supplier, nation, region) is broadcast; only the
+    * orders ⋈ lineitem fact-fact edge shuffles. The deepest
+    * join-planning probe in the registry. */
+  val qTpchQ5 = Q(
+    "q_tpch_q5",
+    (s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** Interval × point range join ([[graft.operators.RangeJoin]]): promo
+    * windows derived from low-key orders (lo = orderdate, hi = lo +
+    * 1..7 days) catch every lineitem shipped inside them — day-binned
+    * equi-join + exact residual, NOT a nested-loop theta join (the spec
+    * asserts no BNLJ/cartesian in the plan). Oracle: DuckDB's native
+    * inequality join — two different algorithms, same rows. */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val windows = Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 80)
+        .select(col("o_orderkey").as("window_id"),
+          col("o_orderdate").as("lo"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 7 + 1 AS INT), o_orderdate)").as("hi"))
+      val hits = graft.operators.RangeJoin.pointInInterval(
+        windows, Tables.lineitem(s, dir), "lo", "hi", "l_shipdate")
+      hits.groupBy("window_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("window_id")
+    },
+    Some("""WITH w AS (SELECT o_orderkey AS window_id, o_orderdate AS lo,
+                              o_orderdate + INTERVAL 1 DAY * (o_orderkey % 7 + 1) AS hi
+                       FROM orders WHERE o_orderkey <= 80)
+            SELECT window_id, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem JOIN w ON l_shipdate >= lo AND l_shipdate <= hi
+            GROUP BY window_id ORDER BY window_id"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qOrdersNation,
+    qSegmentTop, qSessionize, qEventsJson, qEventPercentiles, qAsofOrders,
+    qRangeJoin)
 }

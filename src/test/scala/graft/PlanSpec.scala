@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort ["), "no full sort in a two-stage rerank")
   }
 
+  test("q_tpch_q5 broadcasts all four dimensions; only the fact edge shuffles") {
+    val p = plan("q_tpch_q5")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_range_join is a bucketed equi-join, never a nested-loop theta join") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval join must go through the day-bin equi-key")
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Semantics of the bin-bucketed interval join: inclusive bounds, no
+  * duplicate matches when an interval spans many bins, parity between
+  * the broadcast and shuffle paths. */
+class RangeJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixtures = {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 23:59:59")), // 3 bins
+      (2L, ts("2024-01-02 12:00:00"), ts("2024-01-02 13:00:00")), // sub-bin
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))  // degenerate
+    ).toDF("iv_id", "lo", "hi")
+    val points = Seq(
+      (10L, ts("2024-01-01 00:00:00")), // == lo of 1 (inclusive)
+      (11L, ts("2024-01-03 23:59:59")), // == hi of 1 (inclusive)
+      (12L, ts("2024-01-02 12:30:00")), // inside 1 AND 2
+      (13L, ts("2024-01-04 00:00:00")), // just past hi of 1
+      (14L, ts("2024-02-01 00:00:00")), // == degenerate interval
+      (15L, ts("2024-03-01 00:00:00"))  // matches nothing
+    ).toDF("pt_id", "pt")
+    (intervals, points)
+  }
+
+  test("inclusive bounds, multi-bin intervals don't duplicate, misses drop") {
+    val (intervals, points) = fixtures
+    val out = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt")
+      .select("pt_id", "iv_id").orderBy("pt_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((10L, 1L), (11L, 1L), (12L, 1L), (12L, 2L), (14L, 3L)))
+  }
+
+  test("shuffle path (broadcastIntervals=false) returns the same rows") {
+    val (intervals, points) = fixtures
+    val b = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt")
+    val s = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt",
+      broadcastIntervals = false)
+    assert(b.except(s).count() === 0 && s.except(b).count() === 0)
+  }
+
+  test("coarser bins give identical results (residual filter does the work)") {
+    val (intervals, points) = fixtures
+    val day = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt")
+    val week = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt",
+      binSeconds = 7L * 86400)
+    assert(day.except(week).count() === 0 && week.except(day).count() === 0)
+  }
+
+  test("empty interval table yields empty output, not an error") {
+    val (intervals, points) = fixtures
+    assert(RangeJoin.pointInInterval(
+      intervals.where(lit(false)), points, "lo", "hi", "pt").count() === 0)
+  }
+}
