@@ -30,6 +30,20 @@ object Curation {
       .drop("_cum")
   }
 
+  /** Deterministic stratified sample: the first `n` rows per group in
+    * md5-h60(key) order. Hash order is a reproducible, engine-portable
+    * stand-in for "uniform at random" — same discipline as [[splitCol]]
+    * — and the per-group bounded window means no global sort: at 100 TB
+    * this is one shuffle on the group key with a k-row heap per group
+    * (Spark plans `row_number <= n` as a running rank that never
+    * materializes the full group ordering). */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(T.h60(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+
   /** Eval-set decontamination: one row per (corpus row, shared word
     * n-gram hash) — aggregate or `distinct` on the id downstream. The
     * eval shingle-hash set is broadcast (small); the corpus side is one

@@ -33,6 +33,60 @@ object CurationQueries {
                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
              FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** Deterministic stratified sample ([[graft.operators.Curation
+    * .stratifiedSample]]): 3 documents per language in portable-hash
+    * order — the reproducible "random" subset every training mix draws
+    * per stratum. No global sort: one shuffle on the stratum key, a
+    * bounded rank per group. Oracle recomputes the same md5-h60 order. */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) => graft.operators.Curation
+      .stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 3)
+      .select(col("lang"), col("doc_id"), col("rk"), col("n_chars"))
+      .orderBy("lang", "rk"),
+    Some(s"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk, n_chars
+             FROM (SELECT lang, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY ${T.sqlH60("doc_id::VARCHAR")}, doc_id) AS rk
+                   FROM documents)
+             WHERE rk <= 3 ORDER BY lang, rk"""))
+
+  /** Training-mix planner: per source-domain token counts weighted by a
+    * per-domain upsampling factor, normalized to mix fractions — the
+    * table a data-mixing run is driven from. One scan + one 20-row
+    * aggregate; the final normalizing window runs over the POST-AGG
+    * domain table (rows = |domains|, not |docs|), so the single-
+    * partition window is trivially safe at any corpus size. Integer
+    * weighted-token arithmetic is exact cross-engine; only the final
+    * fraction is floating (exact ints < 2^53 → identical doubles). */
+  val qDomainMix = Q(
+    "q_domain_mix",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), size(T.tokens(col("text"))).as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t").cast("long")).as("n_tokens"))
+        .withColumn("weight",
+          (expr("CAST(substring(source, 4) AS INT)") % 3 + 1).cast("long"))
+        .withColumn("w_tokens", col("weight") * col("n_tokens"))
+      perSource
+        .withColumn("mix_frac",
+          round(col("w_tokens").cast("double") /
+            sum("w_tokens").over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        .select("source", "n_docs", "n_tokens", "weight", "w_tokens", "mix_frac")
+        .orderBy("source")
+    },
+    Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs, n_tokens,
+                         CAST(substring(source, 4)::INT % 3 + 1 AS BIGINT) AS weight,
+                         CAST((substring(source, 4)::INT % 3 + 1) * n_tokens AS BIGINT) AS w_tokens
+                  FROM s)
+            SELECT source, n_docs, n_tokens, weight, w_tokens,
+                   round(CAST(w_tokens AS DOUBLE) / CAST(sum(w_tokens) OVER () AS DOUBLE), 6) AS mix_frac
+            FROM w ORDER BY source"""))
+
   /** Eval-set decontamination: flag training documents sharing any word
     * 5-gram with the held-out set (doc_id < 20). The eval shingle set is
     * tiny and BROADCAST; the corpus side is one scan + explode — the
@@ -187,6 +241,7 @@ object CurationQueries {
                    max(err) AS max_err
             FROM e GROUP BY label ORDER BY label"""))
 
-  def all: Seq[Q] = Seq(qSplitTrainTest, qDecontaminate, qPackDocs,
+  def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
+    qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats)
 }

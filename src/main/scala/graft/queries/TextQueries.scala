@@ -91,6 +91,33 @@ object TextQueries {
     * oracle — HLL sketch implementations differ across engines, so the
     * driver records a rows-only check; the exact column is covered by
     * q_text_stats and the relative-error bound is asserted in tests. */
+  /** PII redaction audit: mask numeric identifiers in the event payload
+    * (`props`), report per event_type how many payloads were touched and
+    * how many tokens were masked. Pure map-side regexp expressions — a
+    * 100 TB scrub is one scan-and-rewrite pass, and this is its audit
+    * aggregate. The regex stays in the dialect-common subset (`[0-9]+`)
+    * so Java (Spark) and RE2 (DuckDB) agree; DuckDB needs the 'g' flag
+    * to match Spark's replace-all default. */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, dir) => {
+      val masked = regexp_replace(col("props"), "[0-9]+", "#")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("props"), masked.as("masked"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("masked") =!= col("props"), 1L).otherwise(0L)).as("n_redacted"),
+          sum(regexp_count(col("props"), lit("[0-9]+")).cast("long")).as("n_hits"),
+          min("masked").as("sample_masked"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN regexp_replace(props, '[0-9]+', '#', 'g') <> props
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+                   CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_hits,
+                   min(regexp_replace(props, '[0-9]+', '#', 'g')) AS sample_masked
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, dir) => Tables.documents(s, dir)
@@ -102,5 +129,5 @@ object TextQueries {
     None)
 
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
-    qApproxDistinct)
+    qPiiScrub, qApproxDistinct)
 }

@@ -38,6 +38,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: exactly n per group, deterministic, a true subset") {
+    val docs = Tables.documents(spark, dir)
+    val sampled = graft.operators.Curation.stratifiedSample(docs, "lang", "doc_id", 3)
+    val perGroup = sampled.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val available = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    perGroup.foreach { case (g, n) => assert(n === math.min(3L, available(g))) }
+    assert(perGroup.keySet === available.keySet) // no stratum dropped
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = graft.operators.Curation.stratifiedSample(docs, "lang", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === again, "hash order must be run-stable")
+    // groups smaller than n are taken whole, never padded
+    val tiny = graft.operators.Curation.stratifiedSample(
+      docs.where(col("doc_id") < 2), "lang", "doc_id", 5)
+    assert(tiny.count() === docs.where(col("doc_id") < 2).count())
+  }
+
+  test("domain mix fractions sum to 1 and weights stay in 1..3") {
+    val rows = Registry.queries("q_domain_mix")(spark, dir).collect()
+    val fracSum = rows.map(_.getAs[Double]("mix_frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"mix fractions sum to $fracSum")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight")
+      assert(w >= 1 && w <= 3)
+      assert(r.getAs[Long]("w_tokens") === w * r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("decontaminate counts only training docs (eval set never flags itself)") {
     val flagged = Registry.queries("q_decontaminate")(spark, dir)
       .agg(sum("n_contaminated")).head().getLong(0)
