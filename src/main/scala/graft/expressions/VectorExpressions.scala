@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 
 /** Fused vector kernels as native Catalyst expressions with codegen.
   *
@@ -54,6 +54,69 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Static loop bodies shared by eval and codegen (same posture as
+  * [[TextKernels]]). */
+object VectorKernels {
+
+  /** Spark `round(x, 0)` for doubles: decimal HALF_UP over the SHORTEST
+    * decimal representation (`BigDecimal.valueOf`), exactly what
+    * `Round`'s DoubleType branch computes — NOT `Math.round`, which
+    * floors `x + 0.5` and disagrees on negative halves and on doubles
+    * like 0.49999999999999994. */
+  def sparkRound0(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One-pass int8-quantization audit over a dense `array<double>`:
+    * scale = 127/max|v| (1 when the vector is all-zero — ANSI-safe),
+    * q_i = round(v_i·scale), returns (Σ|q_i|, ‖v − q/scale‖₂).
+    * Identical arithmetic and accumulation order to the HOF chain
+    * `array_max/transform/aggregate` + the L2 kernel, with zero
+    * intermediate arrays (the HOF form materializes four per row and
+    * interprets every lambda). Empty arrays yield (0, 0.0) — the same
+    * value the HOF chain's empty-transform/aggregate produces. */
+  def quantAudit(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(arr.getDouble(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = if (maxAbs == 0.0) 1.0 else 127.0 / maxAbs
+    var absQ = 0L
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      val q = sparkRound0(x * scale).toLong
+      absQ += math.abs(q)
+      val d = x - q.toDouble / scale
+      s += d * d
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](absQ, math.sqrt(s)))
+  }
+}
+
+/** `array<double> → struct<abs_q, err>` ([[VectorKernels.quantAudit]]):
+  * the fused int8-quantization audit. */
+case class QuantizeAuditExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("abs_q", LongType, nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+  override def prettyName: String = "quantize_audit"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantAudit(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.VectorKernels.quantAudit($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `array<double> → long`: sign-bit packing of the first min(64, n)

@@ -34,7 +34,8 @@ object GraftFunctions {
       (exprs => ShingleHash31Expr(exprs(0), litInt(exprs(1), "shingle width n"))),
     "simhash64" ->
       (exprs => SimhashExpr(exprs(0), litInt(exprs(1), "simhash bits"))),
-    "doc_fingerprint" -> (exprs => graft.expressions.FingerprintExpr(exprs.head)))
+    "doc_fingerprint" -> (exprs => graft.expressions.FingerprintExpr(exprs.head)),
+    "quantize_audit" -> (exprs => graft.expressions.QuantizeAuditExpr(d(exprs.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)

@@ -100,6 +100,24 @@ object VectorFunctions {
   def signPack(v: Column): Column =
     wrap(graft.expressions.SignPackExpr(unwrap(asDouble(v))))
 
+  /** Fused int8-quantization audit → struct(abs_q, err)
+    * ([[graft.expressions.QuantizeAuditExpr]]); HOF twin below. */
+  def quantAudit(v: Column): Column =
+    wrap(graft.expressions.QuantizeAuditExpr(unwrap(asDouble(v))))
+
+  /** Interpreted HOF twin of [[quantAudit]] — equivalence-tested, and
+    * the reference formulation the DuckDB oracle mirrors. */
+  def quantAuditHof(v: Column): Column = {
+    val vd = asDouble(v)
+    val maxAbs = array_max(transform(vd, x => abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
+    val qarr = transform(vd, x => round(x * scale).cast("long"))
+    val deq = transform(qarr, x => x.cast("double") / scale)
+    struct(
+      aggregate(transform(qarr, x => abs(x)), lit(0L), (a, x) => a + x).as("abs_q"),
+      l2Dist(vd, deq).as("err"))
+  }
+
   def signPackStatic(v: Column, dim: Int): Column =
     (0 until math.min(dim, 64)).map { i =>
       when(element_at(asDouble(v), i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L))

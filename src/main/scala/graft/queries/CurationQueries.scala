@@ -201,17 +201,15 @@ object CurationQueries {
   val qQuantizeInt8 = Q(
     "q_quantize_int8",
     (s, dir) => {
-      val v = V.asDouble(col("embedding"))
-      val maxAbs = array_max(transform(v, x => abs(x)))
-      // zero-vector guard (ANSI double/0 is a job-killing error): a
-      // degenerate row quantizes to all-zeros under any scale, so pin 1
-      val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
-      val qarr = transform(v, x => round(x * scale).cast("long"))
-      val deq = transform(qarr, x => x.cast("double") / scale)
+      // one fused codegen pass per row (QuantizeAuditExpr): scale =
+      // 127/max|v| with the zero-vector guard inside the kernel, q =
+      // round(v·scale), emits (Σ|q|, ‖v − q/scale‖₂) with no
+      // intermediate arrays — the HOF twin (V.quantAuditHof) is
+      // equivalence-tested in VectorFunctionsSpec
       Tables.embeddings(s, dir)
-        .select(col("label"),
-          aggregate(transform(qarr, x => abs(x)), lit(0L), (a, x) => a + x).as("abs_q"),
-          round(V.l2Dist(v, deq), 6).as("err"))
+        .select(col("label"), V.quantAudit(col("embedding")).as("qa"))
+        .select(col("label"), col("qa.abs_q").as("abs_q"),
+          round(col("qa.err"), 6).as("err"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           sum("abs_q").as("sum_abs_q"),

@@ -57,6 +57,26 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("quantAudit kernel is bit-identical to the HOF twin, incl. edge vectors") {
+    def pair(c: org.apache.spark.sql.Column): (Long, Double) = {
+      val r = Seq(1).toDF("x").select(c.getField("abs_q").as("a"), c.getField("err").as("e")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(40)(Seq.fill(64)(rng.nextGaussian() * 0.15)) ++ Seq(
+      Seq.fill(8)(0.0),               // all-zero: guarded scale
+      Seq(-0.5, 0.5, 1.5, -1.5),      // negative halves: HALF_UP vs Math.round
+      Seq(1e-300, -1e-300, 1.0),      // denormal-ish magnitudes
+      Seq(0.1))                       // scale lands q on an exact half
+    vecs.foreach { v =>
+      assert(pair(V.quantAudit(V.vecLit(v))) === pair(V.quantAuditHof(V.vecLit(v))))
+    }
+    // round semantics: -2.5 must go AWAY from zero like Spark round()
+    assert(graft.expressions.VectorKernels.sparkRound0(-2.5) === -3.0)
+    assert(graft.expressions.VectorKernels.sparkRound0(2.5) === 3.0)
+    assert(graft.expressions.VectorKernels.sparkRound0(0.49999999999999994) === 0.0)
+  }
+
   test("registered SQL functions: vector_dot / vector_sq_l2 usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
