@@ -299,7 +299,96 @@ object RelationalQueries {
             FROM lineitem JOIN w ON l_shipdate >= lo AND l_shipdate <= hi
             GROUP BY window_id ORDER BY window_id"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qOrdersNation,
-    qSegmentTop, qSessionize, qEventsJson, qEventPercentiles, qAsofOrders,
-    qRangeJoin)
+  /** TPC-H Q14-style promo revenue share: fact ⋈ broadcast part with a
+    * month filter, conditional aggregation, one output row. */
+  val qTpchQ14 = Q(
+    "q_tpch_q14",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"""))
+
+  /** TPC-H Q18-style large-volume orders: the HAVING-filtered aggregate
+    * IS the semi-join side (no second lineitem scan — the sum is reused
+    * as the output column), then orders + broadcast customer attach the
+    * descriptive columns. AQE turns the data-dependent small side into
+    * a runtime broadcast. */
+  val qTpchQ18 = Q(
+    "q_tpch_q18",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .where(col("sum_qty") > 170.0)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          round(col("o_totalprice"), 6).as("total"), col("sum_qty"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (SELECT l_orderkey,
+                                CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+                         FROM lineitem GROUP BY l_orderkey
+                         HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 170.0)
+            SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                   round(o_totalprice, 6) AS total, sum_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY total DESC, o_orderkey LIMIT 100"""))
+
+  /** Sliding RANGE-frame moving average: per user, the 1-hour trailing
+    * window over event values — the interval-frame window shape (RANGE,
+    * not ROWS) that log analytics runs constantly. Bounded to 5 users
+    * for the fixture; the window itself is one shuffle on user_id
+    * however large the table. DECIMAL window sums for cross-engine
+    * exactness. */
+  val qEventsMovingAvg = Q(
+    "q_events_moving_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables.events(s, dir)
+        .where(col("user_id") < 5)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("mov_avg",
+          round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+            col("n_win"), 6))
+        .select("event_id", "user_id", "n_win", "mov_avg")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, CAST(n_win AS BIGINT) AS n_win,
+                   round(CAST(s AS DOUBLE) / n_win, 6) AS mov_avg
+            FROM (SELECT event_id, user_id,
+                         count(*) OVER w AS n_win,
+                         sum(CAST(value AS DECIMAL(18,6))) OVER w AS s
+                  FROM events WHERE user_id < 5
+                  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+            ORDER BY event_id"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ14, qTpchQ18,
+    qOrdersNation, qSegmentTop, qSessionize, qEventsJson, qEventPercentiles,
+    qAsofOrders, qRangeJoin, qEventsMovingAvg)
 }

@@ -91,6 +91,41 @@ object TextQueries {
     * oracle — HLL sketch implementations differ across engines, so the
     * driver records a rows-only check; the exact column is covered by
     * q_text_stats and the relative-error bound is asserted in tests. */
+  /** Lexical-rarity quality signal: rank the corpus vocabulary by
+    * frequency (1 = most common), score each document by its tokens'
+    * mean rank, surface the 20 rarest-vocabulary documents. The rank
+    * table is vocabulary-sized — BROADCAST — so scoring is one corpus
+    * scan + explode; all arithmetic is integral until the final mean
+    * (exact ints < 2^53 → identical doubles cross-engine). The
+    * integer-safe stand-in for model-perplexity quality filters (no
+    * cross-engine `log` ulp hazards). */
+  val qRarityScore = Q(
+    "q_rarity_score",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      val vocabRank = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .select("w", "rank")
+      tok.join(broadcast(vocabRank), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum("rank").cast("double") / count(lit(1)), 6).as("avg_rank"),
+          max("rank").as("max_rank"))
+        .orderBy(col("avg_rank").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            v AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            r AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank FROM v)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(rank) AS DOUBLE) / count(*), 6) AS avg_rank,
+                   CAST(max(rank) AS BIGINT) AS max_rank
+            FROM tok JOIN r USING (w)
+            GROUP BY doc_id ORDER BY avg_rank DESC, doc_id LIMIT 20"""))
+
   /** PII redaction audit: mask numeric identifiers in the event payload
     * (`props`), report per event_type how many payloads were touched and
     * how many tokens were masked. Pure map-side regexp expressions — a
@@ -129,5 +164,5 @@ object TextQueries {
     None)
 
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
-    qPiiScrub, qApproxDistinct)
+    qPiiScrub, qRarityScore, qApproxDistinct)
 }
