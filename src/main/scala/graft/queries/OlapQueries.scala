@@ -51,6 +51,33 @@ object OlapQueries {
             FROM (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, value FROM events)
             GROUP BY CUBE(event_type, dow) ORDER BY event_type, dow"""))
 
+  /** Explicit GROUPING SETS (the non-hierarchical cousin of
+    * rollup/cube): per-type totals and per-weekday totals in ONE pass
+    * over events — no grand total, no cross product, exactly two
+    * marginal tables from a single scan. Spark 4's
+    * `Dataset.groupingSets` ≡ GROUP BY GROUPING SETS. */
+  val qEventsGroupingSets = Q(
+    "q_events_grouping_sets",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("dow", (weekday(col("ts")) + 1).cast("int")) // ISO: Mon=1
+      e.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("dow"))),
+        col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1)).as("dow"), col("cnt"), col("sum_value"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, -1) AS dow,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, value FROM events)
+            GROUP BY GROUPING SETS ((event_type), (dow))
+            ORDER BY event_type, dow"""))
+
   /** Pivot: per-source document counts spread across language columns
     * (explicit value list -> stable schema; DuckDB mirror via FILTER). */
   val qPivotLangs = Q(
@@ -93,5 +120,5 @@ object OlapQueries {
             WHERE o_totalprice > cavg * 1.5
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qPivotLangs, qAboveAvg)
+  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qEventsGroupingSets, qPivotLangs, qAboveAvg)
 }

@@ -96,6 +96,23 @@ class PlanSpec extends SparkSpec {
       "interval join must go through the day-bin equi-key")
   }
 
+  test("q_rarity_score broadcasts the vocab rank table and heap-top-ks the output") {
+    val p = plan("q_rarity_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q_tpch_q18 scans lineitem once (the HAVING aggregate IS the join side)") {
+    val p = plan("q_tpch_q18")
+    assert(p.split("Scan parquet").length - 1 === 3,
+      "exactly 3 scans expected: lineitem, orders, customer")
+  }
+
+  test("q_events_moving_avg pushes the user filter into the scan") {
+    val p = plan("q_events_moving_avg")
+    assert(p.contains("LessThan(user_id,5)"), p.take(1200))
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(

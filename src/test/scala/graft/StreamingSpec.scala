@@ -37,6 +37,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static interval join: RangeJoin tags streaming points against static windows") {
+    // the same bin-bucketed equi-join that q_range_join plan-asserts,
+    // composed with a stream: static intervals explode once, each
+    // micro-batch equi-joins on its bin — no stateful theta join needed
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 23:59:59")),
+      (2L, ts("2024-01-05 00:00:00"), ts("2024-01-05 12:00:00"))
+    ).toDF("iv_id", "lo", "hi")
+    val stream = MemoryStream[Event]
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      intervals, stream.toDF(), "lo", "hi", "ts", broadcastIntervals = false)
+    val q = joined.select("event_id", "iv_id")
+      .writeStream.format("memory").queryName("rj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // in window 1
+        Event(2, ts("2024-01-03 10:00:00"), 1, "click", 1.0), // in neither
+        Event(3, ts("2024-01-05 06:00:00"), 2, "view", 2.0))  // in window 2
+      q.processAllAvailable()
+      val rows = spark.table("rj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
   test("ingestStream: continuous writes land in the sharded lake and are queryable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake")
