@@ -41,12 +41,16 @@ object Tables {
     * reader rejects; read nanos as long (legacy conf) and convert to a
     * microsecond TimestampType column (integer div — exact for any
     * sub-second truncation we do downstream). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    planCache.computeIfAbsent((spark, s"$dir/events.parquet#converted"), k => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(spark, dir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    })
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // resolve the base entry BEFORE the converted-frame computeIfAbsent:
+    // a nested computeIfAbsent on the same map is a "Recursive update"
+    // IllegalStateException when the base entry isn't populated yet
+    val base = load(spark, dir, "events")
+    planCache.computeIfAbsent((spark, s"$dir/events.parquet#converted"),
+      _ => base.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

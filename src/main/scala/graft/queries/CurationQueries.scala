@@ -87,6 +87,65 @@ object CurationQueries {
                    round(CAST(w_tokens AS DOUBLE) / CAST(sum(w_tokens) OVER () AS DOUBLE), 6) AS mix_frac
             FROM w ORDER BY source"""))
 
+  /** BPE merge-candidate table: counts of ADJACENT token pairs across
+    * the corpus — the inner loop of byte-pair-encoding vocabulary
+    * training. Pairs are formed array-side (`zip_with` over two slices,
+    * no self-join) then hash-aggregated; one scan, map-side combinable,
+    * heap top-k. Documents with <2 tokens contribute nothing on both
+    * engines (empty slice ≡ empty range). */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, dir) => {
+      val t = T.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(explode(zip_with(
+          // greatest(…, 0): slice throws on negative length, and a
+          // pathological empty token array would produce size-1 = -1
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+            i AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok)
+            SELECT t[i] || ' ' || t[i + 1] AS pair, CAST(count(*) AS BIGINT) AS cnt
+            FROM i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  /** Embedding-norm outlier audit: per label, how many vectors fall
+    * inside the global [p1, p99] norm band. The percentile bounds are a
+    * ONE-ROW aggregate broadcast against the scan (no second shuffle of
+    * the data); norms are computed with the same left-to-right kernel
+    * contract as the oracle's list_distance, so the band comparison is
+    * bit-identical cross-engine. The pre-training sanity gate that
+    * catches collapsed or exploded embedding batches. */
+  val qNormOutliers = Q(
+    "q_norm_outliers",
+    (s, dir) => {
+      val norms = Tables.embeddings(s, dir)
+        .select(col("label"), V.l2Norm(col("embedding")).as("nrm"))
+      val bounds = norms.agg(
+        expr("percentile(nrm, 0.01)").as("lo"),
+        expr("percentile(nrm, 0.99)").as("hi"))
+      norms.crossJoin(broadcast(bounds))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nrm").between(col("lo"), col("hi")), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("nrm") < col("lo") || col("nrm") > col("hi"), 1L).otherwise(0L)).as("n_out"))
+        .orderBy("label")
+    },
+    Some("""WITH n AS (SELECT label,
+                              list_distance(embedding::DOUBLE[],
+                                list_transform(embedding::DOUBLE[], x -> 0.0)) AS nrm
+                       FROM embeddings),
+            b AS (SELECT quantile_cont(nrm, 0.01) AS lo, quantile_cont(nrm, 0.99) AS hi FROM n)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN nrm BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN nrm < lo OR nrm > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+            FROM n CROSS JOIN b GROUP BY label ORDER BY label"""))
+
   /** Eval-set decontamination: flag training documents sharing any word
     * 5-gram with the held-out set (doc_id < 20). The eval shingle set is
     * tiny and BROADCAST; the corpus side is one scan + explode — the
@@ -240,6 +299,6 @@ object CurationQueries {
             FROM e GROUP BY label ORDER BY label"""))
 
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
-    qDecontaminate, qPackDocs,
+    qBpePairs, qNormOutliers, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats)
 }
