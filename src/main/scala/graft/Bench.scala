@@ -42,11 +42,15 @@ object Bench {
       }
       name -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
     }
-    // truncate BEFORE escaping: a cut through the middle of an escape
-    // sequence would emit invalid JSON
-    def jstr(s: String): String =
-      "\"" + s.take(160).replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // truncate BEFORE escaping (a cut through the middle of an escape
+    // sequence would emit invalid JSON), then escape EVERY control char
+    // < 0x20 — JSON forbids them all raw, not just \n\r\t
+    def jstr(s: String): String = "\"" + s.take(160).flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(m))) => jstr(k) + ":" + jstr(m) }

@@ -66,7 +66,10 @@ object VectorKernels {
     * floors `x + 0.5` and disagrees on negative halves and on doubles
     * like 0.49999999999999994. */
   def sparkRound0(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    // NaN/Infinity pass through like Spark's Round (BigDecimal.valueOf
+    // would throw NumberFormatException)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** One-pass int8-quantization audit over a dense `array<double>`:
@@ -88,7 +91,14 @@ object VectorKernels {
     i = 0
     while (i < n) {
       val x = arr.getDouble(i)
-      val q = sparkRound0(x * scale).toLong
+      val r = sparkRound0(x * scale)
+      // the HOF twin's `.cast("long")` fails the job under ANSI for a
+      // non-finite rounded value (NaN/Inf from corrupt inputs); (long)r
+      // would silently emit 0 instead — fail loudly like ANSI does
+      if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r))
+        throw new ArithmeticException(
+          s"quantize_audit: non-finite quantized value $r (input $x, scale $scale)")
+      val q = r.toLong
       absQ += math.abs(q)
       val d = x - q.toDouble / scale
       s += d * d

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges undirected edge list
-    * @param maxIter iteration bound; if the loop hits it before the
-    *        fixpoint (only possible for graphs with diameter > maxIter —
-    *        not a dedup shape) an IllegalStateException is thrown rather
-    *        than silently returning split components
+    * @param maxIter iteration bound; a graph that needs MORE than
+    *        maxIter propagation rounds (diameter > maxIter — not a
+    *        dedup shape) raises IllegalStateException rather than
+    *        silently returning split components; convergence ON the
+    *        last round is confirmed with one extra zero-change round
     * @param checkpointDir when Some(dir): cut lineage with RELIABLE
     *        checkpoints written to `dir` (an HDFS/object-store path on a
     *        real cluster) so a 20-round job survives executor loss.
@@ -48,9 +49,7 @@ object ConnectedComponents {
     var labels = cut(sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
 
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
+    def round(): Long = {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -61,14 +60,22 @@ object ConnectedComponents {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
-      changed = updated.where(col("component") =!= col("_old")).count()
+      val changed = updated.where(col("component") =!= col("_old")).count()
       labels = updated.select("id", "component")
-      i += 1
+      changed
     }
-    if (changed > 0)
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) { changed = round(); i += 1 }
+    // a run whose LAST permitted round still changed labels may in fact
+    // have just reached the fixpoint (diameter == maxIter); only a
+    // zero-change confirming round can tell — run one before declaring
+    // failure, so the bound is exact rather than off by one
+    if (changed > 0 && round() > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
-          s"($changed labels still moving) — raise maxIter for long-diameter graphs")
+          "(labels still moving) — raise maxIter for long-diameter graphs")
     labels
   }
 }

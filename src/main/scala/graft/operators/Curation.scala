@@ -39,6 +39,10 @@ object Curation {
     * materializes the full group ordering). */
   def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
       n: Int): DataFrame = {
+    // `rk` is part of the output contract — refuse to silently clobber
+    // a caller column of the same name
+    require(!df.columns.contains("rk"),
+      "stratifiedSample adds an 'rk' rank column; input already has one — rename it first")
     val w = Window.partitionBy(groupCol)
       .orderBy(T.h60(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)

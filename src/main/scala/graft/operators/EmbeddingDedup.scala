@@ -55,6 +55,9 @@ object EmbeddingDedup {
     * frame (e.g. pipeline stages). */
   def bucketPairs(prepped: DataFrame, minSim: Double, blocks: Int = 1): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    // internal working columns — refuse input that would silently collide
+    Seq("_blk", "_bi", "_bj").foreach(c => require(!prepped.columns.contains(c),
+      s"bucketPairs uses internal column '$c'; rename it in the input first"))
     val base = prepped.withColumn("_blk",
       pmod(hash(col("id")), lit(blocks)).cast("int"))
     // lower-block row joins on the LEFT: left covers keys (blk, j≥blk),

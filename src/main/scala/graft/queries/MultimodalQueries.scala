@@ -100,7 +100,14 @@ object AnnQueries {
   /** Centroids from the LAST qAnnIvf run. `Registry.oracleSql` is a def
     * evaluated AFTER every query has run (Verify dumps oracle_sql.json
     * last), so the oracle replays exactly the literals the Spark side
-    * used. Before any run there is no entry → rows-only fallback. */
+    * used. Before any run there is no entry → rows-only fallback.
+    *
+    * DELIBERATE JVM-lifetime coupling: the oracle is only meaningful
+    * for the most recent run's scale factor. Verify's sequencing (run
+    * queries, then dump) guarantees consistency for full runs, and its
+    * name filter drops this entry from dumps that didn't run the query;
+    * callers composing their own multi-sf flows in one JVM must dump
+    * immediately after the run they mean to check. */
   @volatile private var lastModel: Option[Ivf.IvfModel] = None
 
   private def round6(m: Ivf.IvfModel): Ivf.IvfModel =

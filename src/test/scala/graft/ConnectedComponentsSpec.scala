@@ -31,6 +31,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comp(Seq.empty).isEmpty)
   }
 
+  test("maxIter bound is exact: convergence ON the last round passes, one past throws") {
+    // chain 0-1-2-3-4-5: node 5 takes label 0 on round 5 exactly
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ok = ConnectedComponents.components(chain, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(0L)) // fully converged, no throw
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 4).collect()
+    }
+  }
+
   test("reliable-checkpoint mode produces the same labeling and writes to the dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val c = ConnectedComponents.components(

@@ -75,6 +75,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(graft.expressions.VectorKernels.sparkRound0(-2.5) === -3.0)
     assert(graft.expressions.VectorKernels.sparkRound0(2.5) === 3.0)
     assert(graft.expressions.VectorKernels.sparkRound0(0.49999999999999994) === 0.0)
+    // non-finite inputs pass through like Spark's Round (no
+    // NumberFormatException from BigDecimal.valueOf)
+    assert(graft.expressions.VectorKernels.sparkRound0(Double.NaN).isNaN)
+    assert(graft.expressions.VectorKernels.sparkRound0(Double.PositiveInfinity)
+      === Double.PositiveInfinity)
+    // a corrupt (non-finite) element fails LOUDLY like the HOF twin's
+    // ANSI cast, never as a silent 0
+    intercept[ArithmeticException] {
+      graft.expressions.VectorKernels.quantAudit(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(1.0, Double.PositiveInfinity)))
+    }
   }
 
   test("registered SQL functions: vector_dot / vector_sq_l2 usable from spark.sql") {
