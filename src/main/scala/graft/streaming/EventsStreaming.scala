@@ -31,6 +31,25 @@ object EventsStreaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Stream-stream event correlation: each left event (e.g. a click)
+    * joins the right events (e.g. views) of the SAME user that landed
+    * within `gapMinutes` AFTER it. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark keeps only
+    * `watermark + gap` of state per side — the buffered-join shape that
+    * stays O(window), not O(stream). Works on two `readStream` frames
+    * with the Event schema. */
+  def correlate(left: DataFrame, right: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+          r.ts >= l.ts AND
+          r.ts <= l.ts + INTERVAL $gapMinutes MINUTES"""))
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"))
+  }
+
   /** Per-user sessionization with explicit state: a session closes after
     * `gapSeconds` of inactivity. flatMapGroupsWithState keeps one small
     * state record per user (last-seen ts + running counts) — constant

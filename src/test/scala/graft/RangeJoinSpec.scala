@@ -60,4 +60,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.pointInInterval(
       intervals.where(lit(false)), points, "lo", "hi", "pt").count() === 0)
   }
+
+  test("randomized: bin join == naive theta join on 500 points x 40 intervals") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def rts(span: Long) = new Timestamp(t0 + (rng.nextDouble() * span).toLong)
+    val week = 7L * 86400 * 1000
+    val intervals = (1 to 40).map { i =>
+      val lo = rts(8 * week)
+      // interval lengths from seconds to multiple bins wide
+      (i.toLong, lo, new Timestamp(lo.getTime + (rng.nextDouble() * 3 * 86400 * 1000).toLong))
+    }.toDF("iv_id", "lo", "hi")
+    val points = (1 to 500).map(i => (i.toLong, rts(9 * week))).toDF("pt_id", "pt")
+    val got = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "pt")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val want = points.crossJoin(intervals)
+      .where(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate fixture: no overlaps generated")
+  }
 }

@@ -37,6 +37,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream correlate: same-user events join within the gap, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventsStreaming.correlate(clicks.toDF(), views.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+      views.addData(
+        Event(10, ts("2024-01-01 10:10:00"), 1, "view", 0.0),  // within gap, user 1
+        Event(11, ts("2024-01-01 11:10:00"), 1, "view", 0.0),  // past gap
+        Event(12, ts("2024-01-01 10:20:00"), 3, "view", 0.0))  // other user
+      q.processAllAvailable()
+      // advance both watermarks so the join emits finalized results
+      clicks.addData(Event(99, ts("2024-01-01 14:00:00"), 9, "click", 0.0))
+      views.addData(Event(98, ts("2024-01-01 14:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("corr_out")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 10L)))
+      assert(!rows.contains((1L, 11L)) && !rows.contains((2L, 12L)))
+    } finally q.stop()
+  }
+
   test("stream-static interval join: RangeJoin tags streaming points against static windows") {
     // the same bin-bucketed equi-join that q_range_join plan-asserts,
     // composed with a stream: static intervals explode once, each
