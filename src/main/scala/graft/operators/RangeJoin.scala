@@ -39,6 +39,11 @@ object RangeJoin {
     *
     * @param broadcastIntervals hint the exploded interval side as
     *        broadcast — use when intervals are dimension-sized.
+    * @param salts for the SHUFFLE path only: spread each bin over this
+    *        many sub-keys ([[Skew.saltedJoin]], salt derived from the
+    *        point timestamp) when real data piles onto a hot bin (flash
+    *        sale hour, midnight batch stamps). The broadcast path never
+    *        shuffles on the bin, so it needs no salting.
     */
   def pointInInterval(
       intervals: DataFrame,
@@ -47,18 +52,22 @@ object RangeJoin {
       hiTs: String,
       pointTs: String,
       binSeconds: Long = 86400L,
-      broadcastIntervals: Boolean = true): DataFrame = {
+      broadcastIntervals: Boolean = true,
+      salts: Int = 1): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     // cast: fixture timestamps are TIMESTAMP_NTZ, unix_seconds wants LTZ.
     // Bin values are engine-internal (only equality matters), so the
     // session-timezone interpretation of the cast is harmless.
     def bin(c: Column): Column = floor(unix_seconds(c.cast("timestamp")) / binSeconds)
     val binned = intervals.withColumn(
       "_gbin", explode(sequence(bin(col(loTs)), bin(col(hiTs)))))
-    val lhs = if (broadcastIntervals) broadcast(binned) else binned
-    points
-      .withColumn("_gbin", bin(col(pointTs)))
-      .join(lhs, Seq("_gbin"))
+    val pts = points.withColumn("_gbin", bin(col(pointTs)))
+    val joined =
+      if (broadcastIntervals) pts.join(broadcast(binned), Seq("_gbin"))
+      else if (salts > 1) Skew.saltedJoin(pts, binned, "_gbin", salts, col(pointTs))
+      else pts.join(binned, Seq("_gbin"))
+    joined
       .where(col(pointTs) >= col(loTs) && col(pointTs) <= col(hiTs))
       .drop("_gbin")
   }

@@ -61,6 +61,24 @@ class RangeJoinSpec extends SparkSpec {
       intervals.where(lit(false)), points, "lo", "hi", "pt").count() === 0)
   }
 
+  test("salted shuffle path: a hot bin spreads over salts with identical results") {
+    import spark.implicits._
+    // 200 points piled into ONE day (hot bin) + the fixture intervals
+    val (intervals, _) = fixtures
+    val hot = (1 to 200).map(i =>
+      (i.toLong, new Timestamp(ts("2024-01-02 00:00:00").getTime + i * 60000L)))
+      .toDF("pt_id", "pt")
+    val plain = RangeJoin.pointInInterval(intervals, hot, "lo", "hi", "pt",
+      broadcastIntervals = false)
+    val salted = RangeJoin.pointInInterval(intervals, hot, "lo", "hi", "pt",
+      broadcastIntervals = false, salts = 8)
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+    assert(plain.count() > 0)
+    // the salted plan keys its exchange on (bin, salt), not bin alone
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), p.take(800))
+  }
+
   test("randomized: bin join == naive theta join on 500 points x 40 intervals") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
