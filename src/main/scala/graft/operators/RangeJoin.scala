@@ -39,11 +39,16 @@ object RangeJoin {
     *
     * @param broadcastIntervals hint the exploded interval side as
     *        broadcast — use when intervals are dimension-sized.
-    * @param salts for the SHUFFLE path only: spread each bin over this
-    *        many sub-keys ([[Skew.saltedJoin]], salt derived from the
-    *        point timestamp) when real data piles onto a hot bin (flash
-    *        sale hour, midnight batch stamps). The broadcast path never
-    *        shuffles on the bin, so it needs no salting.
+    * @param salts for the SHUFFLE path only (requires
+    *        `broadcastIntervals = false` — asking for salts the
+    *        broadcast path would ignore is an error, not a no-op):
+    *        spread each bin over this many sub-keys
+    *        ([[Skew.saltedJoin]]) when real data piles onto a hot bin
+    *        (flash sale hour, midnight batch stamps). The salt hashes
+    *        ALL point columns, so even a bin full of one repeated
+    *        timestamp spreads as long as the rows differ anywhere.
+    *        The broadcast path never shuffles on the bin, so it needs
+    *        no salting.
     */
   def pointInInterval(
       intervals: DataFrame,
@@ -56,6 +61,12 @@ object RangeJoin {
       salts: Int = 1): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(salts == 1 || !broadcastIntervals,
+      "salts only applies to the shuffle path — pass broadcastIntervals = false")
+    // internal working columns — refuse input that would silently collide
+    val clash = (intervals.columns ++ points.columns).intersect(Seq("_gbin", "_salt"))
+    require(clash.isEmpty,
+      s"pointInInterval uses internal column(s) ${clash.mkString(", ")}; rename them in the input first")
     // cast: fixture timestamps are TIMESTAMP_NTZ, unix_seconds wants LTZ.
     // Bin values are engine-internal (only equality matters), so the
     // session-timezone interpretation of the cast is harmless.
@@ -63,9 +74,12 @@ object RangeJoin {
     val binned = intervals.withColumn(
       "_gbin", explode(sequence(bin(col(loTs)), bin(col(hiTs)))))
     val pts = points.withColumn("_gbin", bin(col(pointTs)))
+    // salt from EVERY point column: a hot bin of one repeated timestamp
+    // (midnight batch stamps) would get zero spread from hash(pointTs)
+    val saltSrc = struct(points.columns.map(col): _*)
     val joined =
       if (broadcastIntervals) pts.join(broadcast(binned), Seq("_gbin"))
-      else if (salts > 1) Skew.saltedJoin(pts, binned, "_gbin", salts, col(pointTs))
+      else if (salts > 1) Skew.saltedJoin(pts, binned, "_gbin", salts, saltSrc)
       else pts.join(binned, Seq("_gbin"))
     joined
       .where(col(pointTs) >= col(loTs) && col(pointTs) <= col(hiTs))

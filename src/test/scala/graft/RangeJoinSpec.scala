@@ -77,6 +77,27 @@ class RangeJoinSpec extends SparkSpec {
     // the salted plan keys its exchange on (bin, salt), not bin alone
     val p = salted.queryExecution.executedPlan.toString
     assert(p.contains("_salt"), p.take(800))
+
+    // degenerate hot bin: ONE repeated timestamp — the salt hashes all
+    // point columns, so distinct ids still spread and results hold
+    val stamped = (1 to 100).map(i => (i.toLong, ts("2024-01-02 00:00:00")))
+      .toDF("pt_id", "pt")
+    val sStamped = RangeJoin.pointInInterval(intervals, stamped, "lo", "hi", "pt",
+      broadcastIntervals = false, salts = 8)
+    assert(sStamped.count() === 100) // all inside interval 1
+    val spread = sStamped.select(
+      pmod(hash(struct(col("pt_id"), col("pt"))), lit(8))).distinct().count()
+    assert(spread > 1, "identical timestamps must still spread across salts")
+
+    // misuse fails loudly: salts with the (default) broadcast path
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(intervals, stamped, "lo", "hi", "pt", salts = 8)
+    }
+    // collision guard: a caller _salt column is refused, not clobbered
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(intervals, stamped.withColumn("_salt", lit(1)),
+        "lo", "hi", "pt", broadcastIntervals = false, salts = 2)
+    }
   }
 
   test("randomized: bin join == naive theta join on 500 points x 40 intervals") {
