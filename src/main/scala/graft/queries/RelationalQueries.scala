@@ -388,7 +388,33 @@ object RelationalQueries {
                                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
             ORDER BY event_id"""))
 
+  /** Explicit LEFT ANTI join: customers with no urgent order, rolled up
+    * per market segment. The anti side is pre-filtered and deduplicated
+    * by the join itself; at scale this is one shuffle (or a broadcast
+    * when the filtered side is small — AQE's call). Oracle via
+    * NOT EXISTS — the relational twin of the anti join. */
+  val qNoUrgent = Q(
+    "q_no_urgent",
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ14, qTpchQ18,
     qOrdersNation, qSegmentTop, qSessionize, qEventsJson, qEventPercentiles,
-    qAsofOrders, qRangeJoin, qEventsMovingAvg)
+    qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent)
 }

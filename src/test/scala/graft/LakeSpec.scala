@@ -122,6 +122,18 @@ class LakeSpec extends SparkSpec {
     assert(df.where(col("tenant") === "a").count() === 1L)
   }
 
+  test("read() refuses a drifted on-disk schema loudly (reference validates on load)") {
+    val lake = freshLake()
+    lake.ingest(vecsDF(Seq(Seq(0.1, 0.2, 0.3, 0.4, 0.5))))
+    // a foreign writer adds a file with an extra column: the validated
+    // read must fail with the schema diff, never silently widen/narrow
+    Seq((Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f), "doc", 42L))
+      .toDF("vector", "document", "rogue_col")
+      .write.mode("append").parquet(s"${lake.cfg.location}/shard=0")
+    val e = intercept[IllegalArgumentException](lake.read())
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("similaritySearch projects (document, metadata, dist) - LangChain adapter analog") {
     val lake = freshLake()
     val v = Seq(0.5, 0.1, -0.2, 0.3, 0.9)
