@@ -146,6 +146,33 @@ object CurationQueries {
                    CAST(sum(CASE WHEN nrm < lo OR nrm > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out
             FROM n CROSS JOIN b GROUP BY label ORDER BY label"""))
 
+  /** Fixed-window document chunking audit: split each document into
+    * 32-token chunks with 8-token overlap (stride 24) — the windowing
+    * every RAG/embedding/pre-training pipeline applies before encoding.
+    * Chunk starts are an arithmetic sequence computed array-side (no
+    * explode needed for the audit aggregate); all counts integral.
+    * Spark `sequence(0, n-1, 24)` ≡ DuckDB `range(0, n, 24)` — both
+    * enumerate starts strictly below n. */
+  val qChunkDocs = Q(
+    "q_chunk_docs",
+    (s, dir) => {
+      val n = size(T.tokens(col("text")))
+      val starts = sequence(lit(0), n - 1, lit(24))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.as("n_tokens"),
+          size(starts).as("n_chunks"),
+          aggregate(starts, lit(0L),
+            (a, st) => a + least(lit(32), n - st)).as("chunk_tokens"))
+        .where(col("doc_id") < 30)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+                   CAST(len(range(0, len(t), 24)) AS INTEGER) AS n_chunks,
+                   CAST(list_sum(list_transform(range(0, len(t), 24),
+                        st -> least(32, len(t) - st))) AS BIGINT) AS chunk_tokens
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE doc_id < 30 ORDER BY doc_id"""))
+
   /** Eval-set decontamination: flag training documents sharing any word
     * 5-gram with the held-out set (doc_id < 20). The eval shingle set is
     * tiny and BROADCAST; the corpus side is one scan + explode — the
@@ -299,6 +326,6 @@ object CurationQueries {
             FROM e GROUP BY label ORDER BY label"""))
 
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
-    qBpePairs, qNormOutliers, qDecontaminate, qPackDocs,
+    qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats)
 }

@@ -414,7 +414,38 @@ object RelationalQueries {
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Equal-width histogram of event values per type: global [min, max]
+    * from a one-row broadcast aggregate, 10 bins, bin index from
+    * identical double arithmetic on both engines (floor of the same
+    * bits — no interpolation). The profiling sweep every ingest
+    * pipeline runs before choosing filters. */
+  val qValueHistogram = Q(
+    "q_value_histogram",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val bounds = e.agg(min("value").as("mn"), max("value").as("mx"))
+      e.crossJoin(broadcast(bounds))
+        // degenerate mx == mn guard: everything lands in bin 0
+        .withColumn("bin",
+          when(col("mx") === col("mn"), lit(0L)).otherwise(
+            least(lit(9L), floor((col("value") - col("mn")) * 10.0 /
+              (col("mx") - col("mn"))).cast("long"))))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+            SELECT event_type,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE least(9, CAST(floor((value - mn) * 10.0 / (mx - mn)) AS BIGINT))
+                   END AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+            FROM events CROSS JOIN b
+            GROUP BY event_type, bin ORDER BY event_type, bin"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ14, qTpchQ18,
     qOrdersNation, qSegmentTop, qSessionize, qEventsJson, qEventPercentiles,
-    qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent)
+    qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent, qValueHistogram)
 }
