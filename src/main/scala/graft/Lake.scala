@@ -172,7 +172,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(storedFields :+ StructField(partCol,
           if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
-    val df = spark.read.parquet(cfg.location)
+    // mergeSchema: the default read infers from ONE footer (the
+    // lexicographically first file), so a drifted file anywhere else in
+    // the lake would slip through null-filled instead of failing the
+    // validation. Merging unions every footer — drift in ANY file
+    // surfaces here. Footer merging is a parallel metadata job, kept
+    // cheap by compact()'s O(shards) file-count discipline.
+    val df = spark.read.option("mergeSchema", "true").parquet(cfg.location)
     val got = df.columns.toSet
     val want = storedCols.toSet + partCol
     require(got == want, s"schema mismatch: got $got want $want")

@@ -126,10 +126,13 @@ class LakeSpec extends SparkSpec {
     val lake = freshLake()
     lake.ingest(vecsDF(Seq(Seq(0.1, 0.2, 0.3, 0.4, 0.5))))
     // a foreign writer adds a file with an extra column: the validated
-    // read must fail with the schema diff, never silently widen/narrow
+    // read must fail with the schema diff, never silently widen/narrow.
+    // shard=9 sorts AFTER the legit data's shard dir — without
+    // mergeSchema the single-footer inference would pick the legit file
+    // and miss the drift entirely (empirically confirmed in review)
     Seq((Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f), "doc", 42L))
       .toDF("vector", "document", "rogue_col")
-      .write.mode("append").parquet(s"${lake.cfg.location}/shard=0")
+      .write.mode("append").parquet(s"${lake.cfg.location}/shard=9")
     val e = intercept[IllegalArgumentException](lake.read())
     assert(e.getMessage.contains("schema mismatch"))
   }
