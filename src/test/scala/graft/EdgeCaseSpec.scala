@@ -91,6 +91,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L)))
   }
 
+  test("inverted interval (lo > hi) joins nothing, never throws") {
+    import java.sql.Timestamp
+    val intervals = Seq((1L,
+      Timestamp.valueOf("2024-01-05 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("iv_id", "lo", "hi")
+    val points = Seq((10L, Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("pt_id", "pt")
+    // Spark sequence() auto-steps backwards for lo-bin > hi-bin, so bins
+    // ARE generated — the exact residual filter must still reject all
+    assert(graft.operators.RangeJoin
+      .pointInInterval(intervals, points, "lo", "hi", "pt").count() === 0)
+  }
+
+  test("stratifiedSample with n=0 is empty; sampling an empty frame is empty") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(graft.operators.Curation
+      .stratifiedSample(docs, "lang", "doc_id", 0).count() === 0)
+    assert(graft.operators.Curation
+      .stratifiedSample(docs.where(lit(false)), "lang", "doc_id", 3).count() === 0)
+  }
+
   test("streaming nearDupGate handles empty-string documents deterministically") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
