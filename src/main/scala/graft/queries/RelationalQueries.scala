@@ -445,7 +445,99 @@ object RelationalQueries {
             FROM events CROSS JOIN b
             GROUP BY event_type, bin ORDER BY event_type, bin"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ14, qTpchQ18,
-    qOrdersNation, qSegmentTop, qSessionize, qEventsJson, qEventPercentiles,
-    qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent, qValueHistogram)
+  /** TPC-H Q7-style nation-pair trade flow: the supplier's nation and
+    * the customer's nation attach to the SAME lineitem through two
+    * different broadcast dimension chains, revenue per directed pair
+    * per year. The two-role-dimension pattern (one dim table joined
+    * twice under different aliases). */
+  val qTpchQ7 = Q(
+    "q_tpch_q7",
+    (s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === n1("sk"))
+        .join(broadcast(n2), c("c_nationkey") === n2("ck"))
+        .where(sup("s_nationkey") < 5 && c("c_nationkey") < 5 &&
+          sup("s_nationkey") =!= c("c_nationkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE s_nationkey < 5 AND c_nationkey < 5
+              AND s_nationkey <> c_nationkey
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** Sequential funnel: per user, count click→view transitions between
+    * CONSECUTIVE events (lead window over event time) — the adjacency
+    * pattern behind funnel/conversion analytics. One shuffle on
+    * user_id; the lead frame is a single following row. */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click" && col("next_type") === "view", 1L)
+            .otherwise(0L)).as("click_to_view"))
+        .where(col("user_id") < 20)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'click' AND next_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS click_to_view
+            FROM (SELECT user_id, event_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                  FROM events)
+            WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""))
+
+  /** Arg-extreme aggregates: the event carrying the max/min value per
+    * type (`max_by`/`min_by` ≡ DuckDB `arg_max`/`arg_min`), id
+    * tie-broken via the (value, id) struct so both engines pick the
+    * same row deterministically. */
+  val qArgExtremes = Q(
+    "q_arg_extremes",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        max(struct(col("value"), col("event_id"))).getField("event_id").as("max_event"),
+        min(struct(col("value"), col("event_id"))).getField("event_id").as("min_event"),
+        round(max("value"), 6).as("max_value"),
+        round(min("value"), 6).as("min_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   (max(struct_pack(v := value, id := event_id))).id AS max_event,
+                   (min(struct_pack(v := value, id := event_id))).id AS min_event,
+                   round(max(value), 6) AS max_value,
+                   round(min(value), 6) AS min_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ7, qTpchQ14,
+    qTpchQ18, qOrdersNation, qSegmentTop, qSessionize, qEventsJson,
+    qEventPercentiles, qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent,
+    qValueHistogram, qFunnel, qArgExtremes)
 }
