@@ -113,6 +113,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(user_id,5)"), p.take(1200))
   }
 
+  test("q_tpch_q7 broadcasts both nation roles and the other dims") {
+    val p = plan("q_tpch_q7")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_no_urgent plans a hash anti join, never a nested loop") {
+    val p = plan("q_no_urgent")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
