@@ -536,8 +536,39 @@ object RelationalQueries {
                    round(min(value), 6) AS min_value
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Descriptive statistics (the `df.summary()` analog) per return
+    * flag: count / mean / sample std / min / max of quantity. Std via
+    * the explicit two-moment formula over DECIMAL sums —
+    * `stddev_samp`'s streaming accumulation is order-dependent in the
+    * last ulp and differs across engines, but exact decimal Σx and Σx²
+    * pushed through the identical double formula give identical bits. */
+  val qSummaryStats = Q(
+    "q_summary_stats",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("s1"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,6)")).cast("double").as("s2"),
+        round(min("l_quantity"), 6).as("qmin"),
+        round(max("l_quantity"), 6).as("qmax"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6).as("std"),
+        col("qmin"), col("qmax"))
+      .orderBy("l_returnflag"),
+    Some("""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                              CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+                              round(min(l_quantity), 6) AS qmin,
+                              round(max(l_quantity), 6) AS qmax
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n, round(s1 / n, 6) AS mean,
+                   round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
+                   qmin, qmax
+            FROM m ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ7, qTpchQ14,
     qTpchQ18, qOrdersNation, qSegmentTop, qSessionize, qEventsJson,
     qEventPercentiles, qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent,
-    qValueHistogram, qFunnel, qArgExtremes)
+    qValueHistogram, qFunnel, qArgExtremes, qSummaryStats)
 }

@@ -46,4 +46,14 @@ object EmbeddingSources {
     normalize(spark.read
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
       .json(path))
+
+  /** ORC — Spark's other native columnar format, same validation
+    * contract as [[parquet]]; useful when an upstream Hive/Trino
+    * pipeline hands embeddings over as ORC instead. */
+  def orc(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.orc(path)
+    require(Set("vec_id", "embedding", "label").subsetOf(df.columns.toSet),
+      s"missing columns in $path: ${df.columns.mkString(",")}")
+    normalize(df)
+  }
 }

@@ -33,10 +33,19 @@ class EmbeddingSourcesSpec extends SparkSpec {
       df.orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq, r.getInt(2))).toSeq
 
+    locally {
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").orc(s"$dir/e.orc")
+    }
+    val fromOrc = EmbeddingSources.orc(spark, s"$dir/e.orc")
+
     assert(fromCsv.schema === fromJson.schema)
     assert(fromJson.schema === fromParquet.schema)
+    assert(fromParquet.schema === fromOrc.schema)
     assert(canon(fromCsv) === canon(fromParquet))
     assert(canon(fromJson) === canon(fromParquet))
+    assert(canon(fromOrc) === canon(fromParquet))
   }
 
   test("sources feed the lake ingest pipeline unchanged") {
