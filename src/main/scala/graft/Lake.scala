@@ -173,11 +173,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         StructType(storedFields :+ StructField(partCol,
           if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
     // mergeSchema: the default read infers from ONE footer (the
-    // lexicographically first file), so a drifted file anywhere else in
-    // the lake would slip through null-filled instead of failing the
-    // validation. Merging unions every footer — drift in ANY file
-    // surfaces here. Footer merging is a parallel metadata job, kept
-    // cheap by compact()'s O(shards) file-count discipline.
+    // lexicographically first file), so an EXTRA column in any other
+    // file would slip through null-filled instead of failing the
+    // validation; merging unions every footer so added-column drift in
+    // ANY file surfaces here. Known residual gap: a foreign file with a
+    // SUBSET of the columns still unions to the canonical set and reads
+    // null-filled — catching that needs per-footer comparison (an
+    // O(files) metadata pass), same per-loaded-frame limitation as the
+    // reference's validation (index.py:249-250). compact() rewrites
+    // homogenize such files away. Footer merging stays cheap via
+    // compact()'s O(shards) file-count discipline.
     val df = spark.read.option("mergeSchema", "true").parquet(cfg.location)
     val got = df.columns.toSet
     val want = storedCols.toSet + partCol

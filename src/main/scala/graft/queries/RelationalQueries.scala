@@ -98,8 +98,11 @@ object RelationalQueries {
         .orderBy("event_type")
     },
     Some("""WITH e AS (SELECT event_type,
-                   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   -- order by the MICROSECOND-truncated time + id, matching
+                   -- the engine's converted frame: raw ns ordering could
+                   -- disagree inside one microsecond and flip the lag
+                   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
             FROM events)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -511,7 +514,7 @@ object RelationalQueries {
                             THEN 1 ELSE 0 END) AS BIGINT) AS click_to_view
             FROM (SELECT user_id, event_type,
                          lead(event_type) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id) AS next_type
+                           ORDER BY epoch_us(ts), event_id) AS next_type
                   FROM events)
             WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""))
 
@@ -553,7 +556,11 @@ object RelationalQueries {
         round(max("l_quantity"), 6).as("qmax"))
       .select(col("l_returnflag"), col("n"),
         round(col("s1") / col("n"), 6).as("mean"),
-        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6).as("std"),
+        // n=1 group guard: (n-1)=0 is a job-killing ANSI division —
+        // sample std of a singleton is undefined, emit NULL like the oracle
+        when(col("n") > 1,
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6))
+          .as("std"),
         col("qmin"), col("qmax"))
       .orderBy("l_returnflag"),
     Some("""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -563,7 +570,9 @@ object RelationalQueries {
                               round(max(l_quantity), 6) AS qmax
                        FROM lineitem GROUP BY l_returnflag)
             SELECT l_returnflag, n, round(s1 / n, 6) AS mean,
-                   round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
+                   CASE WHEN n > 1
+                        THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+                   END AS std,
                    qmin, qmax
             FROM m ORDER BY l_returnflag"""))
 

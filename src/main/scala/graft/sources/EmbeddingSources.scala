@@ -23,13 +23,17 @@ object EmbeddingSources {
       col("embedding").cast(ArrayType(FloatType)),
       col("label").cast(IntegerType))
 
-  /** Parquet with schema validation (canonical format). */
-  def parquet(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    require(Set("vec_id", "embedding", "label").subsetOf(df.columns.toSet),
-      s"missing columns in $path: ${df.columns.mkString(",")}")
+  /** Shared validation: the canonical columns must be present; the
+    * error names what's MISSING, not what happens to be there. */
+  private def validated(df: DataFrame, path: String): DataFrame = {
+    val missing = Set("vec_id", "embedding", "label") -- df.columns.toSet
+    require(missing.isEmpty, s"missing columns in $path: ${missing.mkString(",")}")
     normalize(df)
   }
+
+  /** Parquet with schema validation (canonical format). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    validated(spark.read.parquet(path), path)
 
   /** CSV with the vector as a `|`-delimited string column, e.g.
     * `7,0.1|0.2|0.3,4` — the common exported-from-numpy shape. */
@@ -50,10 +54,6 @@ object EmbeddingSources {
   /** ORC — Spark's other native columnar format, same validation
     * contract as [[parquet]]; useful when an upstream Hive/Trino
     * pipeline hands embeddings over as ORC instead. */
-  def orc(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.orc(path)
-    require(Set("vec_id", "embedding", "label").subsetOf(df.columns.toSet),
-      s"missing columns in $path: ${df.columns.mkString(",")}")
-    normalize(df)
-  }
+  def orc(spark: SparkSession, path: String): DataFrame =
+    validated(spark.read.orc(path), path)
 }
