@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked main's LAST stdout line as
+// JSON. Two sbt behaviors break that: the default LoggedOutput strategy
+// prefixes every forked line with "[info] ", and sbt appends a
+// "[success] Total time: …" trailer after the run. Pipe the forked
+// process straight through and drop the trailer so the JSON line is the
+// final, unprefixed line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,14 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+      // A failing rep can exit far faster than a real run and would drag
+      // the median below the query's true cost — time successful reps
+      // only (all-failed queries fall back to the failure timings, whose
+      // cost is then the honest number for a query that never succeeds).
+      val ok = runs.filter(_._2.isEmpty)
+      val timed = if (ok.nonEmpty) ok else runs
+      name -> (median(timed.map(_._1)), runs.flatMap(_._2).headOption,
+        runs.count(_._2.isDefined))
     }
     // truncate BEFORE escaping (a cut through the middle of an escape
     // sequence would emit invalid JSON), then escape EVERY control char
@@ -51,13 +58,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, (v, _, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(m))) => jstr(k) + ":" + jstr(m) }
+    val errs = results.collect { case (k, (_, Some(m), _)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val failedReps = results.collect { case (k, (_, _, n)) if n > 0 => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"sf":"$sfDir"}"""
     // Emit the JSON line LAST, after the session is down and its logging
     // silenced: Spark's shutdown INFO logs go to stderr and interleave
     // arbitrarily with stdout in a combined capture, which can bury the
