@@ -19,7 +19,7 @@ run / fork := true
 // final, unprefixed line of output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
