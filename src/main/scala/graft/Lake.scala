@@ -145,14 +145,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * [[withDerived]] block (shard routing, metadata coercion incl. the
     * empty-map quirk), written by Structured Streaming's file sink
     * (exactly-once via checkpointed manifests). The reference has no
-    * streaming path at all (SURVEY.md §2.10). The `_meta.json` sidecar
-    * is stamped once at stream start (the file sink owns the directory
-    * afterwards; per-batch stamping would race the sink's manifests). */
+    * streaming path at all (SURVEY.md §2.10).
+    *
+    * `last_update` semantics on a long-running stream: the parquet
+    * FOOTER stamp is evaluated once at plan construction, so every file
+    * the stream ever writes carries the stream-START timestamp — the
+    * `_meta.json` sidecar is the authoritative `last_update` here, and
+    * a [[org.apache.spark.sql.streaming.StreamingQueryListener]] scoped
+    * to this query re-stamps it after every data-carrying micro-batch
+    * (the sidecar sits outside the sink's `_spark_metadata` manifest,
+    * so the refresh cannot race the sink's exactly-once bookkeeping).
+    * This matches the reference's per-persist stamping (index.py:
+    * 296-305) at micro-batch granularity. */
   def ingestStream(rows: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
     writeMetaSidecar()
-    withDerived(rows)
+    val query = withDerived(rows)
       .writeStream
       .format("parquet")
       .option("path", cfg.location)
@@ -161,6 +170,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .partitionBy(partCol)
       .trigger(trigger)
       .start()
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val stamper = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == query.id && e.progress.numInputRows > 0)
+          writeMetaSidecar()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(stamper)
+    query
   }
 
   /** Schema-validated read (reference validates column list on load,
@@ -410,17 +430,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * catalyst's `ExternalCatalogUtils.unescapePathName`, reimplemented
     * to stay off the internal API): `%XX` → char, the Hive null
     * sentinel → None. */
-  private def unescapePartitionValue(raw: String): Option[String] = {
+  private[graft] def unescapePartitionValue(raw: String): Option[String] = {
     if (raw == "__HIVE_DEFAULT_PARTITION__") return None
     val sb = new StringBuilder(raw.length)
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
       if (c == '%' && i + 2 < raw.length) {
-        val code =
-          try Integer.parseInt(raw.substring(i + 1, i + 3), 16)
-          catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        // validate each nibble directly: Integer.parseInt(_, 16) also
+        // accepts signed forms ("+4", "-4"), so a foreign dir value
+        // like "k%+4" would decode to control char 0x04 instead of
+        // passing through literally (Spark itself only emits %XX)
+        val hi = Character.digit(raw.charAt(i + 1), 16)
+        val lo = Character.digit(raw.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }

@@ -26,19 +26,29 @@ object ConnectedComponents {
     *        dedup shape) raises IllegalStateException rather than
     *        silently returning split components; convergence ON the
     *        last round is confirmed with one extra zero-change round
-    * @param checkpointDir when Some(dir): cut lineage with RELIABLE
-    *        checkpoints written to `dir` (an HDFS/object-store path on a
-    *        real cluster) so a 20-round job survives executor loss.
-    *        Default None = `localCheckpoint` — executor-local blocks,
-    *        fine in local mode and fastest, but lost on preemption.
+    * @param checkpointDir when Some(dir): cut lineage RELIABLY by
+    *        materializing each round to `dir/cc-step-N` parquet (an
+    *        HDFS/object-store path on a real cluster) and re-reading it,
+    *        so a 20-round job survives executor loss. Deliberately NOT
+    *        `sc.setCheckpointDir` + `df.checkpoint()`: that mutates the
+    *        SparkContext's checkpoint directory globally and would
+    *        silently redirect every other job's reliable checkpoints in
+    *        the session. Step files are overwritten per invocation —
+    *        reuse one dir per logical job. Default None =
+    *        `localCheckpoint` — executor-local blocks, fine in local
+    *        mode and fastest, but lost on preemption.
     * @return (id, component) for every node appearing in `edges`;
     *         component = min node id in the component */
   def components(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        val step = new java.util.concurrent.atomic.AtomicInteger()
+        df => {
+          val p = s"$dir/cc-step-${step.getAndIncrement()}"
+          df.write.mode("overwrite").parquet(p)
+          df.sparkSession.read.parquet(p)
+        }
       case None => df => df.localCheckpoint()
     }
     val sym = cut(edges

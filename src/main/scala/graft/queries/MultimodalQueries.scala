@@ -97,18 +97,20 @@ object AnnQueries {
   private val K = 8
   private val NProbe = 2
 
-  /** Centroids from the LAST qAnnIvf run. `Registry.oracleSql` is a def
-    * evaluated AFTER every query has run (Verify dumps oracle_sql.json
-    * last), so the oracle replays exactly the literals the Spark side
-    * used. Before any run there is no entry → rows-only fallback.
+  /** Centroids per (session, sfDir) qAnnIvf run. `Registry.oracleSql`
+    * is a def evaluated AFTER every query has run (Verify dumps
+    * oracle_sql.json last), so the oracle replays exactly the literals
+    * the Spark side used. Before any run there is no entry → rows-only
+    * fallback.
     *
-    * DELIBERATE JVM-lifetime coupling: the oracle is only meaningful
-    * for the most recent run's scale factor. Verify's sequencing (run
-    * queries, then dump) guarantees consistency for full runs, and its
-    * name filter drops this entry from dumps that didn't run the query;
-    * callers composing their own multi-sf flows in one JVM must dump
-    * immediately after the run they mean to check. */
-  @volatile private var lastModel: Option[Ivf.IvfModel] = None
+    * Keyed by (session identity, sfDir) rather than a last-run
+    * singleton: one JVM running multiple scale factors or concurrent
+    * sessions can no longer pair the oracle with the WRONG run's
+    * centroids — when the store holds more than one distinct model the
+    * oracle abstains (rows-only) instead of guessing. The driver's
+    * Verify flow (one sfDir per JVM) always sees exactly one model. */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Ivf.IvfModel]()
 
   private def round6(m: Ivf.IvfModel): Ivf.IvfModel =
     Ivf.IvfModel(m.centroids.map(_.map(x =>
@@ -132,7 +134,7 @@ object AnnQueries {
     (s, dir) => {
       val emb = graft.Tables.embeddings(s, dir)
       val m = round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3))
-      lastModel = Some(m)
+      models.put((System.identityHashCode(s), dir), m)
       val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
       emb
         .withColumn("cell", assignRounded(col("embedding"), m))
@@ -143,7 +145,10 @@ object AnnQueries {
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     },
-    lastModel.map { m =>
+    // distinct by VALUE: two sessions training on the same sfDir reach
+    // the same (deterministic) model and must not read as ambiguous
+    Option(models.values.toArray(Array.empty[Ivf.IvfModel]).distinct)
+      .filter(_.length == 1).map(_.head).map { m =>
       val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
       s"""WITH c AS (SELECT vec_id, embedding,
                             ${sqlAssignRounded("embedding", m)} AS cell

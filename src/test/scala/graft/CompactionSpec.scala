@@ -87,6 +87,21 @@ class CompactionSpec extends SparkSpec {
       Some("x y") -> 2L, None -> 2L))
   }
 
+  test("unescapePartitionValue: foreign signed-hex forms pass through literally") {
+    val dir = Files.createTempDirectory("graft_unesc").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2))
+    // Integer.parseInt(_, 16) accepts "+4"/"-4"; a foreign/corrupt dir
+    // value like "k%+4" must NOT decode "+4" to control char 0x04
+    assert(lake.unescapePartitionValue("k%+4") === Some("k%+4"))
+    assert(lake.unescapePartitionValue("k%-4") === Some("k%-4"))
+    // genuine two-nibble escapes still decode (Spark's own output)
+    assert(lake.unescapePartitionValue("a%3Ab") === Some("a:b"))
+    assert(lake.unescapePartitionValue("p%25q") === Some("p%q"))
+    // truncated escape at end-of-string stays literal
+    assert(lake.unescapePartitionValue("x%2") === Some("x%2"))
+    assert(lake.unescapePartitionValue("__HIVE_DEFAULT_PARTITION__") === None)
+  }
+
   test("compact refuses a streaming-sink lake (_spark_metadata present)") {
     val dir = Files.createTempDirectory("graft_compact_stream").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))

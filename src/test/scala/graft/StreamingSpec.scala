@@ -134,6 +134,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: sidecar last_update re-stamps after a data micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stamp")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 3))
+    val stream = MemoryStream[(Seq[Float], String)]
+    val q = lake.ingestStream(stream.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    def sidecar(): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lake/_meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    try {
+      val atStart = sidecar()
+      Thread.sleep(5) // ensure a later batch stamp can't collide on clock precision
+      stream.addData((Seq(1.0f, 0f, 0f), "doc"))
+      q.processAllAvailable()
+      // the listener fires asynchronously after the batch commits
+      val deadline = System.nanoTime() + 15_000_000_000L
+      var refreshed = sidecar() != atStart
+      while (!refreshed && System.nanoTime() < deadline) {
+        Thread.sleep(50); refreshed = sidecar() != atStart
+      }
+      assert(refreshed,
+        "sidecar last_update should refresh after a data-carrying micro-batch")
+    } finally q.stop()
+  }
+
   test("ingestStream checkpoint recovery: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_rec")
