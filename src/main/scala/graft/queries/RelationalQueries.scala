@@ -576,8 +576,135 @@ object RelationalQueries {
                    qmin, qmax
             FROM m ORDER BY l_returnflag"""))
 
-  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6, qTpchQ7, qTpchQ14,
-    qTpchQ18, qOrdersNation, qSegmentTop, qSessionize, qEventsJson,
+  /** TPC-H Q4-style order-priority check, adapted to the fixture's
+    * columns (no l_commitdate/l_receiptdate — "late" = any line shipped
+    * more than 60 days after the order date): count orders per priority
+    * having at least one late line. The LEFT SEMI join shape — the
+    * existence probe never duplicates orders however many lines match,
+    * and the lineitem side carries only (l_orderkey, l_shipdate) into
+    * the join. */
+  val qTpchQ4 = Q(
+    "q_tpch_q4",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+      val l = Tables.lineitem(s, dir)
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        // timestamp + interval (NOT date_add, which truncates to DATE):
+        // bit-identical to the oracle's o_orderdate + INTERVAL 60 DAY
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("late_key")).distinct()
+      o.join(late, o("o_orderkey") === late("late_key"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q10-style returned-item revenue: which customers returned the
+    * most value in a quarter. Fact-fact shuffle join orders ⋈ lineitem
+    * restricted to l_returnflag = 'R'; customer and nation broadcast;
+    * top-20 by lost revenue. */
+  val qTpchQ10 = Q(
+    "q_tpch_q10",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+          round(first(col("c_acctbal")), 6).as("acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   round(any_value(c_acctbal), 6) AS acctbal
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q16-style supplier-diversity count, adapted (the fixture has
+    * no partsupp — lineitem is the part↔supplier link): per (brand,
+    * type-prefix, size) the number of DISTINCT suppliers shipping that
+    * part shape, excluding one brand. distinct-agg after a broadcast
+    * join; the distinct dedups map-side under partial_count(distinct). */
+  val qTpchQ16 = Q(
+    "q_tpch_q16",
+    (s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"),
+          substring(col("p_type"), 1, 6).as("p_type_prefix"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type_prefix"), col("p_size"))
+        .limit(30)
+    },
+    Some("""SELECT p_brand, substring(p_type, 1, 6) AS p_type_prefix, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+            GROUP BY p_brand, p_type_prefix, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size
+            LIMIT 30"""))
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: an OR of three
+    * (brand AND size AND quantity-range) conjunctions after a broadcast
+    * part join. The OR cannot prune the scan, but each conjunct's
+    * brand/size legs sit on the broadcast side and the quantity legs on
+    * the fact side — Catalyst splits them across the join (the
+    * partial-pushdown probe). */
+  val qTpchQ19 = Q(
+    "q_tpch_q19",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30)))
+        .agg(coalesce(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double"), lit(0.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT coalesce(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)"""))
+
+  def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ4, qTpchQ5, qTpchQ6, qTpchQ7,
+    qTpchQ10, qTpchQ14, qTpchQ16, qTpchQ18, qTpchQ19, qOrdersNation,
+    qSegmentTop, qSessionize, qEventsJson,
     qEventPercentiles, qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent,
     qValueHistogram, qFunnel, qArgExtremes, qSummaryStats)
 }
