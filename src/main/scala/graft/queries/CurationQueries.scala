@@ -325,7 +325,97 @@ object CurationQueries {
                    max(err) AS max_err
             FROM e GROUP BY label ORDER BY label"""))
 
+  /** TF-IDF-style term salience with a LINEAR idf (tf · N / df): the
+    * float-log idf is not bit-portable cross-engine, while tf·N is an
+    * exact integer product and one IEEE division by df is — same
+    * ranking signal, hash-stable oracle (the q_rarity_score
+    * integer-arithmetic rule applied to tf-idf). Shapes: one explode +
+    * two hash aggregates (tf per (doc, term), df per term), an equi-join
+    * on term, and a one-row broadcast for N — no global sort before the
+    * final top-k heap. */
+  val qTfidf = Q(
+    "q_tfidf",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val n = Tables.documents(s, dir)
+        .agg(countDistinct("doc_id").as("n_docs"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round((col("tf") * col("n_docs")).cast("double") / col("df"), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+                          FROM documents),
+                 tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                        FROM toks GROUP BY doc_id, token),
+                 df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                        FROM toks GROUP BY token),
+                 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT doc_id, token, tf, df,
+                   round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+            ORDER BY tfidf DESC, doc_id, token LIMIT 20"""))
+
+  /** Length-decile audit via ntile: per language, quartile documents by
+    * n_chars (full doc_id tiebreak → deterministic bucket edges) and
+    * profile each quartile — the distribution table a curriculum/
+    * length-bucketing step is driven from. The window shuffles once on
+    * lang; no global sort. */
+  val qNtileBuckets = Q(
+    "q_ntile_buckets",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("lang", "quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "quartile")
+    },
+    Some("""SELECT lang, CAST(quartile AS INTEGER) AS quartile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM (SELECT lang, n_chars,
+                         ntile(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS quartile
+                  FROM documents)
+            GROUP BY lang, quartile ORDER BY lang, quartile"""))
+
+  /** Deterministic WEIGHTED Bernoulli sample: keep a document with
+    * probability n_chars / max(n_chars) — the reproducible "sample
+    * proportional to length/quality" draw. The uniform variate is the
+    * portable hash mapped to [0,1) (h60 / 2^60 — numerator < 2^60 and
+    * the divisor is a power of two, so the division is exact); the
+    * weight bound is a one-row broadcast. Pure map-side filter at any
+    * scale, identical row set on every engine and every run. */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      val m = Tables.documents(s, dir).agg(max("n_chars").as("max_chars"))
+      Tables.documents(s, dir)
+        .crossJoin(broadcast(m))
+        .where(T.h60(col("doc_id").cast("string")).cast("double") / lit(1152921504606846976.0) <
+          col("n_chars").cast("double") / col("max_chars").cast("double"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sampled_chars"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                    CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+             FROM documents CROSS JOIN (SELECT max(n_chars) AS max_chars FROM documents)
+             WHERE CAST(${T.sqlH60("doc_id::VARCHAR")} AS DOUBLE) / 1152921504606846976.0 <
+                   CAST(n_chars AS DOUBLE) / CAST(max_chars AS DOUBLE)
+             GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
-    qVocabTop, qQuantizeInt8, qCompactStats)
+    qVocabTop, qQuantizeInt8, qCompactStats, qTfidf, qNtileBuckets,
+    qSampleWeighted)
 }

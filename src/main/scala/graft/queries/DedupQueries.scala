@@ -224,6 +224,40 @@ object DedupQueries {
           FROM ranked GROUP BY lang ORDER BY lang"""
     })
 
+  /** Asymmetric CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|)
+    * over 3-gram hash sets. Jaccard misses subset/superset duplication
+    * (a document embedded verbatim inside a longer one scores low on
+    * |A∩B|/|A∪B| but 1.0 on containment) — this is the quote/excerpt
+    * detector a curation pipeline runs NEXT TO Jaccard, same bounded
+    * baseline posture (doc_id < 200; the unbounded scale path is the
+    * LSH-bucketed family). Integer set sizes + one IEEE division. */
+  val qContainment = Q(
+    "q_containment",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          T.charNgramHashes(col("text"), 3).as("g"))
+      val a = d.select(col("lang"), col("doc_id").as("a_id"), col("g").as("a_g"))
+      val b = d.select(col("lang"), col("doc_id").as("b_id"), col("g").as("b_g"))
+      val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
+      a.join(b, Seq("lang"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("lang"), col("a_id"), col("b_id"),
+          round(inter / least(size(col("a_g")), size(col("b_g"))), 6).as("containment"))
+        .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some {
+      val g = T.sqlCharNgramHashes("text", 3)
+      s"""WITH d AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200)
+          SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(len(list_intersect(a.g, b.g))::DOUBLE /
+                       least(len(a.g), len(b.g))::DOUBLE, 6) AS containment
+          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          ORDER BY containment DESC, a_id, b_id LIMIT 20"""
+    })
+
   def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
-    qNgramJaccard, qFingerprint, qDedupKeepBest)
+    qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest)
 }

@@ -120,5 +120,38 @@ object OlapQueries {
             WHERE o_totalprice > cavg * 1.5
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qEventsGroupingSets, qPivotLangs, qAboveAvg)
+  /** Z-order layout audit ([[graft.operators.ZOrder]]): quantize events
+    * to an 8-bit (user, value) grid, Morton-interleave into a 16-bit
+    * z key, and profile the 256-bucket distribution (`z >> 8`). At
+    * scale this z key is the write-clustering sort: files become
+    * z-ranges, so a predicate on user_id OR on value prunes to a small
+    * contiguous file set (a single-column sort clusters one and
+    * scatters the other). Integer-only — bit-identical cross-engine. */
+  val qZorderCluster = Q(
+    "q_zorder",
+    (s, dir) => {
+      import graft.operators.ZOrder
+      val qx = (col("user_id") % 256).cast("int")
+      // value/4.0 is exact (power-of-two divisor); clamp to the grid
+      val qy = least(floor(col("value") / 4.0).cast("int"), lit(255))
+      Tables.events(s, dir)
+        .select(ZOrder.interleave2(qx, qy, 8).as("z"))
+        .groupBy(shiftright(col("z"), 8).cast("int").as("z_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("z_bucket")
+    },
+    Some {
+      val z = graft.operators.ZOrder.sqlInterleave2(
+        "user_id % 256",
+        "least(CAST(floor(value / 4.0) AS INTEGER), 255)", 8)
+      s"""WITH zs AS (SELECT CAST($z AS BIGINT) AS z FROM events)
+          SELECT CAST(z >> 8 AS INTEGER) AS z_bucket,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+          FROM zs GROUP BY 1 ORDER BY z_bucket"""
+    })
+
+  def all: Seq[Q] = Seq(qSetOps, qEventsCube, qEventsGroupingSets, qPivotLangs,
+    qAboveAvg, qZorderCluster)
 }

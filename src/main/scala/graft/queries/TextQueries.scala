@@ -163,6 +163,44 @@ object TextQueries {
       .orderBy("lang"),
     None)
 
+  /** Token co-occurrence over the top-50 vocabulary: which frequent
+    * terms appear in the SAME documents — the association table behind
+    * topic/domain drift checks and embedding sanity audits. The pair
+    * space is bounded by construction: tokens are first semi-joined to
+    * a broadcast top-50 vocab, so each document contributes at most
+    * C(50,2) pairs regardless of its length — the per-doc self-join
+    * can never go quadratic in document size at any corpus scale. */
+  val qCooccur = Q(
+    "q_cooccur",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))).as("token"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(50)
+        .select("token")
+      val t = toks.join(broadcast(top), Seq("token"))
+      val x = t.select(col("doc_id"), col("token").as("t1"))
+      val y = t.select(col("doc_id"), col("token").as("t2"))
+      x.join(y, Seq("doc_id"))
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id,
+                            unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+                          FROM documents),
+                 top AS (SELECT token FROM toks
+                         GROUP BY token
+                         ORDER BY count(*) DESC, token LIMIT 50),
+                 t AS (SELECT doc_id, token FROM toks SEMI JOIN top USING (token))
+            SELECT a.token AS t1, b.token AS t2, CAST(count(*) AS BIGINT) AS n_docs
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY t1, t2 ORDER BY n_docs DESC, t1, t2 LIMIT 20"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
-    qPiiScrub, qRarityScore, qApproxDistinct)
+    qPiiScrub, qRarityScore, qApproxDistinct, qCooccur)
 }
