@@ -125,6 +125,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_tpch_q4 plans the existence probe as a semi join, no nested loop") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_tpch_q19 pushes each side's conjunct legs across the broadcast join") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the quantity envelope (1..30 across the three conjuncts) reaches
+    // the lineitem scan even though the full OR needs part columns
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_cooccur broadcasts the top-50 vocab; pair join is an equi hash join") {
+    val p = plan("q_cooccur")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_tfidf heap-top-ks instead of globally sorting the tf table") {
+    val p = plan("q_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
