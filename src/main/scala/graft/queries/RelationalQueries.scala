@@ -702,8 +702,188 @@ object RelationalQueries {
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** TPC-H Q8-style national market share: of the ECONOMY-part revenue
+    * sold to ASIA customers per year, what fraction came from NATION_3
+    * suppliers. Conditional aggregation over a 7-table star join —
+    * every dimension broadcast, one fact-fact shuffle; the share is a
+    * single IEEE division of two exact decimal sums. */
+  val qTpchQ8 = Q(
+    "q_tpch_q8",
+    (s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val cn = Tables.nation(s, dir).select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+      val sn = Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val p = Tables.part(s, dir).where(col("p_type") === "ECONOMY")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, dir)
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), c("c_nationkey") === cn("cn_key"))
+        .join(broadcast(r), cn("cn_region") === r("r_regionkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), sup("s_nationkey") === sn("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+                         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    * so zero-order customers survive with count 0, then the histogram
+    * of customers per order count — the two-level aggregation shape. */
+  val qTpchQ13 = Q(
+    "q_tpch_q13",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * keep the max-revenue supplier(s). The max and the equality filter
+    * both run on EXACT decimal sums (no double round-trip), so the
+    * argmax cannot flip on a ulp cross-engine; only the displayed
+    * revenue is rounded. */
+  val qTpchQ15 = Q(
+    "q_tpch_q15",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+      val rev = l.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_revenue"))
+      val sup = Tables.supplier(s, dir)
+      rev.crossJoin(broadcast(top))
+        .where(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(sup), col("supplier_no") === sup("s_suppkey"))
+        .select(col("supplier_no"), col("s_name"),
+          round(col("total_revenue").cast("double"), 6).as("total_revenue"))
+        .orderBy("supplier_no")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey AS supplier_no,
+                                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                         GROUP BY l_suppkey)
+            SELECT supplier_no, s_name,
+                   round(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY supplier_no"""))
+
+  /** TPC-H Q17-style small-quantity revenue: lines of one brand whose
+    * quantity is under 20% of that part's average quantity — the
+    * correlated-aggregate shape, decorrelated into a per-part aggregate
+    * joined back to the fact (each side broadcast-friendly after the
+    * brand cut). */
+  val qTpchQ17 = Q(
+    "q_tpch_q17",
+    (s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_brand") === "Brand#5")
+      val l = Tables.lineitem(s, dir)
+      val branded = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      val avgQ = branded.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      branded.join(broadcast(avgQ), col("l_partkey") === col("ap_key"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(coalesce(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double") / 7.0, 6), lit(0.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice
+                             FROM lineitem JOIN part ON l_partkey = p_partkey
+                             WHERE p_brand = 'Brand#5'),
+                 avgq AS (SELECT l_partkey AS ap_key,
+                                 CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+                          FROM branded GROUP BY l_partkey)
+            SELECT coalesce(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6), 0.0) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM branded JOIN avgq ON l_partkey = ap_key
+            WHERE l_quantity < 0.2 * avg_qty"""))
+
+  /** TPC-H Q22-style dormant high-balance customers: above the global
+    * positive-balance average, with no RECENT orders (none since
+    * 2000-01-01 — every fixture customer has some order on file, so the
+    * literal "no orders ever" is vacuous here) — scalar-subquery
+    * threshold (one-row broadcast) + LEFT ANTI existence negation,
+    * grouped by nation. */
+  val qTpchQ22 = Q(
+    "q_tpch_q22",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6)
+            .as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                               FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ4, qTpchQ5, qTpchQ6, qTpchQ7,
-    qTpchQ10, qTpchQ14, qTpchQ16, qTpchQ18, qTpchQ19, qOrdersNation,
+    qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ15, qTpchQ16, qTpchQ17,
+    qTpchQ18, qTpchQ19, qTpchQ22, qOrdersNation,
     qSegmentTop, qSessionize, qEventsJson,
     qEventPercentiles, qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent,
     qValueHistogram, qFunnel, qArgExtremes, qSummaryStats)
