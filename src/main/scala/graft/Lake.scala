@@ -353,8 +353,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * front the location with a catalog pointer there (standard practice
     * for any rewrite-in-place on S3-class storage).
     *
+    * @param clusterBy optional within-file clustering expressions: each
+    *        rewritten file is locally sorted by these (e.g. a
+    *        [[graft.operators.ZOrder]] interleave over metadata
+    *        columns) — the OPTIMIZE-ZORDER analog. Pure layout change:
+    *        rows, routing, and file sizing are untouched; what changes
+    *        is min/max-stats tightness, so post-compaction scans with
+    *        predicates on the clustered columns skip more row groups.
     * @return number of data files after compaction */
-  def compact(targetBytes: Long = 128L * 1024L * 1024L): Long = {
+  def compact(targetBytes: Long = 128L * 1024L * 1024L,
+      clusterBy: Seq[Column] = Nil): Long = {
     if (!exists()) return 0L
     val root = new org.apache.hadoop.fs.Path(cfg.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -394,11 +402,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // the swap below
     val src = read()
     val srcRows = src.count()
-    src
+    val sliced = src
       .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
       .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
       .repartition(totalSlices, col(partCol), col("_slice"))
       .select((storedCols.map(col) :+ col(partCol)): _*)
+    // partCol leads the sort: the dynamic-partition writer requires rows
+    // ordered by the partition column and ADDS ITS OWN (non-stable) sort
+    // when the incoming order doesn't satisfy that — which would undo
+    // the clustering. Leading with partCol satisfies the requirement, so
+    // the writer keeps this exact order.
+    (if (clusterBy.isEmpty) sliced
+     else sliced.sortWithinPartitions((col(partCol) +: clusterBy): _*))
       .write.mode(SaveMode.Overwrite)
       .option("compression", cfg.codec)
       .partitionBy(partCol)

@@ -24,6 +24,24 @@ object DedupStreaming {
 
   final case class DedupDecision(doc_id: Long, bucket: Long, admitted: Boolean)
 
+  /** Streaming EXACT-dedup gate: admit each content fingerprint once
+    * within the watermark horizon, via Spark's own
+    * `dropDuplicatesWithinWatermark` state — the built-in complement to
+    * the custom near-dup state above. State here is bounded by TIME
+    * (keys older than the watermark are evicted) rather than by key
+    * space, which is the right bound for exact fingerprints: their key
+    * space grows with the corpus, a SimHash bucket space doesn't. Use
+    * this gate for replay/at-least-once dedup at ingest; the near-dup
+    * gate for content-level dedup.
+    *
+    * @param docs streaming frame with (doc_id, text, ts) — event time
+    * @param horizon how late a duplicate can arrive and still be caught */
+  def exactDedupGate(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", T.fingerprint(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** @param docs streaming (or batch) frame with (doc_id, text)
     * @param bits SimHash width — the dedup aggressiveness dial */
   def nearDupGate(docs: DataFrame, bits: Int = 16): Dataset[DedupDecision] = {

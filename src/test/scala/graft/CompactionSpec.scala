@@ -87,6 +87,26 @@ class CompactionSpec extends SparkSpec {
       Some("x y") -> 2L, None -> 2L))
   }
 
+  test("compact(clusterBy) locally sorts each rewritten file, rows unchanged") {
+    val dir = Files.createTempDirectory("graft_compact_cluster").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2, numHashes = 2))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(i =>
+      (Seq(rnd.nextGaussian().toFloat, rnd.nextGaussian().toFloat), f"doc-${rnd.nextInt(10000)}%05d"))
+    lake.ingest(rows.toDF("vector", "document"))
+    lake.ingest(rows.toDF("vector", "document")) // fragment
+    lake.compact(clusterBy = Seq(col("document")))
+    assert(lake.count() === 800L)
+    // every file must be internally sorted by the clustering column —
+    // that local order is what tightens parquet min/max stats
+    val perFile = lake.read()
+      .select(input_file_name().as("f"), col("document"))
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getString(1)).toSeq }
+    assert(perFile.nonEmpty)
+    perFile.foreach(docs => assert(docs === docs.sorted, "file not clustered"))
+  }
+
   test("unescapePartitionValue: foreign signed-hex forms pass through literally") {
     val dir = Files.createTempDirectory("graft_unesc").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2))

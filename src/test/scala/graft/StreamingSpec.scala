@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactDedupGate: a replayed fingerprint within the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.DedupStreaming
+      .exactDedupGate(stream.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("exact_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "same text", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // a LATER batch replays the same content inside the horizon — the
+      // cross-batch case an in-batch dropDuplicates cannot catch
+      stream.addData(
+        (2L, "same text", ts("2024-01-01 10:05:00")),
+        (3L, "other text", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val ids = spark.table("exact_dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), "doc 2 replays doc 1's fingerprint")
+    } finally q.stop()
+  }
+
   test("ingestStream: sidecar last_update re-stamps after a data micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_stamp")
