@@ -159,5 +159,38 @@ object AnnQueries {
           ORDER BY dist, vec_id LIMIT 10"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf)
+  /** PQ model store, same (session, sfDir) keying + ambiguity-abstain
+    * discipline as `models` above. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.operators.Pq.PqModel]()
+
+  /** Product-quantization ADC scan ([[graft.operators.Pq]]): train
+    * 8×16 codebooks on a bounded sample (the at-scale posture), encode
+    * every vector to 8 codes via rounded-argmin expressions, and rank
+    * by the asymmetric distance — 8 literal-table lookups per row, no
+    * float vector touched after encoding. Fully oracle-paired through
+    * the same rounded-literal trick as q_ann_ivf. */
+  def qKnnPq = Q(
+    "q_knn_pq",
+    (s, dir) => {
+      val emb = graft.Tables.embeddings(s, dir)
+      val m = graft.operators.Pq.round6(graft.operators.Pq.train(
+        emb.where(col("vec_id") < 1000), "embedding", "vec_id",
+        m = 8, k = 16, iters = 2))
+      pqModels.put((System.identityHashCode(s), dir), m)
+      emb
+        .select(col("vec_id"),
+          m.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("pq_dist"))
+        .orderBy(col("pq_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Option(pqModels.values.toArray(Array.empty[graft.operators.Pq.PqModel]).distinct)
+      .filter(_.length == 1).map(_.head).map { m =>
+      s"""SELECT vec_id,
+                 ${m.sqlAdcDistExpr("embedding", graft.Fixtures.queryVec)} AS pq_dist
+          FROM embeddings
+          ORDER BY pq_dist, vec_id LIMIT 10"""
+    })
+
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq)
 }
