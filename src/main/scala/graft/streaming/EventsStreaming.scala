@@ -50,6 +50,16 @@ object EventsStreaming {
         col("l.user_id").as("user_id"))
   }
 
+  /** Stream-STATIC enrichment: join the live stream against a batch
+    * dimension table (user → segment, document metadata, …). The static
+    * side is planned per micro-batch as an ordinary broadcast hash join
+    * — no streaming state at all, and the dimension picks up storage
+    * updates between batches. This is THE join shape for enriching a
+    * 100 TB-scale event stream with curated metadata; stream-stream
+    * (correlate, above) is only needed when BOTH sides move. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Per-user sessionization with explicit state: a session closes after
     * `gapSeconds` of inactivity. flatMapGroupsWithState keeps one small
     * state record per user (last-seen ts + running counts) — constant

@@ -151,6 +151,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("q_knn_pq is one scan + heap top-k (codes/LUT are literals, no join)") {
+    val p = plan("q_knn_pq")
+    assert(p.split("Scan parquet").length - 1 <= 2,
+      "ADC scan must not add joins over the embeddings scan")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no shuffle belongs in a pure scan + top-k")
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(

@@ -134,6 +134,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static broadcast join attaches dimension rows per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventsStreaming.enrich(stream.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 7, "view", 1.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("exactDedupGate: a replayed fingerprint within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
