@@ -32,6 +32,14 @@ import graft.functions.{Lsh, VectorFunctions => V}
   *                   per row instead of recomputing the pack from the
   *                   full vector — the 32× column-compression actually
   *                   lands as stored bytes; see [[Lake.topKCompressed]]
+  * @param pqCodebooks when Some(model): ingest MATERIALIZES a `pq_code`
+  *                   long column — every subspace code packed 8 bits
+  *                   wide (so m ≤ 8, k ≤ 256) — and
+  *                   [[Lake.topKPq]] runs its coarse ADC stage over
+  *                   those 8 stored bytes per row. Train the model once
+  *                   on a sample ([[graft.operators.Pq.train]]) and
+  *                   construct every writer/reader with the SAME model:
+  *                   codes are only meaningful under their codebooks.
   */
 final case class LakeConfig(
     location: String,
@@ -42,8 +50,15 @@ final case class LakeConfig(
     partitionKey: Option[String] = None,
     partitionKeyType: DataType = StringType,
     codec: String = "snappy",
-    packSignBits: Boolean = false) {
+    packSignBits: Boolean = false,
+    pqCodebooks: Option[graft.operators.Pq.PqModel] = None) {
   require(Set("cosine", "l2", "dot")(metric), s"unknown metric $metric")
+  pqCodebooks.foreach { m =>
+    require(m.m <= 8 && m.k <= 256,
+      s"pq_code packs 8 codes × 8 bits into one long: need m <= 8 (got ${m.m}) and k <= 256 (got ${m.k})")
+    require(m.m * m.subDim == dim,
+      s"PQ model covers ${m.m}×${m.subDim} dims but the lake stores $dim")
+  }
 }
 
 /** A sharded vector lake on partitioned Parquet.
@@ -65,13 +80,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def partCol: String = cfg.partitionKey.getOrElse("shard")
 
   /** Data columns as stored: canonical schema plus the optional
-    * materialized `packed` sign-bit word. */
+    * materialized `packed` sign-bit word and/or `pq_code` word. */
   private def storedCols: Seq[String] =
-    if (cfg.packSignBits) dataCols :+ "packed" else dataCols
+    dataCols ++ (if (cfg.packSignBits) Seq("packed") else Nil) ++
+      (if (cfg.pqCodebooks.isDefined) Seq("pq_code") else Nil)
 
   private def storedFields: Seq[StructField] =
-    if (cfg.packSignBits) schema.fields.toSeq :+ StructField("packed", LongType)
-    else schema.fields.toSeq
+    schema.fields.toSeq ++
+      (if (cfg.packSignBits) Seq(StructField("packed", LongType)) else Nil) ++
+      (if (cfg.pqCodebooks.isDefined) Seq(StructField("pq_code", LongType)) else Nil)
 
   /** Ingest rows with at least a `vector` column; `metadata`, `document`
     * optional. Adds `id` (uuid), `timestamp`, routes `shard`, coerces
@@ -119,6 +136,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
     if (cfg.packSignBits)
       df = df.withColumn("packed", V.signPack(col("vector")))
+    cfg.pqCodebooks.foreach { m =>
+      df = df.withColumn("pq_code",
+        (0 until m.m).map(mi =>
+          shiftleft(m.codeCol(col("vector"), mi).cast("long"), 8 * mi))
+          .reduce(_ + _))
+    }
     if (cfg.partitionKey.isEmpty)
       df = df.withColumn("shard", lsh.shardCol(col("vector")))
     // footer attrs parity (reference index.py:296-305): Spark's parquet
@@ -280,6 +303,34 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .select(col("id"),
         bit_count(col("packed").bitwiseXOR(lit(qWord))).cast("int").as("hamming"))
       .orderBy(col("hamming"), col("id"))
+      .limit(coarseK)
+      .select("id")
+    read()
+      .join(broadcast(coarse), Seq("id"))
+      .withColumn("dist", V.round6z(distCol(q)))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
+  }
+
+  /** Two-stage PQ retrieval over the MATERIALIZED `pq_code` column
+    * (requires `cfg.pqCodebooks`): the coarse stage ranks by asymmetric
+    * distance — per subspace, unpack 8 bits of the stored word and look
+    * up a literal query-distance table — reading only (id, pq_code),
+    * 8 stored bytes of vector data per row; then the exact rerank
+    * touches full-precision vectors for ≤ coarseK rows. Same shape as
+    * [[topKCompressed]], but the coarse metric is LEARNED (codebooks)
+    * instead of data-independent sign bits — tighter candidates at the
+    * same stored size. */
+  def topKPq(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame = {
+    val model = cfg.pqCodebooks.getOrElse(throw new IllegalArgumentException(
+      "topKPq needs a materialized pq_code column: set pqCodebooks = Some(model)"))
+    val adc = (0 until model.m).map { mi =>
+      element_at(V.vecLit(model.lutFor(q, mi)),
+        (shiftright(col("pq_code"), 8 * mi).bitwiseAND(lit(255)) + 1).cast("int"))
+    }.reduce(_ + _)
+    val coarse = read()
+      .select(col("id"), adc.as("adc"))
+      .orderBy(col("adc"), col("id"))
       .limit(coarseK)
       .select("id")
     read()

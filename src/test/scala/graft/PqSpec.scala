@@ -51,6 +51,49 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10-in-30 = $recall")
   }
 
+  test("lake pq_code round-trip: stored codes decode to the model's codes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_lake")
+    val m16 = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
+      numHashes = 3, pqCodebooks = Some(m16)))
+    lake.ingest(data.select(col("vec").as("vector"),
+      concat(lit("doc-"), col("id")).as("document")))
+    val stored = lake.read()
+      .select(col("document"), col("pq_code"), col("vector"))
+      .collect()
+    assert(stored.length === 300)
+    // decode each stored word and compare against re-encoding the vector
+    val reEnc = lake.read().select(col("document"),
+      (0 until m16.m).map(mi =>
+        org.apache.spark.sql.functions.shiftleft(
+          m16.codeCol(col("vector"), mi).cast("long"), 8 * mi))
+        .reduce(_ + _).as("again"), col("pq_code"))
+    assert(reEnc.where(col("again") =!= col("pq_code")).count() === 0L)
+  }
+
+  test("topKPq with coarseK >= corpus equals exact retrieval; coarse scan reads only id+pq_code") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_topk")
+    val m16 = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
+      numHashes = 3, pqCodebooks = Some(m16)))
+    lake.ingest(data.select(col("vec").as("vector"),
+      concat(lit("doc-"), col("id")).as("document")))
+    val q = {
+      val rnd = new scala.util.Random(3)
+      Seq.fill(dim)(rnd.nextGaussian())
+    }
+    val viaPq = lake.topKPq(q, 5, coarseK = 1000)
+      .select("document", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val exact = lake.topKExact(q, 5)
+      .select("document", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaPq.toSeq === exact.toSeq,
+      "an exhaustive coarse stage must reduce to exact retrieval")
+    // the compression must LAND: the coarse stage's scan projects only
+    // the id and the 8-byte code word, never the float vector
+    val plan = lake.topKPq(q, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:string,pq_code:bigint>"), plan.take(1500))
+  }
+
   test("adcDistCol equals the driver-side LUT replay (expression correctness)") {
     val q = Seq.tabulate(dim)(i => (i % 3) * 0.5 - 0.5)
     val got = data
