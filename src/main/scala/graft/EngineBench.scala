@@ -25,13 +25,15 @@ object EngineBench {
     // before the clock starts — tools/ref_bench.py also pre-loads its
     // vectors into memory before timing `add`, so the timed section
     // must be routing + write only, not synthetic data generation.
-    val vecs = spark.range(n).select(
+    val base = spark.range(n).select(
         col("id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => sin(col("id") * 7919 + i * 104729) * 0.15).as("vector"))
-      .select(col("vector").cast("array<float>").as("vector"),
+      .select(col("id"),
+        col("vector").cast("array<float>").as("vector"),
         concat(lit("doc-"), col("id")).as("document"))
       .localCheckpoint()
+    val vecs = base.select("vector", "document")
 
     val lake = Lake(spark, LakeConfig(
       s"${sys.props("java.io.tmpdir")}/graft_engine_bench", dim = dim))
@@ -53,9 +55,30 @@ object EngineBench {
     val single = lake.topK(queries.head._2, 10).count()
     val tSingle = (System.nanoTime() - t2) / 1e9
 
+    // compressed-retrieval modes on one lake storing BOTH auxiliary
+    // columns (8-byte sign word + 8-byte PQ code word): exact full-
+    // precision scan vs Hamming two-stage vs learned-codebook ADC
+    // two-stage, same query, same storage
+    val pqModel = operators.Pq.round6(operators.Pq.train(
+      base.where(col("id") < 2000), "vector", "id", m = 8, k = 16, iters = 2))
+    val cLake = Lake(spark, LakeConfig(
+      s"${sys.props("java.io.tmpdir")}/graft_engine_bench_c", dim = dim,
+      packSignBits = true, pqCodebooks = Some(pqModel)))
+    cLake.delete()
+    cLake.ingest(vecs)
+    val q0 = queries.head._2
+    def time(f: => Long): (Double, Long) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val (tExact, _) = time(cLake.topKExact(q0, 10).count())
+    val (tHam, _) = time(cLake.topKCompressed(q0, 10, coarseK = 100).count())
+    val (tPq, _) = time(cLake.topKPq(q0, 10, coarseK = 100).count())
+
     println(s"""{"impl":"graft","rows":$n,"dim":$dim,"ingest_sec":${f"$tIngest%.3f"},""" +
       s""""batch_q":$nQ,"batch_sec":${f"$tBatch%.3f"},"batch_qps":${f"${nQ / tBatch}%.1f"},""" +
-      s""""batch_rows":$batchRows,"single_pruned_sec":${f"$tSingle%.3f"},"single_rows":$single}""")
+      s""""batch_rows":$batchRows,"single_pruned_sec":${f"$tSingle%.3f"},"single_rows":$single,""" +
+      s""""exact_scan_sec":${f"$tExact%.3f"},"hamming2stage_sec":${f"$tHam%.3f"},""" +
+      s""""pq2stage_sec":${f"$tPq%.3f"}}""")
     spark.stop()
   }
 }
