@@ -59,8 +59,11 @@ object EngineBench {
     // columns (8-byte sign word + 8-byte PQ code word): exact full-
     // precision scan vs Hamming two-stage vs learned-codebook ADC
     // two-stage, same query, same storage
+    // largest m <= 8 dividing dim, so an arbitrary CLI dim still runs
+    val pqM = (8 to 1 by -1).find(dim % _ == 0).get
     val pqModel = operators.Pq.round6(operators.Pq.train(
-      base.where(col("id") < 2000), "vector", "id", m = 8, k = 16, iters = 2))
+      base.where(col("id") < 2000), "vector", "id", dim = dim,
+      m = pqM, k = 16, iters = 2))
     val cLake = Lake(spark, LakeConfig(
       s"${sys.props("java.io.tmpdir")}/graft_engine_bench_c", dim = dim,
       packSignBits = true, pqCodebooks = Some(pqModel)))

@@ -184,25 +184,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
     writeMetaSidecar()
-    val query = withDerived(rows)
-      .writeStream
-      .format("parquet")
-      .option("path", cfg.location)
-      .option("checkpointLocation", checkpoint)
-      .option("compression", cfg.codec)
-      .partitionBy(partCol)
-      .trigger(trigger)
-      .start()
     import org.apache.spark.sql.streaming.StreamingQueryListener
+    // registered BEFORE start() so batch 0's progress event can't slip
+    // through the start→addListener window; matched on the sink path
+    // (known pre-start — the query id isn't), which is unique per
+    // location because the file sink locks its output directory
     val stamper = new StreamingQueryListener {
+      @volatile var queryId: java.util.UUID = null
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == query.id && e.progress.numInputRows > 0)
+        if (e.progress.sink.description.contains(cfg.location) &&
+            e.progress.numInputRows > 0)
           writeMetaSidecar()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) spark.streams.removeListener(this)
+        if (e.id == queryId) spark.streams.removeListener(this)
     }
     spark.streams.addListener(stamper)
+    val query =
+      try withDerived(rows)
+        .writeStream
+        .format("parquet")
+        .option("path", cfg.location)
+        .option("checkpointLocation", checkpoint)
+        .option("compression", cfg.codec)
+        .partitionBy(partCol)
+        .trigger(trigger)
+        .start()
+      catch { case t: Throwable =>
+        spark.streams.removeListener(stamper); throw t }
+    stamper.queryId = query.id
     query
   }
 
@@ -503,12 +513,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     while (i < raw.length) {
       val c = raw.charAt(i)
       if (c == '%' && i + 2 < raw.length) {
-        // validate each nibble directly: Integer.parseInt(_, 16) also
-        // accepts signed forms ("+4", "-4"), so a foreign dir value
-        // like "k%+4" would decode to control char 0x04 instead of
-        // passing through literally (Spark itself only emits %XX)
-        val hi = Character.digit(raw.charAt(i + 1), 16)
-        val lo = Character.digit(raw.charAt(i + 2), 16)
+        // validate each nibble as ASCII hex specifically:
+        // Integer.parseInt(_, 16) also accepts signed forms ("+4") and
+        // Character.digit accepts non-ASCII Unicode digits (fullwidth
+        // '４', Arabic-Indic) — either would decode a foreign dir value
+        // to a control char instead of passing it through literally
+        // (Spark itself only ever emits ASCII %XX)
+        def nibble(c: Char): Int =
+          if (c < 128) Character.digit(c, 16) else -1
+        val hi = nibble(raw.charAt(i + 1))
+        val lo = nibble(raw.charAt(i + 2))
         if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }

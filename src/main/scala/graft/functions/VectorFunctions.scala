@@ -90,6 +90,14 @@ object VectorFunctions {
   /** Oracle-side mirror of [[round6z]]. */
   def sqlRound6z(e: String): String = s"(round($e, 6) + 0.0)"
 
+  /** 6dp HALF_UP rounding of a DRIVER-side double — the literal-
+    * inlining parity rule: every learned-model value (IVF centroid, PQ
+    * codebook entry, ADC table cell) is rounded through this ONE helper
+    * before being inlined as a literal into both the Spark expression
+    * and the oracle SQL, so the two engines compare identical bits. */
+  def round6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** A literal vector as an ARRAY<DOUBLE> column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
 

@@ -47,9 +47,8 @@ object Pq {
     def lutFor(q: Seq[Double], mi: Int): IndexedSeq[Double] = {
       val sub = q.slice(mi * subDim, (mi + 1) * subDim)
       codebooks(mi).map { c =>
-        val d = math.sqrt(c.iterator.zip(sub.iterator)
-          .map { case (x, y) => (x - y) * (x - y) }.sum)
-        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        V.round6d(math.sqrt(c.iterator.zip(sub.iterator)
+          .map { case (x, y) => (x - y) * (x - y) }.sum))
       }
     }
 
@@ -79,12 +78,13 @@ object Pq {
   }
 
   /** Train per-subspace codebooks with [[Ivf.train]] (deterministic).
-    * `df` should already be the training sample at scale. */
-  def train(df: DataFrame, vecCol: String, idCol: String,
+    * `df` should already be the training sample at scale; `dim` is the
+    * caller-known vector dimension (every call site has it — deriving
+    * it would cost a Spark job and fail opaquely on an empty sample). */
+  def train(df: DataFrame, vecCol: String, idCol: String, dim: Int,
       m: Int, k: Int, iters: Int = 3): PqModel = {
-    val base = df.select(col(idCol).as("_id"), V.asDouble(col(vecCol)).as("_v"))
-    val dim = base.select(size(col("_v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val base = df.select(col(idCol).as("_id"), V.asDouble(col(vecCol)).as("_v"))
     val subDim = dim / m
     PqModel((0 until m).map { mi =>
       val sub = base.select(col("_id"),
@@ -94,8 +94,7 @@ object Pq {
   }
 
   /** Round every codebook entry to 6dp (literal-inlining hygiene —
-    * the same [[graft.queries.AnnQueries]] rounding discipline). */
+    * [[V.round6d]], the shared parity rule). */
   def round6(model: PqModel): PqModel =
-    PqModel(model.codebooks.map(_.map(_.map(x =>
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    PqModel(model.codebooks.map(_.map(_.map(V.round6d))))
 }

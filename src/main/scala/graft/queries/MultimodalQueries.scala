@@ -112,9 +112,19 @@ object AnnQueries {
   private val models =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Ivf.IvfModel]()
 
+  /** The oracle-abstain rule shared by every learned-model store:
+    * exactly one DISTINCT model (value equality — two sessions training
+    * on the same sfDir converge to the same model) → use it; zero or
+    * several → no oracle rather than a possibly-wrong pairing. */
+  private def soleModel[T](
+      store: java.util.concurrent.ConcurrentHashMap[(Int, String), T]): Option[T] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = store.values.asScala.toSeq.distinct
+    if (distinct.length == 1) Some(distinct.head) else None
+  }
+
   private def round6(m: Ivf.IvfModel): Ivf.IvfModel =
-    Ivf.IvfModel(m.centroids.map(_.map(x =>
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    Ivf.IvfModel(m.centroids.map(_.map(V.round6d)))
 
   /** Cell = first index of the minimum ROUNDED L2 distance — the same
     * array_position/list_position construction on both engines. */
@@ -149,10 +159,7 @@ object AnnQueries {
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     },
-    // distinct by VALUE: two sessions training on the same sfDir reach
-    // the same (deterministic) model and must not read as ambiguous
-    Option(models.values.toArray(Array.empty[Ivf.IvfModel]).distinct)
-      .filter(_.length == 1).map(_.head).map { m =>
+    soleModel(models).map { m =>
       val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
       s"""WITH c AS (SELECT vec_id, embedding,
                             ${sqlAssignRounded("embedding", m)} AS cell
@@ -182,15 +189,14 @@ object AnnQueries {
       val m = pqModels.computeIfAbsent((System.identityHashCode(s), dir),
         _ => graft.operators.Pq.round6(graft.operators.Pq.train(
           emb.where(col("vec_id") < 1000), "embedding", "vec_id",
-          m = 8, k = 16, iters = 2)))
+          dim = graft.Fixtures.queryVec.length, m = 8, k = 16, iters = 2)))
       emb
         .select(col("vec_id"),
           m.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("pq_dist"))
         .orderBy(col("pq_dist"), col("vec_id"))
         .limit(10)
     },
-    Option(pqModels.values.toArray(Array.empty[graft.operators.Pq.PqModel]).distinct)
-      .filter(_.length == 1).map(_.head).map { m =>
+    soleModel(pqModels).map { m =>
       s"""SELECT vec_id,
                  ${m.sqlAdcDistExpr("embedding", graft.Fixtures.queryVec)} AS pq_dist
           FROM embeddings

@@ -14,10 +14,10 @@ class PqSpec extends SparkSpec {
     (0L until 300L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
       .toDF("id", "vec")
   }
-  private lazy val model = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+  private lazy val model = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
 
   test("train is deterministic and shapes the codebooks (m × k × subDim)") {
-    val again = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+    val again = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
     assert(model === again)
     assert(model.m === 4 && model.k === 8 && model.subDim === dim / 4)
   }
@@ -53,7 +53,7 @@ class PqSpec extends SparkSpec {
 
   test("lake pq_code round-trip: stored codes decode to the model's codes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_lake")
-    val m16 = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+    val m16 = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
       numHashes = 3, pqCodebooks = Some(m16)))
     lake.ingest(data.select(col("vec").as("vector"),
@@ -73,7 +73,7 @@ class PqSpec extends SparkSpec {
 
   test("topKPq with coarseK >= corpus equals exact retrieval; coarse scan reads only id+pq_code") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_topk")
-    val m16 = Pq.round6(Pq.train(data, "vec", "id", m = 4, k = 8, iters = 2))
+    val m16 = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
       numHashes = 3, pqCodebooks = Some(m16)))
     lake.ingest(data.select(col("vec").as("vector"),
