@@ -203,5 +203,39 @@ object AnnQueries {
           ORDER BY pq_dist, vec_id LIMIT 10"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq)
+  /** Recall@50 audit of the PQ scan against the exact L2 ranking — the
+    * eval metric a retrieval deployment actually monitors, expressed as
+    * a query: |PQ-top-50 ∩ exact-top-50|. Both sides are deterministic
+    * (literal LUTs / literal query vector, full tiebreaks), so the
+    * overlap count is oracle-exact, not a statistical bound. */
+  def qPqRecall = Q(
+    "q_pq_recall",
+    (s, dir) => {
+      val emb = graft.Tables.embeddings(s, dir)
+      val m = pqModels.computeIfAbsent((System.identityHashCode(s), dir),
+        _ => graft.operators.Pq.round6(graft.operators.Pq.train(
+          emb.where(col("vec_id") < 1000), "embedding", "vec_id",
+          dim = graft.Fixtures.queryVec.length, m = 8, k = 16, iters = 2)))
+      val pq = emb.select(col("vec_id"),
+          m.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(50).select("vec_id")
+      val exact = emb.select(col("vec_id"),
+          round(V.l2Dist(col("embedding"),
+            V.vecLit(graft.Fixtures.queryVec)), 6).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(50).select("vec_id")
+      pq.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+    },
+    soleModel(pqModels).map { m =>
+      s"""WITH pq AS (SELECT vec_id FROM embeddings
+                      ORDER BY ${m.sqlAdcDistExpr("embedding", graft.Fixtures.queryVec)}, vec_id
+                      LIMIT 50),
+               ex AS (SELECT vec_id FROM embeddings
+                      ORDER BY round(${V.sqlL2DistLit("embedding", graft.Fixtures.queryVec)}, 6), vec_id
+                      LIMIT 50)
+          SELECT CAST(count(*) AS BIGINT) AS n_overlap
+          FROM pq SEMI JOIN ex USING (vec_id)"""
+    })
+
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall)
 }
