@@ -367,11 +367,51 @@ object CoreQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** Pairwise cosine similarity between label centroids — the
+    * class-separation audit an embedding pipeline reports (are label
+    * clusters collapsing?). The quadratic pairing runs over the
+    * POST-AGG centroid table (|labels| rows, here 10 → 45 pairs), never
+    * the corpus — the aggregate-then-pair shape that stays O(k²) at any
+    * data size. Centroids are rounded per position BEFORE pairing, so
+    * both engines compare identical bits; arrays are rebuilt in
+    * position order via sorted struct collection (collect_list alone
+    * has no deterministic order). */
+  val qCentroidSim = Q(
+    "q_centroid_sim",
+    (s, dir) => {
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(V.asDouble(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 6).as("c"))
+      val vecs = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("vec"))
+      val a = vecs.select(col("label").as("a_label"), col("vec").as("a_vec"))
+      val b = vecs.select(col("label").as("b_label"), col("vec").as("b_vec"))
+      a.join(b, col("a_label") < col("b_label"))
+        .select(col("a_label"), col("b_label"),
+          V.round6z(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")),
+            V.l2Norm(col("a_vec")), V.l2Norm(col("b_vec")))).as("sim"))
+        .orderBy("a_label", "b_label")
+    },
+    Some(s"""WITH cent AS (
+               SELECT label, pos, round(avg(v), 6) AS c FROM (
+                 SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                        CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+                 FROM embeddings)
+               GROUP BY label, pos),
+             vecs AS (SELECT label, list(c ORDER BY pos) AS vec
+                      FROM cent GROUP BY label)
+           SELECT a.label AS a_label, b.label AS b_label,
+                  ${V.sqlRound6z(V.sqlCosineSimCols("a.vec", "b.vec"))} AS sim
+           FROM vecs a JOIN vecs b ON a.label < b.label
+           ORDER BY a_label, b_label"""))
+
   def all: Seq[Q] = Seq(
     qKnnCosine, qKnnL2, qKnnDot, qKnnHamming, qKnnRerank,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
     qKnnBatch, qNearDup, qNearDupLsh,
-    qFilterKnn, qLabelCentroids, qJoinDocs,
+    qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats)
 }

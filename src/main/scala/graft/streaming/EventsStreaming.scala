@@ -50,6 +50,20 @@ object EventsStreaming {
         col("l.user_id").as("user_id"))
   }
 
+  /** Native session windows: Spark's `session_window` merges events
+    * into gap-bounded sessions inside the engine's window state — the
+    * built-in complement to the explicit flatMapGroupsWithState
+    * sessionize below (use this one when per-session aggregates are
+    * enough; the custom state when you need cross-session logic). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("user_id"), col("n_events"))
+
   /** Stream-STATIC enrichment: join the live stream against a batch
     * dimension table (user → segment, document metadata, …). The static
     * side is planned per micro-batch as an ordinary broadcast hash join

@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg: native session windows merge within the gap, split past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.sessionWindowAgg(stream.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // same session
+        Event(3, ts("2024-01-01 12:00:00"), 1, "view", 1.0))  // past the gap
+      q.processAllAvailable()
+      // advance the watermark so both sessions finalize
+      stream.addData(Event(9, ts("2024-01-02 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val sess = spark.table("sess_win_out")
+        .where(org.apache.spark.sql.functions.col("user_id") === 1)
+        .select("session_start", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(sess === Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 12:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join attaches dimension rows per batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
