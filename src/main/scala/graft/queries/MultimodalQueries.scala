@@ -237,5 +237,35 @@ object AnnQueries {
           FROM pq SEMI JOIN ex USING (vec_id)"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall)
+  /** kNN in a Johnson-Lindenstrauss projected space
+    * ([[graft.operators.RandomProjection]]): 64 dims → 16 through a
+    * fixed seeded matrix (literals on both engines — no training, no
+    * model store), L2 ranking over the projected vectors. The
+    * data-independent counterpart of q_knn_pq: same compression goal,
+    * zero offline state, composable with streaming ingest. */
+  def qKnnJl = Q(
+    "q_knn_jl",
+    (s, dir) => {
+      import graft.operators.RandomProjection
+      val m = RandomProjection.matrix(graft.Fixtures.queryVec.length, 16)
+      val qp = RandomProjection.projectQuery(graft.Fixtures.queryVec, m)
+      graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          V.round6z(V.l2Dist(
+            RandomProjection.projectCol(col("embedding"), m),
+            V.vecLit(qp))).as("jl_dist"))
+        .orderBy(col("jl_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      import graft.operators.RandomProjection
+      val m = RandomProjection.matrix(graft.Fixtures.queryVec.length, 16)
+      val qp = RandomProjection.projectQuery(graft.Fixtures.queryVec, m)
+      s"""SELECT vec_id,
+                 ${V.sqlRound6z(s"list_distance(${RandomProjection.sqlProjectExpr("embedding", m)}, ${qp.mkString("[", ", ", "]")})")} AS jl_dist
+          FROM embeddings
+          ORDER BY jl_dist, vec_id LIMIT 10"""
+    })
+
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl)
 }
