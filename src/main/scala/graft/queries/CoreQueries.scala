@@ -383,9 +383,14 @@ object CoreQueries {
         .select(col("label"), posexplode(V.asDouble(col("embedding"))).as(Seq("pos", "v")))
         .groupBy("label", "pos")
         .agg(round(avg("v"), 6).as("c"))
+      // materialize the |labels|-row centroid table once — without the
+      // cut, BOTH sides of the self-join re-scan and re-aggregate the
+      // full corpus (plan-verified), which is exactly the double read
+      // this shape must avoid at scale
       val vecs = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("vec"))
+        .localCheckpoint()
       val a = vecs.select(col("label").as("a_label"), col("vec").as("a_vec"))
       val b = vecs.select(col("label").as("b_label"), col("vec").as("b_vec"))
       a.join(b, col("a_label") < col("b_label"))
