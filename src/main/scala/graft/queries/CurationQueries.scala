@@ -366,7 +366,10 @@ object CurationQueries {
     * n_chars (full doc_id tiebreak → deterministic bucket edges) and
     * profile each quartile — the distribution table a curriculum/
     * length-bucketing step is driven from. The window shuffles once on
-    * lang; no global sort. */
+    * lang; no global sort. Honest scale bound: each stratum sorts on
+    * ONE task — fine while strata are languages (dozens), wrong if a
+    * stratum holds billions of rows; there, derive cutpoints from
+    * approx_percentile and bucket map-side instead of ranking. */
   val qNtileBuckets = Q(
     "q_ntile_buckets",
     (s, dir) => {
