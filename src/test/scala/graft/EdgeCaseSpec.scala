@@ -104,6 +104,14 @@ class EdgeCaseSpec extends SparkSpec {
       .pointInInterval(intervals, points, "lo", "hi", "pt").count() === 0)
   }
 
+  test("PQ training on an empty sample fails loudly, not deep in encoding") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pq.train(empty, "vec", "id", dim = 8, m = 2, k = 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("stratifiedSample with n=0 is empty; sampling an empty frame is empty") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(graft.operators.Curation
