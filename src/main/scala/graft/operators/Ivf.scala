@@ -56,9 +56,12 @@ object Ivf {
   /** Deterministic k-means (Lloyd's, `iters` fixed rounds, no RNG). */
   def train(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 5): IvfModel = {
     val base = df.select(col(idCol).as("_id"), V.asDouble(col(vecCol)).as("_v"))
-    var model = IvfModel(
-      base.orderBy("_id").limit(k).collect()
-        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+    val init = base.orderBy("_id").limit(k).collect()
+    // an empty sample would otherwise surface iterations later as an
+    // opaque AnalysisException (argmin over an empty centroid array)
+    require(init.nonEmpty,
+      "k-means training sample is empty — train on a non-empty frame")
+    var model = IvfModel(init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
     (0 until iters).foreach { _ =>
       val assigned = base.withColumn("_cell", model.assignCol(col("_v")))
       val centroids = assigned

@@ -85,10 +85,6 @@ object Pq {
       m: Int, k: Int, iters: Int = 3): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val base = df.select(col(idCol).as("_id"), V.asDouble(col(vecCol)).as("_v"))
-    // an empty sample would otherwise surface as an opaque
-    // AnalysisException from Ivf's argmin over an empty centroid array
-    require(base.take(1).nonEmpty,
-      "PQ training sample is empty — train on a non-empty frame")
     val subDim = dim / m
     PqModel((0 until m).map { mi =>
       val sub = base.select(col("_id"),
