@@ -417,8 +417,50 @@ object CurationQueries {
                    CAST(n_chars AS DOUBLE) / CAST(max_chars AS DOUBLE)
              GROUP BY lang ORDER BY lang"""))
 
+  /** Training-shard EXPORT round-trip — the pipeline's last mile: pack
+    * documents to a fixed token budget (q_pack_docs packing), write
+    * line-delimited JSON partitioned by (lang, pack_id) — the shard
+    * layout a trainer consumes — then read the shards back and profile
+    * each pack. The oracle computes the same profile straight from the
+    * source table, and the per-pack `bit_xor` of portable text hashes
+    * makes the equality a BYTE-fidelity proof: every document, every
+    * pack assignment, every text byte survived the JSON boundary
+    * (xor is order-independent and cannot overflow, unlike a sum of
+    * 60-bit hashes). */
+  val qExportShards = Q(
+    "q_export_shards",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = s"${sys.props("java.io.tmpdir")}/graft_export_${Integer.toHexString(dir.hashCode)}"
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(T.tokens(col("text"))).cast("long").as("t"))
+      graft.operators.Curation.packIds(tokens, "lang", "doc_id", "t", 2048L)
+        .write.mode("overwrite").partitionBy("lang", "pack_id").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("t", LongType))))
+        .json(out)
+        .withColumn("h", T.h60(col("text")))
+        .groupBy(col("lang"), col("pack_id").cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("pack_tokens"),
+          expr("bit_xor(h)").as("text_h"))
+        .orderBy("lang", "pack_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, text,
+                               len(string_split(text, ' '))::BIGINT AS t
+                        FROM documents),
+                 c AS (SELECT lang, text, t,
+                              sum(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+                       FROM t)
+             SELECT lang, CAST((cum - t) // 2048 AS BIGINT) AS pack_id,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(t) AS BIGINT) AS pack_tokens,
+                    CAST(bit_xor(${T.sqlH60("text")}) AS BIGINT) AS text_h
+             FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
+
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qTfidf, qNtileBuckets,
-    qSampleWeighted)
+    qSampleWeighted, qExportShards)
 }
