@@ -39,7 +39,11 @@ import graft.functions.{Lsh, VectorFunctions => V}
   *                   those 8 stored bytes per row. Train the model once
   *                   on a sample ([[graft.operators.Pq.train]]) and
   *                   construct every writer/reader with the SAME model:
-  *                   codes are only meaningful under their codebooks.
+  *                   codes are only meaningful under their codebooks —
+  *                   ENFORCED via a codebook fingerprint in
+  *                   `_meta.json`: ingest/topKPq under a model whose
+  *                   fingerprint differs from the one that first wrote
+  *                   the lake fails loudly.
   */
 final case class LakeConfig(
     location: String,
@@ -101,6 +105,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * = O(shards) instead of O(tasks × shards).
     */
   def ingest(rows: DataFrame): Unit = {
+    requirePqModelMatch()
     withDerived(rows)
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
@@ -183,18 +188,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def ingestStream(rows: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
+    requirePqModelMatch() // BEFORE the sidecar write below re-stamps it
     writeMetaSidecar()
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
-    // through the start→addListener window; matched on the sink path
-    // (known pre-start — the query id isn't), which is unique per
-    // location because the file sink locks its output directory
+    // through the start→addListener window. The query is given a unique
+    // name, and onQueryStarted — which Spark delivers synchronously
+    // INSIDE start(), before any progress or termination event — latches
+    // the query id from it. Progress and termination then match on that
+    // id alone: no sink-description substring test (which false-matched
+    // sibling paths, /x/lake vs /x/lake2) and no post-start id
+    // assignment (which leaked the listener when a query terminated
+    // before start() returned).
+    val qName = s"graft_ingest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stamper = new StreamingQueryListener {
-      @volatile var queryId: java.util.UUID = null
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      @volatile private var queryId: java.util.UUID = null
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == qName) queryId = e.id
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.sink.description.contains(cfg.location) &&
-            e.progress.numInputRows > 0)
+        if (e.progress.id == queryId && e.progress.numInputRows > 0)
           writeMetaSidecar()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == queryId) spark.streams.removeListener(this)
@@ -203,6 +215,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val query =
       try withDerived(rows)
         .writeStream
+        .queryName(qName)
         .format("parquet")
         .option("path", cfg.location)
         .option("checkpointLocation", checkpoint)
@@ -212,7 +225,6 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .start()
       catch { case t: Throwable =>
         spark.streams.removeListener(stamper); throw t }
-    stamper.queryId = query.id
     query
   }
 
@@ -334,6 +346,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def topKPq(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame = {
     val model = cfg.pqCodebooks.getOrElse(throw new IllegalArgumentException(
       "topKPq needs a materialized pq_code column: set pqCodebooks = Some(model)"))
+    requirePqModelMatch() // stored codes must be this model's codes
     val adc = (0 until model.m).map { mi =>
       element_at(V.vecLit(model.lutFor(q, mi)),
         (shiftright(col("pq_code"), 8 * mi).bitwiseAND(lit(255)) + 1).cast("int"))
@@ -550,9 +563,48 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val p = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}}"""
+    val pqField = cfg.pqCodebooks
+      .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$pqField}"""
     out.write(json.getBytes("UTF-8")); out.close()
   }
+
+  private def readMetaSidecar(): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** `pq_code` rows are only meaningful under the codebooks that wrote
+    * them — previously a doc-comment contract on
+    * [[LakeConfig.pqCodebooks]], now enforced: the sidecar records the
+    * model fingerprint and any writer/reader constructed with a
+    * DIFFERENT model fails loudly here instead of silently mixing
+    * incompatible codes (which corrupts topKPq with no error). A
+    * pre-fingerprint sidecar (no field) is accepted and stamped on the
+    * next write. */
+  private def requirePqModelMatch(): Unit =
+    cfg.pqCodebooks.foreach { m =>
+      for {
+        json <- readMetaSidecar()
+        found <- """"pq_fingerprint"\s*:\s*"([0-9a-f]+)"""".r
+          .findFirstMatchIn(json).map(_.group(1))
+      } require(found == m.fingerprint,
+        s"lake at ${cfg.location} stores pq_code under codebook fingerprint " +
+          s"$found but this session's model fingerprints ${m.fingerprint}; " +
+          "mixing codes from different trainings silently corrupts topKPq — " +
+          "construct the Lake with the model that first wrote it")
+    }
 }
 
 object Lake {

@@ -31,6 +31,22 @@ object Pq {
     def k: Int = codebooks.head.length
     def subDim: Int = codebooks.head.head.length
 
+    /** Stable fingerprint of the codebooks on the same 6-dp grid the
+      * encode expression quantizes through — two models that would
+      * assign identical codes fingerprint identically, any retrain
+      * that moves a centroid does not. A lake's `_meta.json` records
+      * this so a writer/reader built with a different model fails
+      * loudly instead of silently mixing incompatible `pq_code`s. */
+    lazy val fingerprint: String = {
+      val sb = new StringBuilder
+      codebooks.foreach(_.foreach(_.foreach { x =>
+        sb.append(java.lang.String.format(java.util.Locale.ROOT,
+          "%.6f", Double.box(V.round6d(x)))).append(',')
+      }))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
     /** Code for subspace `mi` as an expression: argmin of the ROUNDED
       * L2 distances to the literal codebook (first index on ties). */
     def codeCol(vec: Column, mi: Int): Column = {

@@ -431,7 +431,11 @@ object CurationQueries {
     "q_export_shards",
     (s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val out = s"${sys.props("java.io.tmpdir")}/graft_export_${Integer.toHexString(dir.hashCode)}"
+      // keyed by the SANITIZED FULL dir (collision-free, unlike a 32-bit
+      // hashCode) plus the Spark application id, so two concurrent
+      // sessions on the same sfDir write disjoint round-trip dirs
+      val out = s"${sys.props("java.io.tmpdir")}/graft_export_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
       val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           size(T.tokens(col("text"))).cast("long").as("t"))

@@ -152,10 +152,15 @@ object DedupQueries {
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
+      // a document under 3 code points has an EMPTY 3-gram set; two
+      // such docs pair as 0/0 = NaN, which Spark orders GREATEST, so
+      // degenerate pairs would own the DESC top-20 (and DuckDB's NaN
+      // ordering differs by version). Guarded on both engines.
       val d = Tables.documents(s, dir)
         .where(col("doc_id") < 200)
         .select(col("doc_id"), col("lang"),
           T.charNgramHashes(col("text"), 3).as("g"))
+        .where(size(col("g")) > 0)
       val a = d.select(col("lang"), col("doc_id").as("a_id"), col("g").as("a_g"))
       val b = d.select(col("lang"), col("doc_id").as("b_id"), col("g").as("b_g"))
       val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
@@ -168,7 +173,8 @@ object DedupQueries {
     },
     Some {
       val g = T.sqlCharNgramHashes("text", 3)
-      s"""WITH d AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200)
+      s"""WITH d0 AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200),
+               d AS (SELECT * FROM d0 WHERE len(g) > 0)
           SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
                  round(len(list_intersect(a.g, b.g))::DOUBLE /
                        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS jaccard
@@ -234,10 +240,14 @@ object DedupQueries {
   val qContainment = Q(
     "q_containment",
     (s, dir) => {
+      // empty 3-gram set (doc under 3 code points) → least(...) = 0 →
+      // 0/0 = NaN, ordered greatest by Spark; same guard as
+      // q_ngram_jaccard, mirrored into the oracle
       val d = Tables.documents(s, dir)
         .where(col("doc_id") < 200)
         .select(col("doc_id"), col("lang"),
           T.charNgramHashes(col("text"), 3).as("g"))
+        .where(size(col("g")) > 0)
       val a = d.select(col("lang"), col("doc_id").as("a_id"), col("g").as("a_g"))
       val b = d.select(col("lang"), col("doc_id").as("b_id"), col("g").as("b_g"))
       val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
@@ -250,7 +260,8 @@ object DedupQueries {
     },
     Some {
       val g = T.sqlCharNgramHashes("text", 3)
-      s"""WITH d AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200)
+      s"""WITH d0 AS (SELECT doc_id, lang, $g AS g FROM documents WHERE doc_id < 200),
+               d AS (SELECT * FROM d0 WHERE len(g) > 0)
           SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
                  round(len(list_intersect(a.g, b.g))::DOUBLE /
                        least(len(a.g), len(b.g))::DOUBLE, 6) AS containment

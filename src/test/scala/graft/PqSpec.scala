@@ -94,6 +94,30 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:string,pq_code:bigint>"), plan.take(1500))
   }
 
+  test("a lake refuses pq_code access under a different model; accepts an identical retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_fp")
+    val loc = s"$dir/lake"
+    Lake(spark, LakeConfig(loc, dim = dim, numHashes = 3, pqCodebooks = Some(model)))
+      .ingest(data.select(col("vec").as("vector"),
+        concat(lit("doc-"), col("id")).as("document")))
+    // deterministic retraining reproduces the model: same fingerprint, accepted
+    val same = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
+    assert(same.fingerprint === model.fingerprint)
+    val q = Seq.tabulate(dim)(i => (i % 3) * 0.5 - 0.5)
+    assert(Lake(spark, LakeConfig(loc, dim = dim, numHashes = 3,
+      pqCodebooks = Some(same))).topKPq(q, 3).count() === 3L)
+    // one moved centroid = a retrain: different fingerprint, both write AND read refuse
+    val other = Pq.PqModel(model.codebooks.updated(0,
+      model.codebooks(0).updated(0, model.codebooks(0)(0).map(_ + 1.0))))
+    assert(other.fingerprint !== model.fingerprint)
+    val stale = Lake(spark, LakeConfig(loc, dim = dim, numHashes = 3,
+      pqCodebooks = Some(other)))
+    intercept[IllegalArgumentException] {
+      stale.ingest(data.limit(1).select(col("vec").as("vector")))
+    }
+    intercept[IllegalArgumentException] { stale.topKPq(q, 3) }
+  }
+
   test("adcDistCol equals the driver-side LUT replay (expression correctness)") {
     val q = Seq.tabulate(dim)(i => (i % 3) * 0.5 - 0.5)
     val got = data
