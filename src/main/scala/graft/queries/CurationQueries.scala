@@ -463,8 +463,44 @@ object CurationQueries {
                     CAST(bit_xor(${T.sqlH60("text")}) AS BIGINT) AS text_h
              FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
 
+  /** Deterministic epoch-seeded global shuffle — the training-order op:
+    * each epoch orders the corpus by h60(doc_id ":" epoch), a stable
+    * uniform permutation that reshuffles every epoch with no RNG state
+    * to checkpoint (resume = re-evaluate the expression). At 100 TB the
+    * real artifact is the SORT itself (repartitionByRange +
+    * sortWithinPartitions on the key, then shard export — the
+    * q_export_shards tail); this audit view takes each epoch's first
+    * 10 positions, which Spark plans as TakeOrderedAndProject per
+    * epoch — no single-partition global window ever sees the corpus
+    * (row_number runs over the 20 surviving rows only). */
+  val qTrainOrder = Q(
+    "q_train_order",
+    (s, dir) => {
+      val eps = Seq(1, 2).map { e =>
+        Tables.documents(s, dir)
+          .select(lit(e).as("epoch"), col("doc_id"),
+            T.h60(concat(col("doc_id").cast("string"), lit(s":$e"))).as("shuffle_key"))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+          .limit(10)
+      }
+      eps.reduce(_ union _)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("epoch").orderBy(col("shuffle_key"), col("doc_id"))))
+        .select(col("epoch"), col("pos"), col("doc_id"), col("shuffle_key"))
+        .orderBy("epoch", "pos")
+    },
+    Some(s"""WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2 AS epoch),
+                 r AS (SELECT epoch, doc_id,
+                              ${T.sqlH60("(doc_id::VARCHAR || ':' || epoch::VARCHAR)")} AS shuffle_key,
+                              row_number() OVER (PARTITION BY epoch
+                                ORDER BY ${T.sqlH60("(doc_id::VARCHAR || ':' || epoch::VARCHAR)")}, doc_id) AS pos
+                       FROM documents CROSS JOIN e)
+             SELECT epoch, CAST(pos AS INTEGER) AS pos, doc_id, shuffle_key
+             FROM r WHERE pos <= 10 ORDER BY epoch, pos"""))
+
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qTfidf, qNtileBuckets,
-    qSampleWeighted, qExportShards)
+    qSampleWeighted, qExportShards, qTrainOrder)
 }

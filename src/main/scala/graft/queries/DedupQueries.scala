@@ -269,6 +269,40 @@ object DedupQueries {
           ORDER BY containment DESC, a_id, b_id LIMIT 20"""
     })
 
+  /** Between-source duplication matrix — the provenance audit that
+    * tells a curation run WHO copies WHOM: sources sharing a 16-bit
+    * SimHash bucket contain near-identical token distributions, so the
+    * count of shared occupied buckets per source pair ranks
+    * cross-source contamination. Bounded by construction: the distinct
+    * (source, bucket) table is at most |sources| × 2^16 rows, so the
+    * self-join cannot explode at any corpus size — the 100 TB cost is
+    * the single fingerprint scan. */
+  val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, dir) => {
+      val sb = Tables.documents(s, dir)
+        .select(col("source"),
+          graft.operators.TextDedup.simhashCol(col("text"), 16).as("b"))
+        .distinct()
+      val a = sb.select(col("b"), col("source").as("a_src"))
+      val bb = sb.select(col("b"), col("source").as("b_src"))
+      a.join(bb, Seq("b"))
+        .where(col("a_src") < col("b_src"))
+        .groupBy("a_src", "b_src")
+        .agg(count(lit(1)).as("shared_buckets"))
+        .orderBy(col("shared_buckets").desc, col("a_src"), col("b_src"))
+        .limit(20)
+    },
+    Some {
+      val sh = T.sqlSimhash(s"list_distinct(${T.sqlTokens("text")})", 16)
+      s"""WITH sb AS (SELECT DISTINCT source, $sh AS b FROM documents)
+          SELECT a.source AS a_src, b.source AS b_src,
+                 CAST(count(*) AS BIGINT) AS shared_buckets
+          FROM sb a JOIN sb b ON a.b = b.b AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY shared_buckets DESC, a_src, b_src LIMIT 20"""
+    })
+
   def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
-    qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest)
+    qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest,
+    qSourceOverlap)
 }

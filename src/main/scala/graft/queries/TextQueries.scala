@@ -201,6 +201,46 @@ object TextQueries {
             FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY t1, t2 ORDER BY n_docs DESC, t1, t2 LIMIT 20"""))
 
+  /** Cross-doc repeated-phrase (boilerplate) audit — the cleanup step
+    * between doc-level dedup and quality filtering: a 3-gram phrase
+    * appearing in ≥ 3 distinct documents is boilerplate (headers,
+    * footers, license blurbs), and a document is ranked by the fraction
+    * of its distinct phrases that are boilerplate. Shape: one fused
+    * shingle pass exploding distinct 3-gram hashes (60-bit ints — no
+    * phrase strings cross the shuffle), a map-side-combinable hash agg
+    * for corpus phrase frequency, an equi-join back, a per-doc agg —
+    * the q_decontaminate posture; AQE broadcasts the frequency side
+    * when it fits. Integer counts, one final IEEE division. */
+  val qBoilerplate = Q(
+    "q_boilerplate",
+    (s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 3))).as("g"))
+        .select(col("doc_id"), T.h60(col("g")).as("h"))
+      val freq = pairs.groupBy("h").agg(count(lit(1)).as("nd"))
+      pairs.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          round(col("n_boiler").cast("double") / col("n_grams"), 6))
+        .orderBy(col("boiler_frac").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val sh = T.sqlShingles("text", 3)
+      s"""WITH p AS (SELECT doc_id, ${T.sqlH60("g")} AS h
+                     FROM (SELECT doc_id, unnest(list_distinct($sh)) AS g FROM documents)),
+               f AS (SELECT h, count(*) AS nd FROM p GROUP BY h)
+          SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                 round(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_frac
+          FROM p JOIN f USING (h)
+          GROUP BY p.doc_id
+          ORDER BY boiler_frac DESC, doc_id LIMIT 20"""
+    })
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
-    qPiiScrub, qRarityScore, qApproxDistinct, qCooccur)
+    qPiiScrub, qRarityScore, qApproxDistinct, qCooccur, qBoilerplate)
 }

@@ -160,6 +160,29 @@ class PlanSpec extends SparkSpec {
       "no shuffle belongs in a pure scan + top-k")
   }
 
+  test("q_train_order takes each epoch's top-10 via heap top-k; the corpus never meets a window") {
+    val p = plan("q_train_order")
+    assert(p.split("TakeOrderedAndProject").length >= 3,
+      s"each epoch branch must plan as TakeOrderedAndProject:\n${p.take(1500)}")
+    // the row_number window exists, but it must sit ABOVE the union of
+    // the two 10-row TakeOrdered branches — i.e. the plan has no sort
+    // of the full corpus feeding a window directly
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q_source_overlap self-joins the bounded (source, bucket) table on an equi-key") {
+    val p = plan("q_source_overlap")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("NestedLoop"), "bucket equality must be an equi-join")
+  }
+
+  test("q_boilerplate ships 60-bit gram hashes, not phrase strings, through the join") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
