@@ -88,6 +88,39 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Fused shingle→distinct→h60 used by [[ShingleHash60Expr]] — the
+    * 60-bit twin of [[shingleHash31]] for operators that only need
+    * equality (boilerplate frequency, containment): 60 bits makes
+    * cross-engine collision divergence negligible at corpus scale where
+    * 31 bits would collide routinely. */
+  def shingleHash60(text: org.apache.spark.unsafe.types.UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(new Array[Long](0))
+    val md = threadMd5()
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[java.lang.Long](toks.length)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        out.add(md5h60(s.getBytes("UTF-8"), md))
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Fused char-n-gram → distinct → h60 used by [[CharNgramHash60Expr]]:
     * code-point n-grams (matching Spark/DuckDB `substring` character
     * semantics), string-level first-occurrence dedup, 60-bit md5 hash —
@@ -187,6 +220,28 @@ case class ShingleHash31Expr(child: Expression, n: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.expressions.TextKernels.shingleHash31($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string → array<long>`: word-n-gram shingles, string-level
+  * first-occurrence dedup, md5-h60 per shingle in one pass — the 60-bit
+  * twin of [[ShingleHash31Expr]] (same fused walk, full-width hash) for
+  * equality-only consumers where 31-bit collisions would matter at
+  * corpus scale. */
+case class ShingleHash60Expr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.shingleHash60($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

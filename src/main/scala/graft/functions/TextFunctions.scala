@@ -80,6 +80,16 @@ object TextFunctions {
   def sqlCharNgramHashes(e: String, n: Int): String =
     s"list_transform(list_distinct(${sqlCharNgrams(e, n)}), s -> ${sqlH60("s")})"
 
+  /** Distinct word-n-gram shingles hashed to h60, fused
+    * ([[graft.expressions.ShingleHash60Expr]]) — the equality-only twin
+    * of the MinHash path's 31-bit shingle kernel. */
+  def shingleHashes60(text: Column, n: Int): Column =
+    wrap(graft.expressions.ShingleHash60Expr(unwrap(text.cast("string")), n))
+
+  /** Oracle mirror of [[shingleHashes60]]. */
+  def sqlShingleHashes60(e: String, n: Int): String =
+    s"list_transform(list_distinct(${sqlShingles(e, n)}), s -> ${sqlH60("s")})"
+
   // ----------------------------------------------------------- MinHash
 
   /** Seeded (a, b) parameters for the universal-hash family

@@ -210,14 +210,22 @@ object TextQueries {
     * phrase strings cross the shuffle), a map-side-combinable hash agg
     * for corpus phrase frequency, an equi-join back, a per-doc agg —
     * the q_decontaminate posture; AQE broadcasts the frequency side
-    * when it fits. Integer counts, one final IEEE division. */
+    * when it fits. Integer counts, one final IEEE division.
+    *
+    * The (doc_id, h) pair table feeds BOTH the frequency agg and the
+    * join probe; materializing it once (localCheckpoint) halves the
+    * shingle+md5 work — the q_centroid_sim scan-once pattern. The
+    * shingle→distinct→h60 walk is one fused kernel pass
+    * ([[graft.expressions.ShingleHash60Expr]]): the composed
+    * `h60(explode(array_distinct(shingles(...))))` form walked an
+    * interpreted transform lambda per gram and ran 7.6 s at sf0.1. */
   val qBoilerplate = Q(
     "q_boilerplate",
     (s, dir) => {
       val pairs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(array_distinct(T.shingles(col("text"), 3))).as("g"))
-        .select(col("doc_id"), T.h60(col("g")).as("h"))
+          explode(T.shingleHashes60(col("text"), 3)).as("h"))
+        .localCheckpoint()
       val freq = pairs.groupBy("h").agg(count(lit(1)).as("nd"))
       pairs.join(freq, Seq("h"))
         .groupBy("doc_id")

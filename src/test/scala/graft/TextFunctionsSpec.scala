@@ -122,6 +122,15 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("shingleHashes60 kernel === h60 over distinct shingles composition") {
+    for (text <- Seq("a b c d a b c", "one two", "", "x  y  x  y", "a b a b a b")) {
+      val kernel = one[scala.collection.Seq[Long]](T.shingleHashes60(lit(text), 3))
+      val composed = one[scala.collection.Seq[Long]](
+        transform(array_distinct(T.shingles(lit(text), 3)), x => T.h60(x)))
+      assert(kernel.toSeq === composed.toSeq, s"text='$text'")
+    }
+  }
+
   test("fused kernels: empty-set semantics match the HOF forms") {
     val empty = array().cast("array<string>")
     assert(one[scala.collection.Seq[Long]](T.hashes31(empty)).toSeq === Seq.empty)
