@@ -881,10 +881,40 @@ object RelationalQueries {
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** Bloom-pruned fact-fact semi-join ([[graft.operators.BloomJoin]]):
+    * lineitems of high-value orders, with the probe side cut by a
+    * codegen'd `might_contain` BEFORE the exact join — the runtime-
+    * filter pattern made explicit. The bloom is pure pruning (the exact
+    * semi-join kills its false positives), so the result — and the
+    * oracle — is the plain semi-join's. At 100 TB the win is shuffle
+    * volume: only probe rows passing the 1 MB broadcast sketch enter
+    * the join exchange, unconditionally — no CBO size-threshold gamble
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`). */
+  val qBloomJoin = Q(
+    "q_bloom_join",
+    (s, dir) => {
+      val highValue = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 480000.0)
+        .select("o_orderkey")
+      graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(s, dir), "l_orderkey", highValue, "o_orderkey",
+        estItems = 100000L, numBits = 1048576L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem SEMI JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+                 o ON l_orderkey = o.o_orderkey
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(qTpchQ1, qTpchQ3, qTpchQ4, qTpchQ5, qTpchQ6, qTpchQ7,
     qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ15, qTpchQ16, qTpchQ17,
     qTpchQ18, qTpchQ19, qTpchQ22, qOrdersNation,
     qSegmentTop, qSessionize, qEventsJson,
     qEventPercentiles, qAsofOrders, qRangeJoin, qEventsMovingAvg, qNoUrgent,
-    qValueHistogram, qFunnel, qArgExtremes, qSummaryStats)
+    qValueHistogram, qFunnel, qArgExtremes, qSummaryStats, qBloomJoin)
 }
