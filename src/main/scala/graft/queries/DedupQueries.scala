@@ -302,7 +302,60 @@ object DedupQueries {
           GROUP BY 1, 2 ORDER BY shared_buckets DESC, a_src, b_src LIMIT 20"""
     })
 
+  /** INCREMENTAL dedup admission — the shape a production corpus runs
+    * daily: a new batch (the top 20% of doc_ids) is admitted only if it
+    * is neither an exact duplicate (md5) nor a near duplicate (occupied
+    * 16-bit SimHash bucket) of the existing corpus (the bottom 80%).
+    * Per-lang tally of exact-rejected / near-rejected / admitted.
+    *
+    * Scale shape: the split point is a one-row broadcast aggregate (no
+    * driver-side collect), and both membership probes are equi-joins on
+    * HASHES — at 100 TB the corpus side ships (md5, bucket) keys, never
+    * text, and the batch side is the small relation. Exact-dup flags
+    * take precedence in the tally (near counts only !exact), so the
+    * three buckets partition the batch. */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("h"),
+          graft.operators.TextDedup.simhashCol(col("text"), 16).as("sh"))
+      val split = d.agg(((max("doc_id") + 1) * 0.8).cast("long").as("split"))
+      val dd = d.crossJoin(broadcast(split))
+      val corpus = dd.where(col("doc_id") < col("split"))
+      val batch = dd.where(col("doc_id") >= col("split"))
+      val exact = corpus.select(col("h").as("ch")).distinct()
+      val near = corpus.select(col("sh").as("csh")).distinct()
+      val flagged = batch
+        .join(exact, batch("h") === exact("ch"), "left_outer")
+        .join(near, batch("sh") === near("csh"), "left_outer")
+        .select(col("lang"), col("ch").isNotNull.as("e"), col("csh").isNotNull.as("nr"))
+      flagged.groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("e"), 1L).otherwise(0L)).as("n_exact_rej"),
+          sum(when(!col("e") && col("nr"), 1L).otherwise(0L)).as("n_near_rej"),
+          sum(when(!col("e") && !col("nr"), 1L).otherwise(0L)).as("n_admitted"))
+        .orderBy("lang")
+    },
+    Some {
+      val sh = T.sqlSimhash(s"list_distinct(${T.sqlTokens("text")})", 16)
+      s"""WITH d AS (SELECT doc_id, lang, md5(text) AS h, $sh AS sh FROM documents),
+               s AS (SELECT CAST((max(doc_id) + 1) * 0.8 AS BIGINT) AS split FROM d),
+               corpus AS (SELECT d.* FROM d, s WHERE doc_id < split),
+               batch AS (SELECT d.* FROM d, s WHERE doc_id >= split),
+               f AS (SELECT b.lang,
+                            EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS e,
+                            EXISTS (SELECT 1 FROM corpus c WHERE c.sh = b.sh) AS nr
+                     FROM batch b)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_rej,
+                 CAST(sum(CASE WHEN NOT e AND nr THEN 1 ELSE 0 END) AS BIGINT) AS n_near_rej,
+                 CAST(sum(CASE WHEN NOT e AND NOT nr THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+          FROM f GROUP BY lang ORDER BY lang"""
+    })
+
   def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
     qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest,
-    qSourceOverlap)
+    qSourceOverlap, qDedupIncremental)
 }

@@ -267,5 +267,73 @@ object AnnQueries {
           ORDER BY jl_dist, vec_id LIMIT 10"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl)
+  /** SemDeDup — semantic deduplication scoped by learned clusters
+    * (Abbas et al. 2023 recipe): assign every embedding to its k-means
+    * cell, pair ONLY within a cell, flag pairs with cosine ≥ 0.4, and
+    * report the per-cell would-drop tally (n_dup = distinct higher-id
+    * members of a flagged pair). The clusters make the quadratic step
+    * data-adaptive: candidates meet inside semantically dense cells
+    * (where duplicates actually live), not across the corpus — same
+    * complexity bound as the LSH-bucket join but with learned,
+    * density-tracking buckets, and the k dial shrinks cells as the
+    * corpus grows. Reuses q_ann_ivf's cached deterministic model, so
+    * the oracle replays the identical rounded-centroid literals; the
+    * assignment table is cut once (localCheckpoint) so the self-join
+    * does not re-assign both sides. */
+  def qSemDedup = Q(
+    "q_semdedup",
+    (s, dir) => {
+      val emb = graft.Tables.embeddings(s, dir)
+      val m = models.computeIfAbsent((System.identityHashCode(s), dir),
+        _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+      val e = emb
+        .select(col("vec_id"), assignRounded(col("embedding"), m).as("cell"),
+          V.asDouble(col("embedding")).as("vec"),
+          V.l2Norm(col("embedding")).as("nrm"))
+        .localCheckpoint()
+      val a = e.select(col("cell"), col("vec_id").as("a_id"),
+        col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+      val pairs = a.join(b, col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+        .select(col("cell"), col("b_id"),
+          V.round6z(V.cosineSimPre(V.dot(col("a_vec"), col("b_vec")),
+            col("a_nrm"), col("b_nrm"))).as("sim"))
+        .where(col("sim") >= 0.4)
+      val cellSizes = e.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val dupStats = pairs.groupBy("cell")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("b_id").as("n_dup"),
+          max("sim").as("max_sim"))
+      cellSizes.join(dupStats, Seq("cell"), "left_outer")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          // NULL-free output: a dup-free cell reports 0.0, not NULL —
+          // NULL floats round-trip as NaN through arrow/pandas and
+          // NaN != NaN breaks any value comparator downstream
+          coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+        .orderBy("cell")
+    },
+    soleModel(models).map { m =>
+      s"""WITH c AS (SELECT vec_id, embedding,
+                            ${sqlAssignRounded("embedding", m)} AS cell
+                     FROM embeddings),
+               p AS (SELECT a.cell, b.vec_id AS b_id,
+                            ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} AS sim
+                     FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     WHERE ${V.sqlRound6z(V.sqlCosineSimCols("a.embedding", "b.embedding"))} >= 0.4),
+               cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM c GROUP BY cell),
+               ps AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST(count(DISTINCT b_id) AS BIGINT) AS n_dup,
+                             max(sim) AS max_sim
+                      FROM p GROUP BY cell)
+          SELECT cs.cell, cs.n_vecs,
+                 coalesce(ps.n_pairs, 0) AS n_pairs,
+                 coalesce(ps.n_dup, 0) AS n_dup,
+                 coalesce(ps.max_sim, 0.0) AS max_sim
+          FROM cs LEFT JOIN ps ON cs.cell = ps.cell
+          ORDER BY cs.cell"""
+    })
+
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl, qSemDedup)
 }
