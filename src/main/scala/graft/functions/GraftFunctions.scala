@@ -35,7 +35,21 @@ object GraftFunctions {
     "simhash64" ->
       (exprs => SimhashExpr(exprs(0), litInt(exprs(1), "simhash bits"))),
     "doc_fingerprint" -> (exprs => graft.expressions.FingerprintExpr(exprs.head)),
-    "quantize_audit" -> (exprs => graft.expressions.QuantizeAuditExpr(d(exprs.head))))
+    "quantize_audit" -> (exprs => graft.expressions.QuantizeAuditExpr(d(exprs.head))),
+    // bloom semi-join surface (round 5): Spark ships the expressions
+    // but exposes no SQL names for them — with these, the BloomJoin
+    // pruning pattern is writable in plain SQL:
+    //   WHERE bloom_might_contain((SELECT bloom_agg(k, n, bits) FROM
+    //   build), probe_k)  (uncorrelated scalar subqueries are the one
+    //   non-constant bloom argument BloomFilterMightContain accepts)
+    "bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+        exprs(1), exprs(2))),
+    "bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))))
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)

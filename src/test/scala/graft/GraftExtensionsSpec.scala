@@ -43,6 +43,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
             |""".stripMargin)
         .queryExecution.optimizedPlan.toString
       assert(plan.contains("vector_dot"), plan)
+      // bloom surface in plain SQL: build-side sketch as an
+      // uncorrelated scalar subquery, probe-side might_contain filter
+      s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .createOrReplaceTempView("ext_orders")
+      val kept = s.sql(
+        """SELECT count(*) FROM ext_orders
+          |WHERE bloom_might_contain(
+          |        (SELECT bloom_agg(o_orderkey, 100L, 8192L)
+          |         FROM ext_orders WHERE o_totalprice > 450000),
+          |        o_orderkey)
+          |""".stripMargin).head().getLong(0)
+      val truth = s.sql(
+        "SELECT count(*) FROM ext_orders WHERE o_totalprice > 450000")
+        .head().getLong(0)
+      assert(kept >= truth, "bloom must admit every true key")
+      val total = s.sql("SELECT count(*) FROM ext_orders").head().getLong(0)
+      assert(kept < total, "bloom must prune on a selective build side")
     } finally {
       // hand the default back to the shared suite session; context stays up
       SparkSession.setDefaultSession(shared)

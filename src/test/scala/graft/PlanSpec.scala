@@ -183,6 +183,27 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q_dedup_incremental probes the corpus via hash equi-joins; the split is broadcast") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row split aggregate must broadcast, not shuffle")
+    assert(p.split("SortMergeJoin").length + p.split("ShuffledHashJoin").length
+      + p.split("BroadcastHashJoin").length >= 3,
+      s"both membership probes must be equi-joins:\n${p.take(1200)}")
+  }
+
+  test("q_semdedup pairs within cells via an equi-join on cell, never a nested loop over the corpus") {
+    val p = plan("q_semdedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "cell equality must drive the join")
+  }
+
+  test("q_bloom_join prunes the probe scan with might_contain below the exact join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p.take(800))
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
