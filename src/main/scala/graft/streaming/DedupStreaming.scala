@@ -42,6 +42,37 @@ object DedupStreaming {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-STATIC admission gate — the continuous form of
+    * q_dedup_incremental: new documents stream in and are admitted only
+    * if they are neither an exact duplicate (md5) nor a near duplicate
+    * (occupied SimHash bucket) of an existing STATIC corpus. Two
+    * stream-static LEFT ANTI equi-joins; the static side ships only
+    * (md5, bucket) key columns, never text, and is re-read per
+    * micro-batch — so a corpus that grows between triggers (e.g. a lake
+    * the admitted docs are appended to) tightens the gate continuously.
+    * Complements the stateful gates above: those dedup the stream
+    * against ITSELF, this one dedups it against the corpus.
+    *
+    * @param newDocs streaming frame with (doc_id, text)
+    * @param corpus  static frame with (text) — the existing collection
+    * @param bits    SimHash width */
+  def admitAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      bits: Int = 16): DataFrame = {
+    val keyed = newDocs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("bucket",
+        T.simhashFromHashes(T.hashes31(array_distinct(T.tokens(col("text")))), bits))
+    val corpusH = corpus
+      .select(md5(col("text").cast("binary")).as("c_h")).distinct()
+    val corpusB = corpus
+      .select(T.simhashFromHashes(
+        T.hashes31(array_distinct(T.tokens(col("text")))), bits).as("c_bucket"))
+      .distinct()
+    keyed
+      .join(corpusH, keyed("h") === corpusH("c_h"), "left_anti")
+      .join(corpusB, keyed("bucket") === corpusB("c_bucket"), "left_anti")
+  }
+
   /** @param docs streaming (or batch) frame with (doc_id, text)
     * @param bits SimHash width — the dedup aggressiveness dial */
   def nearDupGate(docs: DataFrame, bits: Int = 16): Dataset[DedupDecision] = {

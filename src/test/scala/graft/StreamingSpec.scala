@@ -199,6 +199,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitAgainstCorpus: stream-static gate rejects exact and near dups of the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus: two documents; "alpha beta gamma" also occupies a SimHash
+    // bucket that a token-permuted variant will collide with (SimHash
+    // over a distinct-token SET is order-insensitive)
+    val corpus = Seq("alpha beta gamma", "delta epsilon zeta").toDF("text")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStreaming
+      .admitAgainstCorpus(stream.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, "alpha beta gamma"), // exact dup → rejected
+        (2L, "gamma beta alpha"), // same token set → same bucket → rejected
+        (3L, "totally fresh content here")) // admitted
+      q.processAllAvailable()
+      // a later batch re-probes the same static corpus
+      stream.addData((4L, "delta epsilon zeta"), (5L, "another new one"))
+      q.processAllAvailable()
+      val ids = spark.table("admit_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(3L, 5L),
+        "only documents novel to the corpus pass the gate")
+    } finally q.stop()
+  }
+
   test("ingestStream: sidecar last_update re-stamps after a data micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_stamp")
