@@ -166,6 +166,15 @@ object VectorFunctions {
       s"NULLIF(sqrt(list_dot_product($col::DOUBLE[], $col::DOUBLE[])) * sqrt(${sqlDouble(qq)}), 0))"
   }
 
+  /** DuckDB expression mirroring [[cosineSim]] against a literal query
+    * vector (the similarity twin of [[sqlCosineDistLit]], same folded
+    * ‖q‖² literal and zero-norm NULLIF guard). */
+  def sqlCosineSimLit(col: String, v: Seq[Double]): String = {
+    val qq = v.foldLeft(0.0)((acc, x) => acc + x * x)
+    s"(${sqlDotLit(col, v)} / " +
+      s"NULLIF(sqrt(list_dot_product($col::DOUBLE[], $col::DOUBLE[])) * sqrt(${sqlDouble(qq)}), 0))"
+  }
+
   /** DuckDB expression mirroring [[l2Dist]] against a literal. */
   def sqlL2DistLit(col: String, v: Seq[Double]): String =
     s"list_distance($col::DOUBLE[], ${sqlVec(v)})"

@@ -412,11 +412,125 @@ object CoreQueries {
            FROM vecs a JOIN vecs b ON a.label < b.label
            ORDER BY a_label, b_label"""))
 
+  // --------------------------------------------------- hybrid retrieval --
+
+  /** Hybrid search with reciprocal-rank fusion — the query shape a
+    * modern vector store actually serves: a BM25 keyword leg over
+    * `documents` and a cosine leg over `embeddings`, each reduced to a
+    * top-100 list by heap top-k (TakeOrderedAndProject — the corpus
+    * never meets a global sort), then fused by
+    * `1/(60+rank_kw) + 1/(60+rank_vec)` over the FULL OUTER join of the
+    * two lists. RRF is the portable fusion: ranks are integers, so the
+    * fused score is a sum of two exact IEEE divisions — no cross-engine
+    * float drift. BM25 uses the LINEAR idf (N/df exact-integer ratio,
+    * same documented divergence as q_tfidf: float `ln` is not
+    * bit-portable); tf saturation k1=1.2, b=0.75. The row_number
+    * windows run over the two 100-row lists only. */
+  val qHybridRrf = Q(
+    "q_hybrid_rrf",
+    (s, dir) => {
+      val terms = Seq("vector", "hash", "join")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      val stats = toks.agg(
+        count(lit(1)).as("n"),
+        sum(size(col("tk")).cast("long")).as("sumdl"),
+        sum(when(array_contains(col("tk"), terms(0)), 1L).otherwise(0L)).as("df0"),
+        sum(when(array_contains(col("tk"), terms(1)), 1L).otherwise(0L)).as("df1"),
+        sum(when(array_contains(col("tk"), terms(2)), 1L).otherwise(0L)).as("df2"))
+      val dl = size(col("tk")).cast("double")
+      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+      def termScore(t: String, dfCol: String) = {
+        val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
+          (col("n").cast("double") / col(dfCol).cast("double"))
+      }
+      val kwTop = toks.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(termScore(terms(0), "df0") + termScore(terms(1), "df1") +
+            termScore(terms(2), "df2"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(100)
+      val kwRanked = kwTop.select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("doc_id"))).as("rk"))
+      val vecTop = Tables.embeddings(s, dir)
+        .select(col("vec_id"), cosQ.as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(100)
+      val vecRanked = vecTop.select(col("vec_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("d"), col("vec_id"))).as("rv"))
+      kwRanked.join(vecRanked, kwRanked("doc_id") === vecRanked("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+    },
+    Some {
+      def sqlTerm(t: String, df: String) =
+        s"""(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * (CAST(len(tk) AS DOUBLE)) /
+           | (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) *
+           | (CAST(n AS DOUBLE) / CAST($df AS DOUBLE)))""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(len(tk)) AS BIGINT) AS sumdl,
+                             CAST(sum(CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                             CAST(sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                             CAST(sum(CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                      FROM toks),
+            scored AS (SELECT doc_id,
+                              CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf_vector,
+                              CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf_hash,
+                              CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf_join,
+                              tk, n, sumdl, df0, df1, df2
+                       FROM toks, stats),
+            kw AS (SELECT doc_id,
+                          round(${sqlTerm("vector", "df0")} + ${sqlTerm("hash", "df1")} +
+                                ${sqlTerm("join", "df2")}, 6) AS s
+                   FROM scored ORDER BY s DESC, doc_id LIMIT 100),
+            kwr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rk FROM kw),
+            vec AS (SELECT vec_id, ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS d
+                    FROM embeddings ORDER BY d, vec_id LIMIT 100),
+            vecr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY d, vec_id) AS INTEGER) AS rv FROM vec)
+          SELECT coalesce(k.doc_id, v.vec_id) AS id,
+                 round(coalesce(1.0 / (60 + rk), 0.0) + coalesce(1.0 / (60 + rv), 0.0), 6) AS rrf
+          FROM kwr k FULL OUTER JOIN vecr v ON k.doc_id = v.vec_id
+          ORDER BY rrf DESC, id LIMIT 20"""
+    })
+
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: a "document" is
+    * a BAG of token vectors (here: four consecutive embedding rows), a
+    * query is a bag of query vectors, and the score is
+    * Σ_q max_t cos_sim(t, q) — max-reduce inside the document, sum
+    * across query tokens. The whole thing is one scan + one hash
+    * aggregate (two maxes per group), so it scales exactly like any
+    * aggregation: no joins, no windows, map-side partials. Per-row sims
+    * are rounded BEFORE the max (identical bits cross-engine); the sum
+    * of two rounded maxes is exact. */
+  val qMaxSim = Q(
+    "q_maxsim",
+    (s, dir) => {
+      val s1 = V.round6z(V.cosineSim(col("embedding"), V.vecLit(Qv)))
+      val s2 = V.round6z(V.cosineSim(col("embedding"), V.vecLit(Fixtures.queryVec2)))
+      Tables.embeddings(s, dir)
+        .select((col("vec_id") / 4).cast("long").as("did"),
+          s1.as("s1"), s2.as("s2"))
+        .groupBy("did")
+        .agg((max(col("s1")) + max(col("s2"))).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("did"))
+        .limit(10)
+    },
+    Some(s"""SELECT CAST(vec_id // 4 AS BIGINT) AS did,
+                    max(${V.sqlRound6z(V.sqlCosineSimLit("embedding", Qv))}) +
+                    max(${V.sqlRound6z(V.sqlCosineSimLit("embedding", Fixtures.queryVec2))}) AS maxsim
+             FROM embeddings GROUP BY 1
+             ORDER BY maxsim DESC, did LIMIT 10"""))
+
   def all: Seq[Q] = Seq(
     qKnnCosine, qKnnL2, qKnnDot, qKnnHamming, qKnnRerank,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
     qKnnBatch, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats)
+    qShardStats, qHybridRrf, qMaxSim)
 }

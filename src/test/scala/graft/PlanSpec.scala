@@ -204,6 +204,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.take(800))
   }
 
+  test("q_hybrid_rrf reduces both legs by heap top-k; windows rank only the 100-row lists") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.split("TakeOrderedAndProject").length >= 3,
+      s"both retrieval legs must be heap top-k:\n${p.take(1500)}")
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q_maxsim is one scan + one hash aggregate — no join, no window") {
+    val p = plan("q_maxsim")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Join"), "late-interaction max-reduce needs no join")
+    assert(!p.contains("Window"), "no window either")
+  }
+
   test("lake single-probe scan prunes to one shard directory") {
     import spark.implicits._
     val lake = Lake(spark, LakeConfig(
