@@ -384,6 +384,55 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def query(queryEmbedding: Seq[Double], k: Int): DataFrame =
     topK(queryEmbedding, k).select(col("vector"))
 
+  /** Hybrid retrieval over the lake — BM25 keyword leg over `document`
+    * plus a cosine leg over `vector`, fused by reciprocal rank
+    * (1/(60+r) per leg; the q_hybrid_rrf shape as a first-class store
+    * API). Each leg reduces to a heap top-`perLegK` list before any
+    * window ranks it, so the lake never meets a global sort; BM25 uses
+    * the linear idf (N/df) with k1=1.2, b=0.75. A keyword absent from
+    * the whole lake contributes zero (guarded — the unguarded formula
+    * is 0·∞ = NaN for every row). Returns (id, rrf) ranked best-first.
+    */
+  def hybridSearch(q: Seq[Double], keywords: Seq[String], k: Int,
+      perLegK: Int = 100): DataFrame = {
+    require(keywords.nonEmpty, "hybridSearch needs at least one keyword")
+    val T = graft.functions.TextFunctions
+    val toks = read().select(col("id"), T.tokens(col("document")).as("tk"))
+    val aggCols =
+      org.apache.spark.sql.functions.count(lit(1)).as("n") +:
+        sum(size(col("tk")).cast("long")).as("sumdl") +:
+        keywords.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df$i")
+        }
+    val stats = toks.agg(aggCols.head, aggCols.tail: _*)
+    val dl = size(col("tk")).cast("double")
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    def termScore(t: String, i: Int): Column = {
+      val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+      when(col(s"df$i") === 0L, lit(0.0)).otherwise(
+        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
+          (col("n").cast("double") / col(s"df$i").cast("double")))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+    val kwTop = toks.crossJoin(broadcast(stats))
+      .select(col("id"),
+        keywords.zipWithIndex.map((termScore _).tupled).reduce(_ + _).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(perLegK)
+    val kwRanked = kwTop.select(col("id"),
+      row_number().over(w.orderBy(col("s").desc, col("id"))).as("rk"))
+    val vecTop = read()
+      .select(col("id").as("vid"), V.round6z(distCol(q)).as("d"))
+      .orderBy(col("d"), col("vid")).limit(perLegK)
+    val vecRanked = vecTop.select(col("vid"),
+      row_number().over(w.orderBy(col("d"), col("vid"))).as("rv"))
+    kwRanked.join(vecRanked, kwRanked("id") === vecRanked("vid"), "full_outer")
+      .select(coalesce(col("id"), col("vid")).as("id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** Batch ingest of (text, embedding) pairs — the `add_texts` analog
     * (langchain/__init__.py:43-67): returns the row count written. */
   def addTexts(texts: DataFrame): Long = {

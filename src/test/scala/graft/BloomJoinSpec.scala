@@ -49,6 +49,35 @@ class BloomJoinSpec extends SparkSpec {
       s"bloom passed $passed vs $trueMatches true matches out of $total")
   }
 
+  test("Spark's own runtime bloom filter injects on this join shape when thresholds allow") {
+    // the explicit BloomJoin operator exists because these thresholds
+    // are a CBO gamble — but when they DO line up, the same fact-fact
+    // shape must pick up InjectRuntimeFilter's bloom with no code
+    // change (proves the queries compose with Spark's runtime
+    // filtering rather than fighting it)
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir).where(col("o_totalprice") > 400000.0)
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("might_contain is applied probe-side before the exact join") {
     val p = BloomJoin.semiJoin(probe, "l_orderkey", build, "o_orderkey",
       estItems = 10000L, numBits = 65536L)

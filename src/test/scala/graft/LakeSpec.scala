@@ -148,6 +148,31 @@ class LakeSpec extends SparkSpec {
     assert(rows.head.schema.fieldNames.toSeq === Seq("document", "metadata", "dist"))
   }
 
+  test("hybridSearch fuses keyword and vector legs; exact double match tops the list") {
+    val lake = freshLake()
+    val target = Seq(1.0, 0.0, 0.0, 0.0, 0.0)
+    val off = Seq(0.0, 1.0, 0.0, 0.0, 0.0)
+    // doc 'a' matches the query vector AND the keyword; 'b' only the
+    // keyword; 'c' only the vector-ish direction; 'd' neither
+    lake.addTexts(Seq(
+      (target.map(_.toFloat), "spark vector engine"),
+      (off.map(_.toFloat), "vector store notes"),
+      (Seq(0.9f, 0.1f, 0f, 0f, 0f), "unrelated words here"),
+      (Seq(0f, 0f, 1f, 0f, 0f), "nothing relevant at all"))
+      .toDF("embedding", "text"))
+    val got = lake.hybridSearch(target, Seq("vector"), k = 4)
+    val rows = got.collect()
+    assert(rows.length === 4)
+    assert(got.columns.toSeq === Seq("id", "rrf"))
+    // the double-matcher must outrank single-leg matchers: rrf of
+    // (rank 1 + rank 1) = 2/61 beats any other combination
+    val scores = rows.map(r => r.getDouble(1))
+    assert(math.abs(scores.head - 2.0 / 61) < 1e-9, scores.toSeq.toString)
+    // an absent keyword contributes zero, never NaN
+    val absent = lake.hybridSearch(target, Seq("zzz_not_present"), k = 2).collect()
+    assert(absent.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("loadWarm materializes and counts; sizeInBytes is positive") {
     val lake = freshLake()
     lake.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0), Seq(0.0, 1.0, 0, 0, 0))))
