@@ -335,5 +335,54 @@ object AnnQueries {
           ORDER BY cs.cell"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl, qSemDedup)
+  /** Cluster labeling — the "what is IN my clusters" audit run right
+    * after any embedding clustering (SemDeDup, IVF build, curation
+    * mixes): assign each embedding to its k-means cell, join the
+    * paired document text (vec_id = doc_id), and surface the top-3
+    * tokens per cell by document frequency. The aggregate-then-window
+    * shape keeps the window input at |cells|×|vocab| rows (a few
+    * hundred), never the corpus; the token explode is the only
+    * corpus-sized stage and it feeds a map-side-combinable hash agg.
+    * Same cached deterministic model + literal-centroid oracle as
+    * q_ann_ivf/q_semdedup. */
+  def qClusterLabels = Q(
+    "q_cluster_labels",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.Tables.embeddings(s, dir)
+      val m = models.computeIfAbsent((System.identityHashCode(s), dir),
+        _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+      val cells = emb.select(col("vec_id"), assignRounded(col("embedding"), m).as("cell"))
+      val docs = graft.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+      val counts = cells.join(docs, cells("vec_id") === docs("doc_id"))
+        .select(col("cell"), explode(col("tk")).as("token"))
+        .groupBy("cell", "token").agg(count(lit(1)).as("n_docs"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("cell").orderBy(col("n_docs").desc, col("token"))))
+        .where(col("rank") <= 3)
+        .select(col("cell"), col("rank").cast("int").as("rank"),
+          col("token"), col("n_docs"))
+        .orderBy("cell", "rank")
+    },
+    soleModel(models).map { m =>
+      val tokens = graft.functions.TextFunctions.sqlTokens("text")
+      s"""WITH c AS (SELECT vec_id, ${sqlAssignRounded("embedding", m)} AS cell
+                     FROM embeddings),
+               t AS (SELECT c.cell, unnest(list_distinct($tokens)) AS token
+                     FROM c JOIN documents d ON c.vec_id = d.doc_id),
+               cnt AS (SELECT cell, token, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM t GROUP BY cell, token),
+               r AS (SELECT cell, token, n_docs,
+                            CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY n_docs DESC, token) AS INTEGER) AS rank
+                     FROM cnt)
+          SELECT cell, rank, token, n_docs FROM r WHERE rank <= 3
+          ORDER BY cell, rank"""
+    })
+
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl, qSemDedup,
+    qClusterLabels)
 }
