@@ -78,6 +78,17 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("an empty build side yields an empty (not failing) result") {
+    // BloomFilterAggregate over zero rows evals to NULL; might_contain
+    // on a NULL sketch is NULL, which filters every probe row — the
+    // correct semi-join answer for an empty build side, reached without
+    // a special case
+    val empty = build.where(lit(false))
+    val out = BloomJoin.semiJoin(probe, "l_orderkey", empty, "o_orderkey",
+      estItems = 100L, numBits = 8192L)
+    assert(out.count() === 0L)
+  }
+
   test("might_contain is applied probe-side before the exact join") {
     val p = BloomJoin.semiJoin(probe, "l_orderkey", build, "o_orderkey",
       estItems = 10000L, numBits = 65536L)

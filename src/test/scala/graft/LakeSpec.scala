@@ -152,10 +152,12 @@ class LakeSpec extends SparkSpec {
     val lake = freshLake()
     val target = Seq(1.0, 0.0, 0.0, 0.0, 0.0)
     val off = Seq(0.0, 1.0, 0.0, 0.0, 0.0)
-    // doc 'a' matches the query vector AND the keyword; 'b' only the
-    // keyword; 'c' only the vector-ish direction; 'd' neither
+    // doc 'a' matches the query vector AND the keyword (twice — lake
+    // ids are uuids, so a keyword-score TIE would break on a random id
+    // and flake; tf=2 vs tf=1 makes the BM25 ranking strict); 'b' only
+    // the keyword; 'c' only the vector-ish direction; 'd' neither
     lake.addTexts(Seq(
-      (target.map(_.toFloat), "spark vector engine"),
+      (target.map(_.toFloat), "vector spark vector"),
       (off.map(_.toFloat), "vector store notes"),
       (Seq(0.9f, 0.1f, 0f, 0f, 0f), "unrelated words here"),
       (Seq(0f, 0f, 1f, 0f, 0f), "nothing relevant at all"))
