@@ -135,8 +135,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           map(lit("id"), lit("1")).cast(MapType(StringType, StringType)))
           .otherwise(col("metadata")))
     if (!df.columns.contains("document")) df = df.withColumn("document", lit(""))
+    // a caller-supplied id survives (upsert identity); absent → uuid,
+    // the reference's default (index.py:577)
+    if (!df.columns.contains("id")) df = df.withColumn("id", expr("uuid()"))
     df = df
-      .withColumn("id", expr("uuid()"))
+      .withColumn("id", col("id").cast(StringType))
       .withColumn("timestamp", current_timestamp())
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
     if (cfg.packSignBits)
@@ -590,6 +593,129 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       } else { sb.append(c); i += 1 }
     }
     Some(sb.toString)
+  }
+
+  /** Row-level DELETE WHERE — the targeted maintenance op the reference
+    * lacks (its only delete is whole-store, index.py:548-563; table
+    * formats call this DELETE): rewrites ONLY the shard directories
+    * that contain matches. Affected-partition discovery is one pruned
+    * scan; unaffected directories are never read or touched, which at
+    * 100 TB is the difference between rewriting gigabytes and
+    * rewriting everything. Rows where `pred` evaluates NULL are KEPT
+    * (SQL DELETE semantics: only true deletes). Returns rows deleted.
+    */
+  def deleteWhere(pred: Column): Long = {
+    if (!exists()) return 0L
+    val affected = read().where(pred).select(partCol).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
+    if (affected.isEmpty) return 0L
+    val slice = read().where(affectedPartPred(affected))
+    val total = slice.count()
+    val kept = slice.where(!coalesce(pred, lit(false)))
+      .select((storedCols.map(col) :+ col(partCol)): _*)
+    val keptCount = kept.count()
+    val deleted = total - keptCount
+    if (deleted == 0L) return 0L
+    rewritePartitions(affected, kept, keptCount, "__deleting")
+    deleted
+  }
+
+  /** Upsert by caller-supplied id: rows whose id already exists replace
+    * the stored version (wherever routing put it — a changed vector may
+    * have moved shards), the rest append. One rewrite touching only the
+    * union of (shards holding old versions, shards receiving new rows);
+    * the id probe is a broadcast semi/anti join, never a collected id
+    * list. Returns the number of replaced rows. */
+  def upsert(rows: DataFrame): Long = {
+    require(rows.columns.contains("id"),
+      "upsert needs caller-supplied ids (an id column) to define row identity")
+    requirePqModelMatch()
+    if (!exists()) { ingest(rows); return 0L }
+    val newDerived = withDerived(rows).localCheckpoint()
+    val newCount = newDerived.count()
+    val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
+    val oldShards = read()
+      .join(newIds, col("id") === col("__new_id"), "left_semi")
+      .select(partCol).distinct().collect()
+    val newShards = newDerived.select(partCol).distinct().collect()
+    val affected = (oldShards ++ newShards)
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
+    val slice = read().where(affectedPartPred(affected))
+    val sliceCount = slice.count()
+    val keptOld = slice
+      .join(newIds, col("id") === col("__new_id"), "left_anti")
+      .select((storedCols.map(col) :+ col(partCol)): _*)
+    val keptCount = keptOld.count()
+    rewritePartitions(affected,
+      keptOld.unionByName(newDerived.select((storedCols.map(col) :+ col(partCol)): _*)),
+      keptCount + newCount, "__upserting")
+    sliceCount - keptCount
+  }
+
+  /** Null-safe membership predicate over decoded partition values. */
+  private def affectedPartPred(affected: Set[Option[String]]): Column =
+    affected.toSeq
+      .map(v => col(partCol).cast(StringType) <=> lit(v.orNull))
+      .reduce(_ || _)
+
+  /** Shared targeted-rewrite machinery for [[deleteWhere]]/[[upsert]]:
+    * write `content` (covering EXACTLY the `affected` partition values)
+    * to a tmp tree, verify the row count, then swap each affected
+    * directory individually — original renamed to a backup outside the
+    * lake root (a suffixed name INSIDE the root would poison partition
+    * discovery), replacement renamed in, backups dropped last. An
+    * affected value with no tmp directory means all its rows were
+    * removed: the original directory is retired without a replacement.
+    */
+  private def rewritePartitions(affected: Set[Option[String]],
+      content: DataFrame, expectedRows: Long, tag: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      "refusing to rewrite a streaming-sink lake: _spark_metadata manifest present")
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location + tag)
+    fs.delete(tmp, true)
+    if (expectedRows > 0L) {
+      content.repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", cfg.codec)
+        .partitionBy(partCol)
+        .parquet(tmp.toString)
+      val tmpRows = spark.read.parquet(tmp.toString).count()
+      if (tmpRows != expectedRows) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"partition rewrite aborted: wrote $tmpRows rows, expected $expectedRows ($root untouched)")
+      }
+    }
+    def dirsOf(p: org.apache.hadoop.fs.Path): Map[Option[String], String] =
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)) ->
+          s.getPath.getName)
+        .toMap
+    val oldDirs = dirsOf(root).filter { case (v, _) => affected.contains(v) }
+    val tmpDirs = dirsOf(tmp)
+    require(tmpDirs.keySet.subsetOf(affected),
+      s"rewrite produced out-of-scope partitions: ${tmpDirs.keySet -- affected}")
+    val bakParent = new org.apache.hadoop.fs.Path(cfg.location + tag + "_bak")
+    fs.delete(bakParent, true)
+    fs.mkdirs(bakParent)
+    (oldDirs.keySet ++ tmpDirs.keySet).foreach { v =>
+      val name = oldDirs.getOrElse(v, tmpDirs(v))
+      val cur = new org.apache.hadoop.fs.Path(root, name)
+      if (fs.exists(cur))
+        require(fs.rename(cur, new org.apache.hadoop.fs.Path(bakParent, name)),
+          s"rename $cur -> backup failed")
+      tmpDirs.get(v).foreach { tn =>
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp, tn), cur),
+          s"rename $tmp/$tn -> $cur failed")
+      }
+    }
+    fs.delete(bakParent, true)
+    fs.delete(tmp, true)
+    writeMetaSidecar()
   }
 
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */

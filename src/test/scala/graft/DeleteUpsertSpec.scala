@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Row-level maintenance ops: DELETE WHERE rewrites only the affected
+  * shard directories (unaffected files are bit-untouched), upsert
+  * replaces by caller-supplied id and appends the rest. Both verify
+  * their rewrite before any destructive swap. */
+class DeleteUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graft_del_test").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+  }
+
+  /** 32 deterministic vectors spread over shards, ids "r0".."r31". */
+  private def seed(lake: Lake): Unit = {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 32).map { i =>
+      (s"r$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document")
+    lake.ingest(rows)
+  }
+
+  private def files(lake: Lake): Map[String, Set[String]] = {
+    val root = new org.apache.hadoop.fs.Path(lake.cfg.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory).map { d =>
+      d.getPath.getName ->
+        fs.listStatus(d.getPath).filter(_.isFile).map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").toSet
+    }.toMap
+  }
+
+  test("deleteWhere removes only matching rows and returns the count") {
+    val lake = freshLake()
+    seed(lake)
+    assert(lake.count() === 32L)
+    val victims = lake.read().where(col("document").isin("doc 3", "doc 17")).count()
+    assert(victims === 2L)
+    val deleted = lake.deleteWhere(col("document").isin("doc 3", "doc 17"))
+    assert(deleted === 2L)
+    assert(lake.count() === 30L)
+    assert(lake.read().where(col("document").isin("doc 3", "doc 17")).count() === 0L)
+  }
+
+  test("deleteWhere leaves unaffected shard directories bit-untouched") {
+    val lake = freshLake()
+    seed(lake)
+    val target = lake.read().where(col("document") === "doc 7")
+      .select("shard").head().getInt(0)
+    val before = files(lake)
+    assert(lake.deleteWhere(col("document") === "doc 7") === 1L)
+    val after = files(lake)
+    val targetDir = s"shard=$target"
+    // the matched shard was rewritten...
+    assert(before(targetDir) !== after.getOrElse(targetDir, Set.empty[String]))
+    // ...every other directory kept its exact files (name, size, mtime)
+    (before.keySet - targetDir).foreach { d =>
+      assert(after(d) === before(d), s"unaffected dir $d was rewritten")
+    }
+  }
+
+  test("deleteWhere with no matches is a no-op returning 0") {
+    val lake = freshLake()
+    seed(lake)
+    val before = files(lake)
+    assert(lake.deleteWhere(col("document") === "no such doc") === 0L)
+    assert(files(lake) === before)
+    assert(lake.count() === 32L)
+  }
+
+  test("deleting every row of a shard retires its directory") {
+    val lake = freshLake()
+    seed(lake)
+    val someShard = lake.read().select("shard").head().getInt(0)
+    val inShard = lake.read().where(col("shard") === someShard).count()
+    assert(lake.deleteWhere(col("shard") === someShard) === inShard)
+    assert(!files(lake).contains(s"shard=$someShard"))
+    assert(lake.count() === 32L - inShard)
+  }
+
+  test("upsert replaces existing ids in place and appends new ones") {
+    val lake = freshLake()
+    seed(lake)
+    val rng = new scala.util.Random(99)
+    val batch = Seq(
+      ("r3", Seq.fill(5)(rng.nextGaussian().toFloat), "doc 3 v2"), // replace
+      ("r17", Seq.fill(5)(rng.nextGaussian().toFloat), "doc 17 v2"), // replace
+      ("r100", Seq.fill(5)(rng.nextGaussian().toFloat), "brand new") // insert
+    ).toDF("id", "vector", "document")
+    val replaced = lake.upsert(batch)
+    assert(replaced === 2L)
+    assert(lake.count() === 33L)
+    val docs = lake.read().where(col("id").isin("r3", "r17", "r100"))
+      .select("id", "document").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs === Map("r3" -> "doc 3 v2", "r17" -> "doc 17 v2", "r100" -> "brand new"))
+    // exactly one version of each replaced id survives
+    assert(lake.read().where(col("id") === "r3").count() === 1L)
+  }
+
+  test("upsert on an empty lake is a plain ingest") {
+    val lake = freshLake()
+    val batch = Seq(("a1", Seq(1f, 0f, 0f, 0f, 0f), "first")).toDF("id", "vector", "document")
+    assert(lake.upsert(batch) === 0L)
+    assert(lake.count() === 1L)
+    assert(lake.read().head().getAs[String]("id") === "a1")
+  }
+
+  test("a caller-supplied id survives plain ingest (upsert identity contract)") {
+    val lake = freshLake()
+    lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))
+    assert(lake.read().head().getAs[String]("id") === "keep-me")
+  }
+}
