@@ -633,6 +633,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!exists()) { ingest(rows); return 0L }
     val newDerived = withDerived(rows).localCheckpoint()
     val newCount = newDerived.count()
+    // duplicate ids WITHIN the batch would all survive the rewrite and
+    // recreate the duplicate this op exists to prevent — and a frame
+    // has no row order to make "keep last" deterministic. Fail loudly.
+    val distinctIds = newDerived.select("id").distinct().count()
+    require(distinctIds == newCount,
+      s"upsert batch has duplicate ids ($newCount rows, $distinctIds distinct ids)")
     val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
     val oldShards = read()
       .join(newIds, col("id") === col("__new_id"), "left_semi")

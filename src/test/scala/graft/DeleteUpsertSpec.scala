@@ -109,6 +109,17 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.read().head().getAs[String]("id") === "a1")
   }
 
+  test("upsert refuses a batch with duplicate ids (no deterministic keep-last exists)") {
+    val lake = freshLake()
+    seed(lake)
+    val dup = Seq(
+      ("rX", Seq(1f, 0f, 0f, 0f, 0f), "v1"),
+      ("rX", Seq(0f, 1f, 0f, 0f, 0f), "v2")).toDF("id", "vector", "document")
+    val e = intercept[IllegalArgumentException](lake.upsert(dup))
+    assert(e.getMessage.contains("duplicate ids"))
+    assert(lake.count() === 32L, "a refused upsert must not modify the lake")
+  }
+
   test("a caller-supplied id survives plain ingest (upsert identity contract)") {
     val lake = freshLake()
     lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))
