@@ -355,7 +355,46 @@ object DedupQueries {
           FROM f GROUP BY lang ORDER BY lang"""
     })
 
+  /** Exact-substring pair dedup (the Lee et al. 2022 granularity): two
+    * documents sharing an 8-token window contain a verbatim 8-token
+    * copy; the count of shared distinct windows per pair ranks
+    * pair-level verbatim overlap — the complement of q_boilerplate
+    * (corpus-wide phrase fraction per doc) and q_minhash_lsh
+    * (set-similarity estimate): this one localizes WHO copied a long
+    * span from WHOM. Scale guards: only 60-bit window hashes cross the
+    * shuffle (fused one-pass kernel), and the pair join runs over
+    * windows appearing in 2..10 docs — singletons cannot pair and a
+    * hotter window is boilerplate (q_boilerplate's beat), so per-hash
+    * fan-out is capped at C(10,2). */
+  val qSubstringDup = Q(
+    "q_substring_dup",
+    (s, dir) => {
+      val wh = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(T.shingleHashes60(col("text"), 8)).as("h"))
+      val freq = wh.groupBy("h").agg(count(lit(1)).as("nd"))
+        .where(col("nd").between(2, 10))
+        .select("h")
+      val c = wh.join(freq, Seq("h"))
+      val a = c.select(col("h"), col("doc_id").as("a_id"))
+      val b = c.select(col("h").as("bh"), col("doc_id").as("b_id"))
+      a.join(b, col("h") === col("bh") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("shared_windows"))
+        .orderBy(col("shared_windows").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some {
+      val g = T.sqlShingleHashes60("text", 8)
+      s"""WITH wh AS (SELECT doc_id, unnest($g) AS h FROM documents),
+               freq AS (SELECT h FROM wh GROUP BY h HAVING count(*) BETWEEN 2 AND 10),
+               c AS (SELECT wh.doc_id, wh.h FROM wh JOIN freq USING (h))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(count(*) AS BIGINT) AS shared_windows
+          FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY shared_windows DESC, a_id, b_id LIMIT 20"""
+    })
+
   def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
     qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest,
-    qSourceOverlap, qDedupIncremental)
+    qSourceOverlap, qDedupIncremental, qSubstringDup)
 }
