@@ -724,6 +724,29 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     writeMetaSidecar()
   }
 
+  /** Remove leftover rewrite scratch trees (`__compacting`,
+    * `__precompact`, `__deleting`, `__upserting`, and their `_bak`
+    * siblings) that a crashed compact/deleteWhere/upsert may have
+    * stranded next to the lake root — the VACUUM of this table layout.
+    * Safe while live: scratch trees are only ever read by the op that
+    * created them, inside the same call. Returns the number of trees
+    * removed. */
+  def vacuum(): Long = {
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return 0L
+    val scratch = fs.listStatus(parent)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n != root.getName && n.startsWith(root.getName + "__")
+      }
+    scratch.foreach(p => fs.delete(p, true))
+    scratch.length.toLong
+  }
+
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */
   def delete(): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.location)

@@ -120,6 +120,20 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.count() === 32L, "a refused upsert must not modify the lake")
   }
 
+  test("vacuum removes stranded rewrite scratch trees, not the lake") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between tmp-write and swap
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__upserting_bak"))
+    assert(lake.vacuum() === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting")))
+    assert(lake.count() === 32L, "vacuum must not touch the lake itself")
+    assert(lake.vacuum() === 0L)
+  }
+
   test("a caller-supplied id survives plain ingest (upsert identity contract)") {
     val lake = freshLake()
     lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))

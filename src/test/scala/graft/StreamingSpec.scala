@@ -227,6 +227,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous curation pipeline: exact gate -> corpus admission -> lake ingest, one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the full continuous form of the batch pipeline: replay dedup
+    // (exactDedupGate), then corpus near-dup admission
+    // (admitAgainstCorpus), then embed + ingest into the sharded lake —
+    // all one streaming plan feeding Lake.ingestStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 4, numHashes = 3))
+    val corpus = Seq("alpha beta gamma").toDF("text")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val gated = graft.streaming.DedupStreaming.exactDedupGate(
+      stream.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+    val admitted = graft.streaming.DedupStreaming.admitAgainstCorpus(gated, corpus)
+    // deterministic fake embedding: 4 dims from the portable text hash
+    val embedded = admitted.select(
+      transform(sequence(lit(0), lit(3)),
+        i => (pmod(graft.functions.TextFunctions.h60(col("text")) + i, lit(1000L))
+          .cast("double") / 1000.0).cast("float")).as("vector"),
+      col("text").as("document"))
+    val q = lake.ingestStream(embedded, s"$dir/ckpt")
+    try {
+      stream.addData(
+        (1L, "fresh doc one", ts("2024-01-01 10:00:00")),
+        (2L, "fresh doc one", ts("2024-01-01 10:01:00")), // replay → exact gate drops
+        (3L, "alpha beta gamma", ts("2024-01-01 10:02:00")), // corpus dup → admission drops
+        (4L, "fresh doc two", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      stream.addData(
+        (5L, "fresh doc one", ts("2024-01-01 10:10:00")), // replay across batches → dropped
+        (6L, "fresh doc three", ts("2024-01-01 10:11:00")))
+      q.processAllAvailable()
+      val docs = lake.read().select("document").collect().map(_.getString(0)).toSet
+      assert(docs === Set("fresh doc one", "fresh doc two", "fresh doc three"),
+        s"pipeline admitted: $docs")
+      assert(lake.count() === 3L)
+    } finally q.stop()
+  }
+
   test("ingestStream: sidecar last_update re-stamps after a data micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_stamp")
