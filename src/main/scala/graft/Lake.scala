@@ -373,6 +373,61 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .orderBy(col("dist"), col("id"))
       .limit(k)
 
+  /** Metadata/attribute-filtered exact kNN — the vector-DB "filtered
+    * search" surface (`topKFiltered(q, k, col("metadata")("name") ===
+    * "x")`): the predicate is pushed into the scan like any Catalyst
+    * filter, then the usual heap top-k. Exact over the filtered set —
+    * no post-filtering a pruned candidate list short (the classic
+    * filtered-ANN recall bug). */
+  def topKFiltered(q: Seq[Double], k: Int, pred: Column): DataFrame =
+    topKWhere(q, k, pred)
+
+  /** Maximal-marginal-relevance search (the LangChain
+    * `max_marginal_relevance_search` the reference's store never grew):
+    * fetch the `fetchK` nearest candidates distributed, then greedily
+    * pick `k` of them maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance traded
+    * against redundancy. The greedy loop is inherently sequential, so
+    * it runs driver-side over the COLLECTED candidate set — bounded at
+    * `fetchK` rows by the distributed top-k that precedes it (the same
+    * bounded-pull posture as the IVF centroid fetch, never the corpus).
+    * Returns (id, document, dist) in selection order. */
+  def mmrSearch(q: Seq[Double], k: Int, fetchK: Int = 50,
+      lambdaMult: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val cand = topKExact(q, fetchK)
+      .select(col("id"), col("document"), col("dist"), col("vector"))
+      .collect()
+    val vecs = cand.map(_.getAs[scala.collection.Seq[Float]]("vector")
+      .map(_.toDouble).toIndexedSeq)
+    val qv = q.toIndexedSeq
+    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NaN else dot / den
+    }
+    val qSim = vecs.map(cos(_, qv))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (selected.length < math.min(k, cand.length)) {
+      val best = vecs.indices
+        .filterNot(selected.contains)
+        .maxBy { i =>
+          val redundancy =
+            if (selected.isEmpty) 0.0
+            else selected.map(j => cos(vecs(i), vecs(j))).max
+          lambdaMult * qSim(i) - (1 - lambdaMult) * redundancy
+        }
+      selected += best
+    }
+    selected.toSeq.map { i =>
+      (cand(i).getAs[String]("id"), cand(i).getAs[String]("document"),
+        cand(i).getAs[Double]("dist"))
+    }.toDF("id", "document", "dist")
+  }
+
   /** Retrieval-surface projection mirroring the reference's LangChain
     * adapter `similarity_search` (langchain/__init__.py:78-90): top-k
     * rows projected to (document, metadata, dist). Embedding the query

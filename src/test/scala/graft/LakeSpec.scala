@@ -175,6 +175,44 @@ class LakeSpec extends SparkSpec {
     assert(absent.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("topKFiltered: metadata predicate filters BEFORE the exact top-k (no recall loss)") {
+    val lake = freshLake()
+    val rows = Seq(
+      (Seq(1f, 0f, 0f, 0f, 0f), "near a", Map("tier" -> "gold")),
+      (Seq(0.99f, 0.1f, 0f, 0f, 0f), "near b", Map("tier" -> "silver")),
+      (Seq(0f, 1f, 0f, 0f, 0f), "far gold", Map("tier" -> "gold")))
+      .toDF("vector", "document", "metadata")
+    lake.ingest(rows)
+    val got = lake.topKFiltered(Seq(1.0, 0, 0, 0, 0), 2,
+      col("metadata")("tier") === "gold").collect()
+    // exact-over-filtered: the distant gold doc IS found (a pruned-then-
+    // post-filtered implementation would return only 1 row)
+    assert(got.map(_.getAs[String]("document")).toSet === Set("near a", "far gold"))
+  }
+
+  test("mmrSearch trades relevance for diversity; λ=1 degenerates to plain topK order") {
+    val lake = freshLake()
+    // two near-identical vectors close to the query + one orthogonal
+    val rows = Seq(
+      (Seq(1f, 0f, 0f, 0f, 0f), "dup one"),
+      (Seq(0.999f, 0.001f, 0f, 0f, 0f), "dup two"),
+      (Seq(0f, 1f, 0f, 0f, 0f), "diverse"))
+      .toDF("vector", "document")
+    lake.ingest(rows)
+    val q = Seq(1.0, 0, 0, 0, 0)
+    // λ=0.3: redundancy outweighs relevance, so the near-duplicate
+    // (sim≈redundancy≈1 ⇒ score≈λ−(1−λ)<0) loses to the orthogonal doc
+    // (score 0); at λ=0.5 the two are within ulps — not a stable test
+    val mmr = lake.mmrSearch(q, k = 2, fetchK = 3, lambdaMult = 0.3)
+      .collect().map(_.getAs[String]("document"))
+    assert(mmr.head === "dup one", "most relevant first")
+    assert(mmr(1) === "diverse", "second pick must avoid the near-duplicate")
+    val greedy = lake.mmrSearch(q, k = 2, fetchK = 3, lambdaMult = 1.0)
+      .collect().map(_.getAs[String]("document"))
+    assert(greedy.toSeq === Seq("dup one", "dup two"),
+      "λ=1 ignores redundancy and follows pure relevance")
+  }
+
   test("loadWarm materializes and counts; sizeInBytes is positive") {
     val lake = freshLake()
     lake.ingest(vecsDF(Seq(Seq(1.0, 0, 0, 0, 0), Seq(0.0, 1.0, 0, 0, 0))))
