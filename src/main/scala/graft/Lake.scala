@@ -688,6 +688,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!exists()) { ingest(rows); return 0L }
     val newDerived = withDerived(rows).localCheckpoint()
     val newCount = newDerived.count()
+    if (newCount == 0L) return 0L // empty batch: nothing to probe or rewrite
     // duplicate ids WITHIN the batch would all survive the rewrite and
     // recreate the duplicate this op exists to prevent — and a frame
     // has no row order to make "keep last" deterministic. Fail loudly.

@@ -120,6 +120,14 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.count() === 32L, "a refused upsert must not modify the lake")
   }
 
+  test("an empty upsert batch is a no-op returning 0") {
+    val lake = freshLake()
+    seed(lake)
+    val empty = Seq.empty[(String, Seq[Float], String)].toDF("id", "vector", "document")
+    assert(lake.upsert(empty) === 0L)
+    assert(lake.count() === 32L)
+  }
+
   test("vacuum removes stranded rewrite scratch trees, not the lake") {
     val lake = freshLake()
     seed(lake)
