@@ -142,6 +142,28 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.vacuum() === 0L)
   }
 
+  test("rewrites preserve the materialized packed column (compressed retrieval intact)") {
+    val dir = Files.createTempDirectory("graft_del_packed").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4,
+      packSignBits = true))
+    val rng = new scala.util.Random(11)
+    lake.ingest((0 until 16).map { i =>
+      (s"p$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document"))
+    assert(lake.deleteWhere(col("id") === "p5") === 1L)
+    val up = Seq(("p6", Seq(1f, 0f, 0f, 0f, 0f), "doc 6 v2"))
+      .toDF("id", "vector", "document")
+    assert(lake.upsert(up) === 1L)
+    // every surviving row's stored word still equals the recomputed
+    // sign-pack of its vector — a rewrite that dropped or stale-copied
+    // the aux column would break compressed retrieval silently
+    val bad = lake.read().where(
+      col("packed") =!= graft.functions.VectorFunctions.signPack(col("vector"))).count()
+    assert(bad === 0L)
+    assert(lake.count() === 15L)
+    assert(lake.topKCompressed(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
+  }
+
   test("a caller-supplied id survives plain ingest (upsert identity contract)") {
     val lake = freshLake()
     lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))
