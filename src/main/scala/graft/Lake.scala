@@ -466,7 +466,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val dl = size(col("tk")).cast("double")
     val avgdl = col("sumdl").cast("double") / col("n").cast("double")
     def termScore(t: String, i: Int): Column = {
-      val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+      // fused kernel tf (see q_hybrid_rrf): codegen'd single pass
+      val tf = T.markerCount(col("tk"), Seq(t)).cast("double")
       when(col(s"df$i") === 0L, lit(0.0)).otherwise(
         tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
           (col("n").cast("double") / col(s"df$i").cast("double")))

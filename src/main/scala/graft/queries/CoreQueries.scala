@@ -441,7 +441,11 @@ object CoreQueries {
       val dl = size(col("tk")).cast("double")
       val avgdl = col("sumdl").cast("double") / col("n").cast("double")
       def termScore(t: String, dfCol: String) = {
-        val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+        // tf via the fused MarkerCountExpr kernel (singleton word set ⇒
+        // occurrence count) — a codegen'd one-pass walk instead of an
+        // interpreted filter lambda per term per row
+        val tf = graft.functions.TextFunctions
+          .markerCount(col("tk"), Seq(t)).cast("double")
         tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
           (col("n").cast("double") / col(dfCol).cast("double"))
       }
