@@ -249,6 +249,50 @@ object TextQueries {
           ORDER BY boiler_frac DESC, doc_id LIMIT 20"""
     })
 
+  /** Approximate distinct count via a PORTABLE bottom-k (KMV) sketch —
+    * the oracle-PAIRED complement of q_approx_distinct (whose native
+    * HLL bits are engine-specific, hence rows-only forever): keep the
+    * k=64 smallest distinct h60(text) values per group with the
+    * bounded-heap [[graft.expressions.TopKAggregate]] (map-side
+    * combinable, O(k) state per group at any corpus size), estimate
+    * distinct = (k−1)·2^60 / kth_min, exact when fewer than k values
+    * were seen (the KMV convention). The heap orders by
+    * (double(h), h) — the long tiebreak restores exactness past 2^53 —
+    * so the k-th value matches DuckDB's exact integer sort and the
+    * estimator hash-matches cross-engine: a SKETCH with an exact-sort
+    * oracle. */
+  val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    (s, dir) => {
+      val K = 64
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), T.h60(col("text")).as("h")).distinct()
+      d.groupBy("lang")
+        .agg(countDistinct(col("h")).as("n_exact"),
+          graft.expressions.TopKAggregate
+            .topK(struct(col("h").cast("double").as("dist"), col("h").as("id")), K)
+            .as("top"))
+        .select(col("lang"), col("n_exact"),
+          round(when(size(col("top")) < K, size(col("top")).cast("double"))
+            .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+              element_at(col("top"), K).getField("id").cast("double")), 6)
+            .as("kmv_estimate"))
+        .orderBy("lang")
+    },
+    Some {
+      val h = T.sqlH60("text")
+      s"""WITH d AS (SELECT DISTINCT lang, $h AS h FROM documents),
+               g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+                            list_sort(list(h)) AS hs
+                     FROM d GROUP BY lang)
+          SELECT lang, n_exact,
+                 round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+                            ELSE 63.0 * 1152921504606846976.0 / hs[64]::DOUBLE END, 6)
+                   AS kmv_estimate
+          FROM g ORDER BY lang"""
+    })
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
-    qPiiScrub, qRarityScore, qApproxDistinct, qCooccur, qBoilerplate)
+    qPiiScrub, qRarityScore, qApproxDistinct, qKmvDistinct, qCooccur,
+    qBoilerplate)
 }
