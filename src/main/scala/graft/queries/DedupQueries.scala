@@ -369,8 +369,13 @@ object DedupQueries {
   val qSubstringDup = Q(
     "q_substring_dup",
     (s, dir) => {
+      // materialized once: the (doc, window-hash) table feeds BOTH the
+      // frequency aggregate and the pair join — without the cut the
+      // 8-token shingle kernel runs twice over the corpus (the same
+      // double-evaluation q_boilerplate's pair table had)
       val wh = Tables.documents(s, dir)
         .select(col("doc_id"), explode(T.shingleHashes60(col("text"), 8)).as("h"))
+        .localCheckpoint()
       val freq = wh.groupBy("h").agg(count(lit(1)).as("nd"))
         .where(col("nd").between(2, 10))
         .select("h")
