@@ -659,6 +659,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * 100 TB is the difference between rewriting gigabytes and
     * rewriting everything. Rows where `pred` evaluates NULL are KEPT
     * (SQL DELETE semantics: only true deletes). Returns rows deleted.
+    *
+    * SINGLE-WRITER op (like [[compact]]/[[upsert]]): an append landing
+    * in an affected directory between the tmp write and the swap would
+    * be lost — directory-layout tables have no optimistic-commit log;
+    * serialize maintenance against writes (what a real deployment's
+    * table-format transaction log would enforce).
     */
   def deleteWhere(pred: Column): Long = {
     if (!exists()) return 0L
@@ -681,7 +687,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * have moved shards), the rest append. One rewrite touching only the
     * union of (shards holding old versions, shards receiving new rows);
     * the id probe is a broadcast semi/anti join, never a collected id
-    * list. Returns the number of replaced rows. */
+    * list. Returns the number of replaced rows. Single-writer, same
+    * caveat as [[deleteWhere]]. */
   def upsert(rows: DataFrame): Long = {
     require(rows.columns.contains("id"),
       "upsert needs caller-supplied ids (an id column) to define row identity")
