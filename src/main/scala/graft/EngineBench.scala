@@ -51,8 +51,14 @@ object EngineBench {
     val batchRows = lake.topKBatch(queries, 10).count()
     val tBatch = (System.nanoTime() - t1) / 1e9
 
+    // the single-query probe uses a vector FROM the data, so the
+    // routed shard is guaranteed occupied — a random gaussian query
+    // can route into a shard the deterministic sin-pattern fixture
+    // never populates, and an empty-directory scan times nothing
+    val inDataQ = base.select("vector").head()
+      .getAs[scala.collection.Seq[Float]]("vector").map(_.toDouble).toSeq
     val t2 = System.nanoTime()
-    val single = lake.topK(queries.head._2, 10).count()
+    val single = lake.topK(inDataQ, 10).count()
     val tSingle = (System.nanoTime() - t2) / 1e9
 
     // compressed-retrieval modes on one lake storing BOTH auxiliary
