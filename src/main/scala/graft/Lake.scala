@@ -818,10 +818,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** True iff the lake holds DATA: at least one partition directory or
+    * root-level parquet file. A location carrying only `_meta.json` /
+    * `_SUCCESS` markers (e.g. after `deleteWhere` retired every shard)
+    * counts as empty — the parquet reader cannot infer a schema from
+    * markers alone, so every data path must take the bootstrap branch. */
   def exists(): Boolean = {
     val p = new org.apache.hadoop.fs.Path(cfg.location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      (s.isDirectory && s.getPath.getName.contains("=")) ||
+        (s.isFile && s.getPath.getName.endsWith(".parquet")))
   }
 
   /** Sidecar `_meta.json` — replaces the reference's parquet-attrs

@@ -164,6 +164,41 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.topKCompressed(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
   }
 
+  test("invariant sweep: deleteWhere removes exactly the matching set at any selectivity") {
+    // thresholds spanning none-deleted .. all-deleted (string compare on
+    // "doc N" is deterministic); each run checks returned count, final
+    // count, and that no matching row survives
+    for (t <- Seq("doc 0", "doc 3", "doc 9", "doc 99")) {
+      val lake = freshLake()
+      seed(lake)
+      val pred = col("document") < t
+      val expected = lake.read().where(pred).count()
+      assert(lake.deleteWhere(pred) === expected, s"threshold $t")
+      assert(lake.count() === 32L - expected, s"threshold $t")
+      assert(lake.read().where(pred).count() === 0L, s"threshold $t")
+    }
+  }
+
+  test("invariant sweep: repeated mixed upserts keep ids unique and counts additive") {
+    val lake = freshLake()
+    seed(lake)
+    val rng = new scala.util.Random(3)
+    var expected = 32L
+    for (round <- 0 until 3) {
+      // ids drawn from 0..39: a mix of existing (r0..r31) and new rows
+      val ids = (0 until 8).map(_ => s"r${rng.nextInt(40)}").distinct
+      val existing = lake.read().where(col("id").isin(ids: _*)).count()
+      val batch = ids.map(id =>
+        (id, Seq.fill(5)(rng.nextGaussian().toFloat), s"v$round $id"))
+        .toDF("id", "vector", "document")
+      assert(lake.upsert(batch) === existing, s"round $round")
+      expected += ids.length - existing
+      assert(lake.count() === expected, s"round $round")
+      assert(lake.read().select("id").distinct().count() === expected,
+        s"round $round: ids must stay unique")
+    }
+  }
+
   test("a caller-supplied id survives plain ingest (upsert identity contract)") {
     val lake = freshLake()
     lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))
