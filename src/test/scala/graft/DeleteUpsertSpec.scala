@@ -199,6 +199,38 @@ class DeleteUpsertSpec extends SparkSpec {
     }
   }
 
+  test("ingest after a full deleteWhere revives the lake in place") {
+    val lake = freshLake()
+    seed(lake)
+    assert(lake.deleteWhere(lit(true)) === 32L)
+    assert(lake.count() === 0L)
+    // the location still carries _meta.json; a fresh ingest must append
+    // cleanly into the marker-only tree
+    lake.ingest(Seq(("again", Seq(1f, 0f, 0f, 0f, 0f), "revived"))
+      .toDF("id", "vector", "document"))
+    assert(lake.count() === 1L)
+    assert(lake.read().head().getAs[String]("document") === "revived")
+  }
+
+  test("deleteWhere on a user-keyed lake handles escape-worthy partition values") {
+    val dir = Files.createTempDirectory("graft_del_keyed").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3,
+      partitionKey = Some("tenant")))
+    // "a:b" and "x%2F" force Spark's %XX partition-path escaping — the
+    // dir-name decode in the swap must round-trip them
+    lake.ingest(Seq(
+      ("t1", Seq(1f, 0f, 0f), "d1", "a:b"),
+      ("t2", Seq(0f, 1f, 0f), "d2", "a:b"),
+      ("t3", Seq(0f, 0f, 1f), "d3", "plain"),
+      ("t4", Seq(1f, 1f, 0f), "d4", "x%2F"))
+      .toDF("id", "vector", "document", "tenant"))
+    assert(lake.deleteWhere(col("tenant") === "a:b" && col("id") === "t1") === 1L)
+    assert(lake.count() === 3L)
+    assert(lake.read().where(col("tenant") === "a:b").count() === 1L)
+    assert(lake.read().where(col("tenant") === "x%2F").count() === 1L,
+      "untouched escaped partition must survive the swap intact")
+  }
+
   test("a caller-supplied id survives plain ingest (upsert identity contract)") {
     val lake = freshLake()
     lake.ingest(Seq(("keep-me", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document"))
