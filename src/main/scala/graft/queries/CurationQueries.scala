@@ -276,6 +276,59 @@ object CurationQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings WHERE vec_id < 500 GROUP BY 1 ORDER BY shard"""))
 
+  /** Lake round-trip through the ROW-LEVEL maintenance ops: ingest with
+    * caller-supplied ids, DELETE WHERE every 7th id, then one upsert
+    * that negate-replaces the surviving ids under 50 (a negated vector
+    * flips its sign-bit route, so replacements MOVE shards — the hard
+    * path) and inserts 20 brand-new ids. The oracle constructs the same
+    * final logical set straight from the source table and routes it
+    * with the literal hyperplanes — equality proves deleteWhere/upsert
+    * preserved exactly the intended rows, bytes, and routing. The v1
+    * checksum is a per-shard DECIMAL sum of rounded first elements:
+    * order-independent and sign-sensitive (a stale un-negated replacement
+    * would flip it). */
+  val qMaintainStats = Q(
+    "q_maintain_stats",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val emb = Tables.embeddings(s, dir)
+      lake.ingest(emb.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc-"), col("vec_id")).as("document")))
+      lake.deleteWhere(col("id").cast("long") % 7 === 0)
+      val replace = emb.where(col("vec_id") < 50 && col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").cast("string").as("id"),
+          transform(col("embedding"), x => -x).as("vector"),
+          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+      val fresh = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("new-"), col("vec_id")).as("document"))
+      lake.upsert(replace.unionByName(fresh))
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(element_at(col("vector"), 1).cast("double"), 6)
+            .cast("decimal(18,6)")).cast("double").as("sum_v1"))
+        .orderBy("shard")
+    },
+    Some {
+      val sh = graft.functions.Lsh(64, 4).sqlShardExpr("v")
+      s"""WITH final AS (
+            SELECT embedding AS v FROM embeddings
+            WHERE vec_id % 7 != 0 AND vec_id >= 50
+            UNION ALL
+            SELECT list_transform(embedding, x -> -x) FROM embeddings
+            WHERE vec_id % 7 != 0 AND vec_id < 50
+            UNION ALL
+            SELECT embedding FROM embeddings WHERE vec_id < 20)
+          SELECT $sh AS shard, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CAST(round(v[1]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_v1
+          FROM final GROUP BY 1 ORDER BY shard"""
+    })
+
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
     * 127/max|v|, q = round(v·scale), plus the reconstruction-error
@@ -501,6 +554,6 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
-    qVocabTop, qQuantizeInt8, qCompactStats, qTfidf, qNtileBuckets,
-    qSampleWeighted, qExportShards, qTrainOrder)
+    qVocabTop, qQuantizeInt8, qCompactStats, qMaintainStats, qTfidf,
+    qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }
