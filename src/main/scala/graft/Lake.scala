@@ -463,15 +463,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df$i")
         }
     val stats = toks.agg(aggCols.head, aggCols.tail: _*)
-    val dl = size(col("tk")).cast("double")
-    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-    def termScore(t: String, i: Int): Column = {
-      // fused kernel tf (see q_hybrid_rrf): codegen'd single pass
-      val tf = T.markerCount(col("tk"), Seq(t)).cast("double")
-      when(col(s"df$i") === 0L, lit(0.0)).otherwise(
-        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
-          (col("n").cast("double") / col(s"df$i").cast("double")))
-    }
+    def termScore(t: String, i: Int): Column =
+      T.bm25TermScore(col("tk"), t, col("n"), col("sumdl"), col(s"df$i"))
     val w = org.apache.spark.sql.expressions.Window
     val kwTop = toks.crossJoin(broadcast(stats))
       .select(col("id"),

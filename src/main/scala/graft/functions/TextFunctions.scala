@@ -220,6 +220,23 @@ object TextFunctions {
     s"len(list_filter($toksExpr, t -> list_contains($lst, t)))"
   }
 
+  /** BM25 per-term score (k1=1.2, b=0.75) with the LINEAR idf `N/df` —
+    * float `ln` is not bit-portable cross-engine (the q_tfidf rule).
+    * tf runs through the fused marker-count kernel; `n`/`sumdl`/`df`
+    * are the corpus-stat columns (exact integers, usually from a
+    * one-row broadcast aggregate). A term absent from the corpus
+    * contributes 0 — the unguarded formula is 0·∞ = NaN for every row.
+    * The ONE formula shared by q_hybrid_rrf and `Lake.hybridSearch`. */
+  def bm25TermScore(tk: Column, term: String,
+      n: Column, sumdl: Column, df: Column): Column = {
+    val tf = markerCount(tk, Seq(term)).cast("double")
+    val dl = size(tk).cast("double")
+    val avgdl = sumdl.cast("double") / n.cast("double")
+    when(df === 0L, lit(0.0)).otherwise(
+      tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
+        (n.cast("double") / df.cast("double")))
+  }
+
   /** Predicted language by marker-count argmax with fixed tie order. */
   def predictedLang(toks: Column): Column = {
     val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }

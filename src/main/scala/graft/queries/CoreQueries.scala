@@ -438,17 +438,9 @@ object CoreQueries {
         sum(when(array_contains(col("tk"), terms(0)), 1L).otherwise(0L)).as("df0"),
         sum(when(array_contains(col("tk"), terms(1)), 1L).otherwise(0L)).as("df1"),
         sum(when(array_contains(col("tk"), terms(2)), 1L).otherwise(0L)).as("df2"))
-      val dl = size(col("tk")).cast("double")
-      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-      def termScore(t: String, dfCol: String) = {
-        // tf via the fused MarkerCountExpr kernel (singleton word set ⇒
-        // occurrence count) — a codegen'd one-pass walk instead of an
-        // interpreted filter lambda per term per row
-        val tf = graft.functions.TextFunctions
-          .markerCount(col("tk"), Seq(t)).cast("double")
-        tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)) *
-          (col("n").cast("double") / col(dfCol).cast("double"))
-      }
+      def termScore(t: String, dfCol: String) =
+        graft.functions.TextFunctions.bm25TermScore(
+          col("tk"), t, col("n"), col("sumdl"), col(dfCol))
       val kwTop = toks.crossJoin(broadcast(stats))
         .select(col("doc_id"),
           round(termScore(terms(0), "df0") + termScore(terms(1), "df1") +
