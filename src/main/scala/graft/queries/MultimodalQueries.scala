@@ -126,6 +126,13 @@ object AnnQueries {
   private def round6(m: Ivf.IvfModel): Ivf.IvfModel =
     Ivf.IvfModel(m.centroids.map(_.map(V.round6d)))
 
+  /** The one model-fetch idiom shared by qAnnIvf/qSemDedup/
+    * qClusterLabels: train-once-per-(session, sfDir), rounded. */
+  private def cachedModel(s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): Ivf.IvfModel =
+    models.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+
   /** Cell = first index of the minimum ROUNDED L2 distance — the same
     * array_position/list_position construction on both engines. */
   private def assignRounded(vec: org.apache.spark.sql.Column, m: Ivf.IvfModel) = {
@@ -147,8 +154,7 @@ object AnnQueries {
       // model per (session, sfDir) so repeated query runs (bench reps)
       // time the SERVE path; determinism makes the cache exact (same
       // data + fixed init/iters ⇒ bit-identical model on a retrain)
-      val m = models.computeIfAbsent((System.identityHashCode(s), dir),
-        _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+      val m = cachedModel(s, dir, emb)
       val cells = m.cellsFor(graft.Fixtures.queryVec, NProbe)
       emb
         .withColumn("cell", assignRounded(col("embedding"), m))
@@ -284,8 +290,7 @@ object AnnQueries {
     "q_semdedup",
     (s, dir) => {
       val emb = graft.Tables.embeddings(s, dir)
-      val m = models.computeIfAbsent((System.identityHashCode(s), dir),
-        _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+      val m = cachedModel(s, dir, emb)
       val e = emb
         .select(col("vec_id"), assignRounded(col("embedding"), m).as("cell"),
           V.asDouble(col("embedding")).as("vec"),
@@ -350,8 +355,7 @@ object AnnQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = graft.Tables.embeddings(s, dir)
-      val m = models.computeIfAbsent((System.identityHashCode(s), dir),
-        _ => round6(Ivf.train(emb, "embedding", "vec_id", k = K, iters = 3)))
+      val m = cachedModel(s, dir, emb)
       val cells = emb.select(col("vec_id"), assignRounded(col("embedding"), m).as("cell"))
       val docs = graft.Tables.documents(s, dir)
         .select(col("doc_id"),
