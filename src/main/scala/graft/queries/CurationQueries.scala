@@ -290,7 +290,11 @@ object CurationQueries {
   val qMaintainStats = Q(
     "q_maintain_stats",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // session-scoped like q_export_shards: this query READS BACK what
+      // it wrote, so two concurrent sessions on the same sfDir must not
+      // interleave delete/rewrite cycles in one tree
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
       val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
       lake.delete()
       val emb = Tables.embeddings(s, dir)
