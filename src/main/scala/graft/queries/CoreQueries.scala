@@ -350,7 +350,10 @@ object CoreQueries {
   val qShardStats = Q(
     "q_shard_stats",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // session-scoped (q_export_shards posture): a read-back round-trip
+      // must not share its tree with a concurrent session on the same sfDir
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
       val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
       lake.delete()
       lake.ingest(Tables.embeddings(s, dir)

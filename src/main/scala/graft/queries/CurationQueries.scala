@@ -255,7 +255,10 @@ object CurationQueries {
   val qCompactStats = Q(
     "q_compact_stats",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // session-scoped (q_export_shards posture): a read-back round-trip
+      // must not share its tree with a concurrent session on the same sfDir
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
       val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
       lake.delete()
       val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
