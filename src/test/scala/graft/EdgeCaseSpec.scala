@@ -64,6 +64,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(noLeft.count() === 0)
   }
 
+  test("hybridSearch / mmrSearch / deleteWhere on an empty lake return empty, not errors") {
+    val dir = Files.createTempDirectory("graft_edge_empty").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 3))
+    assert(lake.hybridSearch(Seq(1.0, 0, 0), Seq("anything"), 5).count() === 0L)
+    assert(lake.mmrSearch(Seq(1.0, 0, 0), 5).count() === 0L)
+    assert(lake.deleteWhere(lit(true)) === 0L)
+    assert(lake.vacuum() === 0L)
+  }
+
   test("lake ingest requires a vector column") {
     val lake = Lake(spark, LakeConfig(
       s"${Files.createTempDirectory("graft_edge")}/lake", dim = 2))
