@@ -106,7 +106,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     */
   def ingest(rows: DataFrame): Unit = {
     requirePqModelMatch()
-    withDerived(rows)
+    writeAppend(withDerived(rows))
+  }
+
+  /** Append-write an already-derived frame (shared by [[ingest]] and
+    * [[upsert]]'s bootstrap path so the two can never diverge). */
+  private def writeAppend(derived: DataFrame): Unit = {
+    derived
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
       // shard directory (the small-files explosion at scale)
@@ -407,7 +413,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
       val den = math.sqrt(na) * math.sqrt(nb)
-      if (den == 0.0) Double.NaN else dot / den
+      // 0.0, not NaN: Scala's Double ordering ranks NaN above every real
+      // score, so a single zero-norm candidate would win maxBy first
+      // regardless of lambda
+      if (den == 0.0) 0.0 else dot / den
     }
     val qSim = vecs.map(cos(_, qv))
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -449,8 +458,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * window ranks it, so the lake never meets a global sort; BM25 uses
     * the linear idf (N/df) with k1=1.2, b=0.75. A keyword absent from
     * the whole lake contributes zero (guarded — the unguarded formula
-    * is 0·∞ = NaN for every row). Returns (id, rrf) ranked best-first.
-    */
+    * is 0·∞ = NaN for every row), and a document matching no keyword is
+    * dropped from the keyword leg entirely, so a dead keyword leg
+    * genuinely contributes nothing (not an id-ordered rank list).
+    * Returns (id, rrf) ranked best-first. */
   def hybridSearch(q: Seq[Double], keywords: Seq[String], k: Int,
       perLegK: Int = 100): DataFrame = {
     require(keywords.nonEmpty, "hybridSearch needs at least one keyword")
@@ -469,6 +480,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val kwTop = toks.crossJoin(broadcast(stats))
       .select(col("id"),
         keywords.zipWithIndex.map((termScore _).tupled).reduce(_ + _).as("s"))
+      // a document matching NO keyword scores 0 — drop it BEFORE ranking,
+      // or a dead keyword leg would still emit ranks 1..perLegK by id and
+      // hand every such row an arbitrary nonzero 1/(60+rk) contribution
+      .where(col("s") > 0)
       .orderBy(col("s").desc, col("id")).limit(perLegK)
     val kwRanked = kwTop.select(col("id"),
       row_number().over(w.orderBy(col("s").desc, col("id"))).as("rk"))
@@ -686,16 +701,19 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(rows.columns.contains("id"),
       "upsert needs caller-supplied ids (an id column) to define row identity")
     requirePqModelMatch()
-    if (!exists()) { ingest(rows); return 0L }
     val newDerived = withDerived(rows).localCheckpoint()
     val newCount = newDerived.count()
-    if (newCount == 0L) return 0L // empty batch: nothing to probe or rewrite
+    if (newCount == 0L) return 0L // empty batch: nothing to probe, write, or rewrite
     // duplicate ids WITHIN the batch would all survive the rewrite and
     // recreate the duplicate this op exists to prevent — and a frame
-    // has no row order to make "keep last" deterministic. Fail loudly.
+    // has no row order to make "keep last" deterministic. Fail loudly —
+    // BEFORE the empty-lake bootstrap branch, so an upsert into an
+    // empty (or fully-deleted) lake cannot silently ingest both
+    // versions of a duplicated id.
     val distinctIds = newDerived.select("id").distinct().count()
     require(distinctIds == newCount,
       s"upsert batch has duplicate ids ($newCount rows, $distinctIds distinct ids)")
+    if (!exists()) { writeAppend(newDerived); return 0L } // bootstrap: plain ingest
     val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
     val oldShards = read()
       .join(newIds, col("id") === col("__new_id"), "left_semi")
@@ -782,24 +800,54 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   }
 
   /** Remove leftover rewrite scratch trees (`__compacting`,
-    * `__precompact`, `__deleting`, `__upserting`, and their `_bak`
-    * siblings) that a crashed compact/deleteWhere/upsert may have
-    * stranded next to the lake root — the VACUUM of this table layout.
-    * Safe while live: scratch trees are only ever read by the op that
-    * created them, inside the same call. Returns the number of trees
-    * removed. */
+    * `__precompact`, `__deleting`, `__upserting`, and the
+    * `__deleting_bak`/`__upserting_bak` backup trees) that a crashed
+    * compact/deleteWhere/upsert may have stranded next to the lake
+    * root — the VACUUM of this table layout. Only those KNOWN scratch
+    * names are touched: an unrelated sibling lake that merely shares
+    * the name prefix (`/data/lake__v2` next to `/data/lake`) is never
+    * matched. Safe while live: scratch trees are only ever read by the
+    * op that created them, inside the same call.
+    *
+    * Crash-safety guard: after a crash INSIDE a swap window, a backup
+    * tree (`__precompact` or a `_bak` tree) may hold the ONLY copy of
+    * some partitions — compact renames the whole root to
+    * `__precompact` before renaming the replacement in, and
+    * rewritePartitions moves each original directory to its `_bak`
+    * tree before its replacement. Deleting those trees then is
+    * permanent data loss, so vacuum REFUSES (IllegalStateException)
+    * when any backup tree holds a partition directory absent from the
+    * lake root: restore it first (rename the directory back into the
+    * root) and re-run. Note the guard is deliberately conservative —
+    * a directory that deleteWhere legitimately retired (all rows
+    * deleted) also trips it if the crash hit before backup cleanup;
+    * inspect and remove such a tree by hand.
+    *
+    * Returns the number of trees removed. */
   def vacuum(): Long = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = root.getParent
     if (parent == null || !fs.exists(parent)) return 0L
+    val scratchNames = scratchSuffixes.map(root.getName + _).toSet
     val scratch = fs.listStatus(parent)
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n != root.getName && n.startsWith(root.getName + "__")
-      }
+      .filter(p => scratchNames.contains(p.getName))
+    def partDirs(p: org.apache.hadoop.fs.Path): Set[String] =
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName).toSet
+    val rootDirs = partDirs(root)
+    scratch.filter(p => backupSuffixes.exists(p.getName.endsWith)).foreach { b =>
+      val orphaned = partDirs(b) -- rootDirs
+      if (orphaned.nonEmpty) throw new IllegalStateException(
+        s"vacuum refused: backup tree $b holds partition(s) " +
+          s"${orphaned.toSeq.sorted.mkString(", ")} missing from $root — a " +
+          "maintenance op crashed mid-swap and these may be the only copies; " +
+          "rename them back into the lake root, then re-run vacuum")
+    }
     scratch.foreach(p => fs.delete(p, true))
     scratch.length.toLong
   }
@@ -876,6 +924,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 }
 
 object Lake {
+  /** The complete set of scratch-tree suffixes the maintenance ops may
+    * strand next to a lake root ([[Lake.compact]] uses `__compacting` /
+    * `__precompact`; [[Lake.deleteWhere]]/[[Lake.upsert]] use
+    * `__deleting`/`__upserting` plus their `_bak` backup trees).
+    * [[Lake.vacuum]] matches EXACTLY these — never an open-ended
+    * prefix. */
+  private[graft] val scratchSuffixes: Seq[String] = Seq(
+    "__compacting", "__precompact",
+    "__deleting", "__deleting_bak",
+    "__upserting", "__upserting_bak")
+
+  /** The subset of [[scratchSuffixes]] that are BACKUP trees: after a
+    * mid-swap crash they may hold the only copy of a partition. */
+  private[graft] val backupSuffixes: Seq[String] =
+    Seq("__precompact", "__deleting_bak", "__upserting_bak")
+
   /** Canonical stored-row schema (SURVEY.md §1.1; reference frame_schema
     * index.py:198-200). `shard` is a directory partition column on top. */
   val schema: StructType = StructType(Seq(

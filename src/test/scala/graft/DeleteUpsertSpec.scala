@@ -120,6 +120,18 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.count() === 32L, "a refused upsert must not modify the lake")
   }
 
+  test("upsert refuses duplicate ids on the bootstrap (empty-lake) path too") {
+    val lake = freshLake()
+    val dup = Seq(
+      ("rX", Seq(1f, 0f, 0f, 0f, 0f), "v1"),
+      ("rX", Seq(0f, 1f, 0f, 0f, 0f), "v2")).toDF("id", "vector", "document")
+    // before the fix the bootstrap branch ingested BOTH versions and the
+    // lake came up already violating the unique-id invariant
+    val e = intercept[IllegalArgumentException](lake.upsert(dup))
+    assert(e.getMessage.contains("duplicate ids"))
+    assert(!lake.exists(), "a refused bootstrap upsert must not create the lake")
+  }
+
   test("an empty upsert batch is a no-op returning 0") {
     val lake = freshLake()
     seed(lake)
@@ -140,6 +152,41 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting")))
     assert(lake.count() === 32L, "vacuum must not touch the lake itself")
     assert(lake.vacuum() === 0L)
+  }
+
+  test("vacuum refuses when a backup tree holds a partition missing from the root") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash inside rewritePartitions' swap window: the only
+    // copy of shard=99 lives in the backup tree, not the lake root
+    val bakDir = new org.apache.hadoop.fs.Path(
+      lake.cfg.location + "__upserting_bak/shard=99")
+    fs.mkdirs(bakDir)
+    val f = fs.create(new org.apache.hadoop.fs.Path(bakDir, "part-0.parquet"), true)
+    f.write(1); f.close()
+    val e = intercept[IllegalStateException](lake.vacuum())
+    assert(e.getMessage.contains("shard=99"))
+    assert(fs.exists(bakDir), "a refused vacuum must not delete the backup")
+    // operator restores the partition into the root → vacuum proceeds
+    assert(fs.rename(bakDir,
+      new org.apache.hadoop.fs.Path(lake.cfg.location, "shard=99")))
+    assert(lake.vacuum() === 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__upserting_bak")))
+  }
+
+  test("vacuum never touches an unrelated sibling lake sharing the name prefix") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // /dir/lake__v2 is a DIFFERENT lake, not a scratch tree — the old
+    // open-ended `name + "__"` prefix match recursively deleted it
+    val sibling = new org.apache.hadoop.fs.Path(lake.cfg.location + "__v2/shard=0")
+    fs.mkdirs(sibling)
+    assert(lake.vacuum() === 0L)
+    assert(fs.exists(sibling), "sibling lake must survive vacuum")
   }
 
   test("rewrites preserve the materialized packed column (compressed retrieval intact)") {

@@ -170,9 +170,29 @@ class LakeSpec extends SparkSpec {
     // (rank 1 + rank 1) = 2/61 beats any other combination
     val scores = rows.map(r => r.getDouble(1))
     assert(math.abs(scores.head - 2.0 / 61) < 1e-9, scores.toSeq.toString)
-    // an absent keyword contributes zero, never NaN
+    // an absent keyword contributes ZERO — the fused score must be
+    // exactly the vector leg's 1/(60+rank), not vector + an arbitrary
+    // id-ordered keyword rank (and never NaN)
     val absent = lake.hybridSearch(target, Seq("zzz_not_present"), k = 2).collect()
-    assert(absent.forall(r => !r.getDouble(1).isNaN))
+    assert(absent.map(_.getDouble(1)).toSeq === Seq(1.0 / 61, 1.0 / 62))
+  }
+
+  test("mmrSearch: a zero-norm candidate never hijacks the greedy pick") {
+    val lake = freshLake()
+    lake.ingest(Seq(
+      (Seq(1f, 0f, 0f, 0f, 0f), "on target"),
+      (Seq(0f, 0f, 0f, 0f, 0f), "zero norm"),
+      (Seq(0.9f, 0.1f, 0f, 0f, 0f), "close by"))
+      .toDF("vector", "document"))
+    // cos(zero, q) is 0/0: guarded to 0.0 — unguarded NaN ranks above
+    // every real score in maxBy and the zero vector is selected first
+    // λ=0.7 keeps the second pick strict: "close by" scores
+    // 0.7·0.994 − 0.3·0.994 > 0 while the guarded zero-norm row scores 0
+    // (at λ=0.5 both collapse to 0 and the pick is an order tie)
+    val got = lake.mmrSearch(Seq(1.0, 0, 0, 0, 0), k = 2, fetchK = 3,
+      lambdaMult = 0.7).collect().map(_.getAs[String]("document"))
+    assert(got.head === "on target")
+    assert(!got.contains("zero norm"))
   }
 
   test("topKFiltered: metadata predicate filters BEFORE the exact top-k (no recall loss)") {
