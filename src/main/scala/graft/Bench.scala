@@ -6,19 +6,107 @@ import org.apache.spark.sql.SparkSession
   * REPORTED (per-query `errors` entry + non-zero exit), never silently
   * timed as a fast no-op — a regression must not hide in a good total.
   *
-  * Each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
-  * per-query MEDIAN; single-run numbers at these sizes swing ±20% with
-  * container load and suite ordering (BENCHNOTES), which round 2 paid
-  * for in phantom "regressions". `value` = sum of medians. */
+  * Reps are INTERLEAVED across the suite: the full registry runs
+  * `SPARK_GRAFT_REPS` times (default 3) and each query reports the
+  * median ACROSS passes. Back-to-back per-query reps share any
+  * container-load spike, so their median is as poisoned as a single
+  * run — round 5's driver bench inflated untouched queries 5× that way
+  * (q_tpch_q5 recorded 1.73 s vs 0.28 s on a fresh rerun). Spreading a
+  * query's reps minutes apart decorrelates the noise the median is
+  * there to reject. `value` = sum of medians.
+  *
+  * The machine's 1-minute loadavg is sampled before and after the run
+  * and carried in the output (`loadavg:[start,end]`), so a phantom
+  * regression is diagnosable from the artifact alone (BENCHNOTES.md).
+  */
 object Bench {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Per-query outcome: median seconds over successful passes (falling
+    * back to failure timings when NO pass succeeded — the honest cost
+    * of a query that never succeeds), first error, failed-pass count. */
+  final case class QueryResult(sec: Double, err: Option[String], failedReps: Int)
+
+  /** JSON string literal: truncate BEFORE escaping (a cut through the
+    * middle of an escape sequence would emit invalid JSON), then escape
+    * EVERY control char < 0x20 — JSON forbids them all raw. */
+  def jstr(s: String): String = "\"" + s.take(160).flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def r3(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The full-precision line (goes to BENCH_FULL.json + first stdout
+    * line) and the compact final line. The harness keeps only the LAST
+    * ~2000 bytes of stdout and parses the LAST line; at 92+ queries the
+    * full-precision JSON is ~2.7 KB, so the retained tail would start
+    * mid-line and the parse fail (BENCH_r01-r04 all recorded
+    * `parsed: null`). The compact line is built under a hard character
+    * budget — slowest queries first at millisecond precision, the
+    * remainder folded into `omitted_n`/`omitted_sum` — and
+    * BenchFormatSpec pins the byte ceiling against registry growth. */
+  def formatLines(results: Seq[(String, QueryResult)], reps: Int,
+      sfDir: String, loadavg: (Double, Double)): (String, String) = {
+    val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, QueryResult(_, Some(m), _)) =>
+      jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val failedReps = results.collect { case (k, r) if r.failedReps > 0 =>
+      jstr(k) + ":" + r.failedReps }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"loadavg":$la,"sf":"$sfDir"}"""
+    val budget = 1300
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var omitted = 0
+    var omittedSum = 0.0
+    results.sortBy(-_._2.sec).foreach { case (k, r) =>
+      val e = jstr(k) + ":" + r3(r.sec)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else { omitted += 1; omittedSum += r.sec }
+    }
+    val errsCompact = results
+      .collect { case (k, QueryResult(_, Some(m), _)) => jstr(k) + ":" + jstr(m.take(60)) }
+      .take(3).mkString("{", ",", "}")
+    val nErrs = results.count(_._2.err.isDefined)
+    val nFailedReps = results.count(_._2.failedReps > 0)
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"reps":$reps,"n_queries":${results.size},"loadavg":$la,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    (fullLine, compactLine)
+  }
+
+  /** 1-minute loadavg (Linux /proc; 0.0 where unreadable — the field is
+    * diagnostic, never load-bearing). */
+  def loadavg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val loadStart = loadavg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 104-query
+      // interleaved pass evicts every query's compiled classes between
+      // its own reps, re-paying Janino compilation each pass (~30%
+      // inflation measured). Sized to hold the whole registry — which is
+      // also the right posture for a long-lived session serving many
+      // distinct query shapes.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb codegen/JIT/classloading so the first timed
@@ -27,72 +115,32 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+    // one pass = the whole registry in a fixed order; reps of the same
+    // query land minutes apart (see object scaladoc)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes: Seq[Map[String, (Double, Option[String])]] =
+      (0 until reps).map { _ =>
+        names.map { name =>
+          val t0 = System.nanoTime()
+          val err: Option[String] =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+          name -> ((System.nanoTime() - t0) / 1e9, err)
+        }.toMap
       }
-      // A failing rep can exit far faster than a real run and would drag
-      // the median below the query's true cost — time successful reps
-      // only (all-failed queries fall back to the failure timings, whose
-      // cost is then the honest number for a query that never succeeds).
+    val results: Seq[(String, QueryResult)] = names.map { name =>
+      val runs = passes.map(_(name))
+      // a failing pass can exit far faster than a real run and would
+      // drag the median below the query's true cost — time successful
+      // passes only
       val ok = runs.filter(_._2.isEmpty)
       val timed = if (ok.nonEmpty) ok else runs
-      name -> (median(timed.map(_._1)), runs.flatMap(_._2).headOption,
-        runs.count(_._2.isDefined))
+      name -> QueryResult(median(timed.map(_._1)),
+        runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
     }
-    // truncate BEFORE escaping (a cut through the middle of an escape
-    // sequence would emit invalid JSON), then escape EVERY control char
-    // < 0x20 — JSON forbids them all raw, not just \n\r\t
-    def jstr(s: String): String = "\"" + s.take(160).flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = results.map { case (k, (v, _, _)) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(m), _)) => jstr(k) + ":" + jstr(m) }
-      .mkString("{", ",", "}")
-    val failedReps = results.collect { case (k, (_, _, n)) if n > 0 => jstr(k) + ":" + n }
-      .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"sf":"$sfDir"}"""
-    // The harness keeps only the LAST ~2000 bytes of stdout and parses
-    // the LAST line. At 92 queries × full double precision the one-line
-    // JSON is ~2.7 KB, so the retained tail starts mid-line and the
-    // parse fails (BENCH_r01-r04 all recorded `parsed: null`). So: full
-    // precision goes to a file + a first stdout line, and the FINAL
-    // line is a compact summary built under a hard character budget —
-    // slowest queries first at millisecond precision, the remainder
-    // folded into `omitted_n`/`omitted_sum`.
-    def r3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val budget = 1300
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    var omitted = 0
-    var omittedSum = 0.0
-    results.toSeq.sortBy(-_._2._1).foreach { case (k, (v, _, _)) =>
-      val e = jstr(k) + ":" + r3(v)
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
-      else { omitted += 1; omittedSum += v }
-    }
-    val errsCompact = results.toSeq
-      .collect { case (k, (_, Some(m), _)) => jstr(k) + ":" + jstr(m.take(60)) }
-      .take(3).mkString("{", ",", "}")
-    val nErrs = results.values.count(_._2.isDefined)
-    val nFailedReps = results.values.count(_._3 > 0)
-    val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    val (fullLine, compactLine) =
+      formatLines(results, reps, sfDir, (loadStart, loadavg1m()))
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
@@ -109,6 +157,6 @@ object Bench {
     println(fullLine)
     println(compactLine)
     System.out.flush()
-    if (results.values.exists(_._2.isDefined)) sys.exit(1)
+    if (results.exists(_._2.err.isDefined)) sys.exit(1)
   }
 }

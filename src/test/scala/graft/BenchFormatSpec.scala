@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness keeps only the LAST ~2000 bytes of stdout and
+  * parses the last line, so the compact summary line must stay under
+  * that ceiling NO MATTER how large the registry grows (BENCH_r01-r04
+  * were all lost to an oversized line). Pure-function tests — no Spark
+  * session. */
+class BenchFormatSpec extends AnyFunSuite {
+  import Bench.{QueryResult, formatLines}
+
+  private def synthetic(n: Int): Seq[(String, QueryResult)] =
+    (0 until n).map { i =>
+      // realistic worst-case names: long, and timings with full double noise
+      (f"q_exact_substring_boilerplate_family_$i%03d",
+        QueryResult(0.123456789 * (i + 1), None, 0))
+    }
+
+  test("compact line stays under 1900 bytes at 150 registry queries") {
+    val (_, compact) = formatLines(synthetic(150), reps = 3,
+      sfDir = "/root/testdata/sf0.1", loadavg = (12.34, 56.78))
+    assert(compact.getBytes("UTF-8").length < 1900,
+      s"compact line is ${compact.length} bytes:\n$compact")
+    // and it still parses as one JSON object with the headline fields
+    assert(compact.startsWith("{") && compact.endsWith("}"))
+    assert(compact.contains("\"metric\":\"total\""))
+    assert(compact.contains("\"n_queries\":150"))
+    assert(compact.contains("\"loadavg\":[12.340,56.780]"))
+    // dropped queries are accounted for, not silently vanished
+    assert(compact.contains("\"omitted_n\":"))
+  }
+
+  test("compact line carries errors and failed-rep counts without blowing the budget") {
+    val errs = synthetic(150).map { case (k, r) =>
+      k -> r.copy(err = Some("boom: " + "x" * 500), failedReps = 2)
+    }
+    val (_, compact) = formatLines(errs, reps = 3, sfDir = "sf", loadavg = (0.0, 0.0))
+    assert(compact.getBytes("UTF-8").length < 1900)
+    assert(compact.contains("\"errors_n\":150"))
+    assert(compact.contains("\"failed_reps_n\":150"))
+  }
+
+  test("omitted_sum folds exactly the timings that fell off the compact line") {
+    val rs = synthetic(150)
+    val (_, compact) = formatLines(rs, 3, "sf", (0.0, 0.0))
+    val omittedN = """"omitted_n":(\d+)""".r.findFirstMatchIn(compact).get.group(1).toInt
+    val omittedSum = """"omitted_sum":([0-9.]+)""".r.findFirstMatchIn(compact).get.group(1).toDouble
+    assert(omittedN > 0, "150 queries must overflow the budget")
+    // slowest-first packing ⇒ the omitted set is the fastest omittedN
+    val expected = rs.map(_._2.sec).sorted.take(omittedN).sum
+    assert(math.abs(omittedSum - expected) < 1e-3)
+  }
+
+  test("full line keeps full precision and every query") {
+    val rs = synthetic(150)
+    val (full, _) = formatLines(rs, 3, "sf", (0.0, 0.0))
+    assert(rs.forall { case (k, _) => full.contains("\"" + k + "\"") })
+    assert(full.contains(rs.head._2.sec.toString))
+  }
+
+  test("median is the middle of odd runs, mean-of-middle for even") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+  }
+
+  test("jstr escapes control chars and truncates before escaping") {
+    assert(Bench.jstr("a\"b\\c\nd") === "\"a\\\"b\\\\c\\u000ad\"")
+    val long = "\\" * 200
+    val out = Bench.jstr(long)
+    // 160 backslashes escape to 320 chars + quotes — never a dangling escape
+    assert(out === "\"" + ("\\\\" * 160) + "\"")
+  }
+}
