@@ -104,10 +104,57 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * cluster-by-shard exchange before the write, which keeps file count
     * = O(shards) instead of O(tasks × shards).
     */
-  def ingest(rows: DataFrame): Unit = {
+  def ingest(rows: DataFrame): Unit = withWriterLock("ingest") {
     requirePqModelMatch()
     writeAppend(withDerived(rows))
   }
+
+  /** Fail-fast single-writer gate for the mutating ops ([[ingest]],
+    * [[deleteWhere]], [[upsert]], [[compact]]): an atomic marker-file
+    * create (`FileSystem.create` with overwrite=false — atomic on
+    * HDFS/POSIX) of `_lock` under the lake root, released in finally.
+    * A concurrent mutation THROWS `ConcurrentModificationException`
+    * instead of silently losing the race — directory-layout tables
+    * have no optimistic-commit log, so a lost race is lost data (an
+    * append landing in a directory mid-swap is dropped by the rename).
+    * The reference's posture is last-persist-wins (index.py:294-308).
+    *
+    * Underscore-prefixed files are invisible to Spark's file index, so
+    * readers never see the lock. A crashed writer (JVM death skips
+    * finally) strands the lock and every later mutation fails loudly:
+    * inspect, then [[vacuum]] — which removes a stale lock — to
+    * recover. */
+  private def withWriterLock[T](op: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op on ${cfg.location} refused: writer lock $lock is held " +
+            s"(${lockHolder(fs, lock).getOrElse("holder unreadable")}). " +
+            "Another maintenance op is in flight — retry after it " +
+            "finishes; if its writer crashed, vacuum() removes the " +
+            "stale lock.", e)
+      }
+    try {
+      out.write(s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}"}"""
+        .getBytes("UTF-8"))
+      out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
+  private def lockHolder(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+      } finally in.close()
+    } catch { case _: Throwable => None }
 
   /** Append-write an already-derived frame (shared by [[ingest]] and
     * [[upsert]]'s bootstrap path so the two can never diverge). */
@@ -554,6 +601,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def compact(targetBytes: Long = 128L * 1024L * 1024L,
       clusterBy: Seq[Column] = Nil): Long = {
     if (!exists()) return 0L
+    withWriterLock("compact")(compactImpl(targetBytes, clusterBy))
+  }
+
+  private def compactImpl(targetBytes: Long, clusterBy: Seq[Column]): Long = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
@@ -670,12 +721,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *
     * SINGLE-WRITER op (like [[compact]]/[[upsert]]): an append landing
     * in an affected directory between the tmp write and the swap would
-    * be lost — directory-layout tables have no optimistic-commit log;
-    * serialize maintenance against writes (what a real deployment's
-    * table-format transaction log would enforce).
+    * be lost — directory-layout tables have no optimistic-commit log.
+    * ENFORCED by [[withWriterLock]]: a concurrent mutation throws
+    * instead of silently losing the race.
     */
   def deleteWhere(pred: Column): Long = {
     if (!exists()) return 0L
+    withWriterLock("deleteWhere")(deleteWhereImpl(pred))
+  }
+
+  private def deleteWhereImpl(pred: Column): Long = {
     val affected = read().where(pred).select(partCol).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString)).toSet
     if (affected.isEmpty) return 0L
@@ -701,6 +756,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(rows.columns.contains("id"),
       "upsert needs caller-supplied ids (an id column) to define row identity")
     requirePqModelMatch()
+    withWriterLock("upsert")(upsertImpl(rows))
+  }
+
+  private def upsertImpl(rows: DataFrame): Long = {
     val newDerived = withDerived(rows).localCheckpoint()
     val newCount = newDerived.count()
     if (newCount == 0L) return 0L // empty batch: nothing to probe, write, or rewrite
@@ -849,7 +908,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "rename them back into the lake root, then re-run vacuum")
     }
     scratch.foreach(p => fs.delete(p, true))
-    scratch.length.toLong
+    // a writer that died without reaching its finally strands the
+    // `_lock` marker and every later mutation fails loudly — vacuum is
+    // the documented recovery, so it removes the lock too. (Like the
+    // scratch sweep itself, vacuum must only run when no maintenance op
+    // is actually in flight.)
+    val lock = new org.apache.hadoop.fs.Path(root, lockName)
+    val staleLock = fs.exists(lock) && fs.delete(lock, false)
+    scratch.length.toLong + (if (staleLock) 1L else 0L)
   }
 
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */
@@ -939,6 +1005,10 @@ object Lake {
     * mid-swap crash they may hold the only copy of a partition. */
   private[graft] val backupSuffixes: Seq[String] =
     Seq("__precompact", "__deleting_bak", "__upserting_bak")
+
+  /** Writer-lock marker file name, under the lake root. Underscore
+    * prefix keeps it out of Spark's file index (never read as data). */
+  private[graft] val lockName: String = "_lock"
 
   /** Canonical stored-row schema (SURVEY.md §1.1; reference frame_schema
     * index.py:198-200). `shard` is a directory partition column on top. */

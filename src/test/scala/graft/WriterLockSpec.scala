@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Fail-fast single-writer gate: every mutating op (ingest, deleteWhere,
+  * upsert, compact) takes an atomic `_lock` marker under the lake root
+  * and a concurrent mutation THROWS instead of silently losing the
+  * race — the beat-the-reference posture (its sync is last-persist-wins,
+  * index.py:294-308). Readers never see the lock; vacuum removes a
+  * stale one after a writer crash. */
+class WriterLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graft_lock_test").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+  }
+
+  private def seed(lake: Lake, n: Int = 16): Unit = {
+    val rng = new scala.util.Random(7)
+    lake.ingest((0 until n).map { i =>
+      (s"r$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document"))
+  }
+
+  private def lockPath(lake: Lake) =
+    new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
+
+  private def fsOf(lake: Lake) =
+    lockPath(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("every mutating op refuses while another session holds the lock; reads still work") {
+    val lake = freshLake()
+    seed(lake)
+    // a second session mid-op: hold the lock exactly as withWriterLock does
+    val fs = fsOf(lake)
+    val out = fs.create(lockPath(lake), false)
+    out.write("""{"op": "compact", "taken_at": "test"}""".getBytes("UTF-8"))
+    out.close()
+    try {
+      val batch = Seq(("x", Seq(1f, 0f, 0f, 0f, 0f), "d")).toDF("id", "vector", "document")
+      val e = intercept[java.util.ConcurrentModificationException](lake.ingest(batch))
+      assert(e.getMessage.contains("writer lock"))
+      intercept[java.util.ConcurrentModificationException](lake.upsert(batch))
+      intercept[java.util.ConcurrentModificationException](
+        lake.deleteWhere(col("id") === "r0"))
+      intercept[java.util.ConcurrentModificationException](lake.compact())
+      // the refused ops changed nothing and the lake stays fully readable
+      assert(lake.count() === 16L)
+      assert(lake.topKExact(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
+    } finally fs.delete(lockPath(lake), false)
+  }
+
+  test("the lock is released on success AND on op failure") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = fsOf(lake)
+    assert(!fs.exists(lockPath(lake)), "seed ingest must release the lock")
+    // a failing op (duplicate-id upsert throws mid-body) must not strand it
+    val dup = Seq(
+      ("d", Seq(1f, 0f, 0f, 0f, 0f), "v1"),
+      ("d", Seq(0f, 1f, 0f, 0f, 0f), "v2")).toDF("id", "vector", "document")
+    intercept[IllegalArgumentException](lake.upsert(dup))
+    assert(!fs.exists(lockPath(lake)), "a failed upsert must release the lock")
+    assert(lake.deleteWhere(col("id") === "r0") === 1L)
+  }
+
+  test("vacuum removes a stale lock left by a crashed writer") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = fsOf(lake)
+    fs.create(lockPath(lake), false).close() // writer died before its finally
+    intercept[java.util.ConcurrentModificationException](
+      lake.deleteWhere(col("id") === "r1"))
+    assert(lake.vacuum() === 1L)
+    assert(!fs.exists(lockPath(lake)))
+    assert(lake.deleteWhere(col("id") === "r1") === 1L, "ops recover after vacuum")
+  }
+
+  test("two sessions racing mutations: losers throw, invariants hold") {
+    val lake = freshLake()
+    seed(lake)
+    val other = Lake(spark.newSession(), lake.cfg) // same lake, second session
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rng = new scala.util.Random(13)
+    val attempts = (0 until 4).map { i =>
+      val target = if (i % 2 == 0) lake else other
+      val batch = Seq((s"n$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"new $i"))
+        .toDF("id", "vector", "document")
+      scala.concurrent.Future(
+        try { target.upsert(batch); "ok" }
+        catch { case _: java.util.ConcurrentModificationException => "refused" })
+    }
+    val outcomes = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(attempts),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(outcomes.forall(o => o == "ok" || o == "refused"),
+      s"unexpected outcomes: $outcomes")
+    // every winner's row landed; no refused op corrupted anything
+    val landed = lake.read().where(col("id").startsWith("n")).count()
+    assert(landed === outcomes.count(_ == "ok").toLong)
+    assert(lake.read().select("id").distinct().count() === lake.count(),
+      "ids must stay unique under contention")
+    assert(!fsOf(lake).exists(lockPath(lake)), "no lock survives the race")
+  }
+}
