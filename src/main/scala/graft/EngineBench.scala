@@ -32,7 +32,7 @@ object EngineBench {
       .select(col("id"),
         col("vector").cast("array<float>").as("vector"),
         concat(lit("doc-"), col("id")).as("document"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut(_))
     val vecs = base.select("vector", "document")
 
     val lake = Lake(spark, LakeConfig(

@@ -760,7 +760,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   }
 
   private def upsertImpl(rows: DataFrame): Long = {
-    val newDerived = withDerived(rows).localCheckpoint()
+    val newDerived = graft.operators.Materialize.cut(withDerived(rows))
     val newCount = newDerived.count()
     if (newCount == 0L) return 0L // empty batch: nothing to probe, write, or rewrite
     // duplicate ids WITHIN the batch would all survive the rewrite and

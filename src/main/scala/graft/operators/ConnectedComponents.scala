@@ -41,16 +41,7 @@ object ConnectedComponents {
     *         component = min node id in the component */
   def components(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
-    val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val step = new java.util.concurrent.atomic.AtomicInteger()
-        df => {
-          val p = s"$dir/cc-step-${step.getAndIncrement()}"
-          df.write.mode("overwrite").parquet(p)
-          df.sparkSession.read.parquet(p)
-        }
-      case None => df => df.localCheckpoint()
-    }
+    val cut: DataFrame => DataFrame = Materialize.cutter(checkpointDir, "cc-step")
     val sym = cut(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))

@@ -393,7 +393,7 @@ object CoreQueries {
       val vecs = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("vec"))
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val a = vecs.select(col("label").as("a_label"), col("vec").as("a_vec"))
       val b = vecs.select(col("label").as("b_label"), col("vec").as("b_vec"))
       a.join(b, col("a_label") < col("b_label"))

@@ -57,7 +57,7 @@ object DedupQueries {
       val sigs = graft.operators.TextDedup
         .minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 2, k = MinhashK)
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val pairs = graft.operators.TextDedup.bandedCandidates(sigs, MinhashK, Bands)
       graft.operators.TextDedup.jaccardVerify(pairs, sigs, 0.2)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
@@ -101,7 +101,7 @@ object DedupQueries {
       val sigs = graft.operators.TextDedup
         .minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 2, k = MinhashK)
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val pairs = graft.operators.TextDedup
         .jaccardVerify(graft.operators.TextDedup.bandedCandidates(sigs, MinhashK, Bands), sigs, 0.2)
         .select("a_id", "b_id")
@@ -375,7 +375,7 @@ object DedupQueries {
       // double-evaluation q_boilerplate's pair table had)
       val wh = Tables.documents(s, dir)
         .select(col("doc_id"), explode(T.shingleHashes60(col("text"), 8)).as("h"))
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val freq = wh.groupBy("h").agg(count(lit(1)).as("nd"))
         .where(col("nd").between(2, 10))
         .select("h")

@@ -295,7 +295,7 @@ object AnnQueries {
         .select(col("vec_id"), assignRounded(col("embedding"), m).as("cell"),
           V.asDouble(col("embedding")).as("vec"),
           V.l2Norm(col("embedding")).as("nrm"))
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val a = e.select(col("cell"), col("vec_id").as("a_id"),
         col("vec").as("a_vec"), col("nrm").as("a_nrm"))
       val b = e.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),

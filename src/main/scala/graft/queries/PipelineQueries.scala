@@ -49,7 +49,7 @@ object PipelineQueries {
       val joined = kept.join(emb, kept("doc_id") === emb("vec_id"))
         .select(col("doc_id"), col("lang"), col("q"),
           col("vec"), col("shard"), col("nrm"))
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
 
       // stage 5 through the salted bucket join (EmbeddingDedup): blocks=4
       // spreads a hot LSH bucket's quadratic pairing across 10 block-pair

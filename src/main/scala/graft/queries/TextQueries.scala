@@ -225,7 +225,7 @@ object TextQueries {
       val pairs = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(T.shingleHashes60(col("text"), 3)).as("h"))
-        .localCheckpoint()
+        .transform(graft.operators.Materialize.cut(_))
       val freq = pairs.groupBy("h").agg(count(lit(1)).as("nd"))
       pairs.join(freq, Seq("h"))
         .groupBy("doc_id")
