@@ -56,12 +56,19 @@ object BloomJoin {
     * probe rows whose `probeKey` appears in `build.buildKey`, with the
     * bloom cutting non-matching probe rows before the exact join's
     * shuffle. `estItems`/`numBits` size the sketch (defaults: 1M keys
-    * at 8 bits/key ≈ 2% fpp, a 1 MB broadcast). */
+    * at 8 bits/key ≈ 2% fpp, a 1 MB broadcast).
+    *
+    * The build relation is scanned ONCE: its distinct key set is
+    * materialized ([[Materialize.cut]]) and feeds BOTH the sketch
+    * aggregate and the exact semi-join — previously the sketch and the
+    * join each re-scanned the build plan, which at 100 TB doubles the
+    * cost of exactly the side this operator exists to keep cheap. */
   def semiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
-    val sketch = buildSketch(build, buildKey, estItems, numBits)
-    val keys = build.select(col(buildKey).as("__bloom_bk")).distinct()
+    val keys = Materialize.cut(
+      build.select(col(buildKey).as("__bloom_bk")).distinct())
+    val sketch = buildSketch(keys, "__bloom_bk", estItems, numBits)
     val pruned = probe.where(mightContain(sketch, col(probeKey)))
     pruned.join(keys, pruned(probeKey) === keys("__bloom_bk"), "left_semi")
   }

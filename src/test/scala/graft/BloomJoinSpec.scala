@@ -78,6 +78,21 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("the build relation is scanned exactly once per semiJoin call") {
+    import spark.implicits._
+    // count every row the build plan actually produces: if the sketch
+    // aggregate and the exact semi-join each re-scanned the build side
+    // (the old shape), the accumulator would read 2x
+    val acc = spark.sparkContext.longAccumulator("build_rows_read")
+    val counted = (1 to 500).map(_.toLong * 2).toDS()
+      .map { k => acc.add(1); k }.toDF("bk")
+    val probeDf = (1 to 2000).map(_.toLong).toDF("pk")
+    val got = BloomJoin.semiJoin(probeDf, "pk", counted, "bk", 10000L, 65536L)
+    assert(got.count() === 500L) // evens 2..1000 all appear in 1..2000
+    assert(acc.value === 500L,
+      s"build side produced ${acc.value} rows — scanned more than once")
+  }
+
   test("an empty build side yields an empty (not failing) result") {
     // BloomFilterAggregate over zero rows evals to NULL; might_contain
     // on a NULL sketch is NULL, which filters every probe row — the
