@@ -51,7 +51,11 @@ object DedupStreaming {
     * micro-batch — so a corpus that grows between triggers (e.g. a lake
     * the admitted docs are appended to) tightens the gate continuously.
     * Complements the stateful gates above: those dedup the stream
-    * against ITSELF, this one dedups it against the corpus.
+    * against ITSELF, this one dedups it against the corpus. The
+    * per-batch corpus re-scan is the right trade only while the corpus
+    * is small; at scale use [[corpusGate]], which snapshots the corpus
+    * once per refresh into broadcast bloom sketches and joins only
+    * sketch hits.
     *
     * @param newDocs streaming frame with (doc_id, text)
     * @param corpus  static frame with (text) — the existing collection
@@ -71,6 +75,87 @@ object DedupStreaming {
     keyed
       .join(corpusH, keyed("h") === corpusH("c_h"), "left_anti")
       .join(corpusB, keyed("bucket") === corpusB("c_bucket"), "left_anti")
+  }
+
+  /** Sketch-backed corpus admission — the SCALE form of
+    * [[admitAgainstCorpus]]. That gate's stream-static anti-joins
+    * re-execute the static corpus plan EVERY micro-batch: at a 1 s
+    * trigger against a 100 TB corpus that is a full corpus scan per
+    * second, almost all of it spent proving that brand-new documents
+    * match nothing. The gate instead snapshots the corpus ONCE per
+    * [[CorpusGate.refresh]]: one corpus scan materializes the (md5,
+    * SimHash-bucket) key table, and two bloom sketches built FROM that
+    * table are embedded in the batch plan as literals. Per batch, the
+    * sketches clear definite-novel documents map-side — no join, no
+    * shuffle, no corpus access — and only sketch HITS (true dups +
+    * bloom false positives) take the exact anti-join against the
+    * materialized key table, which kills the false positives.
+    * Admission decisions are therefore IDENTICAL to
+    * [[admitAgainstCorpus]] against the same snapshot (the bloom is
+    * pure routing, same as [[graft.operators.BloomJoin]]).
+    *
+    * Use inside `foreachBatch`, calling [[CorpusGate.admitBatch]] per
+    * micro-batch and [[CorpusGate.refresh]] on whatever cadence the
+    * corpus grows (e.g. after appending admitted docs); between
+    * refreshes the gate intentionally tests against the snapshot — the
+    * trade [[admitAgainstCorpus]]'s per-batch rescan made the other
+    * way.
+    *
+    * @param corpus static frame with (text)
+    * @param bits SimHash width
+    * @param estItems expected corpus keys, sizes the sketches
+    * @param numBits bloom bits (default ≈2% fpp at 1M keys) */
+  def corpusGate(corpus: DataFrame, bits: Int = 16,
+      estItems: Long = 1000000L, numBits: Long = 8388608L): CorpusGate =
+    new CorpusGate(corpus, bits, estItems, numBits)
+
+  final class CorpusGate private[DedupStreaming] (corpus: DataFrame,
+      bits: Int, estItems: Long, numBits: Long) {
+    import graft.operators.{BloomJoin, Materialize}
+
+    private final case class Snapshot(
+        md5Sketch: Array[Byte], bucketSketch: Array[Byte],
+        md5Keys: DataFrame, bucketKeys: DataFrame)
+
+    @volatile private var snap: Snapshot = build()
+
+    /** Re-snapshot the corpus: exactly ONE corpus scan (the key table
+      * is materialized via [[Materialize.cut]]; both sketches and both
+      * exact key sets derive from the materialized copy). */
+    def refresh(): Unit = snap = build()
+
+    private def build(): Snapshot = {
+      val keys = Materialize.cut(corpus.select(
+        md5(col("text").cast("binary")).as("c_h"),
+        T.simhashFromHashes(
+          T.hashes31(array_distinct(T.tokens(col("text")))), bits).as("c_bucket")))
+      val md5Keys = keys.select("c_h").distinct()
+      val bucketKeys = keys.select("c_bucket").distinct()
+      Snapshot(
+        BloomJoin.buildSketch(md5Keys, "c_h", estItems, numBits),
+        BloomJoin.buildSketch(bucketKeys, "c_bucket", estItems, numBits),
+        md5Keys, bucketKeys)
+    }
+
+    /** Admit the batch's documents novel to the snapshot: same output
+      * as [[admitAgainstCorpus]] (input columns + h + bucket). */
+    def admitBatch(batch: DataFrame): DataFrame = {
+      val s = snap
+      val keyed = batch
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("bucket",
+          T.simhashFromHashes(T.hashes31(array_distinct(T.tokens(col("text")))), bits))
+      // NULL sketch (empty corpus) → might_contain NULL → not a hit
+      val hit = coalesce(BloomJoin.mightContain(s.md5Sketch, col("h")), lit(false)) ||
+        coalesce(BloomJoin.mightContain(s.bucketSketch, col("bucket")), lit(false))
+      val clean = keyed.where(!hit) // definite-novel: admitted with zero joins
+      val suspects = keyed.where(hit)
+      val afterMd5 = suspects.join(s.md5Keys,
+        suspects("h") === s.md5Keys("c_h"), "left_anti")
+      val cleared = afterMd5.join(s.bucketKeys,
+        afterMd5("bucket") === s.bucketKeys("c_bucket"), "left_anti")
+      clean.unionByName(cleared)
+    }
   }
 
   /** @param docs streaming (or batch) frame with (doc_id, text)

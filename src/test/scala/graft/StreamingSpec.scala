@@ -227,6 +227,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusGate: one corpus scan per refresh (not per batch), decisions unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // accumulator counts every row the corpus plan actually produces
+    val acc = spark.sparkContext.longAccumulator("corpus_rows_read")
+    val corpusTexts = Seq("alpha beta gamma", "delta epsilon zeta")
+    val corpus = corpusTexts.toDS().map { t => acc.add(1); t }.toDF("text")
+    val gate = graft.streaming.DedupStreaming.corpusGate(corpus,
+      estItems = 100L, numBits = 8192L)
+    assert(acc.value === 2L, "constructing the gate snapshots the corpus once")
+
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted.synchronized {
+          admitted ++= gate.admitBatch(batch).select("doc_id")
+            .collect().map(_.getLong(0))
+        }
+        ()
+      }.start()
+    try {
+      // same scenario as the admitAgainstCorpus test: decisions must match
+      stream.addData(
+        (1L, "alpha beta gamma"), // exact dup → rejected
+        (2L, "gamma beta alpha"), // same token set → same bucket → rejected
+        (3L, "totally fresh content here")) // admitted (sketch-definite novel)
+      q.processAllAvailable()
+      stream.addData((4L, "delta epsilon zeta"), (5L, "another new one"))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(3L, 5L),
+        "sketch routing must not change admission decisions")
+      assert(acc.value === 2L,
+        s"batches must probe the snapshot, never re-scan the corpus (read ${acc.value})")
+      // an explicit refresh is the ONLY thing that re-reads the corpus
+      gate.refresh()
+      assert(acc.value === 4L)
+    } finally q.stop()
+  }
+
+  test("corpusGate on a batch frame is row-identical to admitAgainstCorpus") {
+    import spark.implicits._
+    val corpus = Seq("alpha beta gamma", "delta epsilon zeta").toDF("text")
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "totally fresh content here"), (4L, "delta epsilon zeta"),
+      (5L, "another new one")).toDF("doc_id", "text")
+    val viaGate = graft.streaming.DedupStreaming
+      .corpusGate(corpus, estItems = 100L, numBits = 8192L).admitBatch(docs)
+    val exact = graft.streaming.DedupStreaming.admitAgainstCorpus(docs, corpus)
+    assert(viaGate.columns.toSeq === exact.columns.toSeq)
+    assert(viaGate.exceptAll(exact).isEmpty && exact.exceptAll(viaGate).isEmpty)
+  }
+
   test("continuous curation pipeline: exact gate -> corpus admission -> lake ingest, one stream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
