@@ -399,7 +399,42 @@ object DedupQueries {
           GROUP BY 1, 2 ORDER BY shared_windows DESC, a_id, b_id LIMIT 20"""
     })
 
+  /** Sketch-ROUTED corpus admission — the batch face of
+    * [[graft.streaming.DedupStreaming.corpusGate]], oracle-paired: same
+    * 80/20 corpus/batch split as q_dedup_incremental, but the batch is
+    * gated through the bloom-sketch router (definite-novel docs
+    * admitted map-side with no join; only sketch hits take the exact
+    * anti-joins). The bloom is pure routing, so the admitted id list
+    * hash-matches an oracle that knows nothing about sketches — which
+    * is the whole point: the scale path must be invisible in the
+    * answer. */
+  val qAdmitSketch = Q(
+    "q_admit_sketch",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val split = d.agg(((max("doc_id") + 1) * 0.8).cast("long").as("split"))
+      val dd = d.crossJoin(broadcast(split))
+      val corpus = dd.where(col("doc_id") < col("split")).select("text")
+      val batch = dd.where(col("doc_id") >= col("split")).select("doc_id", "text")
+      graft.streaming.DedupStreaming
+        .corpusGate(corpus, estItems = 200000L, numBits = 2097152L)
+        .admitBatch(batch)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val sh = T.sqlSimhash(s"list_distinct(${T.sqlTokens("text")})", 16)
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h, $sh AS sh FROM documents),
+               s AS (SELECT CAST((max(doc_id) + 1) * 0.8 AS BIGINT) AS split FROM d),
+               corpus AS (SELECT d.* FROM d, s WHERE doc_id < split),
+               batch AS (SELECT d.* FROM d, s WHERE doc_id >= split)
+          SELECT b.doc_id FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+            AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.sh = b.sh)
+          ORDER BY doc_id"""
+    })
+
   def all: Seq[Q] = Seq(qDedupExact, qMinhashLsh, qDedupClusters, qSimhash,
     qNgramJaccard, qContainment, qFingerprint, qDedupKeepBest,
-    qSourceOverlap, qDedupIncremental, qSubstringDup)
+    qSourceOverlap, qDedupIncremental, qSubstringDup, qAdmitSketch)
 }
