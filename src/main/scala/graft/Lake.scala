@@ -876,11 +876,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * tree before its replacement. Deleting those trees then is
     * permanent data loss, so vacuum REFUSES (IllegalStateException)
     * when any backup tree holds a partition directory absent from the
-    * lake root: restore it first (rename the directory back into the
-    * root) and re-run. Note the guard is deliberately conservative —
-    * a directory that deleteWhere legitimately retired (all rows
-    * deleted) also trips it if the crash hit before backup cleanup;
-    * inspect and remove such a tree by hand.
+    * lake root: run [[repair]] (rolls the crashed op back), then
+    * re-run. Note the guard is deliberately conservative — a directory
+    * that deleteWhere legitimately retired (all rows deleted) also
+    * trips it if the crash hit before backup cleanup; repair
+    * resurrects those rows (re-run the delete).
     *
     * Returns the number of trees removed. */
   def vacuum(): Long = {
@@ -905,7 +905,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         s"vacuum refused: backup tree $b holds partition(s) " +
           s"${orphaned.toSeq.sorted.mkString(", ")} missing from $root — a " +
           "maintenance op crashed mid-swap and these may be the only copies; " +
-          "rename them back into the lake root, then re-run vacuum")
+          "run repair() to roll the crashed op back, then re-run vacuum")
     }
     scratch.foreach(p => fs.delete(p, true))
     // a writer that died without reaching its finally strands the
@@ -916,6 +916,58 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val lock = new org.apache.hadoop.fs.Path(root, lockName)
     val staleLock = fs.exists(lock) && fs.delete(lock, false)
     scratch.length.toLong + (if (staleLock) 1L else 0L)
+  }
+
+  /** Crash RECOVERY for a mid-swap failure — the roll-back twin of
+    * [[vacuum]]'s refusal. Every swap in this layout backs an original
+    * up BEFORE renaming its replacement in (compact renames the whole
+    * root to `__precompact`; rewritePartitions moves each affected
+    * directory to its `_bak` tree), so after any crash the complete
+    * pre-op state exists across (root ∪ backup trees). repair() makes
+    * the crashed op never-happened:
+    *
+    *  - `__precompact` present → the pre-compact tree replaces the
+    *    root wholesale (content-identical even when the crash hit
+    *    after the forward swap: compact is a pure layout change);
+    *  - every partition directory in a `_bak` tree replaces its root
+    *    counterpart (a replacement that did get swapped in is rolled
+    *    back; one that didn't was never removed);
+    *  - tmp trees, now-redundant backups, and a stranded writer lock
+    *    are swept (vacuum's guard passes by construction afterwards).
+    *
+    * A deleteWhere that legitimately retired a directory and crashed
+    * before backup cleanup gets its rows RESURRECTED — rollback
+    * semantics, the conservative direction (re-run the delete; the
+    * other direction is silent data loss). Like vacuum, run only when
+    * no maintenance op is actually in flight. Returns the number of
+    * partition directories (or whole trees) restored. */
+  def repair(): Long = {
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var restored = 0L
+    val precompact = new org.apache.hadoop.fs.Path(cfg.location + "__precompact")
+    if (fs.exists(precompact)) {
+      fs.delete(root, true)
+      require(fs.rename(precompact, root), s"rename $precompact -> $root failed")
+      restored += 1L
+    }
+    Seq("__deleting_bak", "__upserting_bak").foreach { suf =>
+      val bak = new org.apache.hadoop.fs.Path(cfg.location + suf)
+      if (fs.exists(bak)) {
+        fs.mkdirs(root) // rename target parent must exist
+        fs.listStatus(bak)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .foreach { d =>
+            val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+            fs.delete(target, true) // roll a swapped-in replacement back
+            require(fs.rename(d.getPath, target),
+              s"rename ${d.getPath} -> $target failed")
+            restored += 1L
+          }
+      }
+    }
+    vacuum() // backups are now empty/redundant; tmp trees + stale lock swept
+    restored
   }
 
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */

@@ -176,6 +176,58 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__upserting_bak")))
   }
 
+  test("repair rolls a crashed partition swap back: rows restored, scratch swept") {
+    val lake = freshLake()
+    seed(lake)
+    val before = lake.read().orderBy("id").collect().map(_.toString).toSeq
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate deleteWhere crashing mid-swap: one shard's ONLY copy sits
+    // in the backup tree, a half-written replacement in the tmp tree,
+    // and the writer lock is stranded
+    val victim = lake.read().select("shard").head().getInt(0)
+    val bak = new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting_bak")
+    fs.mkdirs(bak)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(lake.cfg.location, s"shard=$victim"),
+      new org.apache.hadoop.fs.Path(bak, s"shard=$victim")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting"))
+    fs.create(new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName),
+      false).close()
+    intercept[IllegalStateException](lake.vacuum()) // refusal still holds
+    assert(lake.repair() === 1L)
+    assert(lake.read().orderBy("id").collect().map(_.toString).toSeq === before,
+      "repair must restore the exact pre-op rows")
+    assert(!fs.exists(bak) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting")))
+    assert(lake.deleteWhere(col("id") === "r0") === 1L,
+      "lock cleared: maintenance ops work again")
+  }
+
+  test("repair rolls a crashed compact back from the whole-tree backup") {
+    val lake = freshLake()
+    seed(lake)
+    val before = lake.read().orderBy("id").collect().map(_.toString).toSeq
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between compact's two renames: root is GONE, the only copy
+    // is the precompact tree (plus the abandoned replacement tmp)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(lake.cfg.location),
+      new org.apache.hadoop.fs.Path(lake.cfg.location + "__precompact")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__compacting"))
+    assert(lake.repair() === 1L)
+    assert(lake.read().orderBy("id").collect().map(_.toString).toSeq === before)
+    assert(lake.vacuum() === 0L, "repair leaves nothing for vacuum")
+  }
+
+  test("repair on a healthy lake is a no-op returning 0") {
+    val lake = freshLake()
+    seed(lake)
+    val before = files(lake)
+    assert(lake.repair() === 0L)
+    assert(files(lake) === before)
+  }
+
   test("vacuum never touches an unrelated sibling lake sharing the name prefix") {
     val lake = freshLake()
     seed(lake)
