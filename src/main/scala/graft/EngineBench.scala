@@ -83,11 +83,30 @@ object EngineBench {
     val (tHam, _) = time(cLake.topKCompressed(q0, 10, coarseK = 100).count())
     val (tPq, _) = time(cLake.topKPq(q0, 10, coarseK = 100).count())
 
+    // sketch-gated corpus admission: snapshot cost scales with the
+    // corpus (one scan), but the PER-BATCH admit cost must stay flat as
+    // the corpus grows — that flatness is the gate's 100 TB claim, the
+    // admission analog of the flat pruned-query probe above
+    val corpusDocs = base.select(col("document").as("text"))
+    val tG0 = System.nanoTime()
+    // bits=20: at 16 bits a 60k-doc corpus occupies most of the 2^16
+    // bucket space and near-rejects novel docs by saturation — a width
+    // the operator dials up with corpus size, so the probe does too
+    val gate = graft.streaming.DedupStreaming.corpusGate(corpusDocs,
+      bits = 20, estItems = math.max(n.toLong, 1000L))
+    val tGate = (System.nanoTime() - tG0) / 1e9
+    // fixed 1000-doc batch: 500 corpus dups + 500 novel ids
+    val batchDocs = spark.range(1000).select(
+      (col("id") + (n - 500)).as("doc_id"),
+      concat(lit("doc-"), col("id") + (n - 500)).as("text"))
+    val (tAdmit, admitRows) = time(gate.admitBatch(batchDocs).count())
+
     println(s"""{"impl":"graft","rows":$n,"dim":$dim,"ingest_sec":${f"$tIngest%.3f"},""" +
       s""""batch_q":$nQ,"batch_sec":${f"$tBatch%.3f"},"batch_qps":${f"${nQ / tBatch}%.1f"},""" +
       s""""batch_rows":$batchRows,"single_pruned_sec":${f"$tSingle%.3f"},"single_rows":$single,""" +
       s""""exact_scan_sec":${f"$tExact%.3f"},"hamming2stage_sec":${f"$tHam%.3f"},""" +
-      s""""pq2stage_sec":${f"$tPq%.3f"}}""")
+      s""""pq2stage_sec":${f"$tPq%.3f"},"admit_gate_build_sec":${f"$tGate%.3f"},""" +
+      s""""admit_batch_sec":${f"$tAdmit%.3f"},"admit_rows":$admitRows}""")
     spark.stop()
   }
 }

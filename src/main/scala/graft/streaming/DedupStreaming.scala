@@ -129,12 +129,19 @@ object DedupStreaming {
         md5(col("text").cast("binary")).as("c_h"),
         T.simhashFromHashes(
           T.hashes31(array_distinct(T.tokens(col("text")))), bits).as("c_bucket")))
-      val md5Keys = keys.select("c_h").distinct()
-      val bucketKeys = keys.select("c_bucket").distinct()
+      // ONE aggregate job builds both sketches — bloom insertion is
+      // idempotent, so the sketch path needs no distinct; only the
+      // exact anti-join sides (lazy, probed per batch) deduplicate
+      val row = keys.agg(
+        BloomJoin.bloomAgg(col("c_h"), estItems, numBits).as("bf_h"),
+        BloomJoin.bloomAgg(col("c_bucket"), estItems, numBits).as("bf_b"))
+        .head()
+      // the anti-join sides are materialized too: per batch they are
+      // READ (cheap block scan), never recomputed through the distinct
       Snapshot(
-        BloomJoin.buildSketch(md5Keys, "c_h", estItems, numBits),
-        BloomJoin.buildSketch(bucketKeys, "c_bucket", estItems, numBits),
-        md5Keys, bucketKeys)
+        row.getAs[Array[Byte]]("bf_h"), row.getAs[Array[Byte]]("bf_b"),
+        Materialize.cut(keys.select("c_h").distinct()),
+        Materialize.cut(keys.select("c_bucket").distinct()))
     }
 
     /** Admit the batch's documents novel to the snapshot: same output
