@@ -344,19 +344,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * broadcast; per-query top-k uses the bounded-heap aggregate, so the
     * shuffle carries at most k rows per query per executor — the batch
     * shape the reference's one-query-at-a-time API cannot express
-    * (SURVEY.md §3.3). Cosine metric. Returns (qid, rank, id, dist). */
+    * (SURVEY.md §3.3). Honors `cfg.metric` like every other retrieval
+    * path (previously cosine-only — the one API that ignored the
+    * config). Returns (qid, rank, id, dist). */
   def topKBatch(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
       .select(col("qid"), col("qvec"), V.l2Norm(col("qvec")).as("qnrm"))
+    val batchDist: Column = cfg.metric match {
+      // zero-norm guarded (cosineSimPre): one degenerate row must not
+      // ANSI-fail the scan; round6z keeps self-pair dist at +0.0
+      case "cosine" => lit(1.0) -
+        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+      case "dot" => -V.dot(col("vec"), col("qvec")) // nearest = max dot
+    }
     read()
       .select(col("id"), V.asDouble(col("vector")).as("vec"),
         V.l2Norm(col("vector")).as("nrm"))
       .crossJoin(broadcast(qdf))
-      .select(col("qid"), col("id"),
-        // zero-norm guarded (cosineSimPre): one degenerate row must not
-        // ANSI-fail the scan; round6z keeps self-pair dist at +0.0
-        V.round6z(lit(1.0) - V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))).as("dist"))
+      .select(col("qid"), col("id"), V.round6z(batchDist).as("dist"))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))

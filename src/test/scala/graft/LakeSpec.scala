@@ -177,6 +177,25 @@ class LakeSpec extends SparkSpec {
     assert(absent.map(_.getDouble(1)).toSeq === Seq(1.0 / 61, 1.0 / 62))
   }
 
+  test("topKBatch honors cfg.metric: batch ranking matches topKExact per metric") {
+    for (metric <- Seq("cosine", "l2", "dot")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_batch_$metric").toString
+      val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4,
+        metric = metric))
+      val rng = new scala.util.Random(21)
+      lake.ingest((0 until 24).map { i =>
+        (s"r$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+      }.toDF("id", "vector", "document"))
+      val q = Seq(0.3, -0.8, 0.1, 0.5, -0.2)
+      val viaBatch = lake.topKBatch(Seq((1L, q)), 5)
+        .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+      val viaExact = lake.topKExact(q, 5)
+        .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(viaBatch.toSeq === viaExact.toSeq,
+        s"metric=$metric: batch and single-query rankings must agree")
+    }
+  }
+
   test("mmrSearch: a zero-norm candidate never hijacks the greedy pick") {
     val lake = freshLake()
     lake.ingest(Seq(
