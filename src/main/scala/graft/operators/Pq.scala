@@ -113,4 +113,109 @@ object Pq {
     * [[V.round6d]], the shared parity rule). */
   def round6(model: PqModel): PqModel =
     PqModel(model.codebooks.map(_.map(_.map(V.round6d))))
+
+  // ---- persistence -------------------------------------------------
+  //
+  // The lake's `_meta.json` fingerprint REFUSES a wrong model, but
+  // refusal alone strands a second session: `pq_code` rows are
+  // unreadable without the codebooks that wrote them, and retraining
+  // reproduces them only over the identical sample. Persist the model
+  // next to the lake (`<root>/_pq` — underscore-prefixed, invisible to
+  // Spark's data reads) so any session can LOAD the exact codebooks
+  // the fingerprint demands. Same layout and contract as
+  // [[Ivf.save]]/[[Ivf.load]]: a `codebooks` parquet (m, c, pos,
+  // value) plus `_pq_meta.json` carrying the fingerprint, verified on
+  // load; save refuses to overwrite a different model.
+
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_pq_meta.json")
+
+  /** Persist `model` under `dir`; idempotent for the identical model,
+    * refuses (require) a different one — replacing codebooks under
+    * stored codes is the corruption the fingerprint contract exists to
+    * prevent. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+      dir: String): Unit = {
+    val fs = metaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    savedFingerprint(spark, dir) match {
+      case Some(have) =>
+        require(have == model.fingerprint,
+          s"$dir already holds a PQ model with fingerprint $have; " +
+            s"refusing to overwrite with ${model.fingerprint} — stored " +
+            "pq_code rows would silently stop matching. Delete the model " +
+            "dir to retire the index explicitly.")
+      // identical model already saved: idempotent no-op
+      case None =>
+        import spark.implicits._
+        val rows = for {
+          (book, mi) <- model.codebooks.zipWithIndex
+          (cent, c) <- book.zipWithIndex
+          (x, p) <- cent.zipWithIndex
+        } yield (mi, c, p, x)
+        rows.toDF("m", "c", "pos", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        val out = fs.create(metaPath(dir), true)
+        out.write((s"""{"m": ${model.m}, "k": ${model.k}, """ +
+          s""""sub_dim": ${model.subDim}, "fingerprint": "${model.fingerprint}"}""")
+          .getBytes("UTF-8"))
+        out.close()
+    }
+  }
+
+  private def savedFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        """"fingerprint"\s*:\s*"([0-9a-f]+)"""".r
+          .findFirstMatchIn(new String(bytes.toByteArray, "UTF-8")).map(_.group(1))
+      } finally in.close()
+    }
+  }
+
+  /** Load the model saved under `dir`, or None. The recomputed
+    * fingerprint must match the stored one (require) — a partial write
+    * or hand-edited sidecar fails loudly instead of silently
+    * mis-decoding stored codes. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[PqModel] =
+    savedFingerprint(spark, dir).map { want =>
+      val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, mRows) =>
+        mRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, cRows) =>
+          cRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq
+        }.toIndexedSeq
+      }.toIndexedSeq
+      val model = PqModel(books)
+      require(model.fingerprint == want,
+        s"PQ model at $dir is corrupt: stored fingerprint $want, " +
+          s"recomputed ${model.fingerprint}")
+      model
+    }
+
+  /** Session-portable model fetch: reuse the persisted model — no
+    * training, no scan of `df` — or train on `df`, round to the 6-dp
+    * literal grid, and persist for every later session. Mismatched
+    * requested geometry vs a saved model is a config error. */
+  def loadOrTrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      df: => DataFrame, vecCol: String, idCol: String, dim: Int,
+      m: Int, k: Int, iters: Int = 3): PqModel =
+    load(spark, dir) match {
+      case Some(saved) =>
+        require(saved.m == m && saved.k == k && saved.subDim * saved.m == dim,
+          s"PQ model at $dir has geometry m=${saved.m} k=${saved.k} " +
+            s"dim=${saved.m * saved.subDim}, requested m=$m k=$k dim=$dim")
+        saved
+      case None =>
+        val model = round6(train(df, vecCol, idCol, dim, m, k, iters))
+        save(spark, model, dir)
+        model
+    }
 }

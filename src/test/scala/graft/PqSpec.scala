@@ -118,6 +118,39 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] { stale.topKPq(q, 3) }
   }
 
+  test("re-open: a second session loads the persisted codebooks and serves the pq lake") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_reopen")
+    val loc = s"$tmp/lake"
+    val modelDir = s"$tmp/lake/_pq"
+    // session 1: train + persist, build the lake with the model
+    val m1 = Pq.loadOrTrain(spark, modelDir, data, "vec", "id",
+      dim = dim, m = 4, k = 8, iters = 2)
+    val lake1 = Lake(spark, LakeConfig(loc, dim = dim, numHashes = 3,
+      pqCodebooks = Some(m1)))
+    lake1.ingest(data.select(col("vec").as("vector"),
+      concat(lit("d"), col("id")).as("document")))
+    val q = (0 until dim).map(i => math.sin(i * 0.7) * 0.5)
+    val r1 = lake1.topKPq(q, 5).select("document").collect().map(_.getString(0)).toSeq
+    // session 2: no model object in hand — load it; training frame must
+    // not be touched (accumulator), and the fingerprint gate must accept
+    val acc = spark.sparkContext.longAccumulator("pq_train_rows")
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.{Encoders, Row}
+    val instrumented = data.map { r => acc.add(1); r }(Encoders.row(data.schema))
+    val m2 = Pq.loadOrTrain(s2, modelDir, instrumented, "vec", "id",
+      dim = dim, m = 4, k = 8, iters = 2)
+    assert(acc.value === 0L, "a persisted PQ model must never retrain")
+    assert(m2.fingerprint === m1.fingerprint)
+    val lake2 = Lake(s2, LakeConfig(loc, dim = dim, numHashes = 3,
+      pqCodebooks = Some(m2)))
+    val r2 = lake2.topKPq(q, 5).select("document").collect().map(_.getString(0)).toSeq
+    assert(r2 === r1, "second-session PQ retrieval must match exactly")
+    // geometry mismatch is a config error, not a retrain
+    val e = intercept[IllegalArgumentException](
+      Pq.loadOrTrain(s2, modelDir, data, "vec", "id", dim = dim, m = 2, k = 8))
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("adcDistCol equals the driver-side LUT replay (expression correctness)") {
     val q = Seq.tabulate(dim)(i => (i % 3) * 0.5 - 0.5)
     val got = data
