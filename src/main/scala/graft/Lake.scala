@@ -977,6 +977,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     restored
   }
 
+  /** The sidecar's `last_update` stamp — rewritten by every completed
+    * write/maintenance op (and per data-carrying micro-batch on the
+    * streaming path); None before any write. A cheap CHANGE TOKEN for
+    * snapshot consumers: pair with
+    * `DedupStreaming.CorpusGate.refreshIfChanged` to re-snapshot a
+    * corpus exactly when the lake actually changed, instead of on a
+    * blind timer (reference parity: its readers re-check the parquet
+    * attrs stamp the same way, index.py:296-305). */
+  def lastUpdate(): Option[String] =
+    readMetaSidecar().flatMap(""""last_update"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(_).map(_.group(1)))
+
   /** Best-effort recursive delete (reference S5, index.py:312-325,548-563). */
   def delete(): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.location)

@@ -101,15 +101,19 @@ object DedupStreaming {
     * trade [[admitAgainstCorpus]]'s per-batch rescan made the other
     * way.
     *
-    * @param corpus static frame with (text)
+    * @param corpus static frame with (text) — BY NAME, re-evaluated on
+    *        every [[CorpusGate.refresh]]: a parquet/lake-backed plan
+    *        snapshots its file listing when the DataFrame is built, so
+    *        a captured frame would re-scan the construction-time file
+    *        set forever and never see corpus growth
     * @param bits SimHash width
     * @param estItems expected corpus keys, sizes the sketches
     * @param numBits bloom bits (default ≈2% fpp at 1M keys) */
-  def corpusGate(corpus: DataFrame, bits: Int = 16,
+  def corpusGate(corpus: => DataFrame, bits: Int = 16,
       estItems: Long = 1000000L, numBits: Long = 8388608L): CorpusGate =
     new CorpusGate(corpus, bits, estItems, numBits)
 
-  final class CorpusGate private[DedupStreaming] (corpus: DataFrame,
+  final class CorpusGate private[DedupStreaming] (corpus: => DataFrame,
       bits: Int, estItems: Long, numBits: Long) {
     import graft.operators.{BloomJoin, Materialize}
 
@@ -123,6 +127,21 @@ object DedupStreaming {
       * is materialized via [[Materialize.cut]]; both sketches and both
       * exact key sets derive from the materialized copy). */
     def refresh(): Unit = snap = build()
+
+    private val refreshToken =
+      new java.util.concurrent.atomic.AtomicReference[Option[Any]](None)
+
+    /** Refresh only when `token` differs from the one that built the
+      * current snapshot — pair with `Lake.lastUpdate()` to re-snapshot
+      * exactly when the corpus lake actually changed rather than on a
+      * blind timer. The FIRST call always refreshes (the construction
+      * build carries no token, and the corpus may have moved since);
+      * each later call costs one token comparison until the token
+      * moves. Returns true when a refresh ran. */
+    def refreshIfChanged(token: Any): Boolean = {
+      val prev = refreshToken.getAndSet(Some(token))
+      if (prev != Some(token)) { refresh(); true } else false
+    }
 
     private def build(): Snapshot = {
       val keys = Materialize.cut(corpus.select(

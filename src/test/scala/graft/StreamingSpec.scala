@@ -268,6 +268,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusGate.refreshIfChanged: re-snapshots exactly when the lake's stamp moves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_lake")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "alpha beta gamma"))
+      .toDF("vector", "document"))
+    val acc = spark.sparkContext.longAccumulator("corpus_rows")
+    // the corpus view reads the LAKE; accumulator counts rows it produces
+    def corpusView = lake.read()
+      .select(org.apache.spark.sql.functions.col("document").as("text"))
+      .map { r => acc.add(1); r }(org.apache.spark.sql.Encoders.row(
+        new org.apache.spark.sql.types.StructType()
+          .add("text", org.apache.spark.sql.types.StringType)))
+      .toDF()
+    val gate = graft.streaming.DedupStreaming.corpusGate(corpusView,
+      estItems = 100L, numBits = 8192L)
+    val afterBuild = acc.value
+    assert(gate.refreshIfChanged(lake.lastUpdate()),
+      "first token call always refreshes")
+    assert(!gate.refreshIfChanged(lake.lastUpdate()),
+      "unchanged stamp must not refresh")
+    val quiet = acc.value
+    assert(!gate.refreshIfChanged(lake.lastUpdate()))
+    assert(acc.value === quiet, "no-op refresh checks must not scan the corpus")
+    // the lake grows -> last_update moves -> the gate re-snapshots and
+    // the newly ingested document is now rejected
+    val stampBefore = lake.lastUpdate()
+    lake.ingest(Seq((Seq(0f, 1f, 0f), "delta epsilon zeta"))
+      .toDF("vector", "document"))
+    assert(lake.lastUpdate() !== stampBefore, "ingest must move the stamp")
+    assert(gate.refreshIfChanged(lake.lastUpdate()))
+    assert(acc.value > quiet, "a real refresh re-scans the grown corpus")
+    val decisions = gate.admitBatch(Seq(
+      (1L, "delta epsilon zeta"), (2L, "brand new text"))
+      .toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(decisions === Set(2L), "post-refresh snapshot sees the new corpus doc")
+    assert(afterBuild >= 1L)
+  }
+
   test("corpusGate on a batch frame is row-identical to admitAgainstCorpus") {
     import spark.implicits._
     val corpus = Seq("alpha beta gamma", "delta epsilon zeta").toDF("text")
