@@ -159,6 +159,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   /** Append-write an already-derived frame (shared by [[ingest]] and
     * [[upsert]]'s bootstrap path so the two can never diverge). */
   private def writeAppend(derived: DataFrame): Unit = {
+    routingChecked // never append rows routed under foreign hyperplanes
     derived
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
@@ -244,7 +245,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def ingestStream(rows: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
-    requirePqModelMatch() // BEFORE the sidecar write below re-stamps it
+    routingChecked // BEFORE the sidecar write below re-stamps it
+    requirePqModelMatch() // likewise
     writeMetaSidecar()
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
@@ -288,6 +290,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * index.py:249-250). Empty-location bootstrap returns an empty frame
     * with the canonical schema (index.py:247). */
   def read(): DataFrame = {
+    routingChecked // a mismatched-config session must not prune/route
     if (!exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1018,7 +1021,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val out = fs.create(p, true)
     val pqField = cfg.pqCodebooks
       .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$pqField}"""
+    val seedField =
+      if (cfg.partitionKey.isEmpty) s""", "lsh_seed": ${cfg.seed}""" else ""
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField}"""
     out.write(json.getBytes("UTF-8")); out.close()
   }
 
@@ -1037,6 +1042,38 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       } finally in.close()
     }
   }
+
+  /** Stored `shard` values are only meaningful under the hyperplanes
+    * that routed them — the routing analog of the PQ/IVF fingerprint
+    * contract. A session configured with a different `numHashes` or
+    * `seed` than the lake's writer would route queries under DIFFERENT
+    * hyperplanes: single-probe topK prunes to the wrong directory and
+    * returns wrong neighbors with no error, and ingest appends rows
+    * whose shard disagrees with every stored row's. The sidecar records
+    * (dim, num_shards, lsh_seed); any read or write under a mismatched
+    * config fails loudly here. Checked once per Lake instance (lazy) —
+    * pre-seed sidecars (no lsh_seed field) check what they carry. */
+  private lazy val routingChecked: Unit =
+    readMetaSidecar().foreach { json =>
+      def longField(name: String): Option[Long] =
+        (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
+          .map(_.group(1).toLong)
+      longField("dim").foreach(d => require(d == cfg.dim,
+        s"lake at ${cfg.location} stores $d-dim vectors but this session " +
+          s"is configured for ${cfg.dim}"))
+      if (cfg.partitionKey.isEmpty) {
+        longField("num_shards").filter(_ != -1L).foreach(ns =>
+          require(ns == lsh.numShards,
+            s"lake at ${cfg.location} was routed into $ns LSH shards but " +
+              s"this session's config routes into ${lsh.numShards} " +
+              s"(numHashes mismatch) — pruned queries would scan the wrong " +
+              "directory; construct the Lake with the writer's config"))
+        longField("lsh_seed").foreach(s => require(s == cfg.seed,
+          s"lake at ${cfg.location} was routed with LSH seed $s but this " +
+            s"session's config uses seed ${cfg.seed} — same shard count, " +
+            "different hyperplanes; construct the Lake with the writer's config"))
+      }
+    }
 
   /** `pq_code` rows are only meaningful under the codebooks that wrote
     * them — previously a doc-comment contract on

@@ -177,6 +177,31 @@ class LakeSpec extends SparkSpec {
     assert(absent.map(_.getDouble(1)).toSeq === Seq(1.0 / 61, 1.0 / 62))
   }
 
+  test("a mismatched routing config is refused: numHashes, seed, and dim are pinned by the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_routing").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f, 0f), "doc")).toDF("vector", "document"))
+    // different shard count: a pruned query would scan the wrong directory
+    val e1 = intercept[IllegalArgumentException](
+      Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 5)).count())
+    assert(e1.getMessage.contains("numHashes mismatch"))
+    // same shard count, different hyperplanes
+    val e2 = intercept[IllegalArgumentException](
+      Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4, seed = 7L))
+        .topK(Seq(1.0, 0, 0, 0, 0), 1).count())
+    assert(e2.getMessage.contains("seed"))
+    // wrong dimension — and the refusal hits WRITES too, before any row lands
+    val e3 = intercept[IllegalArgumentException](
+      Lake(spark, LakeConfig(s"$dir/lake", dim = 6, numHashes = 4))
+        .ingest(Seq((Seq(1f, 0f, 0f, 0f, 0f, 0f), "d")).toDF("vector", "document")))
+    assert(e3.getMessage.contains("dim") || e3.getMessage.contains("-dim"))
+    assert(lake.count() === 1L, "refused sessions must not have written")
+    // the writer's own config keeps working, metric is NOT pinned (query-
+    // time semantics, stored bytes identical)
+    assert(Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4,
+      metric = "l2")).count() === 1L)
+  }
+
   test("topKBatch honors cfg.metric: batch ranking matches topKExact per metric") {
     for (metric <- Seq("cosine", "l2", "dot")) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_batch_$metric").toString
