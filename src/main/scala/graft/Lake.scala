@@ -375,6 +375,45 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .orderBy("qid", "rank")
   }
 
+  /** Continuous retrieval: serve a STREAM of query vectors against the
+    * lake — the streaming twin of [[topKBatch]], and a surface the
+    * reference's blocking one-query API cannot express. Each
+    * micro-batch of queries costs one lake scan (the stream-static
+    * join's static side), and per-query state is the bounded top-k
+    * heap ([[graft.expressions.TopKAggregate]]), so state never grows
+    * past k rows per query id no matter how long the stream runs.
+    * Late-arriving refinements of a qid update its row (update output
+    * mode). Honors `cfg.metric` like [[topKBatch]].
+    *
+    * The static side is the lake AT PLAN TIME (a parquet plan freezes
+    * its file listing): restart the query to serve post-start ingests.
+    *
+    * @param queries streaming frame with (qid: long, qvec: array)
+    * @return streaming frame (qid, top: array<struct<dist,id>>) —
+    *         explode downstream if flat rows are wanted */
+  def topKStream(queries: DataFrame, k: Int): DataFrame = {
+    val lakeV = read().select(
+      col("id"), V.asDouble(col("vector")).as("vec"),
+      V.l2Norm(col("vector")).as("nrm"), lit(1).as("__j"))
+    val q = queries.select(col("qid"),
+      col("qvec").cast(ArrayType(DoubleType)).as("qvec"),
+      lit(1).as("__jq"))
+      .withColumn("qnrm", V.l2Norm(col("qvec")))
+    val dist: Column = cfg.metric match {
+      case "cosine" => lit(1.0) -
+        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+      case "dot" => -V.dot(col("vec"), col("qvec"))
+    }
+    // a literal equi-key instead of crossJoin: stream-static INNER
+    // equi-joins are supported by the streaming planner, cross joins
+    // are not — same plan (broadcast the 1-key side), same rows
+    q.join(lakeV, col("__jq") === col("__j"))
+      .select(col("qid"), col("id"), V.round6z(dist).as("dist"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+  }
+
   /** Two-stage compressed retrieval over the MATERIALIZED `packed`
     * column (requires `cfg.packSignBits`): a coarse Hamming top-`coarseK`
     * whose scan reads only (id, packed) — 8 bytes of vector data per row

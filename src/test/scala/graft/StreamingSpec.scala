@@ -268,6 +268,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStream: a stream of query vectors is served against the lake, state bounded at k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_stream")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "east"),
+      ("b", Seq(0f, 1f, 0f), "north"),
+      ("c", Seq(0.9f, 0.1f, 0f), "east-ish"))
+      .toDF("id", "vector", "document"))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = lake.topKStream(stream.toDF().toDF("qid", "qvec"), k = 2)
+      .writeStream.format("memory").queryName("serve_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("serve_out")
+        .select(col("qid"), col("top.id").as("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(got(1L) === Seq("a", "c"), "query 1 nearest: exact then close")
+      // (0,1,0): b exact (dist 0), then c (cos 0.1/0.906 → dist 0.89 < a's 1.0)
+      assert(got(2L) === Seq("b", "c"), s"query 2 got ${got(2L)}")
+      assert(got.values.forall(_.length <= 2), "state bounded at k")
+      // a later micro-batch serves new queries against the same lake
+      stream.addData((3L, Seq(0.95, 0.05, 0.0)))
+      q.processAllAvailable()
+      val q3 = spark.table("serve_out").where(col("qid") === 3L)
+        .select(col("top.id")).head().getSeq[String](0).toSeq
+      assert(q3 === Seq("a", "c"))
+    } finally q.stop()
+  }
+
   test("corpusGate.refreshIfChanged: re-snapshots exactly when the lake's stamp moves") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gate_lake")
