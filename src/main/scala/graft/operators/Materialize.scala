@@ -24,21 +24,27 @@ import org.apache.spark.sql.DataFrame
   * silently redirect every other job's reliable checkpoints in the
   * session (the trap ConnectedComponents documented first).
   *
-  * Step files are named by a process-wide counter and overwritten per
-  * process lifetime — reuse one dir per logical job; two jobs sharing
-  * a dir ACROSS processes would collide. */
+  * [[cut]] step files carry a process-unique token, so many driver
+  * processes can safely share ONE deployment-wide conf dir (the whole
+  * point of mode 2) without overwriting each other's live cuts; files
+  * accumulate across process lifetimes — vacuum the dir on whatever
+  * cadence suits the deployment. [[cutter]] names steps by its plain
+  * per-call counter (`<prefix>-N`, overwritten per invocation) — scope
+  * its dir to one logical job. */
 object Materialize {
 
   /** Session conf key for mode 2. */
   val confKey = "spark.graft.checkpointDir"
 
   private val step = new java.util.concurrent.atomic.AtomicInteger()
+  private val processToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Cut `df`'s lineage; see object doc for mode selection. */
   def cut(df: DataFrame, dir: Option[String] = None): DataFrame =
     dir.orElse(confDir(df)) match {
       case Some(d) =>
-        val p = s"$d/cut-${step.getAndIncrement()}"
+        val p = s"$d/cut-$processToken-${step.getAndIncrement()}"
         df.write.mode("overwrite").parquet(p)
         df.sparkSession.read.parquet(p)
       case None => df.localCheckpoint()
