@@ -12,6 +12,17 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_admit_sketch routes via bloom literals; only the suspect branch joins") {
+    val p = plan("q_admit_sketch")
+    // the sketch literals gate BOTH union branches map-side
+    assert(p.contains("might_contain"), p.take(1200))
+    // exactly the two anti-joins (md5 + bucket) on the suspect branch,
+    // plus the broadcast of the one-row split aggregate on each input —
+    // the definite-novel branch must add NO join of its own
+    val antiJoins = "LeftAnti".r.findAllIn(p).length
+    assert(antiJoins === 2, s"expected 2 anti-joins, plan has $antiJoins")
+  }
+
   test("q_filter_knn pushes the label predicate into the scan") {
     val p = plan("q_filter_knn")
     assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p.take(800))
