@@ -1019,6 +1019,57 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     restored
   }
 
+  /** Integrity audit — the CHECK TABLE of this layout, one scan, one
+    * row out: `(rows, misrouted, dup_ids, bad_packed, bad_pq)`. Every
+    * stored invariant the maintenance ops rely on is recomputed and
+    * counted rather than assumed:
+    *
+    *  - `misrouted`: rows whose directory shard ≠ the LSH route of
+    *    their own vector (a foreign file dropped into a shard dir, or
+    *    data written under a different routing config before the
+    *    sidecar pin) — pruned queries silently miss these rows;
+    *  - `dup_ids`: rows minus distinct ids — upsert's identity
+    *    invariant;
+    *  - `bad_packed` / `bad_pq`: materialized aux words that no longer
+    *    equal their recomputation from the vector (−1 when the column
+    *    is not configured) — compressed retrieval reads these bytes as
+    *    truth.
+    *
+    * All checks are map-side expressions into one aggregate; at 100 TB
+    * this costs exactly one full scan, the floor for any audit that
+    * reads every row. Zero everywhere (and -1 for unconfigured
+    * columns) = healthy. */
+  def validate(): DataFrame = {
+    val df = read()
+    // every branch must be an AGGREGATE expression (a bare literal is
+    // rejected by agg); "not configured" = max of a constant -1
+    def unconfigured: Column = coalesce(max(lit(-1L)), lit(-1L))
+    def violations(pred: Column): Column =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val misrouted: Column =
+      if (cfg.partitionKey.isEmpty)
+        violations(col(partCol) =!= lsh.shardCol(col("vector")))
+      else unconfigured // user-keyed: any partition value is by definition correct
+    val badPacked: Column =
+      if (cfg.packSignBits)
+        violations(col("packed") =!= V.signPack(col("vector")))
+      else unconfigured
+    val badPq: Column = cfg.pqCodebooks.map { m =>
+      val recomputed = (0 until m.m).map(mi =>
+        shiftleft(m.codeCol(col("vector"), mi).cast("long"), 8 * mi))
+        .reduce(_ + _)
+      violations(col("pq_code") =!= recomputed)
+    }.getOrElse(unconfigured)
+    // functions.count is shadowed by Lake.count() inside this class
+    val rowsAgg = org.apache.spark.sql.functions.count(lit(1))
+    df.agg(
+      rowsAgg.as("rows"),
+      misrouted.as("misrouted"),
+      (rowsAgg - countDistinct(col("id"))).as("dup_ids"),
+      badPacked.as("bad_packed"),
+      badPq.as("bad_pq"))
+  }
+
   /** The sidecar's `last_update` stamp — rewritten by every completed
     * write/maintenance op (and per data-carrying micro-batch on the
     * streaming path); None before any write. A cheap CHANGE TOKEN for

@@ -263,6 +263,54 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.topKCompressed(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
   }
 
+  test("validate: healthy lake audits clean; foreign files and dup ids are counted") {
+    val lake = freshLake()
+    seed(lake)
+    val healthy = lake.validate().head()
+    assert(healthy.getLong(0) === 32L)
+    assert(healthy.getLong(1) === 0L, "no misrouted rows on a healthy lake")
+    assert(healthy.getLong(2) === 0L, "ids unique")
+    assert((healthy.getLong(3), healthy.getLong(4)) === ((-1L, -1L)),
+      "unconfigured aux columns report -1, not 0")
+    // plain ingest (unlike upsert) accepts a repeated caller id — the
+    // audit is what surfaces it
+    lake.ingest(Seq(("r3", Seq(1f, 0f, 0f, 0f, 0f), "dup of r3"))
+      .toDF("id", "vector", "document"))
+    assert(lake.validate().head().getLong(2) === 1L, "duplicate id counted")
+    // a foreign file dropped into the wrong shard directory: rows whose
+    // own vector routes elsewhere — pruned queries would miss them
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(lake.cfg.location))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(_.getPath).sortBy(_.getName)
+    val srcFile = fs.listStatus(dirs.head)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head.getPath
+    val movedRows = spark.read.parquet(srcFile.toString).count()
+    assert(fs.rename(srcFile,
+      new org.apache.hadoop.fs.Path(dirs.last, "foreign-" + srcFile.getName)))
+    assert(lake.validate().head().getLong(1) === movedRows,
+      "every row of the misplaced file is flagged as misrouted")
+  }
+
+  test("validate: materialized packed and pq_code words audit clean when configured") {
+    val dir = Files.createTempDirectory("graft_validate_aux").toString
+    val rng = new scala.util.Random(31)
+    val data = (0 until 64).map { i =>
+      (s"v$i", Seq.fill(16)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document")
+    val pq = graft.operators.Pq.round6(graft.operators.Pq.train(
+      data.select(col("id"), col("vector").as("vec")), "vec", "id",
+      dim = 16, m = 4, k = 8, iters = 2))
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 16, numHashes = 3,
+      packSignBits = true, pqCodebooks = Some(pq)))
+    lake.ingest(data)
+    val r = lake.validate().head()
+    assert(r.getLong(0) === 64L)
+    assert(r.getLong(3) === 0L, "stored packed words match their vectors")
+    assert(r.getLong(4) === 0L, "stored pq codes match their codebooks")
+  }
+
   test("invariant sweep: deleteWhere removes exactly the matching set at any selectivity") {
     // thresholds spanning none-deleted .. all-deleted (string compare on
     // "doc N" is deterministic); each run checks returned count, final
