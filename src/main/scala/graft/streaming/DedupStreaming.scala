@@ -137,10 +137,16 @@ object DedupStreaming {
       * blind timer. The FIRST call always refreshes (the construction
       * build carries no token, and the corpus may have moved since);
       * each later call costs one token comparison until the token
-      * moves. Returns true when a refresh ran. */
-    def refreshIfChanged(token: Any): Boolean = {
-      val prev = refreshToken.getAndSet(Some(token))
-      if (prev != Some(token)) { refresh(); true } else false
+      * moves. Returns true when a refresh ran.
+      *
+      * The token is committed only AFTER refresh() succeeds: a
+      * transient corpus-read failure leaves the token unchanged, so
+      * the next micro-batch retries instead of permanently serving the
+      * stale snapshot (token-advanced-but-never-refreshed). Serialized
+      * so two concurrent callers cannot both pay a corpus scan. */
+    def refreshIfChanged(token: Any): Boolean = synchronized {
+      if (refreshToken.get() == Some(token)) false
+      else { refresh(); refreshToken.set(Some(token)); true }
     }
 
     private def build(): Snapshot = {
