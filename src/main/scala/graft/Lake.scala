@@ -75,6 +75,21 @@ final case class LakeConfig(
   * (index.py:487-489). Writes are append-mode parquet (the reference
   * rewrites whole segment files on every sync, index.py:294-308 — append
   * is strictly better and is what scales).
+  *
+  * On-disk layout (v2, generation-pointer commit): partition
+  * directories live under GENERATION subtrees `<root>/gen-N/shard=K/`,
+  * and versioned sidecars `<root>/_meta.<v>.json` (highest version
+  * wins; each write is an atomic create of a new version) name the
+  * live set: the current generation — whose whole subtree is live, and
+  * where appends land — plus a manifest of directories still live in
+  * older generations. Every maintenance op (compact / deleteWhere /
+  * upsert) WRITES A NEW GENERATION and commits with ONE sidecar
+  * create; nothing on the data path is ever renamed or deleted, so the
+  * layout is object-store-atomic where rename is copy+delete (the
+  * design rename-based swaps cannot reach on S3-class storage). Dead
+  * generations are swept only by the operator-invoked [[vacuum]].
+  * Root-level siblings (`_pq`, `_ivf` model dirs, the `_lock` marker)
+  * are untouched by any maintenance op by construction.
   */
 final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   import Lake._
@@ -110,39 +125,75 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   }
 
   /** Fail-fast single-writer gate for the mutating ops ([[ingest]],
-    * [[deleteWhere]], [[upsert]], [[compact]]): an atomic marker-file
-    * create (`FileSystem.create` with overwrite=false — atomic on
-    * HDFS/POSIX) of `_lock` under the lake root, released in finally.
-    * A concurrent mutation THROWS `ConcurrentModificationException`
-    * instead of silently losing the race — directory-layout tables
-    * have no optimistic-commit log, so a lost race is lost data (an
-    * append landing in a directory mid-swap is dropped by the rename).
-    * The reference's posture is last-persist-wins (index.py:294-308).
+    * [[deleteWhere]], [[upsert]], [[compact]], [[vacuum]]): a
+    * marker-file create (`FileSystem.create` with overwrite=false —
+    * atomic on HDFS/POSIX) of `_lock` under the lake root, released in
+    * finally. A concurrent mutation THROWS
+    * `ConcurrentModificationException` instead of silently losing the
+    * race — two maintenance commits interleaving would lose one side's
+    * manifest update. The reference's posture is last-persist-wins
+    * (index.py:294-308).
+    *
+    * Object-store posture (plain S3, where exclusive-create is just a
+    * PUT): the lock body carries a per-acquisition HOLDER TOKEN, and
+    * after writing, the writer READS THE LOCK BACK — if another
+    * writer's PUT landed over ours, the token mismatches and we abort
+    * without touching the lock (release also only deletes when the
+    * stored token is still ours). Together with the exists() pre-check
+    * this narrows the unguarded HEAD-then-PUT window to the few
+    * milliseconds between a writer's own PUT and its read-back;
+    * RESIDUAL: two writers whose PUT+verify fully interleave inside
+    * that window can both proceed — closing it needs a conditional PUT
+    * (If-None-Match), which plain S3A does not expose. On HDFS/POSIX
+    * the atomic create makes the gate exact.
     *
     * Underscore-prefixed files are invisible to Spark's file index, so
     * readers never see the lock. A crashed writer (JVM death skips
     * finally) strands the lock and every later mutation fails loudly:
-    * inspect, then [[vacuum]] — which removes a stale lock — to
-    * recover. */
+    * inspect, then [[repair]] (or `vacuum(force = true)`, which
+    * refuses locks younger than `lockMaxAgeMs`) to recover. */
   private def withWriterLock[T](op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    def contention(e: java.io.IOException): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"$op on ${cfg.location} refused: writer lock $lock is held " +
+          s"(${lockHolder(fs, lock).getOrElse("holder unreadable")}). " +
+          "Another maintenance op is in flight — retry after it " +
+          "finishes; if its writer crashed, repair() removes the " +
+          "stale lock.", e)
+    // pre-check: on stores whose create(overwrite=false) is a plain PUT
+    // the create below would silently clobber a HELD lock — an existing
+    // marker is contention regardless of filesystem semantics
+    if (fs.exists(lock)) contention(new java.io.IOException("lock file present"))
     val out =
       try fs.create(lock, false)
-      catch { case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"$op on ${cfg.location} refused: writer lock $lock is held " +
-            s"(${lockHolder(fs, lock).getOrElse("holder unreadable")}). " +
-            "Another maintenance op is in flight — retry after it " +
-            "finishes; if its writer crashed, vacuum() removes the " +
-            "stale lock.", e)
+      catch {
+        // only a genuinely-held lock is contention; any other
+        // IOException (permission, quota, network) must surface as
+        // itself — mapping it to "lock is held" would steer the
+        // operator toward force-vacuum, which could then delete a lock
+        // a LIVE writer actually holds
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
+        case e: java.io.IOException if fs.exists(lock) => contention(e)
       }
     try {
-      out.write(s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}"}"""
-        .getBytes("UTF-8"))
+      out.write(
+        s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}", "holder": "$token"}"""
+          .getBytes("UTF-8"))
       out.close()
+      // verify-after-write: the lease survives only if OUR token is
+      // what the store now serves (see scaladoc: object-store race)
+      if (!lockHolder(fs, lock).exists(_.contains(token)))
+        contention(new java.io.IOException("lost lock-create race"))
       body
-    } finally fs.delete(lock, false)
+    } finally {
+      // release ONLY a lock we still hold: if a racing writer's PUT
+      // overwrote ours, deleting here would unlock THEM
+      if (lockHolder(fs, lock).exists(_.contains(token)))
+        fs.delete(lock, false)
+    }
   }
 
   private def lockHolder(fs: org.apache.hadoop.fs.FileSystem,
@@ -156,10 +207,72 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       } finally in.close()
     } catch { case _: Throwable => None }
 
+  /** Path of generation `g`'s subtree under the root. */
+  private def genPath(g: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(cfg.location, s"gen-$g")
+
+  /** True iff `tree` holds partition directories or bare parquet files. */
+  private def treeHasData(fs: org.apache.hadoop.fs.FileSystem,
+      tree: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(tree) && fs.listStatus(tree).exists(s =>
+      (s.isDirectory && s.getPath.getName.contains("=")) ||
+        (s.isFile && s.getPath.getName.endsWith(".parquet")))
+
+  /** Every live (escaped-dir-name, generation) pair: the manifest plus
+    * the current generation's own partition directories (appends land
+    * there between commits, so the whole current tree is live by rule).
+    * One dir name can appear under several generations — a partition
+    * rewritten long ago and appended to since has copies in both. */
+  private def liveEntries(st: LakeState): Seq[(String, Long)] = {
+    val fs = fsOfRoot
+    val cur = genPath(st.generation)
+    val inCur =
+      if (!fs.exists(cur)) Nil
+      else fs.listStatus(cur).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName -> st.generation)
+    st.live.filter(_._2 != st.generation) ++ inCur
+  }
+
+  /** Data sitting at ROOT level, outside any generation: a pre-v2 flat
+    * lake (still readable) or a foreign dataset dropped at this
+    * location (read()'s schema validation rejects it loudly instead of
+    * bootstrapping an empty lake on top of someone else's data).
+    * Maintenance ops refuse while such data is present — they cannot
+    * retire what the manifest does not govern. */
+  private def rootLevelData(fs: org.apache.hadoop.fs.FileSystem): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(s =>
+      (s.isDirectory && s.getPath.getName.contains("=")) ||
+        (s.isFile && s.getPath.getName.endsWith(".parquet"))).map(_.getPath)
+  }
+
+  /** First unused generation number: past both the committed pointer
+    * and any UNCOMMITTED tree a crashed op stranded on disk (those keep
+    * their number until [[vacuum]] sweeps them — reusing it would mix
+    * two ops' files in one tree). */
+  private def nextGen(st: LakeState): Long = {
+    val fs = fsOfRoot
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    val onDisk =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+        case genDirRe(g) if s.isDirectory => Some(g.toLong)
+        case _ => None
+      })
+    (st.generation +: onDisk).max + 1
+  }
+
   /** Append-write an already-derived frame (shared by [[ingest]] and
-    * [[upsert]]'s bootstrap path so the two can never diverge). */
+    * [[upsert]]'s bootstrap path so the two can never diverge). Appends
+    * go into the CURRENT generation's tree — new files in live
+    * directories, invisible to a concurrent reader's already-planned
+    * scan, visible to the next; no commit needed beyond the
+    * `last_update` stamp. */
   private def writeAppend(derived: DataFrame): Unit = {
     routingChecked // never append rows routed under foreign hyperplanes
+    val st = readState()
     derived
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
@@ -168,8 +281,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .write.mode(SaveMode.Append)
       .option("compression", cfg.codec) // reference hard-codes gzip (index.py:308); snappy default scans faster
       .partitionBy(partCol)
-      .parquet(cfg.location)
-    writeMetaSidecar()
+      .parquet(genPath(st.generation).toString)
+    writeState(st)
   }
 
   /** The ONE derived-column block, shared by batch and streaming ingest
@@ -235,19 +348,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * `last_update` semantics on a long-running stream: the parquet
     * FOOTER stamp is evaluated once at plan construction, so every file
     * the stream ever writes carries the stream-START timestamp — the
-    * `_meta.json` sidecar is the authoritative `last_update` here, and
+    * sidecar is the authoritative `last_update` here, and
     * a [[org.apache.spark.sql.streaming.StreamingQueryListener]] scoped
     * to this query re-stamps it after every data-carrying micro-batch
     * (the sidecar sits outside the sink's `_spark_metadata` manifest,
     * so the refresh cannot race the sink's exactly-once bookkeeping).
     * This matches the reference's per-persist stamping (index.py:
-    * 296-305) at micro-batch granularity. */
+    * 296-305) at micro-batch granularity.
+    *
+    * The sink writes into the CURRENT generation's tree (resolved at
+    * stream start). Maintenance ops refuse to run while the sink's
+    * `_spark_metadata` manifest is present there, so the generation
+    * pointer cannot move out from under a live stream. */
   def ingestStream(rows: DataFrame, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
     routingChecked // BEFORE the sidecar write below re-stamps it
     requirePqModelMatch() // likewise
-    writeMetaSidecar()
+    val sinkPath = genPath(readState().generation).toString
+    writeState(readState())
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
     // through the start→addListener window. The query is given a unique
@@ -265,7 +384,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         if (e.name == qName) queryId = e.id
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.id == queryId && e.progress.numInputRows > 0)
-          writeMetaSidecar()
+          writeState(readState()) // pure last_update stamp; state unchanged
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == queryId) spark.streams.removeListener(this)
     }
@@ -275,7 +394,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .writeStream
         .queryName(qName)
         .format("parquet")
-        .option("path", cfg.location)
+        .option("path", sinkPath)
         .option("checkpointLocation", checkpoint)
         .option("compression", cfg.codec)
         .partitionBy(partCol)
@@ -288,14 +407,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   /** Schema-validated read (reference validates column list on load,
     * index.py:249-250). Empty-location bootstrap returns an empty frame
-    * with the canonical schema (index.py:247). */
+    * with the canonical schema (index.py:247).
+    *
+    * Layout v2: one branch per live GENERATION — the whole current tree
+    * (appends land there; read as a single path so a streaming sink's
+    * `_spark_metadata` manifest is honored), plus each older
+    * generation's manifest-named directories under a `basePath` at that
+    * generation (the standard subset-of-a-partitioned-table read).
+    * A freshly-compacted (or never-rewritten) lake is ONE branch — the
+    * exact single-scan plan of a flat layout; each uncommitted-into-
+    * compact maintenance op adds at most one branch, and partition
+    * pruning applies inside every branch. Dead directories are never
+    * even LISTED — a reader's paths are resolved from one sidecar
+    * read, and nothing deletes a live-at-resolution-time directory
+    * except an operator-invoked [[vacuum]]. */
   def read(): DataFrame = {
     routingChecked // a mismatched-config session must not prune/route
-    if (!exists())
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(storedFields :+ StructField(partCol,
-          if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
+    val partType =
+      if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
+    val st = readState()
+    val fs = fsOfRoot
     // mergeSchema: the default read infers from ONE footer (the
     // lexicographically first file), so an EXTRA column in any other
     // file would slip through null-filled instead of failing the
@@ -307,7 +438,42 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // reference's validation (index.py:249-250). compact() rewrites
     // homogenize such files away. Footer merging stays cheap via
     // compact()'s O(shards) file-count discipline.
-    val df = spark.read.option("mergeSchema", "true").parquet(cfg.location)
+    def branch(basePath: Option[String], paths: Seq[String]): DataFrame = {
+      var r = spark.read.option("mergeSchema", "true")
+      basePath.foreach(b => r = r.option("basePath", b))
+      // pin the partition column's type: a branch holding only the Hive
+      // null-sentinel directory would otherwise infer a different type
+      // and poison the union (cast is a no-op when types already agree,
+      // so pruning literals still reach the scan). A foreign branch may
+      // lack the column entirely — pass it through for the schema
+      // validation below to reject with the full diff.
+      val raw = r.parquet(paths: _*)
+      if (raw.columns.contains(partCol))
+        raw.withColumn(partCol, col(partCol).cast(partType))
+      else raw
+    }
+    val cur = genPath(st.generation)
+    val curBranch =
+      if (treeHasData(fs, cur)) Seq(branch(None, Seq(cur.toString))) else Nil
+    val oldBranches = st.live.filter(_._2 != st.generation)
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (g, entries) =>
+        val base = genPath(g)
+        branch(Some(base.toString),
+          entries.map(_._1).distinct
+            .map(d => new org.apache.hadoop.fs.Path(base, d).toString))
+      }
+    // pre-v2 flat tree or foreign data at the root: a dedicated branch,
+    // so legacy lakes stay readable and foreign schemas fail validation
+    val rootData = rootLevelData(fs)
+    val legacyBranch =
+      if (rootData.isEmpty) Nil
+      else Seq(branch(Some(cfg.location), rootData.map(_.toString)))
+    val branches = curBranch ++ oldBranches ++ legacyBranch
+    if (branches.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(storedFields :+ StructField(partCol, partType)))
+    val df = branches.reduce(_ unionByName _)
     val got = df.columns.toSet
     val want = storedCols.toSet + partCol
     require(got == want, s"schema mismatch: got $got want $want")
@@ -385,6 +551,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * Late-arriving refinements of a qid update its row (update output
     * mode). Honors `cfg.metric` like [[topKBatch]].
     *
+    * STATE-LIFECYCLE CONTRACT: state here is bounded per id but keyed
+    * by qid FOREVER — over an unbounded stream of distinct ids it
+    * grows with the id universe. Right for a bounded/recycled id space
+    * (session ids, tenant slots); for open-ended id streams use
+    * [[topKStreamExpiring]], which retires an id's state once it has
+    * been idle past an event-time TTL.
+    *
     * The static side is the lake AT PLAN TIME (a parquet plan freezes
     * its file listing): restart the query to serve post-start ingests.
     *
@@ -412,6 +585,79 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .select(col("qid"), col("id"), V.round6z(dist).as("dist"))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+  }
+
+  /** [[topKStream]] with a STATE LIFECYCLE: per-query state (≤ k rows)
+    * is dropped once the query id has been idle past `ttl` of EVENT
+    * time — over an unbounded stream of distinct query ids, plain
+    * [[topKStream]]'s state grows with the id universe forever, while
+    * this variant's state is bounded by the LIVE query set (ids seen
+    * within the ttl window). Queries carry an event-time column
+    * `qtime`; `watermarkDelay` is the usual lateness allowance, and
+    * expiry advances with the watermark — deterministic under
+    * replay/backfill, no wall-clock coupling. Late refinements of a
+    * live qid still merge into its bounded heap (update semantics,
+    * like topKStream); a refinement arriving AFTER its id expired
+    * starts a fresh heap over that micro-batch's scan, the only
+    * honest answer once the old state is gone.
+    *
+    * @param queries streaming frame with (qid: long, qvec: array,
+    *        qtime: timestamp)
+    * @return streaming frame (qid, top: array<struct<dist,id>>),
+    *         update output mode */
+  def topKStreamExpiring(queries: DataFrame, k: Int,
+      ttl: java.time.Duration,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    import spark.implicits._
+    val lakeV = read().select(
+      col("id"), V.asDouble(col("vector")).as("vec"),
+      V.l2Norm(col("vector")).as("nrm"), lit(1).as("__j"))
+    val q = queries
+      .withWatermark("qtime", watermarkDelay)
+      .select(col("qid"), col("qtime"),
+        col("qvec").cast(ArrayType(DoubleType)).as("qvec"),
+        lit(1).as("__jq"))
+      .withColumn("qnrm", V.l2Norm(col("qvec")))
+    val dist: Column = cfg.metric match {
+      case "cosine" => lit(1.0) -
+        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+      case "dot" => -V.dot(col("vec"), col("qvec"))
+    }
+    val scored = q.join(lakeV, col("__jq") === col("__j"))
+      .select(col("qid"), col("qtime"), col("id"), V.round6z(dist).as("dist"))
+      .as[(Long, java.sql.Timestamp, String, Double)]
+    val ttlMs = ttl.toMillis
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKServeState, (Long, Seq[(Double, String)])](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (qid: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
+            state: GroupState[TopKServeState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var maxEvent = Long.MinValue
+            val incoming = rows.map { case (_, t, id, d) =>
+              if (t.getTime > maxEvent) maxEvent = t.getTime
+              (d, id)
+            }.toSeq
+            // bounded merge: old heap ∪ new scores, keep the k best —
+            // state never exceeds k entries per live qid
+            val merged = (state.getOption.map(_.top).getOrElse(Nil) ++ incoming)
+              .sortBy { case (d, id) => (d, id) }.take(k)
+            state.update(TopKServeState(merged))
+            // idle-expiry clock: last event time + ttl, floored above
+            // the current watermark (Spark requires a future timestamp)
+            state.setTimeoutTimestamp(
+              math.max(maxEvent + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(qid -> merged)
+          }
+      }
+      .toDF("qid", "top")
+      // tuple encoding names the struct fields _1/_2 — present the same
+      // (dist, id) shape as topKStream
+      .select(col("qid"), transform(col("top"),
+        e => struct(e("_1").as("dist"), e("_2").as("id"))).as("top"))
   }
 
   /** Two-stage compressed retrieval over the MATERIALIZED `packed`
@@ -621,7 +867,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * the thing that actually kills 100 TB parquet lakes). Rewrites each
     * shard's data into ~`targetBytes` files: shards get
     * ceil(bytes/target) slices, rows are clustered by (shard, slice) so
-    * each output file is whole, then the directories are swapped.
+    * each output file is whole, then the new generation is committed
+    * with one sidecar create. For the targeted variant that skips
+    * already-clean shards, see [[compactIncremental]].
     *
     * This is the maintenance operation the reference cannot express —
     * its sync already rewrites EVERY segment file on EVERY persist
@@ -629,15 +877,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * distributed (one shuffle, no driver-side data).
     *
     * Refuses to touch a lake with a Structured Streaming `_spark_metadata`
-    * sink log: the sink's manifest names the original files, and a swap
-    * would silently orphan them — stop the stream and rename the log
-    * away first (or read through a new location).
+    * sink log: the sink's manifest names the original files, and a
+    * rewrite would silently orphan them — stop the stream and rename
+    * the log away first (or read through a new location).
     *
-    * Atomicity: the two renames are atomic on HDFS/POSIX; object stores
-    * implement rename as copy+delete, so there readers may briefly see
-    * a missing root — schedule compaction in a maintenance window or
-    * front the location with a catalog pointer there (standard practice
-    * for any rewrite-in-place on S3-class storage).
+    * Atomicity (layout v2): the rewrite lands in a NEW generation tree
+    * and the COMMIT is one sidecar create — readers resolve their paths
+    * from one sidecar version and nothing here deletes or renames a
+    * byte of the old generation, so a reader racing compact sees either
+    * the old tree or the new one, never a missing or half-swapped
+    * directory (object-store safe: no rename anywhere). Dead
+    * generations stay on disk until an operator-invoked [[vacuum]] —
+    * the same retention posture as any log-structured table format.
     *
     * @param clusterBy optional within-file clustering expressions: each
     *        rewritten file is locally sorted by these (e.g. a
@@ -653,21 +904,70 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     withWriterLock("compact")(compactImpl(targetBytes, clusterBy))
   }
 
-  private def compactImpl(targetBytes: Long, clusterBy: Seq[Column]): Long = {
-    val root = new org.apache.hadoop.fs.Path(cfg.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
-      "refusing to compact a streaming-sink lake: _spark_metadata manifest present")
+  /** INCREMENTAL compact: rewrite only the shards whose file count
+    * exceeds what their bytes justify under `targetBytes` (with
+    * `maxFilesPerShard` slack below which a shard is never worth
+    * touching). Clean directories are not read, not rewritten, and stay
+    * BIT-IDENTICAL — at 100 TB this is the difference between a
+    * maintenance cycle costing O(dirty shards) and [[compact]]'s
+    * full-table rewrite. Same commit protocol as every other rewrite
+    * (new generation + one sidecar create). Returns the number of
+    * shards rewritten. */
+  def compactIncremental(targetBytes: Long = 128L * 1024L * 1024L,
+      clusterBy: Seq[Column] = Nil, maxFilesPerShard: Int = 4): Long = {
+    if (!exists()) return 0L
+    withWriterLock("compactIncremental") {
+      val fs = fsOfRoot
+      val st = readState()
+      // per-shard (files, bytes) across every live copy of the shard
+      val stats: Map[Option[String], (Long, Long)] = liveEntries(st)
+        .map { case (d, g) =>
+          val cs = fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(genPath(g), d))
+          unescapePartitionValue(d.split("=", 2)(1)) ->
+            (cs.getFileCount, cs.getLength)
+        }
+        .groupBy(_._1)
+        .map { case (v, xs) =>
+          v -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum) }
+      val dirty = stats.collect { case (v, (files, bytes))
+        if files > math.max(maxFilesPerShard.toLong,
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes)) => v
+      }.toSet
+      if (dirty.isEmpty) return 0L
+      val slice = read().where(affectedPartPred(dirty))
+      val expected = slice.count()
+      val content = slice.select((storedCols.map(col) :+ col(partCol)): _*)
+      rewritePartitions(dirty, content, expected, "compactIncremental",
+        slices = stats.collect { case (v, (_, bytes)) if dirty.contains(v) =>
+          v -> math.max(1L, (bytes + targetBytes - 1) / targetBytes) }.toMap,
+        clusterBy = clusterBy)
+      dirty.size.toLong
+    }
+  }
 
-    // per-shard compressed bytes from one directory listing. Directory
+  private def compactImpl(targetBytes: Long, clusterBy: Seq[Column]): Long = {
+    val fs = fsOfRoot
+    val st = readState()
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(genPath(st.generation), "_spark_metadata")),
+      "refusing to compact a streaming-sink lake: _spark_metadata manifest present")
+    require(rootLevelData(fs).isEmpty,
+      s"refusing maintenance at ${cfg.location}: root-level (pre-v2/foreign) " +
+        "data present — the manifest does not govern it, so a rewrite could " +
+        "not retire it; re-ingest into the generation layout first")
+
+    // per-shard compressed bytes across every live copy. Directory
     // names carry ESCAPED partition values (Spark writes ':','%','=' etc
     // as %XX and null as the Hive sentinel) while read() yields decoded
     // values — decode here or the slice join below misses those shards
-    val shardBytes: Map[Option[String], Long] = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)) ->
-        fs.getContentSummary(s.getPath).getLength)
-      .toMap
+    val shardBytes: Map[Option[String], Long] = liveEntries(st)
+      .map { case (d, g) =>
+        unescapePartitionValue(d.split("=", 2)(1)) ->
+          fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(genPath(g), d)).getLength
+      }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
     if (shardBytes.isEmpty) return 0L
 
     val slices = shardBytes.map { case (sh, b) =>
@@ -684,12 +984,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .toDF(partCol + "_s", "n_slices")
         .withColumn(partCol + "_s", col(partCol + "_s").cast(
           if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
-    val tmp = new org.apache.hadoop.fs.Path(cfg.location + "__compacting")
-    fs.delete(tmp, true)
+    val newGen = nextGen(st)
+    val tmp = genPath(newGen)
     // null-safe LEFT join with a 1-slice default: a shard whose directory
     // name failed to map (or a null partition value) must still be
     // rewritten — dropping it here would turn into silent data loss at
-    // the swap below
+    // the commit below
     val src = read()
     val srcRows = src.count()
     val sliced = src
@@ -709,24 +1009,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .partitionBy(partCol)
       .parquet(tmp.toString)
 
-    // verify BEFORE the destructive swap: any rewrite shortfall aborts
-    // with both trees intact instead of surfacing as permanent loss
+    // verify BEFORE the commit: any rewrite shortfall aborts with the
+    // live state untouched instead of surfacing as permanent loss
     val tmpRows = spark.read.parquet(tmp.toString).count()
     if (tmpRows != srcRows) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"compact aborted: rewrote $tmpRows rows but source has $srcRows ($root left untouched)")
+        s"compact aborted: rewrote $tmpRows rows but source has $srcRows (live state untouched)")
     }
 
-    // swap: keep the old tree until the new one is fully in place
-    val bak = new org.apache.hadoop.fs.Path(cfg.location + "__precompact")
-    fs.delete(bak, true)
-    require(fs.rename(root, bak), s"rename $root -> $bak failed")
-    require(fs.rename(tmp, root), s"rename $tmp -> $root failed")
-    fs.delete(bak, true)
-    writeMetaSidecar()
+    // COMMIT: one sidecar create names the new generation as the whole
+    // live set; every older generation is dead-in-place (vacuum sweeps)
+    writeState(LakeState(newGen, Nil))
 
-    fs.listStatus(root).filter(_.isDirectory).map(d =>
+    fs.listStatus(tmp).filter(_.isDirectory).map(d =>
       fs.listStatus(d.getPath).count(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
   }
@@ -847,25 +1143,59 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .map(v => col(partCol).cast(StringType) <=> lit(v.orNull))
       .reduce(_ || _)
 
-  /** Shared targeted-rewrite machinery for [[deleteWhere]]/[[upsert]]:
-    * write `content` (covering EXACTLY the `affected` partition values)
-    * to a tmp tree, verify the row count, then swap each affected
-    * directory individually — original renamed to a backup outside the
-    * lake root (a suffixed name INSIDE the root would poison partition
-    * discovery), replacement renamed in, backups dropped last. An
-    * affected value with no tmp directory means all its rows were
-    * removed: the original directory is retired without a replacement.
-    */
+  /** Shared targeted-rewrite machinery for [[deleteWhere]]/[[upsert]]/
+    * [[compactIncremental]]: write `content` (covering EXACTLY the
+    * `affected` partition values) into a NEW generation tree, verify
+    * the row count, then COMMIT with one sidecar create whose manifest
+    * keeps every unaffected directory at its existing location and
+    * drops every affected one (the new tree, being current, is live by
+    * rule). Unaffected directories are not read, not renamed, not
+    * touched — bit-identical across the op. An affected value with no
+    * rewritten directory means all its rows were removed: it simply
+    * leaves the manifest. A crash anywhere before the commit leaves the
+    * previous state fully live (the half-written generation is
+    * unreferenced scratch for [[vacuum]]/[[repair]]).
+    *
+    * @param slices optional per-partition output-file counts (the
+    *        [[compactIncremental]] sizing); default one file per
+    *        partition
+    * @param clusterBy optional within-file local sort, as [[compact]] */
   private def rewritePartitions(affected: Set[Option[String]],
-      content: DataFrame, expectedRows: Long, tag: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(cfg.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      content: DataFrame, expectedRows: Long, tag: String,
+      slices: Map[Option[String], Long] = Map.empty,
+      clusterBy: Seq[Column] = Nil): Unit = {
+    val fs = fsOfRoot
+    val st = readState()
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(genPath(st.generation), "_spark_metadata")),
       "refusing to rewrite a streaming-sink lake: _spark_metadata manifest present")
-    val tmp = new org.apache.hadoop.fs.Path(cfg.location + tag)
-    fs.delete(tmp, true)
+    require(rootLevelData(fs).isEmpty,
+      s"refusing maintenance at ${cfg.location}: root-level (pre-v2/foreign) " +
+        "data present — the manifest does not govern it, so a rewrite could " +
+        "not retire it; re-ingest into the generation layout first")
+    val newGen = nextGen(st)
+    val tmp = genPath(newGen)
     if (expectedRows > 0L) {
-      content.repartition(col(partCol))
+      val shaped =
+        if (slices.isEmpty) content.repartition(col(partCol))
+        else {
+          import spark.implicits._
+          val sliceDf = broadcast(
+            slices.toSeq.map { case (sh, n) => (sh.orNull, n) }
+              .toDF(partCol + "_s", "n_slices")
+              .withColumn(partCol + "_s", col(partCol + "_s").cast(
+                if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
+          val total = math.max(1,
+            math.min(slices.values.sum, Int.MaxValue).toInt)
+          content
+            .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
+            .withColumn("_slice",
+              pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
+            .repartition(total, col(partCol), col("_slice"))
+            .select((storedCols.map(col) :+ col(partCol)): _*)
+        }
+      (if (clusterBy.isEmpty) shaped
+       else shaped.sortWithinPartitions((col(partCol) +: clusterBy): _*))
         .write.mode(SaveMode.Overwrite)
         .option("compression", cfg.codec)
         .partitionBy(partCol)
@@ -874,155 +1204,107 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       if (tmpRows != expectedRows) {
         fs.delete(tmp, true)
         throw new IllegalStateException(
-          s"partition rewrite aborted: wrote $tmpRows rows, expected $expectedRows ($root untouched)")
+          s"partition rewrite ($tag) aborted: wrote $tmpRows rows, expected $expectedRows (live state untouched)")
       }
-    }
-    def dirsOf(p: org.apache.hadoop.fs.Path): Map[Option[String], String] =
-      if (!fs.exists(p)) Map.empty
-      else fs.listStatus(p)
+      val outOfScope = fs.listStatus(tmp)
         .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)) ->
-          s.getPath.getName)
-        .toMap
-    val oldDirs = dirsOf(root).filter { case (v, _) => affected.contains(v) }
-    val tmpDirs = dirsOf(tmp)
-    require(tmpDirs.keySet.subsetOf(affected),
-      s"rewrite produced out-of-scope partitions: ${tmpDirs.keySet -- affected}")
-    val bakParent = new org.apache.hadoop.fs.Path(cfg.location + tag + "_bak")
-    fs.delete(bakParent, true)
-    fs.mkdirs(bakParent)
-    (oldDirs.keySet ++ tmpDirs.keySet).foreach { v =>
-      val name = oldDirs.getOrElse(v, tmpDirs(v))
-      val cur = new org.apache.hadoop.fs.Path(root, name)
-      if (fs.exists(cur))
-        require(fs.rename(cur, new org.apache.hadoop.fs.Path(bakParent, name)),
-          s"rename $cur -> backup failed")
-      tmpDirs.get(v).foreach { tn =>
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp, tn), cur),
-          s"rename $tmp/$tn -> $cur failed")
-      }
+        .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)))
+        .filterNot(affected.contains)
+      require(outOfScope.isEmpty,
+        s"rewrite produced out-of-scope partitions: ${outOfScope.mkString(", ")}")
     }
-    fs.delete(bakParent, true)
-    fs.delete(tmp, true)
-    writeMetaSidecar()
+    // COMMIT: unaffected dirs keep their existing generation (now named
+    // explicitly, since the current-tree becomes non-current); affected
+    // dirs' old copies fall out of the manifest — dead in place
+    val survivors = liveEntries(st).filter { case (d, _) =>
+      !affected.contains(unescapePartitionValue(d.split("=", 2)(1)))
+    }
+    writeState(LakeState(newGen, survivors))
   }
 
-  /** Remove leftover rewrite scratch trees (`__compacting`,
-    * `__precompact`, `__deleting`, `__upserting`, and the
-    * `__deleting_bak`/`__upserting_bak` backup trees) that a crashed
-    * compact/deleteWhere/upsert may have stranded next to the lake
-    * root — the VACUUM of this table layout. Only those KNOWN scratch
-    * names are touched: an unrelated sibling lake that merely shares
-    * the name prefix (`/data/lake__v2` next to `/data/lake`) is never
-    * matched. Safe while live: scratch trees are only ever read by the
-    * op that created them, inside the same call.
+  /** Sweep DEAD storage — the VACUUM of this layout: generation trees
+    * no longer referenced by the live sidecar (superseded by a
+    * maintenance commit, or stranded by a crash before one) and
+    * far-superseded sidecar versions. Nothing live is ever matched: the
+    * live set is exactly (manifest entries ∪ current generation), and
+    * this runs under the writer lock so no in-flight op's
+    * not-yet-committed generation can be mistaken for dead.
     *
-    * Crash-safety guard: after a crash INSIDE a swap window, a backup
-    * tree (`__precompact` or a `_bak` tree) may hold the ONLY copy of
-    * some partitions — compact renames the whole root to
-    * `__precompact` before renaming the replacement in, and
-    * rewritePartitions moves each original directory to its `_bak`
-    * tree before its replacement. Deleting those trees then is
-    * permanent data loss, so vacuum REFUSES (IllegalStateException)
-    * when any backup tree holds a partition directory absent from the
-    * lake root: run [[repair]] (rolls the crashed op back), then
-    * re-run. Note the guard is deliberately conservative — a directory
-    * that deleteWhere legitimately retired (all rows deleted) also
-    * trips it if the crash hit before backup cleanup; repair
-    * resurrects those rows (re-run the delete).
+    * Retention caveat (document, don't hide): a reader that resolved
+    * its paths BEFORE the vacuum and is still scanning a dead
+    * generation loses its files — the same tradeoff as any
+    * log-structured format's VACUUM. Schedule vacuum at a cadence
+    * longer than your longest query.
     *
-    * Returns the number of trees removed. */
-  def vacuum(): Long = {
+    * Crashed-writer recovery: a writer that died without reaching its
+    * finally strands the `_lock` marker and every later mutation
+    * (including this one) fails loudly. `vacuum(force = true)` skips
+    * taking the lock and REMOVES the stranded marker — refusing when
+    * the lock is younger than `lockMaxAgeMs` (default 10 min), because
+    * a young lock usually means a LIVE writer that is merely slow, and
+    * unlocking it would re-open the lost-update race the lock exists to
+    * prevent. After confirming the writer is dead, pass
+    * `lockMaxAgeMs = 0`.
+    *
+    * Returns the number of items removed (trees + sidecars + lock). */
+  def vacuum(force: Boolean = false, lockMaxAgeMs: Long = 600000L): Long = {
+    val fs = fsOfRoot
     val root = new org.apache.hadoop.fs.Path(cfg.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = root.getParent
-    if (parent == null || !fs.exists(parent)) return 0L
-    val scratchNames = scratchSuffixes.map(root.getName + _).toSet
-    val scratch = fs.listStatus(parent)
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => scratchNames.contains(p.getName))
-    def partDirs(p: org.apache.hadoop.fs.Path): Set[String] =
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.getName).toSet
-    val rootDirs = partDirs(root)
-    scratch.filter(p => backupSuffixes.exists(p.getName.endsWith)).foreach { b =>
-      val orphaned = partDirs(b) -- rootDirs
-      if (orphaned.nonEmpty) throw new IllegalStateException(
-        s"vacuum refused: backup tree $b holds partition(s) " +
-          s"${orphaned.toSeq.sorted.mkString(", ")} missing from $root — a " +
-          "maintenance op crashed mid-swap and these may be the only copies; " +
-          "run repair() to roll the crashed op back, then re-run vacuum")
+    if (!fs.exists(root)) return 0L
+    if (!force) return withWriterLock("vacuum")(sweepDead(fs))
+    val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
+    var removed = 0L
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      if (age < lockMaxAgeMs) throw new IllegalStateException(
+        s"vacuum(force) refused: writer lock $lock is only ${age} ms old " +
+          s"(threshold $lockMaxAgeMs) — the writer may still be LIVE " +
+          "(slow, not crashed), and unlocking it would re-open the " +
+          "lost-update race. Wait it out, or pass lockMaxAgeMs = 0 after " +
+          "confirming the writer is dead.")
+      if (fs.delete(lock, false)) removed += 1L
     }
-    scratch.foreach(p => fs.delete(p, true))
-    // a writer that died without reaching its finally strands the
-    // `_lock` marker and every later mutation fails loudly — vacuum is
-    // the documented recovery, so it removes the lock too. (Like the
-    // scratch sweep itself, vacuum must only run when no maintenance op
-    // is actually in flight.)
-    val lock = new org.apache.hadoop.fs.Path(root, lockName)
-    val staleLock = fs.exists(lock) && fs.delete(lock, false)
-    scratch.length.toLong + (if (staleLock) 1L else 0L)
+    removed + sweepDead(fs)
   }
 
-  /** Crash RECOVERY for a mid-swap failure — the roll-back twin of
-    * [[vacuum]]'s refusal. Every swap in this layout backs an original
-    * up BEFORE renaming its replacement in (compact renames the whole
-    * root to `__precompact`; rewritePartitions moves each affected
-    * directory to its `_bak` tree), so after any crash the complete
-    * pre-op state exists across (root ∪ backup trees). repair() makes
-    * the crashed op never-happened:
-    *
-    *  - `__precompact` present → the pre-compact tree replaces the
-    *    root wholesale (content-identical even when the crash hit
-    *    after the forward swap: compact is a pure layout change);
-    *  - every partition directory in a `_bak` tree replaces its root
-    *    counterpart (a replacement that did get swapped in is rolled
-    *    back; one that didn't was never removed);
-    *  - tmp trees, now-redundant backups, and a stranded writer lock
-    *    are swept (vacuum's guard passes by construction afterwards).
-    *
-    * A deleteWhere that legitimately retired a directory and crashed
-    * before backup cleanup gets its rows RESURRECTED — rollback
-    * semantics, the conservative direction (re-run the delete; the
-    * other direction is silent data loss). Like vacuum, run only when
-    * no maintenance op is actually in flight. Returns the number of
-    * partition directories (or whole trees) restored. */
-  def repair(): Long = {
+  private def sweepDead(fs: org.apache.hadoop.fs.FileSystem): Long = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var restored = 0L
-    val precompact = new org.apache.hadoop.fs.Path(cfg.location + "__precompact")
-    if (fs.exists(precompact)) {
-      fs.delete(root, true)
-      require(fs.rename(precompact, root), s"rename $precompact -> $root failed")
-      restored += 1L
-    }
-    Seq("__deleting_bak", "__upserting_bak").foreach { suf =>
-      val bak = new org.apache.hadoop.fs.Path(cfg.location + suf)
-      if (fs.exists(bak)) {
-        fs.mkdirs(root) // rename target parent must exist
-        fs.listStatus(bak)
-          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-          .foreach { d =>
-            val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-            fs.delete(target, true) // roll a swapped-in replacement back
-            require(fs.rename(d.getPath, target),
-              s"rename ${d.getPath} -> $target failed")
-            restored += 1L
-          }
+    val st = readState()
+    val liveGens = (st.live.map(_._2) :+ st.generation).toSet
+    var removed = 0L
+    fs.listStatus(root).foreach { s =>
+      s.getPath.getName match {
+        case genDirRe(g) if s.isDirectory && !liveGens.contains(g.toLong) =>
+          if (fs.delete(s.getPath, true)) removed += 1L
+        case _ => ()
       }
     }
-    vacuum() // backups are now empty/redundant; tmp trees + stale lock swept
-    restored
+    val versions = metaVersions(fs)
+    if (versions.nonEmpty) {
+      val latest = versions.map(_._1).max
+      versions.filter(_._1 < latest - keptMetaVersions).foreach { case (_, p) =>
+        if (fs.delete(p, false)) removed += 1L
+      }
+    }
+    removed
   }
+
+  /** Crash RECOVERY — in layout v2, a one-liner by construction: every
+    * maintenance op writes a NEW generation and commits with one
+    * sidecar create, so a crash at ANY point leaves the committed state
+    * fully live and loses zero rows; there is no swap window and
+    * nothing to roll back. What a crash strands is scratch — the
+    * uncommitted generation tree and the writer lock — and repair
+    * sweeps both (a force-[[vacuum]] with no lock-age threshold: repair
+    * is the operator's explicit "the writer is dead" assertion).
+    * Returns the number of items swept. */
+  def repair(): Long = vacuum(force = true, lockMaxAgeMs = 0L)
 
   /** Integrity audit — the CHECK TABLE of this layout, one scan, one
-    * row out: `(rows, misrouted, dup_ids, bad_packed, bad_pq)`. Every
-    * stored invariant the maintenance ops rely on is recomputed and
-    * counted rather than assumed:
+    * row out: `(rows, misrouted, dup_ids, bad_packed, bad_pq,
+    * bad_dim)`. Every stored invariant the maintenance ops rely on is
+    * recomputed and counted rather than assumed:
     *
     *  - `misrouted`: rows whose directory shard ≠ the LSH route of
     *    their own vector (a foreign file dropped into a shard dir, or
@@ -1033,7 +1315,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *  - `bad_packed` / `bad_pq`: materialized aux words that no longer
     *    equal their recomputation from the vector (−1 when the column
     *    is not configured) — compressed retrieval reads these bytes as
-    *    truth.
+    *    truth;
+    *  - `bad_dim`: rows whose vector length ≠ the sidecar-pinned
+    *    `cfg.dim` (a foreign file with wrong-dimension vectors — the
+    *    session-vs-sidecar dim mismatch is already refused at read by
+    *    the routing check, so what this catches is wrong-dim DATA
+    *    under a correct config; a null vector also lands here).
     *
     * All checks are map-side expressions into one aggregate; at 100 TB
     * this costs exactly one full scan, the floor for any audit that
@@ -1067,8 +1354,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       misrouted.as("misrouted"),
       (rowsAgg - countDistinct(col("id"))).as("dup_ids"),
       badPacked.as("bad_packed"),
-      badPq.as("bad_pq"))
+      badPq.as("bad_pq"),
+      violations(coalesce(size(col("vector")), lit(-1)) =!= cfg.dim)
+        .as("bad_dim"))
   }
+
+  /** Test/tooling hook: the current generation's subtree path (appends
+    * and the streaming sink land here). */
+  private[graft] def currentGenDir: String =
+    genPath(readState().generation).toString
+
+  /** Test/tooling hook: every live partition directory as
+    * (escaped-dir-name, full path) — one dir name may appear under
+    * several generations. */
+  private[graft] def liveDirPaths(): Seq[(String, org.apache.hadoop.fs.Path)] =
+    liveEntries(readState()).map { case (d, g) =>
+      d -> new org.apache.hadoop.fs.Path(genPath(g), d)
+    }
 
   /** The sidecar's `last_update` stamp — rewritten by every completed
     * write/maintenance op (and per data-carrying micro-batch on the
@@ -1089,48 +1391,136 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** True iff the lake holds DATA: at least one partition directory or
-    * root-level parquet file. A location carrying only `_meta.json` /
-    * `_SUCCESS` markers (e.g. after `deleteWhere` retired every shard)
-    * counts as empty — the parquet reader cannot infer a schema from
-    * markers alone, so every data path must take the bootstrap branch. */
+  /** True iff the lake holds DATA: a live manifest entry or a partition
+    * directory / parquet file in the current generation's tree. A
+    * location carrying only sidecar / `_SUCCESS` markers (e.g. after
+    * `deleteWhere` retired every shard) counts as empty — the parquet
+    * reader cannot infer a schema from markers alone, so every data
+    * path must take the bootstrap branch. */
   def exists(): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(cfg.location)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      (s.isDirectory && s.getPath.getName.contains("=")) ||
-        (s.isFile && s.getPath.getName.endsWith(".parquet")))
+    val st = readState()
+    val fs = fsOfRoot
+    st.live.exists(_._2 != st.generation) ||
+      treeHasData(fs, genPath(st.generation)) ||
+      rootLevelData(fs).nonEmpty
   }
 
-  /** Sidecar `_meta.json` — replaces the reference's parquet-attrs
-    * `last_update` stamp (index.py:296-305); Spark's DataFrameWriter has
-    * no per-file custom-metadata hook. */
-  private def writeMetaSidecar(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+  /** The live-data pointer + config stamp, stored as VERSIONED sidecar
+    * files `_meta.<v>.json` under the root — the commit point of every
+    * maintenance op (layout v2). Replaces the reference's parquet-attrs
+    * `last_update` stamp (index.py:296-305) and adds what the reference
+    * has no answer for: object-store-atomic maintenance. Each write
+    * CREATES a NEW version (exclusive create — an atomic PUT of a new
+    * key on any store, never an in-place truncate a reader could catch
+    * half-written); readers take the highest version. A handful of
+    * superseded versions are kept for readers that listed just before a
+    * commit; older ones are swept here and by [[vacuum]]. */
+  private def fsOfRoot: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, path) of every sidecar version present, unsorted. */
+  private def metaVersions(fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(cfg.location)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case metaNameRe(v) if s.isFile => Some(v.toLong -> s.getPath)
+        case _ => None
+      }
+    }
+  }
+
+  /** Current on-disk state: generation (the append target — its whole
+    * tree is live) plus the manifest of live directories in OLDER
+    * generations as (escaped-dir-name, generation) pairs. A lake with
+    * no sidecar yet is generation 1 with an empty manifest. */
+  private def readState(): LakeState = {
+    val json = readMetaSidecar().getOrElse(return LakeState(1L, Nil))
+    val gen = """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(1L)
+    val live = """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*(\d+)\s*\]""".r
+      .findAllMatchIn(json)
+      .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq
+    LakeState(gen, live)
+  }
+
+  /** Commit `st` (and refresh `last_update`): create sidecar version
+    * latest+1. Callers either hold the writer lock or are the sole
+    * streaming-ingest listener (maintenance refuses streaming lakes via
+    * the `_spark_metadata` guard, so the two never interleave). */
+  private def writeState(st: LakeState): Unit = {
+    val fs = fsOfRoot
+    val versions = metaVersions(fs)
+    val latest = if (versions.isEmpty) 0L else versions.map(_._1).max
     val pqField = cfg.pqCodebooks
       .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
     val seedField =
       if (cfg.partitionKey.isEmpty) s""", "lsh_seed": ${cfg.seed}""" else ""
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField}"""
-    out.write(json.getBytes("UTF-8")); out.close()
+    val liveField = st.live
+      .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }
+      .mkString("[", ", ", "]")
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField}"""
+    var v = latest + 1
+    var done = false
+    while (!done) {
+      try {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(cfg.location, s"_meta.$v.json"), false)
+        out.write(json.getBytes("UTF-8")); out.close(); done = true
+      } catch {
+        // a racing streaming-listener stamp took this version: ours
+        // carries the same state, only a fresher last_update — bump
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+      }
+    }
+    // sweep far-superseded versions; keep a few for in-flight readers
+    versions.filter(_._1 < v - keptMetaVersions)
+      .foreach(p => fs.delete(p._2, false))
   }
 
   private def readMetaSidecar(): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, "UTF-8"))
-      } finally in.close()
+    val fs = fsOfRoot
+    val versions = metaVersions(fs)
+    val p =
+      if (versions.nonEmpty) versions.maxBy(_._1)._2
+      else { // pre-v2 single-file sidecar, read-only compatibility
+        val legacy = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
+        if (!fs.exists(legacy)) return None else legacy
+      }
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(bytes.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
+  private def escapeJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
+
+  private def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Stored `shard` values are only meaningful under the hyperplanes
@@ -1188,25 +1578,33 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 }
 
 object Lake {
-  /** The complete set of scratch-tree suffixes the maintenance ops may
-    * strand next to a lake root ([[Lake.compact]] uses `__compacting` /
-    * `__precompact`; [[Lake.deleteWhere]]/[[Lake.upsert]] use
-    * `__deleting`/`__upserting` plus their `_bak` backup trees).
-    * [[Lake.vacuum]] matches EXACTLY these — never an open-ended
-    * prefix. */
-  private[graft] val scratchSuffixes: Seq[String] = Seq(
-    "__compacting", "__precompact",
-    "__deleting", "__deleting_bak",
-    "__upserting", "__upserting_bak")
-
-  /** The subset of [[scratchSuffixes]] that are BACKUP trees: after a
-    * mid-swap crash they may hold the only copy of a partition. */
-  private[graft] val backupSuffixes: Seq[String] =
-    Seq("__precompact", "__deleting_bak", "__upserting_bak")
-
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
+
+  /** Committed layout-v2 state: `generation` is the current append
+    * target (its whole subtree is live); `live` names directories still
+    * live in OLDER generations as (escaped-dir-name, generation) pairs
+    * — the same dir name may appear under several generations (old
+    * rewrite + later appends). */
+  private[graft] final case class LakeState(
+      generation: Long, live: Seq[(String, Long)])
+
+  /** Generation subtree directory names under the root. */
+  private[graft] val genDirRe = "gen-(\\d+)".r
+
+  /** Versioned sidecar file names; readers take the highest version —
+    * each commit is an atomic CREATE of a new version, never an
+    * in-place overwrite a reader could catch half-written. */
+  private[graft] val metaNameRe = "_meta\\.(\\d+)\\.json".r
+
+  /** Superseded sidecar versions kept for in-flight readers that
+    * listed the root just before a commit; older ones are swept. */
+  private[graft] val keptMetaVersions: Long = 4L
+
+  /** Per-query serve state for [[Lake.topKStreamExpiring]]: the bounded
+    * top-k heap, ≤ k entries. */
+  final case class TopKServeState(top: Seq[(Double, String)])
 
   /** Canonical stored-row schema (SURVEY.md §1.1; reference frame_schema
     * index.py:198-200). `shard` is a directory partition column on top. */

@@ -31,9 +31,35 @@ trait Decoder extends Serializable {
   def decode(a: Asset): AssetFeatures
 }
 
+/** REAL image decoder — the JDK's public `javax.imageio` registry
+  * (PNG/JPEG/GIF/BMP, zero native deps): width/height come from the
+  * actually-decoded raster, duration is 0 by definition for stills. A
+  * payload imageio cannot parse, and the audio/video kinds (no
+  * public-JDK decoder exists), keep [[FakeDecoder]]'s deterministic
+  * pseudo-features so the pipeline never drops an asset on a decode
+  * gap — the fallback is visible in the features (fake dims), not
+  * silent. Plugs into the SAME [[Multimodal.decodeAll]] partition-wise
+  * plumbing as the stub. */
+object ImageIoDecoder extends Decoder {
+  def decode(a: Asset): AssetFeatures =
+    if (a.kind != "image") FakeDecoder.decode(a)
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.bytes))) match {
+      case Some(img) => AssetFeatures(a.asset_id, a.kind,
+        a.bytes.length.toLong, img.getWidth, img.getHeight, 0L)
+      case None => FakeDecoder.decode(a)
+    }
+}
+
+/** Decoded per-image pixel statistics (Rec.601 luma). */
+final case class ImageStats(
+    asset_id: Long, width: Int, height: Int, mean_luma: Double)
+
 /** STUB decoder — deterministic pseudo-features from md5(bytes).
-  * A real implementation would replace exactly this class:
-  * e.g. javax.imageio / ffmpeg bindings. */
+  * Kept as the ORACLE path: [[Multimodal.featureCols]] is its
+  * expression-only twin, so the whole decode pipeline stays
+  * DuckDB-checkable; [[ImageIoDecoder]] is the real-decode
+  * counterpart for genuine image payloads. */
 object FakeDecoder extends Decoder {
   def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -62,6 +88,39 @@ object Multimodal {
     assets.mapPartitions { it =>
       // a real Decoder would open its native context here, once
       it.map(decoder.decode)
+    }
+  }
+
+  /** REAL pixel-stats extraction over image payloads: decode with
+    * `javax.imageio` per partition (registry/classloader lookup
+    * amortized across the partition's rows — the same reason a native
+    * decoder binds per partition), stream rows, one tight luma loop
+    * per raster, no collect anywhere. Non-images and undecodable
+    * payloads are dropped (this op is about REAL pixels; the
+    * never-drop path is [[decodeAll]] with its fake-feature
+    * fallback). */
+  def imageStats(assets: Dataset[Asset]): Dataset[ImageStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { a =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.bytes))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) * 0.299 +
+                ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(a.asset_id, w, h, sum / (w.toLong * h))
+        }
+      }
     }
   }
 

@@ -31,6 +31,22 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(compact.contains("\"omitted_n\":"))
   }
 
+  test("the line self-adjudicates contention from either loadavg sample") {
+    val rs = synthetic(10)
+    val (fullHot, compactHot) = formatLines(rs, 3, "sf", (3.7, 4.1))
+    assert(fullHot.contains("\"contended\":true") &&
+      compactHot.contains("\"contended\":true"))
+    val (fullEnd, _) = formatLines(rs, 3, "sf", (0.5, 2.9))
+    assert(fullEnd.contains("\"contended\":true"),
+      "load arriving mid-run must still flag the artifact")
+    val (fullCold, compactCold) = formatLines(rs, 3, "sf", (0.78, 1.2))
+    assert(fullCold.contains("\"contended\":false") &&
+      compactCold.contains("\"contended\":false"))
+    val (fullCustom, _) = formatLines(rs, 3, "sf", (5.0, 5.0), loadThreshold = 8.0)
+    assert(fullCustom.contains("\"contended\":false"),
+      "threshold is configurable (SPARK_GRAFT_LOAD_THRESHOLD)")
+  }
+
   test("compact line carries errors and failed-rep counts without blowing the budget") {
     val errs = synthetic(150).map { case (k, r) =>
       k -> r.copy(err = Some("boom: " + "x" * 500), failedReps = 2)

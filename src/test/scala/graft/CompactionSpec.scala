@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fileCount(location: String): Long = {
-    val root = new Path(location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).filter(_.isDirectory).map(d =>
-      fs.listStatus(d.getPath).count(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
+  private def fileCount(lake: Lake): Long = {
+    val fs = new Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lake.liveDirPaths().map { case (_, p) =>
+      fs.listStatus(p).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }.sum
   }
 
   test("compact merges per-shard fragments, preserves rows and queries") {
@@ -29,7 +30,7 @@ class CompactionSpec extends SparkSpec {
       lake.ingest(vs.zipWithIndex.map { case (v, i) => (v, s"doc $i") }
         .toDF("vector", "document"))
     }
-    val before = fileCount(lake.cfg.location)
+    val before = fileCount(lake)
     val shards = lake.read().select("shard").distinct().count()
     assert(before > shards, s"expected fragmentation, got $before files / $shards shards")
 
@@ -40,7 +41,7 @@ class CompactionSpec extends SparkSpec {
 
     // one file per shard at this size (far below the default target)
     assert(after === shards, s"after=$after shards=$shards")
-    assert(fileCount(lake.cfg.location) === after)
+    assert(fileCount(lake) === after)
     val postRows = lake.read()
       .select(col("document"), col("shard"), V(col("vector")))
       .collect().map(_.toString).sorted
@@ -126,11 +127,79 @@ class CompactionSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_compact_stream").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
     lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
-    val p = new Path(s"${lake.cfg.location}/_spark_metadata")
+    val p = new Path(s"${lake.currentGenDir}/_spark_metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
     val e = intercept[IllegalArgumentException] { lake.compact() }
     assert(e.getMessage.contains("_spark_metadata"))
+  }
+
+  test("compact leaves root-level model dirs (_pq/_ivf) and old readers intact; vacuum sweeps dead gens") {
+    val dir = Files.createTempDirectory("graft_compact_models").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "a"), (Seq(0f, 1f, 0f), "b"))
+      .toDF("vector", "document"))
+    lake.ingest(Seq((Seq(0f, 0f, 1f), "c")).toDF("vector", "document"))
+    val fs = new Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a persisted model dir next to the data generations — the thing a
+    // whole-root swap used to destroy (round-6 ADVICE, high)
+    val model = new Path(s"${lake.cfg.location}/_pq/centroids.parquet")
+    val out = fs.create(model, false); out.write(7); out.close()
+    // a reader plans BEFORE the compact: its files must survive the op
+    val preCompact = lake.read()
+    val preGen = lake.currentGenDir
+    assert(lake.compact() >= 1L)
+    assert(fs.exists(model), "compact must not touch root-level model dirs")
+    assert(lake.currentGenDir !== preGen, "compact commits a new generation")
+    assert(preCompact.count() === 3L,
+      "a pre-compact reader still scans the old generation (nothing deleted)")
+    assert(fs.exists(new Path(preGen)), "old generation stays until vacuum")
+    assert(lake.vacuum() >= 1L, "vacuum sweeps the dead generation")
+    assert(!fs.exists(new Path(preGen)))
+    assert(fs.exists(model), "vacuum must not touch model dirs either")
+    assert(lake.count() === 3L)
+  }
+
+  test("compactIncremental rewrites only fragmented shards; clean dirs stay bit-identical") {
+    val dir = Files.createTempDirectory("graft_compact_inc").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 2))
+    val rng = new scala.util.Random(11)
+    // fragment every shard with 6 appends, then fully compact once
+    Seq.fill(6)(Seq.fill(20)(Seq.fill(5)(rng.nextGaussian().toFloat))).foreach { vs =>
+      lake.ingest(vs.zipWithIndex.map { case (v, i) => (v, s"doc $i") }
+        .toDF("vector", "document"))
+    }
+    lake.compact()
+    val fs = new Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirFiles(): Map[String, Set[String]] =
+      lake.liveDirPaths().map { case (d, p) =>
+        s"$p" -> fs.listStatus(p).filter(_.isFile).map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").toSet
+      }.toMap
+    // re-fragment ONE shard with 6 tiny appends routed to it: take an
+    // existing row's vector so the route is deterministic
+    val probe = lake.read().select("vector").head()
+      .getAs[scala.collection.Seq[Float]]("vector").toSeq
+    val dirtyShard = lake.lsh.shardOf(probe.map(_.toDouble))
+    (0 until 6).foreach { i =>
+      lake.ingest(Seq((probe, s"extra $i")).toDF("vector", "document"))
+    }
+    val clean = dirFiles().filterNot(_._1.contains(s"shard=$dirtyShard"))
+    val preRows = lake.count()
+    assert(lake.compactIncremental(maxFilesPerShard = 4) === 1L,
+      "exactly the re-fragmented shard is dirty")
+    assert(lake.count() === preRows)
+    val after = dirFiles()
+    clean.foreach { case (d, fsig) =>
+      assert(after(d) === fsig, s"clean dir $d was rewritten")
+    }
+    // the dirty shard's live copy is now a single consolidated dir
+    val dirtyLive = lake.liveDirPaths().filter(_._1 == s"shard=$dirtyShard")
+    assert(dirtyLive.size === 1, s"dirty shard consolidated: $dirtyLive")
+    assert(lake.compactIncremental(maxFilesPerShard = 4) === 0L,
+      "second pass finds nothing dirty")
   }
 
   // stable per-row vector rendering for set comparison

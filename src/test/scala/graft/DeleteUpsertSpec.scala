@@ -24,14 +24,18 @@ class DeleteUpsertSpec extends SparkSpec {
     lake.ingest(rows)
   }
 
+  /** Live files per partition-directory NAME, signed by full path +
+    * length + mtime — one dir name may have live copies in several
+    * generations (old rewrite + later appends). */
   private def files(lake: Lake): Map[String, Set[String]] = {
-    val root = new org.apache.hadoop.fs.Path(lake.cfg.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).filter(_.isDirectory).map { d =>
-      d.getPath.getName ->
-        fs.listStatus(d.getPath).filter(_.isFile).map(f =>
-          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").toSet
-    }.toMap
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lake.liveDirPaths().groupBy(_._1).map { case (d, ps) =>
+      d -> ps.flatMap { case (_, p) =>
+        fs.listStatus(p).filter(_.isFile).map(f =>
+          s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      }.toSet
+    }
   }
 
   test("deleteWhere removes only matching rows and returns the count") {
@@ -140,84 +144,64 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(lake.count() === 32L)
   }
 
-  test("vacuum removes stranded rewrite scratch trees, not the lake") {
+  test("vacuum sweeps an uncommitted (crashed-op) generation tree, not the lake") {
     val lake = freshLake()
     seed(lake)
     val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate a crash between tmp-write and swap
-    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__upserting_bak"))
-    assert(lake.vacuum() === 2L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting")))
-    assert(lake.count() === 32L, "vacuum must not touch the lake itself")
+    // simulate a maintenance op that wrote its new generation and died
+    // BEFORE the sidecar commit: the tree exists but nothing names it
+    val stranded = new org.apache.hadoop.fs.Path(
+      s"${lake.cfg.location}/gen-99/shard=0")
+    fs.mkdirs(stranded)
+    val f = fs.create(new org.apache.hadoop.fs.Path(stranded, "part-0.parquet"), true)
+    f.write(1); f.close()
+    assert(lake.count() === 32L, "the uncommitted tree is invisible to readers")
+    assert(lake.vacuum() === 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${lake.cfg.location}/gen-99")))
+    assert(lake.count() === 32L, "vacuum must not touch the live lake")
     assert(lake.vacuum() === 0L)
   }
 
-  test("vacuum refuses when a backup tree holds a partition missing from the root") {
+  test("a crashed op's generation number is never reused (no file mixing)") {
     val lake = freshLake()
     seed(lake)
     val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate a crash inside rewritePartitions' swap window: the only
-    // copy of shard=99 lives in the backup tree, not the lake root
-    val bakDir = new org.apache.hadoop.fs.Path(
-      lake.cfg.location + "__upserting_bak/shard=99")
-    fs.mkdirs(bakDir)
-    val f = fs.create(new org.apache.hadoop.fs.Path(bakDir, "part-0.parquet"), true)
-    f.write(1); f.close()
-    val e = intercept[IllegalStateException](lake.vacuum())
-    assert(e.getMessage.contains("shard=99"))
-    assert(fs.exists(bakDir), "a refused vacuum must not delete the backup")
-    // operator restores the partition into the root → vacuum proceeds
-    assert(fs.rename(bakDir,
-      new org.apache.hadoop.fs.Path(lake.cfg.location, "shard=99")))
-    assert(lake.vacuum() === 1L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__upserting_bak")))
+    // stranded uncommitted tree from a crashed rewrite
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${lake.cfg.location}/gen-7/shard=0"))
+    // the next rewrite must skip PAST gen-7, not write into it
+    assert(lake.deleteWhere(col("id") === "r0") === 1L)
+    assert(lake.currentGenDir.endsWith("gen-8"),
+      s"expected gen-8, got ${lake.currentGenDir}")
+    assert(lake.count() === 31L)
+    // and vacuum sweeps the stranded tree afterwards
+    assert(lake.vacuum() >= 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${lake.cfg.location}/gen-7")))
+    assert(lake.count() === 31L)
   }
 
-  test("repair rolls a crashed partition swap back: rows restored, scratch swept") {
+  test("repair after a mid-op crash: committed rows intact, scratch + lock swept") {
     val lake = freshLake()
     seed(lake)
     val before = lake.read().orderBy("id").collect().map(_.toString).toSeq
     val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate deleteWhere crashing mid-swap: one shard's ONLY copy sits
-    // in the backup tree, a half-written replacement in the tmp tree,
-    // and the writer lock is stranded
-    val victim = lake.read().select("shard").head().getInt(0)
-    val bak = new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting_bak")
-    fs.mkdirs(bak)
-    assert(fs.rename(
-      new org.apache.hadoop.fs.Path(lake.cfg.location, s"shard=$victim"),
-      new org.apache.hadoop.fs.Path(bak, s"shard=$victim")))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting"))
+    // simulate a rewrite crashing between its generation write and the
+    // sidecar commit: half-written tree + stranded writer lock. The
+    // committed state is UNTOUCHED by construction — there is no swap
+    // window in the generation-pointer layout.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${lake.cfg.location}/gen-50/shard=1"))
     fs.create(new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName),
       false).close()
-    intercept[IllegalStateException](lake.vacuum()) // refusal still holds
-    assert(lake.repair() === 1L)
     assert(lake.read().orderBy("id").collect().map(_.toString).toSeq === before,
-      "repair must restore the exact pre-op rows")
-    assert(!fs.exists(bak) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location + "__deleting")))
+      "a crash never dents committed rows — readers see the last commit")
+    intercept[java.util.ConcurrentModificationException](
+      lake.deleteWhere(col("id") === "r0")) // mutations refused while locked
+    assert(lake.repair() === 2L, "lock + stranded tree swept")
+    assert(lake.read().orderBy("id").collect().map(_.toString).toSeq === before)
     assert(lake.deleteWhere(col("id") === "r0") === 1L,
       "lock cleared: maintenance ops work again")
-  }
-
-  test("repair rolls a crashed compact back from the whole-tree backup") {
-    val lake = freshLake()
-    seed(lake)
-    val before = lake.read().orderBy("id").collect().map(_.toString).toSeq
-    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash between compact's two renames: root is GONE, the only copy
-    // is the precompact tree (plus the abandoned replacement tmp)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(lake.cfg.location),
-      new org.apache.hadoop.fs.Path(lake.cfg.location + "__precompact")))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(lake.cfg.location + "__compacting"))
-    assert(lake.repair() === 1L)
-    assert(lake.read().orderBy("id").collect().map(_.toString).toSeq === before)
-    assert(lake.vacuum() === 0L, "repair leaves nothing for vacuum")
   }
 
   test("repair on a healthy lake is a no-op returning 0") {
@@ -272,6 +256,7 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(healthy.getLong(2) === 0L, "ids unique")
     assert((healthy.getLong(3), healthy.getLong(4)) === ((-1L, -1L)),
       "unconfigured aux columns report -1, not 0")
+    assert(healthy.getLong(5) === 0L, "every vector carries cfg.dim entries")
     // plain ingest (unlike upsert) accepts a repeated caller id — the
     // audit is what surfaces it
     lake.ingest(Seq(("r3", Seq(1f, 0f, 0f, 0f, 0f), "dup of r3"))
@@ -281,9 +266,7 @@ class DeleteUpsertSpec extends SparkSpec {
     // own vector routes elsewhere — pruned queries would miss them
     val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(lake.cfg.location))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .map(_.getPath).sortBy(_.getName)
+    val dirs = lake.liveDirPaths().map(_._2).sortBy(_.getName)
     val srcFile = fs.listStatus(dirs.head)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head.getPath
     val movedRows = spark.read.parquet(srcFile.toString).count()
@@ -291,6 +274,26 @@ class DeleteUpsertSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dirs.last, "foreign-" + srcFile.getName)))
     assert(lake.validate().head().getLong(1) === movedRows,
       "every row of the misplaced file is flagged as misrouted")
+  }
+
+  test("validate counts wrong-dimension foreign rows (bad_dim); queries still run") {
+    val lake = freshLake() // dim = 5
+    seed(lake)
+    // a foreign writer drops a file with the right COLUMNS but dim-3
+    // vectors into a live shard dir: schema validation can't see it
+    // (array<float> is array<float>), the one-scan audit must
+    val target = files(lake).keys.head
+    val dir = lake.liveDirPaths().collectFirst {
+      case (d, p) if d == target => p }.get
+    Seq(("alien", Seq(1f, 2f, 3f), "wrong dim"))
+      .toDF("id", "vector", "document")
+      .write.mode("append").parquet(dir.toString)
+    val r = lake.validate().head()
+    assert(r.getLong(0) === 33L)
+    assert(r.getLong(5) === 1L, "the dim-3 row is counted")
+    // retrieval survives (kernels guard on min-length); the audit, not
+    // a crash, is how the corruption surfaces
+    assert(lake.topKExact(Seq(1.0, 0, 0, 0, 0), 3).count() === 3L)
   }
 
   test("validate: materialized packed and pq_code words audit clean when configured") {

@@ -23,20 +23,17 @@ class FooterMetaSpec extends SparkSpec {
       .toDF("vector", "document"))
 
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(lake.cfg.location)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).filter(_.isDirectory)
-      .flatMap(d => fs.listStatus(d.getPath))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files = lake.read().inputFiles.map(new Path(_))
+      .filter(_.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
 
     files.foreach { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
         val sparkSchema = kv.get("org.apache.spark.sql.parquet.row.metadata")
-        assert(sparkSchema != null, s"no spark schema entry in ${f.getPath}")
-        assert(sparkSchema.contains("graft.last_update"), s"no last_update in ${f.getPath}")
+        assert(sparkSchema != null, s"no spark schema entry in $f")
+        assert(sparkSchema.contains("graft.last_update"), s"no last_update in $f")
         assert(sparkSchema.contains("graft.dim") && sparkSchema.contains("graft.metric"))
       } finally reader.close()
     }

@@ -132,7 +132,7 @@ class LakeSpec extends SparkSpec {
     // and miss the drift entirely (empirically confirmed in review)
     Seq((Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f), "doc", 42L))
       .toDF("vector", "document", "rogue_col")
-      .write.mode("append").parquet(s"${lake.cfg.location}/shard=9")
+      .write.mode("append").parquet(s"${lake.currentGenDir}/shard=9")
     val e = intercept[IllegalArgumentException](lake.read())
     assert(e.getMessage.contains("schema mismatch"))
   }

@@ -1,10 +1,21 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{Asset, FakeDecoder, Multimodal}
+import graft.multimodal.{Asset, FakeDecoder, ImageIoDecoder, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  /** A real in-memory PNG: solid `rgb` at `w`×`h`, round-tripped
+    * through the JDK encoder. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   private val docs = Seq(
     (0L, "the quick brown fox jumps"),
@@ -43,6 +54,41 @@ class MultimodalSpec extends SparkSpec {
       if (f.kind == "image") assert(f.duration_ms === 0L)
       else assert(f.duration_ms >= 1000L && f.duration_ms < 600000L)
     }
+  }
+
+  test("ImageIoDecoder decodes REAL PNG payloads: true raster dims through the same plumbing") {
+    val assets = Seq(
+      Asset(10L, "image", png(37, 21, 0x336699)),
+      Asset(11L, "image", png(224, 224, 0xffffff)),
+      Asset(12L, "audio", "not an image payload".getBytes("UTF-8")),
+      Asset(13L, "image", "corrupt png bytes".getBytes("UTF-8")))
+      .toDS()
+    val feats = Multimodal.decodeAll(assets, ImageIoDecoder)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(10L).width === 37 && feats(10L).height === 21)
+    assert(feats(10L).duration_ms === 0L)
+    assert(feats(11L).width === 224 && feats(11L).height === 224)
+    // non-image and undecodable payloads fall back to the deterministic
+    // pseudo-features — visible, never dropped
+    assert(feats(12L) === FakeDecoder.decode(
+      Asset(12L, "audio", "not an image payload".getBytes("UTF-8"))))
+    assert(feats(13L) === FakeDecoder.decode(
+      Asset(13L, "image", "corrupt png bytes".getBytes("UTF-8"))))
+  }
+
+  test("imageStats reads real pixels: solid-color luma is exact, non-images dropped") {
+    // Rec.601 luma of solid red (255,0,0) = 76.245; white = 255
+    val assets = Seq(
+      Asset(1L, "image", png(8, 4, 0xff0000)),
+      Asset(2L, "image", png(3, 3, 0xffffff)),
+      Asset(3L, "video", "nope".getBytes("UTF-8")))
+      .toDS()
+    val stats = Multimodal.imageStats(assets).collect()
+      .map(s => s.asset_id -> s).toMap
+    assert(stats.keySet === Set(1L, 2L))
+    assert(stats(1L).width === 8 && stats(1L).height === 4)
+    assert(math.abs(stats(1L).mean_luma - 255 * 0.299) < 1e-9)
+    assert(math.abs(stats(2L).mean_luma - 255.0) < 1e-9)
   }
 
   test("resize fits the max side to the budget, preserves aspect-ish") {

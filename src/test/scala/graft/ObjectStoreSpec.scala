@@ -10,10 +10,61 @@ import org.apache.spark.sql.functions._
   * same gated posture as the reference's localstack S3 tests
   * (/root/reference/tests/conftest.py:33-42). Any Lake code path that
   * assumes `java.io.File`/local paths instead of the Hadoop FS API
-  * breaks under this scheme. */
+  * breaks under this scheme. Rename is implemented as COPY+DELETE —
+  * the object-store semantic under which a rename-based maintenance
+  * swap briefly exposes a missing directory; the generation-pointer
+  * layout must never care (its data path performs no rename at all). */
 class BucketFs extends RawLocalFileSystem {
   override def getScheme: String = "bucket"
   override def getUri: URI = URI.create("bucket:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst, true, getConf)
+}
+
+/** [[BucketFs]] with PLAIN-S3 PUT semantics: `create(overwrite=false)`
+  * silently replaces an existing object instead of failing — the store
+  * on which an unguarded exclusive-create lock gives no exclusion. */
+class PutBucketFs extends BucketFs {
+  override def getScheme: String = "sloppy"
+  override def getUri: URI = URI.create("sloppy:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+}
+
+object RivalPutFs {
+  /** When armed, the next `_lock` create gets a rival PUT landed over
+    * it at close — deterministically reproducing the object-store race
+    * window between a writer's own PUT and its read-back. */
+  @volatile var armed: Boolean = false
+  val rivalJson = """{"op": "compact", "taken_at": "rival", "holder": "rival-token"}"""
+}
+
+/** [[PutBucketFs]] that injects a rival writer's PUT immediately after
+  * ours closes — before our verify-after-write read-back. */
+class RivalPutFs extends PutBucketFs {
+  override def getScheme: String = "rival"
+  override def getUri: URI = URI.create("rival:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    val out = super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    if (f.getName == "_lock" && RivalPutFs.armed) {
+      RivalPutFs.armed = false
+      val self = this
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(out) {
+          override def close(): Unit = {
+            super.close()
+            val rival = self.create(f, true, bufferSize, replication, blockSize, progress)
+            rival.write(RivalPutFs.rivalJson.getBytes("UTF-8"))
+            rival.close()
+          }
+        }, null)
+    } else out
+  }
 }
 
 /** Exercises the S3 tier posture (SURVEY.md §2.1 S3/S4): the lake's
@@ -56,13 +107,111 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
-  test("sidecar metadata lands on the remote FS too") {
+  test("sidecar metadata lands on the remote FS too (versioned commit files)") {
     withBucketFs { root =>
       val lake = Lake(spark, LakeConfig(s"$root/lake2", dim = 3, numHashes = 3))
       lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
-      val p = new org.apache.hadoop.fs.Path(s"$root/lake2/_meta.json")
+      val p = new org.apache.hadoop.fs.Path(s"$root/lake2")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.exists(p))
+      val sidecars = fs.listStatus(p).map(_.getPath.getName)
+        .filter(Lake.metaNameRe.pattern.matcher(_).matches)
+      assert(sidecars.nonEmpty, "a versioned sidecar commit file exists")
+      assert(lake.lastUpdate().isDefined)
     }
+  }
+
+  test("maintenance is reader-atomic under copy+delete rename: no missing dirs, ever") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake3", dim = 4, numHashes = 3))
+      val rng = new scala.util.Random(17)
+      // three appends -> fragmented shards, several files per dir
+      (0 until 3).foreach { b =>
+        lake.ingest((0 until 16).map { i =>
+          (s"b$b-r$i", Seq.fill(4)(rng.nextGaussian().toFloat), s"doc $b/$i")
+        }.toDF("id", "vector", "document"))
+      }
+      assert(lake.count() === 48L)
+
+      // readers that PLANNED before each maintenance op: their resolved
+      // file lists must stay fully readable through commit (the old
+      // generation is dead-in-place, never renamed or deleted)
+      val planedBeforeCompact = lake.read()
+      lake.compact()
+      assert(planedBeforeCompact.count() === 48L,
+        "pre-compact reader scans the old generation intact")
+
+      val plannedBeforeDelete = lake.read()
+      // a reader THREAD hammering the lake while deleteWhere commits:
+      // every observation must be one of the two legal snapshots —
+      // never an error, never a partial directory
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val errors = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try observed.add(Lake(spark, lake.cfg).count())
+          catch { case t: Throwable => errors.set(t); stop.set(true) }
+        }
+      })
+      reader.start()
+      try {
+        assert(lake.deleteWhere(col("id") === "b0-r0") === 1L)
+        assert(lake.upsert(Seq(("b1-r1", Seq(1f, 0f, 0f, 0f), "v2"))
+          .toDF("id", "vector", "document")) === 1L)
+      } finally { stop.set(true); reader.join(30000) }
+      assert(errors.get() === null,
+        s"racing reader must never fail: ${errors.get()}")
+      assert(observed.size() > 0)
+      observed.forEach(c => assert(c === 48L || c === 47L,
+        s"reader observed an illegal snapshot of $c rows"))
+
+      assert(plannedBeforeDelete.count() === 48L,
+        "pre-delete reader still sees its snapshot")
+      assert(lake.count() === 47L)
+    }
+  }
+
+  test("held lock refuses mutations even where exclusive-create is a plain PUT") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.sloppy.impl", classOf[PutBucketFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sloppy").toString
+    val lake = Lake(spark, LakeConfig(s"sloppy://$dir/lake", dim = 3, numHashes = 3))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
+    val lock = new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val held = """{"op": "compact", "taken_at": "t", "holder": "other-writer"}"""
+    val out = fs.create(lock, false)
+    out.write(held.getBytes("UTF-8")); out.close()
+    // create(overwrite=false) would silently clobber this lock here —
+    // the exists() pre-check is what stands between two live writers
+    val e = intercept[java.util.ConcurrentModificationException](
+      lake.ingest(Seq((Seq(0f, 1f, 0f), "x")).toDF("vector", "document")))
+    assert(e.getMessage.contains("writer lock"))
+    val in = fs.open(lock)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(body === held, "the held lock was not clobbered")
+    fs.delete(lock, false)
+  }
+
+  test("lost PUT race is caught by verify-after-write; loser never unlocks the winner") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.rival.impl", classOf[RivalPutFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rival").toString
+    val lake = Lake(spark, LakeConfig(s"rival://$dir/lake", dim = 3, numHashes = 3))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
+    // arm the rival: its PUT lands between our PUT and our read-back
+    RivalPutFs.armed = true
+    val e = intercept[java.util.ConcurrentModificationException](
+      lake.ingest(Seq((Seq(0f, 1f, 0f), "x")).toDF("vector", "document")))
+    assert(e.getMessage.contains("writer lock"))
+    // the winner's lock survives: the loser must not delete it
+    val lock = new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(lock), "loser deleted the winner's lock")
+    val in = fs.open(lock)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(body.contains("rival-token"))
+    fs.delete(lock, false)
+    assert(lake.count() === 1L, "the refused ingest wrote nothing")
   }
 }

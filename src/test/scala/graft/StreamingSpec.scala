@@ -128,9 +128,7 @@ class StreamingSpec extends SparkSpec {
       assert(got("empty meta") === Map("id" -> "1"))
       assert(got("has meta") === Map("k" -> "v"))
       // streaming start also stamps the sidecar
-      val p = new org.apache.hadoop.fs.Path(s"$dir/lake/_meta.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.exists(p))
+      assert(lake.lastUpdate().isDefined)
     } finally q.stop()
   }
 
@@ -302,6 +300,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamExpiring: idle query state is retired by the event-time ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_ttl")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "east"),
+      ("b", Seq(0f, 1f, 0f), "north"))
+      .toDF("id", "vector", "document"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val stream = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val q = lake.topKStreamExpiring(
+      stream.toDF().toDF("qid", "qvec", "qtime"), k = 1,
+      ttl = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("serve_ttl_out")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      stream.addData((1L, Seq(1.0, 0.0, 0.0), t0), (2L, Seq(0.0, 1.0, 0.0), t0))
+      q.processAllAvailable()
+      val got = spark.table("serve_ttl_out")
+        .select(col("qid"), col("top.id").as("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(got(1L) === Seq("a") && got(2L) === Seq("b"))
+      assert(stateRows === 2L, "two live query ids, one state row each")
+      // +120 min: the watermark jumps past qids 1/2's 30-min ttl. The
+      // first batch advances the watermark, the next applies timeouts.
+      stream.addData((3L, Seq(1.0, 0.0, 0.0), at(120)))
+      q.processAllAvailable()
+      stream.addData((4L, Seq(0.0, 1.0, 0.0), at(121)))
+      q.processAllAvailable()
+      assert(stateRows === 2L,
+        s"qids 1/2 expired, 3/4 live — state tracks the LIVE set, got $stateRows")
+      // the expired ids produced no ghost output rows on expiry
+      assert(spark.table("serve_ttl_out").where(col("qid") === 3L).count() >= 1L)
+    } finally q.stop()
+  }
+
   test("corpusGate.refreshIfChanged: re-snapshots exactly when the lake's stamp moves") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gate_lake")
@@ -401,12 +443,7 @@ class StreamingSpec extends SparkSpec {
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 3))
     val stream = MemoryStream[(Seq[Float], String)]
     val q = lake.ingestStream(stream.toDF().toDF("vector", "document"), s"$dir/ckpt")
-    def sidecar(): String = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/lake/_meta.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
+    def sidecar(): String = lake.lastUpdate().getOrElse("")
     try {
       val atStart = sidecar()
       Thread.sleep(5) // ensure a later batch stamp can't collide on clock precision

@@ -66,14 +66,23 @@ class WriterLockSpec extends SparkSpec {
     assert(lake.deleteWhere(col("id") === "r0") === 1L)
   }
 
-  test("vacuum removes a stale lock left by a crashed writer") {
+  test("force-vacuum clears a stale lock but refuses a young one by default") {
     val lake = freshLake()
     seed(lake)
     val fs = fsOf(lake)
     fs.create(lockPath(lake), false).close() // writer died before its finally
     intercept[java.util.ConcurrentModificationException](
       lake.deleteWhere(col("id") === "r1"))
-    assert(lake.vacuum() === 1L)
+    // non-force vacuum is itself a locked op — it cannot even start
+    intercept[java.util.ConcurrentModificationException](lake.vacuum())
+    // default age threshold: a young lock is a LIVE-but-slow writer
+    // until proven otherwise; silently unlocking it would re-open the
+    // lost-update race (round-6 ADVICE)
+    val e = intercept[IllegalStateException](lake.vacuum(force = true))
+    assert(e.getMessage.contains("LIVE"))
+    assert(fs.exists(lockPath(lake)), "a refused force-vacuum must not unlock")
+    // operator confirmed the writer is dead: explicit zero threshold
+    assert(lake.vacuum(force = true, lockMaxAgeMs = 0L) === 1L)
     assert(!fs.exists(lockPath(lake)))
     assert(lake.deleteWhere(col("id") === "r1") === 1L, "ops recover after vacuum")
   }
