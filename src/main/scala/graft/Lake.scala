@@ -1086,7 +1086,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val keptCount = kept.count()
     val deleted = total - keptCount
     if (deleted == 0L) return 0L
-    rewritePartitions(affected, kept, keptCount, "__deleting")
+    rewritePartitions(affected, kept, keptCount, "deleteWhere")
     deleted
   }
 
@@ -1133,7 +1133,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val keptCount = keptOld.count()
     rewritePartitions(affected,
       keptOld.unionByName(newDerived.select((storedCols.map(col) :+ col(partCol)): _*)),
-      keptCount + newCount, "__upserting")
+      keptCount + newCount, "upsert")
     sliceCount - keptCount
   }
 

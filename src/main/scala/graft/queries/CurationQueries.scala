@@ -279,6 +279,49 @@ object CurationQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings WHERE vec_id < 500 GROUP BY 1 ORDER BY shard"""))
 
+  /** Lake round-trip through INCREMENTAL compaction: fully compact a
+    * two-append lake, then re-fragment ONLY the shards a hot slice
+    * (vec_id < 100) routes to with two more appends, and run
+    * [[graft.Lake.compactIncremental]] — which must rewrite exactly the
+    * re-fragmented shards (clean directories stay bit-identical; the
+    * spec pins that; this oracle pins the ROWS). The read-back profile
+    * equals the oracle's reconstruction of the 2×(<500) ∪ 2×(<100)
+    * multiset routed with literal hyperplanes — equality proves the
+    * targeted rewrite preserved every row, byte, and route. */
+  val qCompactInc = Q(
+    "q_compact_inc",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_inc_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document"))
+      (0 until 2).foreach(_ => lake.ingest(src))
+      lake.compact()
+      val hot = Tables.embeddings(s, dir).where(col("vec_id") < 100)
+        .select(col("embedding").as("vector"),
+          concat(lit("hot-"), col("vec_id")).as("document"))
+      (0 until 2).foreach(_ => lake.ingest(hot))
+      lake.compactIncremental(maxFilesPerShard = 1)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH e AS (
+               SELECT ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                      vec_id
+               FROM embeddings WHERE vec_id < 500)
+             SELECT shard,
+                    CAST(2 * count(*) + 2 * count(CASE WHEN vec_id < 100 THEN 1 END) AS BIGINT) AS cnt,
+                    round((2 * sum(nrm) + 2 * coalesce(sum(CASE WHEN vec_id < 100 THEN nrm END), 0))
+                          / (2 * count(*) + 2 * count(CASE WHEN vec_id < 100 THEN 1 END)), 6) AS avg_norm
+             FROM e GROUP BY shard ORDER BY shard"""))
+
   /** Lake round-trip through the ROW-LEVEL maintenance ops: ingest with
     * caller-supplied ids, DELETE WHERE every 7th id, then one upsert
     * that negate-replaces the surviving ids under 50 (a negated vector
@@ -561,6 +604,6 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
-    qVocabTop, qQuantizeInt8, qCompactStats, qMaintainStats, qTfidf,
+    qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }
