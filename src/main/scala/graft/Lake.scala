@@ -423,9 +423,69 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * except an operator-invoked [[vacuum]]. */
   def read(): DataFrame = {
     routingChecked // a mismatched-config session must not prune/route
+    readFrom(readState())
+  }
+
+  /** SNAPSHOT READ at a past sidecar version — time travel, free by
+    * construction in this layout: every commit is a NEW sidecar file
+    * and superseded generations are dead-IN-PLACE, so any version still
+    * on disk (a few are always kept; [[vacuum]] is the only thing that
+    * retires them and their generations) replays exactly the rows that
+    * commit saw. Pair with [[history]] to pick the version. Appends are
+    * not versioned below commit granularity: a snapshot whose
+    * generation received later appends includes them (the whole
+    * current-gen tree is live by rule) — maintenance commits are the
+    * snapshot boundaries, the same contract as the reference's
+    * last-persist-wins stamp, but queryable. Fails loudly when the
+    * version's sidecar (or a generation it names) has been vacuumed. */
+  def readAt(version: Long): DataFrame = {
+    routingChecked
+    val fs = fsOfRoot
+    val p = metaVersions(fs).collectFirst { case (v, path) if v == version => path }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sidecar version $version at ${cfg.location} (vacuumed, or never " +
+          s"existed) — available: ${metaVersions(fs).map(_._1).sorted.mkString(", ")}"))
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    val st = parseState(json)
+    // a vacuumed snapshot must fail loudly, never read back empty: the
+    // commit recorded whether it HAD data, so an all-in-current-gen
+    // snapshot whose tree is gone is detectably retired (manifest-named
+    // dirs that were vacuumed fail in the scan with path-not-found)
+    if (st.hasData.contains(true) && st.live.isEmpty &&
+        !treeHasData(fs, genPath(st.generation)))
+      throw new IllegalStateException(
+        s"snapshot $version at ${cfg.location} has been vacuumed: " +
+          s"generation ${st.generation} is no longer on disk")
+    readFrom(st)
+  }
+
+  /** The commit log as a frame: one row per sidecar version still on
+    * disk — (version, last_update, generation, live_dirs). The
+    * versions are [[readAt]]'s input; the latest row is what [[read]]
+    * serves. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val fs = fsOfRoot
+    metaVersions(fs).sortBy(_._1).map { case (v, p) =>
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val stamp = """"last_update"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val st = parseState(json)
+      (v, stamp, st.generation, st.live.size.toLong)
+    }.toDF("version", "last_update", "generation", "live_dirs")
+  }
+
+  private def readFrom(st: LakeState): DataFrame = {
     val partType =
       if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
-    val st = readState()
     val fs = fsOfRoot
     // mergeSchema: the default read infers from ONE footer (the
     // lexicographically first file), so an EXTRA column in any other
@@ -1435,14 +1495,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * tree is live) plus the manifest of live directories in OLDER
     * generations as (escaped-dir-name, generation) pairs. A lake with
     * no sidecar yet is generation 1 with an empty manifest. */
-  private def readState(): LakeState = {
-    val json = readMetaSidecar().getOrElse(return LakeState(1L, Nil))
+  private def readState(): LakeState =
+    readMetaSidecar().map(parseState).getOrElse(LakeState(1L, Nil))
+
+  private def parseState(json: String): LakeState = {
     val gen = """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(1L)
     val live = """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*(\d+)\s*\]""".r
       .findAllMatchIn(json)
       .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq
-    LakeState(gen, live)
+    val hasData = """"has_data"\s*:\s*(true|false)""".r.findFirstMatchIn(json)
+      .map(_.group(1) == "true")
+    LakeState(gen, live, hasData)
   }
 
   /** Commit `st` (and refresh `last_update`): create sidecar version
@@ -1460,7 +1524,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val liveField = st.live
       .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }
       .mkString("[", ", ", "]")
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField}"""
+    // has_data distinguishes "snapshot of an empty lake" from "snapshot
+    // whose generation was vacuumed" for readAt's loud-failure contract
+    val hasData = st.live.nonEmpty || treeHasData(fs, genPath(st.generation))
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField, "has_data": $hasData}"""
     var v = latest + 1
     var done = false
     while (!done) {
@@ -1588,7 +1655,8 @@ object Lake {
     * — the same dir name may appear under several generations (old
     * rewrite + later appends). */
   private[graft] final case class LakeState(
-      generation: Long, live: Seq[(String, Long)])
+      generation: Long, live: Seq[(String, Long)],
+      hasData: Option[Boolean] = None)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

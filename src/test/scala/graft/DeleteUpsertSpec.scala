@@ -204,6 +204,38 @@ class DeleteUpsertSpec extends SparkSpec {
       "lock cleared: maintenance ops work again")
   }
 
+  test("time travel: readAt serves each commit's exact snapshot until vacuum retires it") {
+    val lake = freshLake()
+    seed(lake)
+    val before = lake.read().orderBy("id").collect().map(_.toString).toSeq
+    val preVersion = lake.history()
+      .orderBy(col("version").desc).head().getLong(0)
+    assert(lake.deleteWhere(col("id") === "r0") === 1L)
+    assert(lake.count() === 31L)
+    // the pre-delete commit replays exactly — its generation still holds
+    // the affected dir's old copy, dead-in-place
+    assert(lake.readAt(preVersion).orderBy("id").collect()
+      .map(_.toString).toSeq === before)
+    val postVersion = lake.history()
+      .orderBy(col("version").desc).head().getLong(0)
+    assert(postVersion > preVersion)
+    assert(lake.readAt(postVersion).count() === 31L)
+    // vacuum after THIS delete retires nothing the old snapshot needs
+    // (the survivors still live in the original generation)...
+    assert(lake.vacuum() === 0L)
+    assert(lake.readAt(preVersion).count() === 32L)
+    // ...but compact orphans the original generations, and vacuum then
+    // retires them: the old snapshot now fails loudly instead of
+    // silently returning partial rows
+    lake.compact()
+    assert(lake.vacuum() >= 1L)
+    assert(lake.count() === 31L)
+    intercept[Exception](lake.readAt(preVersion).count())
+    // a never-committed version is refused by name
+    val e = intercept[IllegalArgumentException](lake.readAt(999999L))
+    assert(e.getMessage.contains("no sidecar version"))
+  }
+
   test("repair on a healthy lake is a no-op returning 0") {
     val lake = freshLake()
     seed(lake)
