@@ -101,6 +101,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // parse BEFORE the queries run: a malformed env value must fail in
+    // the first second, not after ~35s of completed work whose output
+    // would be discarded by the late NumberFormatException
+    val loadThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "2.0").toDouble
     val loadStart = loadavg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,8 +151,7 @@ object Bench {
         runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
     }
     val (fullLine, compactLine) =
-      formatLines(results, reps, sfDir, (loadStart, loadavg1m()),
-        sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "2.0").toDouble)
+      formatLines(results, reps, sfDir, (loadStart, loadavg1m()), loadThreshold)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(

@@ -196,16 +196,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }
   }
 
+  /** Read a small control file fully (sidecars, the lock). A single
+    * read() call may legally return a short prefix on some streams —
+    * truncating a lock body would drop the holder token and truncating
+    * a sidecar would tear the manifest, so EVERY control-file read goes
+    * through this loop. */
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   private def lockHolder(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val in = fs.open(lock)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
-      } finally in.close()
-    } catch { case _: Throwable => None }
+    try Some(readFully(fs, lock)).filter(_.nonEmpty)
+    catch { case _: Throwable => None }
 
   /** Path of generation `g`'s subtree under the root. */
   private def genPath(g: Long): org.apache.hadoop.fs.Path =
@@ -240,13 +251,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * bootstrapping an empty lake on top of someone else's data).
     * Maintenance ops refuse while such data is present — they cannot
     * retire what the manifest does not govern. */
-  private def rootLevelData(fs: org.apache.hadoop.fs.FileSystem): Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(cfg.location)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.filter(s =>
+  private def rootLevelDataFrom(entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[org.apache.hadoop.fs.Path] =
+    entries.filter(s =>
       (s.isDirectory && s.getPath.getName.contains("=")) ||
         (s.isFile && s.getPath.getName.endsWith(".parquet"))).map(_.getPath)
-  }
+
+  private def rootLevelData(fs: org.apache.hadoop.fs.FileSystem): Seq[org.apache.hadoop.fs.Path] =
+    rootLevelDataFrom(listRoot(fs))
 
   /** First unused generation number: past both the committed pointer
     * and any UNCOMMITTED tree a crashed op stranded on disk (those keep
@@ -366,7 +377,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     routingChecked // BEFORE the sidecar write below re-stamps it
     requirePqModelMatch() // likewise
     val sinkPath = genPath(readState().generation).toString
-    writeState(readState())
+    stampQuietly()
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
     // through the start→addListener window. The query is given a unique
@@ -384,7 +395,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         if (e.name == qName) queryId = e.id
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.id == queryId && e.progress.numInputRows > 0)
-          writeState(readState()) // pure last_update stamp; state unchanged
+          stampQuietly() // pure last_update stamp; state unchanged
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == queryId) spark.streams.removeListener(this)
     }
@@ -423,7 +434,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * except an operator-invoked [[vacuum]]. */
   def read(): DataFrame = {
     routingChecked // a mismatched-config session must not prune/route
-    readFrom(readState())
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    readFrom(readStateFrom(fs, entries), entries)
   }
 
   /** SNAPSHOT READ at a past sidecar version — time travel, free by
@@ -441,29 +454,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def readAt(version: Long): DataFrame = {
     routingChecked
     val fs = fsOfRoot
-    val p = metaVersions(fs).collectFirst { case (v, path) if v == version => path }
+    val entries = listRoot(fs)
+    val versions = metaVersionsFrom(entries)
+    val p = versions.collectFirst { case (v, path) if v == version => path }
       .getOrElse(throw new IllegalArgumentException(
         s"no sidecar version $version at ${cfg.location} (vacuumed, or never " +
-          s"existed) — available: ${metaVersions(fs).map(_._1).sorted.mkString(", ")}"))
-    val in = fs.open(p)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, "UTF-8")
-    } finally in.close()
-    val st = parseState(json)
-    // a vacuumed snapshot must fail loudly, never read back empty: the
-    // commit recorded whether it HAD data, so an all-in-current-gen
-    // snapshot whose tree is gone is detectably retired (manifest-named
-    // dirs that were vacuumed fail in the scan with path-not-found)
-    if (st.hasData.contains(true) && st.live.isEmpty &&
+          s"existed) — available: ${versions.map(_._1).sorted.mkString(", ")}"))
+    val st = parseState(readFully(fs, p))
+    // a vacuumed snapshot must fail loudly, never read back partial or
+    // empty: the commit recorded whether its OWN generation tree held
+    // data, so that tree being gone is detectably retired regardless of
+    // what the manifest still names (manifest-named dirs that were
+    // vacuumed fail in the scan with path-not-found)
+    if (st.genHasData.contains(true) &&
         !treeHasData(fs, genPath(st.generation)))
       throw new IllegalStateException(
         s"snapshot $version at ${cfg.location} has been vacuumed: " +
           s"generation ${st.generation} is no longer on disk")
-    readFrom(st)
+    readFrom(st, entries)
   }
 
   /** The commit log as a frame: one row per sidecar version still on
@@ -474,8 +482,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     import spark.implicits._
     val fs = fsOfRoot
     metaVersions(fs).sortBy(_._1).map { case (v, p) =>
-      val in = fs.open(p)
-      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val json = readFully(fs, p)
       val stamp = """"last_update"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
       val st = parseState(json)
@@ -483,7 +490,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }.toDF("version", "last_update", "generation", "live_dirs")
   }
 
-  private def readFrom(st: LakeState): DataFrame = {
+  private def readFrom(st: LakeState,
+      rootEntries: Seq[org.apache.hadoop.fs.FileStatus]): DataFrame = {
     val partType =
       if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
     val fs = fsOfRoot
@@ -513,8 +521,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       else raw
     }
     val cur = genPath(st.generation)
+    // the root listing already says whether the gen dir exists; only a
+    // present dir pays the inner listing for data-dir detection
+    val curPresent = rootEntries.exists(s =>
+      s.isDirectory && s.getPath.getName == cur.getName)
     val curBranch =
-      if (treeHasData(fs, cur)) Seq(branch(None, Seq(cur.toString))) else Nil
+      if (curPresent && treeHasData(fs, cur))
+        Seq(branch(None, Seq(cur.toString)))
+      else Nil
     val oldBranches = st.live.filter(_._2 != st.generation)
       .groupBy(_._2).toSeq.sortBy(_._1).map { case (g, entries) =>
         val base = genPath(g)
@@ -524,7 +538,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       }
     // pre-v2 flat tree or foreign data at the root: a dedicated branch,
     // so legacy lakes stay readable and foreign schemas fail validation
-    val rootData = rootLevelData(fs)
+    val rootData = rootLevelDataFrom(rootEntries)
     val legacyBranch =
       if (rootData.isEmpty) Nil
       else Seq(branch(Some(cfg.location), rootData.map(_.toString)))
@@ -703,13 +717,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
             }.toSeq
             // bounded merge: old heap ∪ new scores, keep the k best —
             // state never exceeds k entries per live qid
-            val merged = (state.getOption.map(_.top).getOrElse(Nil) ++ incoming)
+            val prev = state.getOption
+            val merged = (prev.map(_.top).getOrElse(Nil) ++ incoming)
               .sortBy { case (d, id) => (d, id) }.take(k)
-            state.update(TopKServeState(merged))
-            // idle-expiry clock: last event time + ttl, floored above
-            // the current watermark (Spark requires a future timestamp)
+            // idle-expiry clock: the deadline only ever moves FORWARD
+            // (a late-but-admitted refinement carries an OLDER event
+            // time — recomputing from it alone would pull the deadline
+            // back and expire the id early), floored above the current
+            // watermark (Spark requires a future timestamp)
+            val deadline = math.max(
+              prev.map(_.deadlineMs).getOrElse(Long.MinValue),
+              maxEvent + ttlMs)
+            state.update(TopKServeState(merged, deadline))
             state.setTimeoutTimestamp(
-              math.max(maxEvent + ttlMs, state.getCurrentWatermarkMs() + 1))
+              math.max(deadline, state.getCurrentWatermarkMs() + 1))
             Iterator.single(qid -> merged)
           }
       }
@@ -1325,7 +1346,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "confirming the writer is dead.")
       if (fs.delete(lock, false)) removed += 1L
     }
-    removed + sweepDead(fs)
+    // the sweep itself still runs LOCKED — force only un-strands the
+    // dead writer's marker; sweeping unlocked would let a writer that
+    // acquires the lock right now have its in-flight generation
+    // mistaken for dead and deleted mid-op
+    removed + withWriterLock("vacuum")(sweepDead(fs))
   }
 
   private def sweepDead(fs: org.apache.hadoop.fs.FileSystem): Long = {
@@ -1458,11 +1483,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * reader cannot infer a schema from markers alone, so every data
     * path must take the bootstrap branch. */
   def exists(): Boolean = {
-    val st = readState()
     val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
     st.live.exists(_._2 != st.generation) ||
       treeHasData(fs, genPath(st.generation)) ||
-      rootLevelData(fs).nonEmpty
+      rootLevelDataFrom(entries).nonEmpty
   }
 
   /** The live-data pointer + config stamp, stored as VERSIONED sidecar
@@ -1479,24 +1505,47 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     new org.apache.hadoop.fs.Path(cfg.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (version, path) of every sidecar version present, unsorted. */
-  private def metaVersions(fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+  /** One listing of the root — the shared basis for sidecar-version
+    * discovery, root-level-data detection, and generation-dir checks,
+    * so a hot-path read() pays ONE LIST round trip, not one per
+    * concern (an object-store latency tax otherwise). */
+  private def listRoot(fs: org.apache.hadoop.fs.FileSystem): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq.flatMap { s =>
+    if (!fs.exists(root)) Nil else fs.listStatus(root).toSeq
+  }
+
+  /** (version, path) of every sidecar version in a root listing. */
+  private def metaVersionsFrom(entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    entries.flatMap { s =>
       s.getPath.getName match {
         case metaNameRe(v) if s.isFile => Some(v.toLong -> s.getPath)
         case _ => None
       }
     }
+
+  private def metaVersions(fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    metaVersionsFrom(listRoot(fs))
+
+  /** State parsed from the newest sidecar in a root listing (legacy
+    * single-file sidecar read-compatibly; no sidecar = fresh lake). */
+  private def readStateFrom(fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): LakeState = {
+    val versions = metaVersionsFrom(entries)
+    if (versions.nonEmpty)
+      parseState(readFully(fs, versions.maxBy(_._1)._2))
+    else entries.find(s => s.isFile && s.getPath.getName == "_meta.json")
+      .map(s => parseState(readFully(fs, s.getPath)))
+      .getOrElse(LakeState(1L, Nil))
   }
 
   /** Current on-disk state: generation (the append target — its whole
     * tree is live) plus the manifest of live directories in OLDER
     * generations as (escaped-dir-name, generation) pairs. A lake with
     * no sidecar yet is generation 1 with an empty manifest. */
-  private def readState(): LakeState =
-    readMetaSidecar().map(parseState).getOrElse(LakeState(1L, Nil))
+  private def readState(): LakeState = {
+    val fs = fsOfRoot
+    readStateFrom(fs, listRoot(fs))
+  }
 
   private def parseState(json: String): LakeState = {
     val gen = """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
@@ -1504,15 +1553,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val live = """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*(\d+)\s*\]""".r
       .findAllMatchIn(json)
       .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq
-    val hasData = """"has_data"\s*:\s*(true|false)""".r.findFirstMatchIn(json)
-      .map(_.group(1) == "true")
-    LakeState(gen, live, hasData)
+    val genHasData = """"gen_has_data"\s*:\s*(true|false)""".r
+      .findFirstMatchIn(json).map(_.group(1) == "true")
+    LakeState(gen, live, genHasData)
   }
 
+  /** Best-effort `last_update` stamp for the streaming path. The
+    * read-modify-write runs UNDER the writer lock: an unlocked stamp
+    * racing a maintenance commit could republish the stale pre-commit
+    * state as the newest sidecar version — a lost update that the next
+    * vacuum would turn into data loss (the `_spark_metadata` guard only
+    * protects once the sink has written its manifest, which batch 0 may
+    * not have yet). On contention the stamp is simply skipped; the next
+    * data-carrying micro-batch retries. */
+  private def stampQuietly(): Unit =
+    try withWriterLock("stamp")(writeState(readState()))
+    catch { case _: java.util.ConcurrentModificationException => () }
+
   /** Commit `st` (and refresh `last_update`): create sidecar version
-    * latest+1. Callers either hold the writer lock or are the sole
-    * streaming-ingest listener (maintenance refuses streaming lakes via
-    * the `_spark_metadata` guard, so the two never interleave). */
+    * latest+1. Every caller holds the writer lock (maintenance ops,
+    * appends, and the streaming stamp via [[stampQuietly]]), so the
+    * read-modify-write of the state is serialized. */
   private def writeState(st: LakeState): Unit = {
     val fs = fsOfRoot
     val versions = metaVersions(fs)
@@ -1524,10 +1585,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val liveField = st.live
       .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }
       .mkString("[", ", ", "]")
-    // has_data distinguishes "snapshot of an empty lake" from "snapshot
-    // whose generation was vacuumed" for readAt's loud-failure contract
-    val hasData = st.live.nonEmpty || treeHasData(fs, genPath(st.generation))
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField, "has_data": $hasData}"""
+    // gen_has_data: whether the CURRENT generation's tree held data at
+    // commit time — readAt's loud-failure contract needs to tell
+    // "snapshot of an empty/manifest-only lake" apart from "snapshot
+    // whose own generation was vacuumed"
+    val genHasData = treeHasData(fs, genPath(st.generation))
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     var v = latest + 1
     var done = false
     while (!done) {
@@ -1548,21 +1611,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   private def readMetaSidecar(): Option[String] = {
     val fs = fsOfRoot
-    val versions = metaVersions(fs)
+    val entries = listRoot(fs)
+    val versions = metaVersionsFrom(entries)
     val p =
-      if (versions.nonEmpty) versions.maxBy(_._1)._2
-      else { // pre-v2 single-file sidecar, read-only compatibility
-        val legacy = new org.apache.hadoop.fs.Path(cfg.location, "_meta.json")
-        if (!fs.exists(legacy)) return None else legacy
-      }
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      Some(new String(bytes.toByteArray, "UTF-8"))
-    } finally in.close()
+      if (versions.nonEmpty) Some(versions.maxBy(_._1)._2)
+      else // pre-v2 single-file sidecar, read-only compatibility
+        entries.find(s => s.isFile && s.getPath.getName == "_meta.json")
+          .map(_.getPath)
+    p.map(readFully(fs, _))
   }
 
   private def escapeJson(s: String): String =
@@ -1656,7 +1712,7 @@ object Lake {
     * rewrite + later appends). */
   private[graft] final case class LakeState(
       generation: Long, live: Seq[(String, Long)],
-      hasData: Option[Boolean] = None)
+      genHasData: Option[Boolean] = None)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r
@@ -1671,8 +1727,9 @@ object Lake {
   private[graft] val keptMetaVersions: Long = 4L
 
   /** Per-query serve state for [[Lake.topKStreamExpiring]]: the bounded
-    * top-k heap, ≤ k entries. */
-  final case class TopKServeState(top: Seq[(Double, String)])
+    * top-k heap (≤ k entries) plus the forward-only expiry deadline. */
+  final case class TopKServeState(
+      top: Seq[(Double, String)], deadlineMs: Long = Long.MinValue)
 
   /** Canonical stored-row schema (SURVEY.md §1.1; reference frame_schema
     * index.py:198-200). `shard` is a directory partition column on top. */

@@ -41,10 +41,16 @@ trait Decoder extends Serializable {
   * silent. Plugs into the SAME [[Multimodal.decodeAll]] partition-wise
   * plumbing as the stub. */
 object ImageIoDecoder extends Decoder {
+  /** null = no reader claims the payload; IIOException = a reader
+    * CLAIMED it (valid signature) but the body is corrupt — both are
+    * "undecodable", and the second must not fail the Spark task. */
+  private[multimodal] def tryRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
   def decode(a: Asset): AssetFeatures =
     if (a.kind != "image") FakeDecoder.decode(a)
-    else Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(a.bytes))) match {
+    else tryRead(a.bytes) match {
       case Some(img) => AssetFeatures(a.asset_id, a.kind,
         a.bytes.length.toLong, img.getWidth, img.getHeight, 0L)
       case None => FakeDecoder.decode(a)
@@ -103,8 +109,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").mapPartitions { it =>
       it.flatMap { a =>
-        Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(a.bytes))).map { img =>
+        ImageIoDecoder.tryRead(a.bytes).map { img =>
           val w = img.getWidth; val h = img.getHeight
           var sum = 0.0
           var y = 0

@@ -128,8 +128,10 @@ object DedupStreaming {
       * exact key sets derive from the materialized copy). */
     def refresh(): Unit = snap = build()
 
-    private val refreshToken =
-      new java.util.concurrent.atomic.AtomicReference[Option[Any]](None)
+    // plain var: refreshIfChanged is the only accessor and is
+    // synchronized — an AtomicReference would just suggest lock-free
+    // access that no longer exists
+    private var refreshToken: Option[Any] = None
 
     /** Refresh only when `token` differs from the one that built the
       * current snapshot — pair with `Lake.lastUpdate()` to re-snapshot
@@ -145,8 +147,8 @@ object DedupStreaming {
       * stale snapshot (token-advanced-but-never-refreshed). Serialized
       * so two concurrent callers cannot both pay a corpus scan. */
     def refreshIfChanged(token: Any): Boolean = synchronized {
-      if (refreshToken.get() == Some(token)) false
-      else { refresh(); refreshToken.set(Some(token)); true }
+      if (refreshToken == Some(token)) false
+      else { refresh(); refreshToken = Some(token); true }
     }
 
     private def build(): Snapshot = {

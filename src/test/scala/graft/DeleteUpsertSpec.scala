@@ -236,6 +236,30 @@ class DeleteUpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("no sidecar version"))
   }
 
+  test("readAt refuses a snapshot whose OWN generation was vacuumed, even with live manifest dirs") {
+    val lake = freshLake()
+    seed(lake)
+    // two victims from the SAME shard: both deletes rewrite that one
+    // directory, so the first delete's generation holds the only
+    // between-deletes copy and dies when the second delete supersedes it
+    val someShard = lake.read().select("shard").head().getInt(0)
+    val ids = lake.read().where(col("shard") === someShard)
+      .select("id").limit(2).collect().map(_.getString(0))
+    assume(ids.length === 2, "need a shard with two rows")
+    assert(lake.deleteWhere(col("id") === ids(0)) === 1L)
+    val midVersion = lake.history()
+      .orderBy(col("version").desc).head().getLong(0)
+    assert(lake.readAt(midVersion).count() === 31L)
+    assert(lake.deleteWhere(col("id") === ids(1)) === 1L)
+    assert(lake.vacuum() >= 1L, "the mid generation is dead and swept")
+    // the mid snapshot's manifest still names LIVE gen-1 dirs — a
+    // partial read would "succeed" with silently missing rows; the
+    // gen_has_data record makes it refuse instead
+    val e = intercept[IllegalStateException](lake.readAt(midVersion).count())
+    assert(e.getMessage.contains("vacuumed"))
+    assert(lake.count() === 30L)
+  }
+
   test("repair on a healthy lake is a no-op returning 0") {
     val lake = freshLake()
     seed(lake)

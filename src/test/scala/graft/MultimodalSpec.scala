@@ -57,11 +57,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("ImageIoDecoder decodes REAL PNG payloads: true raster dims through the same plumbing") {
+    // a CLAIMED-but-corrupt image: valid PNG signature, truncated body —
+    // ImageIO.read throws here (not null); the decode must not fail the
+    // Spark task
+    val truncated = png(64, 64, 0x123456).take(48)
     val assets = Seq(
       Asset(10L, "image", png(37, 21, 0x336699)),
       Asset(11L, "image", png(224, 224, 0xffffff)),
       Asset(12L, "audio", "not an image payload".getBytes("UTF-8")),
-      Asset(13L, "image", "corrupt png bytes".getBytes("UTF-8")))
+      Asset(13L, "image", "corrupt png bytes".getBytes("UTF-8")),
+      Asset(14L, "image", truncated))
       .toDS()
     val feats = Multimodal.decodeAll(assets, ImageIoDecoder)
       .collect().map(f => f.asset_id -> f).toMap
@@ -74,6 +79,10 @@ class MultimodalSpec extends SparkSpec {
       Asset(12L, "audio", "not an image payload".getBytes("UTF-8"))))
     assert(feats(13L) === FakeDecoder.decode(
       Asset(13L, "image", "corrupt png bytes".getBytes("UTF-8"))))
+    assert(feats(14L) === FakeDecoder.decode(Asset(14L, "image", truncated)))
+    // and imageStats drops the claimed-but-corrupt payload, no crash
+    assert(Multimodal.imageStats(Seq(Asset(15L, "image", truncated)).toDS())
+      .count() === 0L)
   }
 
   test("imageStats reads real pixels: solid-color luma is exact, non-images dropped") {
