@@ -32,6 +32,75 @@ class LakePropertiesSpec extends SparkSpec {
   private val vecGen: Gen[List[Double]] =
     Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0))
 
+  /** Model-based maintenance fuzz: a random op sequence over the full
+    * mutating surface, checked against an in-memory Map model AFTER
+    * EVERY op — the strongest correctness artifact for the
+    * generation-pointer layout (manifest multi-entries, gen
+    * accumulation, targeted rewrites, sweeps, and their interleavings
+    * all arise naturally from the sequence). Seeded: failures replay. */
+  test("property: random maintenance sequences preserve the exact logical row set") {
+    val rng = new scala.util.Random(20260813L)
+    val dir = Files.createTempDirectory("graft_fuzz").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
+    var model = Map.empty[String, (Seq[Float], String)] // id -> (vector, doc)
+    var nextId = 0
+    def freshRows(n: Int): Seq[(String, Seq[Float], String)] =
+      (0 until n).map { _ =>
+        val id = s"f$nextId"; nextId += 1
+        (id, Seq.fill(dim)(rng.nextGaussian().toFloat), s"doc $id")
+      }
+    def check(op: String): Unit = {
+      val got = lake.read().select("id", "vector", "document").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[scala.collection.Seq[Float]]("vector").toSeq, r.getString(2))))
+        .toMap
+      assert(got === model, s"after $op: lake diverged from model " +
+        s"(lake-only: ${(got.keySet -- model.keySet).take(5)}, " +
+        s"model-only: ${(model.keySet -- got.keySet).take(5)})")
+    }
+    (0 until 40).foreach { step =>
+      val op = rng.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val rows = freshRows(1 + rng.nextInt(8))
+          lake.ingest(rows.toDF("id", "vector", "document"))
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          "ingest"
+        case 3 | 4 =>
+          // delete a random contiguous id band (may be empty)
+          val lo = rng.nextInt(math.max(1, nextId))
+          val hi = lo + rng.nextInt(6)
+          val victims = model.keySet.filter { id =>
+            val n = id.drop(1).toInt; n >= lo && n < hi
+          }
+          val deleted = lake.deleteWhere(
+            org.apache.spark.sql.functions.col("id")
+              .isin((lo until hi).map("f" + _): _*))
+          assert(deleted === victims.size.toLong, s"step $step deleteWhere count")
+          model --= victims
+          "deleteWhere"
+        case 5 | 6 =>
+          // upsert: replace up to 3 existing (new vector moves shards) + 2 new
+          val existing = model.keySet.toSeq.sorted.take(3)
+            .map(id => (id, Seq.fill(dim)(rng.nextGaussian().toFloat), s"v2 $id"))
+          val fresh = freshRows(2)
+          val batch = existing ++ fresh
+          val replaced = lake.upsert(batch.toDF("id", "vector", "document"))
+          assert(replaced === existing.size.toLong, s"step $step upsert count")
+          model ++= batch.map(r => r._1 -> ((r._2, r._3)))
+          "upsert"
+        case 7 => lake.compact(); "compact"
+        case 8 => lake.compactIncremental(maxFilesPerShard = 2); "compactIncremental"
+        case _ => lake.vacuum(); "vacuum"
+      }
+      check(s"step $step: $op")
+    }
+    // end state: unique ids, audit clean, snapshot history readable
+    val audit = lake.validate().head()
+    assert(audit.getLong(1) === 0L && audit.getLong(2) === 0L &&
+      audit.getLong(5) === 0L, "validate clean after fuzz")
+    assert(lake.history().count() >= 1L)
+  }
+
   test("property: router range 0 <= shard < numShards for arbitrary vectors") {
     forAll(vecGen) { v =>
       val s = lsh.shardOf(v)
