@@ -222,10 +222,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def genPath(g: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(cfg.location, s"gen-$g")
 
-  /** True iff `tree` holds partition directories or bare parquet files. */
+  /** True iff `tree` holds partition directories or bare parquet files.
+    * Pass `knownExists = true` when a prior listing already proved the
+    * directory's presence — skips one HEAD round trip per call on the
+    * hot read path. */
   private def treeHasData(fs: org.apache.hadoop.fs.FileSystem,
-      tree: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(tree) && fs.listStatus(tree).exists(s =>
+      tree: org.apache.hadoop.fs.Path, knownExists: Boolean = false): Boolean =
+    (knownExists || fs.exists(tree)) && fs.listStatus(tree).exists(s =>
       (s.isDirectory && s.getPath.getName.contains("=")) ||
         (s.isFile && s.getPath.getName.endsWith(".parquet")))
 
@@ -376,8 +379,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
     routingChecked // BEFORE the sidecar write below re-stamps it
     requirePqModelMatch() // likewise
-    val sinkPath = genPath(readState().generation).toString
-    stampQuietly()
+    // resolve the sink generation, stamp, AND pin it — all under the
+    // writer lock, failing LOUDLY on contention (a silently-skipped
+    // start racing a compact could resolve a generation that a commit
+    // + vacuum then retires before batch 0 writes the sink manifest:
+    // batch 0 would recreate the dead tree and its rows would be
+    // invisible and vacuum-bait). Pinning = pre-creating the sink's
+    // `_spark_metadata` dir here, so the maintenance guard refuses
+    // from stream START, not from batch 0's commit; the sink's
+    // metadata log happily adopts the pre-existing empty dir.
+    val sinkPath = withWriterLock("ingestStream-start") {
+      val st = readState()
+      writeState(st)
+      val p = genPath(st.generation)
+      val fs = fsOfRoot
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p, "_spark_metadata"))
+      p.toString
+    }
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
     // through the start→addListener window. The query is given a unique
@@ -526,7 +544,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val curPresent = rootEntries.exists(s =>
       s.isDirectory && s.getPath.getName == cur.getName)
     val curBranch =
-      if (curPresent && treeHasData(fs, cur))
+      if (curPresent && treeHasData(fs, cur, knownExists = true))
         Seq(branch(None, Seq(cur.toString)))
       else Nil
     val oldBranches = st.live.filter(_._2 != st.generation)
@@ -1553,6 +1571,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val live = """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*(\d+)\s*\]""".r
       .findAllMatchIn(json)
       .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq
+    // no fallback to this field's short-lived predecessor ("has_data",
+    // renamed same-round): its semantics included manifest entries, so
+    // treating it as generation-specific would FALSELY refuse legitimate
+    // manifest-only snapshots; absent field = no vacuumed-snapshot check
     val genHasData = """"gen_has_data"\s*:\s*(true|false)""".r
       .findFirstMatchIn(json).map(_.group(1) == "true")
     LakeState(gen, live, genHasData)
@@ -1727,7 +1749,11 @@ object Lake {
   private[graft] val keptMetaVersions: Long = 4L
 
   /** Per-query serve state for [[Lake.topKStreamExpiring]]: the bounded
-    * top-k heap (≤ k entries) plus the forward-only expiry deadline. */
+    * top-k heap (≤ k entries) plus the forward-only expiry deadline.
+    * NOTE: this struct is the query's CHECKPOINTED state schema — any
+    * field change breaks restart-from-checkpoint (Spark's state-schema
+    * check fails the query at start); ship such changes with a new
+    * checkpoint location. */
   final case class TopKServeState(
       top: Seq[(Double, String)], deadlineMs: Long = Long.MinValue)
 
