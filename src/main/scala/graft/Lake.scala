@@ -1329,11 +1329,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * this runs under the writer lock so no in-flight op's
     * not-yet-committed generation can be mistaken for dead.
     *
-    * Retention caveat (document, don't hide): a reader that resolved
-    * its paths BEFORE the vacuum and is still scanning a dead
-    * generation loses its files — the same tradeoff as any
-    * log-structured format's VACUUM. Schedule vacuum at a cadence
-    * longer than your longest query.
+    * Retention window (`retainMs`): a reader that resolved its paths
+    * BEFORE the vacuum and is still scanning a superseded generation
+    * loses its files — the same tradeoff as any log-structured format's
+    * VACUUM, and the same mitigation: only sweep generations that have
+    * been dead LONGER than the window. A generation's death time is the
+    * modification time of the first sidecar commit that no longer
+    * references it (when every referencing commit has already aged out
+    * of the kept-version window, the oldest retained commit's mtime
+    * stands in — an upper bound, so the error direction is retaining
+    * longer, never sweeping early). Set `retainMs` above your longest
+    * query/job; dead-but-retained generations also keep [[readAt]]
+    * snapshots servable for the window (snapshot SIDECARS are governed
+    * by the separate `keptMetaVersions` count — a commit burst can
+    * rotate one out sooner; the tree outliving its sidecar is harmless,
+    * the version is simply refused by name). The default is 0 —
+    * sweep everything dead now — because tests and single-session
+    * maintenance want exactly that; production on shared storage
+    * should pass hours.
     *
     * Crashed-writer recovery: a writer that died without reaching its
     * finally strands the `_lock` marker and every later mutation
@@ -1346,11 +1359,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * `lockMaxAgeMs = 0`.
     *
     * Returns the number of items removed (trees + sidecars + lock). */
-  def vacuum(force: Boolean = false, lockMaxAgeMs: Long = 600000L): Long = {
+  def vacuum(force: Boolean = false, lockMaxAgeMs: Long = 600000L,
+      retainMs: Long = 0L): Long = {
     val fs = fsOfRoot
     val root = new org.apache.hadoop.fs.Path(cfg.location)
     if (!fs.exists(root)) return 0L
-    if (!force) return withWriterLock("vacuum")(sweepDead(fs))
+    if (!force) return withWriterLock("vacuum")(sweepDead(fs, retainMs))
     val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
     var removed = 0L
     if (fs.exists(lock)) {
@@ -1368,26 +1382,49 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // dead writer's marker; sweeping unlocked would let a writer that
     // acquires the lock right now have its in-flight generation
     // mistaken for dead and deleted mid-op
-    removed + withWriterLock("vacuum")(sweepDead(fs))
+    removed + withWriterLock("vacuum")(sweepDead(fs, retainMs))
   }
 
-  private def sweepDead(fs: org.apache.hadoop.fs.FileSystem): Long = {
+  private def sweepDead(fs: org.apache.hadoop.fs.FileSystem,
+      retainMs: Long): Long = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
     val st = readState()
     val liveGens = (st.live.map(_._2) :+ st.generation).toSet
+    val now = System.currentTimeMillis()
+    // The commit clock for the retention window: every retained sidecar
+    // as (version, mtime, generations it references). Bounded work —
+    // at most keptMetaVersions+1 small files, read once, only when a
+    // window was actually requested.
+    lazy val commits: Seq[(Long, Long, Set[Long])] =
+      metaVersions(fs).sortBy(_._1).map { case (v, p) =>
+        val s = parseState(readFully(fs, p))
+        (v, fs.getFileStatus(p).getModificationTime,
+          (s.live.map(_._2) :+ s.generation).toSet)
+      }
+    def diedWithinWindow(g: Long): Boolean = retainMs > 0L && {
+      val lastRef = commits.filter(_._3.contains(g))
+        .map(_._1).maxOption.getOrElse(Long.MinValue)
+      commits.collectFirst { case (v, mt, _) if v > lastRef => mt }
+        .exists(deathTime => now - deathTime < retainMs)
+    }
     var removed = 0L
     fs.listStatus(root).foreach { s =>
       s.getPath.getName match {
-        case genDirRe(g) if s.isDirectory && !liveGens.contains(g.toLong) =>
+        case genDirRe(g) if s.isDirectory && !liveGens.contains(g.toLong)
+            && !diedWithinWindow(g.toLong) =>
           if (fs.delete(s.getPath, true)) removed += 1L
         case _ => ()
       }
     }
-    val versions = metaVersions(fs)
-    if (versions.nonEmpty) {
-      val latest = versions.map(_._1).max
-      versions.filter(_._1 < latest - keptMetaVersions).foreach { case (_, p) =>
-        if (fs.delete(p, false)) removed += 1L
+    if (commits.nonEmpty) {
+      val latest = commits.map(_._1).max
+      commits.filter { case (v, mt, _) =>
+        v < latest - keptMetaVersions &&
+          (retainMs <= 0L || now - mt >= retainMs)
+      }.foreach { case (v, _, _) =>
+        if (fs.delete(
+            new org.apache.hadoop.fs.Path(cfg.location, s"_meta.$v.json"),
+            false)) removed += 1L
       }
     }
     removed
