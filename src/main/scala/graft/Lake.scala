@@ -1174,8 +1174,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     withWriterLock("deleteWhere")(deleteWhereImpl(pred))
   }
 
-  private def deleteWhereImpl(pred: Column): Long = {
-    val affected = read().where(pred).select(partCol).distinct().collect()
+  /** @param scope when set, bound the affected-shard DISCOVERY scan to
+    *        these partition values (a skip-index candidate set from
+    *        [[deleteIds]] — a superset of the shards truly holding
+    *        matches, so the discovery result is unchanged) */
+  private def deleteWhereImpl(pred: Column,
+      scope: Option[Set[Option[String]]] = None): Long = {
+    val discovery = scope match {
+      case Some(c) => read().where(affectedPartPred(c))
+      case None => read()
+    }
+    val affected = discovery.where(pred).select(partCol).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString)).toSet
     if (affected.isEmpty) return 0L
     val slice = read().where(affectedPartPred(affected))
@@ -1218,9 +1227,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s"upsert batch has duplicate ids ($newCount rows, $distinctIds distinct ids)")
     if (!exists()) { writeAppend(newDerived); return 0L } // bootstrap: plain ingest
     val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
-    val oldShards = read()
-      .join(newIds, col("id") === col("__new_id"), "left_semi")
-      .select(partCol).distinct().collect()
+    // old-version probe, skip-index pruned when one is fresh: the exact
+    // semi-join below kills bloom false positives, so the discovered
+    // shard set is identical — only the files READ to discover it shrink
+    val probe = skipCandidates(newDerived.select("id")) match {
+      case Some(c) if c.isEmpty => None // no stored shard can hold these ids
+      case Some(c) => Some(read().where(affectedPartPred(c)))
+      case None => Some(read())
+    }
+    val oldShards = probe.map(
+      _.join(newIds, col("id") === col("__new_id"), "left_semi")
+        .select(partCol).distinct().collect())
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
     val newShards = newDerived.select(partCol).distinct().collect()
     val affected = (oldShards ++ newShards)
       .map(r => Option(r.get(0)).map(_.toString)).toSet
@@ -1241,6 +1259,169 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     affected.toSeq
       .map(v => col(partCol).cast(StringType) <=> lit(v.orNull))
       .reduce(_ || _)
+
+  // ---------------------------------------------------------------- skip index
+
+  private def skipPath: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(cfg.location, "_skip")
+
+  /** Every live shard's file set, keyed by decoded partition value:
+    * the input to both building and freshness-checking the skip index.
+    * One LIST per live directory — the same enumeration any scan pays. */
+  private def liveShardFiles(fs: org.apache.hadoop.fs.FileSystem,
+      st: LakeState): Map[Option[String], Seq[(String, Long)]] =
+    liveEntries(st).flatMap { case (d, g) =>
+      val v = unescapePartitionValue(d.split("=", 2)(1))
+      fs.listStatus(new org.apache.hadoop.fs.Path(genPath(g), d)).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => v -> (s.getPath.toString, s.getLen))
+    }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+
+  /** Build (or refresh) the per-shard id Bloom skip index at
+    * `<root>/_skip` — see [[graft.operators.SkipIndex]]. Two
+    * column-pruned passes over the lake (per-shard counts to size the
+    * sketches, then one `BloomFilterAggregate` per shard — map-side
+    * combinable, only sketches reach the driver), one small parquet
+    * write. Runs under the writer lock so the fingerprints it records
+    * describe a tree no rewrite is concurrently replacing. Sketches are
+    * sized for the largest shard at `fpp`; a false positive costs one
+    * needlessly-probed shard, never a wrong answer. Returns the number
+    * of shards indexed.
+    *
+    * Mutations do NOT maintain the index — they don't need to (a
+    * changed shard's fingerprint stops matching, so probes fall back to
+    * reading exactly that shard). Rebuild after maintenance to restore
+    * full skipping, like refreshing table stats. */
+  def buildSkipIndex(fpp: Double = 0.01): Long = {
+    if (!exists()) return 0L
+    withWriterLock("buildSkipIndex") {
+      val fs = fsOfRoot
+      require(rootLevelData(fs).isEmpty,
+        s"refusing to index ${cfg.location}: root-level (pre-v2/foreign) " +
+          "data present — the index cannot govern what the manifest does not")
+      val st = readState()
+      val files = liveShardFiles(fs, st)
+      if (files.isEmpty) { fs.delete(skipPath, true); return 0L }
+      val key = col(partCol).cast(StringType).as("part")
+      val counts = read().groupBy(key).count().collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val maxN = math.max(1L, if (counts.isEmpty) 1L else counts.values.max)
+      val numBits = graft.operators.SkipIndex.optimalBits(maxN, fpp)
+      val sketches = read().groupBy(key)
+        .agg(graft.operators.BloomJoin.bloomAgg(col("id"), maxN, numBits)
+          .as("sketch"),
+          org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      import spark.implicits._
+      val fps = files.toSeq.map { case (v, fl) =>
+        (v.orNull, graft.operators.SkipIndex.fingerprint(fl))
+      }.toDF("part_f", "fp")
+      val out = sketches.join(broadcast(fps),
+          col("part") <=> col("part_f"), "inner")
+        .select(col("part"), col("fp"), col("cnt"), col("sketch"))
+      // tmp + swap: a torn swap (copy+delete rename) leaves either no
+      // index or a parse failure — both degrade to the exact full probe
+      val tmp = new org.apache.hadoop.fs.Path(cfg.location, "_skip__tmp")
+      fs.delete(tmp, true)
+      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(skipPath, true)
+      fs.rename(tmp, skipPath)
+      files.size.toLong
+    }
+  }
+
+  /** Shards that might hold any id in `ids`, per the skip index:
+    * `Some(values)` = probe only these (sketch hits plus every shard
+    * whose fingerprint no longer matches — stale sketches never skip);
+    * `None` = no usable index, probe everything. Absence, corruption,
+    * or pre-v2 root data all yield `None`; a read error inside the
+    * probe itself must never fail the calling op. */
+  private def skipCandidates(ids: DataFrame): Option[Set[Option[String]]] = {
+    val fs = fsOfRoot
+    try {
+      if (!fs.exists(skipPath)) return None
+      if (rootLevelData(fs).nonEmpty) return None
+      val st = readState()
+      val live = liveShardFiles(fs, st)
+      if (live.isEmpty) return Some(Set.empty)
+      // list the part files and read THEM: the directory itself is
+      // underscore-prefixed (so the lake's own data scans never see it),
+      // which Spark's DataSource path filter treats as a non-data path —
+      // explicit file paths sidestep that filter deterministically
+      val parts = fs.listStatus(skipPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      if (parts.isEmpty) return None
+      val idx = spark.read.parquet(parts.toSeq: _*)
+        .select("part", "fp", "sketch").collect()
+        .map(r => Option(r.getString(0)) ->
+          (r.getString(1), r.getAs[Array[Byte]]("sketch"))).toMap
+      val (fresh, stale) = live.partition { case (v, fl) =>
+        idx.get(v).exists(_._1 == graft.operators.SkipIndex.fingerprint(fl))
+      }
+      if (fresh.isEmpty) return None // nothing skippable: exact probe
+      val freshSeq = fresh.keys.toSeq
+      val bc = spark.sparkContext.broadcast(
+        freshSeq.map(v => idx(v)._2).toArray)
+      import spark.implicits._
+      // one narrow pass over the ids: each task deserializes every
+      // sketch ONCE, tests xxhash64(id) (the hash BloomFilterAggregate
+      // stored) against each, and emits the indices of shards hit —
+      // at most |fresh| ints per task, with early exit once all hit
+      val hits = ids.select(xxhash64(col("id")).as("h")).as[Long]
+        .mapPartitions { it =>
+          val bfs = bc.value.map(b => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b)))
+          val n = bfs.length
+          val hit = new java.util.BitSet(n)
+          var found = 0
+          while (it.hasNext && found < n) {
+            val h = it.next()
+            var i = 0
+            while (i < n) {
+              if (!hit.get(i) && bfs(i).mightContainLong(h)) {
+                hit.set(i); found += 1
+              }
+              i += 1
+            }
+          }
+          Iterator.range(0, n).filter(hit.get)
+        }.distinct().collect()
+      Some(hits.map(freshSeq).toSet ++ stale.keys)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Point-read by id — the serve-path row fetch. With a fresh skip
+    * index the scan is pruned to the shards whose sketches match (for
+    * a single id, typically ONE directory out of the whole lake); with
+    * no index, a full exact probe. Identical rows either way. */
+  def lookup(ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, "lookup needs at least one id")
+    import spark.implicits._
+    val pred = col("id").isin(ids: _*)
+    skipCandidates(ids.toDF("id")) match {
+      case Some(c) if c.isEmpty => read().where(lit(false))
+      case Some(c) => read().where(affectedPartPred(c) && pred)
+      case None => read().where(pred)
+    }
+  }
+
+  /** DELETE by id list: [[deleteWhere]] with the affected-shard
+    * discovery pruned by the skip index — with a fresh index, a
+    * targeted delete reads only the shards that might hold the ids
+    * instead of probing the whole lake. Returns rows deleted. */
+  def deleteIds(ids: Seq[String]): Long = {
+    if (ids.isEmpty || !exists()) return 0L
+    import spark.implicits._
+    val pred = col("id").isin(ids: _*)
+    withWriterLock("deleteIds") {
+      skipCandidates(ids.toDF("id")) match {
+        case Some(c) if c.isEmpty => 0L
+        case Some(c) => deleteWhereImpl(pred, scope = Some(c))
+        case None => deleteWhereImpl(pred)
+      }
+    }
+  }
 
   /** Shared targeted-rewrite machinery for [[deleteWhere]]/[[upsert]]/
     * [[compactIncremental]]: write `content` (covering EXACTLY the
@@ -1393,8 +1574,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val now = System.currentTimeMillis()
     // The commit clock for the retention window: every retained sidecar
     // as (version, mtime, generations it references). Bounded work —
-    // at most keptMetaVersions+1 small files, read once, only when a
-    // window was actually requested.
+    // at most keptMetaVersions+1 small files, read once per sweep
+    // (the sidecar sweep below reuses it even with no window).
     lazy val commits: Seq[(Long, Long, Set[Long])] =
       metaVersions(fs).sortBy(_._1).map { case (v, p) =>
         val s = parseState(readFully(fs, p))

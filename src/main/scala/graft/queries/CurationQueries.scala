@@ -379,6 +379,39 @@ object CurationQueries {
           FROM final GROUP BY 1 ORDER BY shard"""
     })
 
+  /** Point-read through the per-shard id Bloom SKIP INDEX
+    * ([[graft.Lake.buildSkipIndex]]/[[graft.Lake.lookup]]): ingest with
+    * caller ids, build the index, then fetch a fixed id set — with a
+    * fresh index the scan touches only the shards whose sketches match
+    * (SkipIndexSpec pins the pruning; this oracle pins the ROWS: the
+    * pruned read returns exactly the source rows for those ids, bytes,
+    * routes, and all). The file-skipping analog of a log-structured
+    * format's per-file stats — at 100 TB a point-read costs one shard,
+    * not the lake. */
+  val qSkipLookup = Q(
+    "q_skip_lookup",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_skiplk_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      lake.ingest(Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      lake.buildSkipIndex(fpp = 0.001)
+      lake.lookup(Seq("7", "42", "123", "321", "499"))
+        .select(col("id"), col("shard"),
+          round(V.l2Norm(col("vector")), 6).as("nrm"), col("document"))
+        .orderBy("id")
+    },
+    Some(s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+                    ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard,
+                    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm,
+                    'doc-' || vec_id AS document
+             FROM embeddings WHERE vec_id IN (7, 42, 123, 321, 499)
+             ORDER BY id"""))
+
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
     * 127/max|v|, q = round(v·scale), plus the reconstruction-error
@@ -604,6 +637,7 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
-    qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats, qTfidf,
+    qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
+    qSkipLookup, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }
