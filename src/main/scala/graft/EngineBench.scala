@@ -123,6 +123,11 @@ object EngineBench {
   *  - `topk_exact_sec` / `topk_pq_sec`: full-scan floor vs the 8-byte
   *    coarse scan + bounded rerank — both linear in n, PQ with a far
   *    smaller constant (bytes read per row).
+  *  - `skip_build_sec` / `lookup_skip_sec` / `lookup_full_sec`: the
+  *    id point-read with a fresh Bloom skip index (scans only the
+  *    sketch-hit shards — near-flat in n) vs the full id-probe floor
+  *    (linear: every live file's id column); the build itself is two
+  *    column-pruned scans.
   *  - `delete_where_sec`: targeted maintenance = one pruned discovery
   *    filter-scan (linear, small constant — no shuffle, two pruned
   *    columns) + a rewrite of ONLY the affected directories (flat in n
@@ -178,6 +183,27 @@ object ScaleBench {
       val (tExact, _) = time(lake.topKExact(q, 10).count())
       val (tPq, _) = time(lake.topKPq(q, 10, coarseK = 100).count())
 
+      // skip-index slope: a 5-id point-read with a fresh index scans
+      // only the sketch-hit shards (near-flat in n — per-shard rows grow
+      // but 255 of 256 directories are never read), vs the full id-probe
+      // floor which is linear in n by construction
+      val (tSkipBuild, _) = time(lake.buildSkipIndex(fpp = 0.001))
+      val ids = Seq("r3", s"r${n / 2}", s"r${n - 1}", "r77", s"r${n / 3}")
+      // seconds mislead at this scale (fixed per-job cost dominates a
+      // tmpfs scan); the 100 TB quantity is files RESOLVED BY the scan
+      // after pruning — the full probe's grows with the lake, the
+      // indexed probe's stays at the sketch-hit shards
+      def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.count()
+        df.queryExecution.executedPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+          .map(_.selectedPartitions.toPartitionArray.length.toLong).sum
+      }
+      val (tLookupSkip, filesSkip) =
+        time(filesScanned(lake.lookup(ids))) // includes the sketch probe
+      val (tLookupFull, filesFull) =
+        time(filesScanned(lake.read().where(col("id").isin(ids: _*))))
+
       // fixed 100-row victim set in ONE shard regardless of n: targeted
       // maintenance cost must track the AFFECTED directory, not the
       // corpus (discovery is still one pruned filter-scan of the lake)
@@ -197,6 +223,9 @@ object ScaleBench {
       println(s"""{"probe":"scale","rows":$n,"dim":$dim,""" +
         s""""ingest_sec":${f"$tIngest%.3f"},"topk_pruned_sec":${f"$tPruned%.3f"},""" +
         s""""topk_exact_sec":${f"$tExact%.3f"},"topk_pq_sec":${f"$tPq%.3f"},""" +
+        s""""skip_build_sec":${f"$tSkipBuild%.3f"},""" +
+        s""""lookup_skip_sec":${f"$tLookupSkip%.3f"},"lookup_skip_files":$filesSkip,""" +
+        s""""lookup_full_sec":${f"$tLookupFull%.3f"},"lookup_full_files":$filesFull,""" +
         s""""delete_where_sec":${f"$tDel%.3f"},"deleted":$deleted,""" +
         s""""compact_inc_sec":${f"$tCompactInc%.3f"},"shards_rewritten":$rewritten}""")
       lake.delete()

@@ -1267,16 +1267,32 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   /** Every live shard's file set, keyed by decoded partition value:
     * the input to both building and freshness-checking the skip index.
-    * One LIST per live directory — the same enumeration any scan pays. */
+    * One LIST per live directory — the same enumeration any scan pays —
+    * issued from a bounded thread pool: serial per-directory LISTs
+    * against an object store would cost |shards| round trips end to end
+    * (FileSystem implementations are thread-safe for reads; s3a
+    * documents this). */
   private def liveShardFiles(fs: org.apache.hadoop.fs.FileSystem,
-      st: LakeState): Map[Option[String], Seq[(String, Long)]] =
-    liveEntries(st).flatMap { case (d, g) =>
-      val v = unescapePartitionValue(d.split("=", 2)(1))
-      fs.listStatus(new org.apache.hadoop.fs.Path(genPath(g), d)).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(s => v -> (s.getPath.toString, s.getLen))
-    }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+      st: LakeState): Map[Option[String], Seq[(String, Long)]] = {
+    val entries = liveEntries(st)
+    if (entries.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, entries.size))
+    try {
+      entries.map { case (d, g) =>
+        val v = unescapePartitionValue(d.split("=", 2)(1))
+        v -> pool.submit(new java.util.concurrent.Callable[Seq[(String, Long)]] {
+          def call(): Seq[(String, Long)] =
+            fs.listStatus(new org.apache.hadoop.fs.Path(genPath(g), d)).toSeq
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(s => (s.getPath.toString, s.getLen))
+        })
+      }.groupBy(_._1).map { case (v, xs) =>
+        v -> xs.flatMap(_._2.get())
+      }
+    } finally pool.shutdown()
+  }
 
   /** Build (or refresh) the per-shard id Bloom skip index at
     * `<root>/_skip` — see [[graft.operators.SkipIndex]]. Two
@@ -1335,8 +1351,56 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * whose fingerprint no longer matches — stale sketches never skip);
     * `None` = no usable index, probe everything. Absence, corruption,
     * or pre-v2 root data all yield `None`; a read error inside the
-    * probe itself must never fail the calling op. */
-  private def skipCandidates(ids: DataFrame): Option[Set[Option[String]]] = {
+    * probe itself must never fail the calling op.
+    *
+    * The DataFrame overload runs the membership test as one narrow job
+    * (upsert batches can be arbitrarily large); the Seq overload tests
+    * driver-side against the already-collected sketches — a point-read
+    * must not pay a Spark job just to decide where to point. */
+  private def skipCandidates(ids: DataFrame): Option[Set[Option[String]]] =
+    skipProbe { sketches =>
+      val bc = spark.sparkContext.broadcast(sketches)
+      import spark.implicits._
+      // one narrow pass over the ids: each task deserializes every
+      // sketch ONCE, tests xxhash64(id) (the hash BloomFilterAggregate
+      // stored) against each, and emits the indices of shards hit —
+      // at most |sketches| ints per task, with early exit once all hit
+      ids.select(xxhash64(col("id")).as("h")).as[Long]
+        .mapPartitions { it =>
+          val bfs = bc.value.map(b => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b)))
+          val n = bfs.length
+          val hit = new java.util.BitSet(n)
+          var found = 0
+          while (it.hasNext && found < n) {
+            val h = it.next()
+            var i = 0
+            while (i < n) {
+              if (!hit.get(i) && bfs(i).mightContainLong(h)) {
+                hit.set(i); found += 1
+              }
+              i += 1
+            }
+          }
+          Iterator.range(0, n).filter(hit.get)
+        }.distinct().collect().toSet
+    }
+
+  private def skipCandidates(ids: Seq[String]): Option[Set[Option[String]]] =
+    skipProbe { sketches =>
+      val hashes = ids.map(org.apache.spark.sql.GraftShims.xxhash64String)
+      sketches.zipWithIndex.collect { case (b, i) if {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))
+        hashes.exists(bf.mightContainLong)
+      } => i }.toSet
+    }
+
+  /** Shared core of [[skipCandidates]]: load + freshness-check the
+    * index, delegate the sketch membership test, decode hit indices
+    * back to partition values. */
+  private def skipProbe(
+      hitIdx: Array[Array[Byte]] => Set[Int]): Option[Set[Option[String]]] = {
     val fs = fsOfRoot
     try {
       if (!fs.exists(skipPath)) return None
@@ -1361,32 +1425,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       }
       if (fresh.isEmpty) return None // nothing skippable: exact probe
       val freshSeq = fresh.keys.toSeq
-      val bc = spark.sparkContext.broadcast(
-        freshSeq.map(v => idx(v)._2).toArray)
-      import spark.implicits._
-      // one narrow pass over the ids: each task deserializes every
-      // sketch ONCE, tests xxhash64(id) (the hash BloomFilterAggregate
-      // stored) against each, and emits the indices of shards hit —
-      // at most |fresh| ints per task, with early exit once all hit
-      val hits = ids.select(xxhash64(col("id")).as("h")).as[Long]
-        .mapPartitions { it =>
-          val bfs = bc.value.map(b => org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(b)))
-          val n = bfs.length
-          val hit = new java.util.BitSet(n)
-          var found = 0
-          while (it.hasNext && found < n) {
-            val h = it.next()
-            var i = 0
-            while (i < n) {
-              if (!hit.get(i) && bfs(i).mightContainLong(h)) {
-                hit.set(i); found += 1
-              }
-              i += 1
-            }
-          }
-          Iterator.range(0, n).filter(hit.get)
-        }.distinct().collect()
+      val hits = hitIdx(freshSeq.map(v => idx(v)._2).toArray)
       Some(hits.map(freshSeq).toSet ++ stale.keys)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -1397,9 +1436,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * no index, a full exact probe. Identical rows either way. */
   def lookup(ids: Seq[String]): DataFrame = {
     require(ids.nonEmpty, "lookup needs at least one id")
-    import spark.implicits._
     val pred = col("id").isin(ids: _*)
-    skipCandidates(ids.toDF("id")) match {
+    skipCandidates(ids) match {
       case Some(c) if c.isEmpty => read().where(lit(false))
       case Some(c) => read().where(affectedPartPred(c) && pred)
       case None => read().where(pred)
@@ -1412,10 +1450,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * instead of probing the whole lake. Returns rows deleted. */
   def deleteIds(ids: Seq[String]): Long = {
     if (ids.isEmpty || !exists()) return 0L
-    import spark.implicits._
     val pred = col("id").isin(ids: _*)
     withWriterLock("deleteIds") {
-      skipCandidates(ids.toDF("id")) match {
+      skipCandidates(ids) match {
         case Some(c) if c.isEmpty => 0L
         case Some(c) => deleteWhereImpl(pred, scope = Some(c))
         case None => deleteWhereImpl(pred)

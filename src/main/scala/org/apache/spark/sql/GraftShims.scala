@@ -11,4 +11,13 @@ object GraftShims {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def functionRegistry(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** Driver-side twin of the `xxhash64(string)` SQL function (seed 42) —
+    * what `BloomFilterAggregate` stored via [[graft.operators.BloomJoin]],
+    * so a handful of ids can be tested against collected sketches
+    * without launching a job. */
+  def xxhash64String(s: String): Long =
+    catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      types.StringType, 42L)
 }
