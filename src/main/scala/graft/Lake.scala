@@ -1120,6 +1120,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // COMMIT: one sidecar create names the new generation as the whole
     // live set; every older generation is dead-in-place (vacuum sweeps)
     writeState(LakeState(newGen, Nil))
+    refreshSkipIndex(shardBytes.keySet) // full compact rewrote every shard
 
     fs.listStatus(tmp).filter(_.isDirectory).map(d =>
       fs.listStatus(d.getPath).count(f =>
@@ -1305,10 +1306,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * needlessly-probed shard, never a wrong answer. Returns the number
     * of shards indexed.
     *
-    * Mutations do NOT maintain the index — they don't need to (a
-    * changed shard's fingerprint stops matching, so probes fall back to
-    * reading exactly that shard). Rebuild after maintenance to restore
-    * full skipping, like refreshing table stats. */
+    * Maintenance ops (deleteWhere/deleteIds/upsert/compact/
+    * compactIncremental) REFRESH the index for the shards they rewrote
+    * ([[refreshSkipIndex]]) — the table format maintaining its own
+    * stats. Plain appends do not: an appended shard's fingerprint stops
+    * matching, so probes read exactly that shard until the next rebuild
+    * or the next maintenance op that touches it. Either way a stale
+    * entry can only cost reads, never correctness. */
   def buildSkipIndex(fpp: Double = 0.01): Long = {
     if (!exists()) return 0L
     withWriterLock("buildSkipIndex") {
@@ -1319,32 +1323,77 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       val st = readState()
       val files = liveShardFiles(fs, st)
       if (files.isEmpty) { fs.delete(skipPath, true); return 0L }
-      val key = col(partCol).cast(StringType).as("part")
-      val counts = read().groupBy(key).count().collect()
-        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
-      val maxN = math.max(1L, if (counts.isEmpty) 1L else counts.values.max)
-      val numBits = graft.operators.SkipIndex.optimalBits(maxN, fpp)
-      val sketches = read().groupBy(key)
-        .agg(graft.operators.BloomJoin.bloomAgg(col("id"), maxN, numBits)
-          .as("sketch"),
-          org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
-      import spark.implicits._
-      val fps = files.toSeq.map { case (v, fl) =>
-        (v.orNull, graft.operators.SkipIndex.fingerprint(fl))
-      }.toDF("part_f", "fp")
-      val out = sketches.join(broadcast(fps),
-          col("part") <=> col("part_f"), "inner")
-        .select(col("part"), col("fp"), col("cnt"), col("sketch"))
-      // tmp + swap: a torn swap (copy+delete rename) leaves either no
-      // index or a parse failure — both degrade to the exact full probe
-      val tmp = new org.apache.hadoop.fs.Path(cfg.location, "_skip__tmp")
-      fs.delete(tmp, true)
-      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(skipPath, true)
-      fs.rename(tmp, skipPath)
+      writeSkipIndex(skipRows(read(), files, fpp))
       files.size.toLong
     }
   }
+
+  /** Index rows (part, fp, cnt, sketch) for the shards in `scope`,
+    * computed from `slice` (the lake, or a pruned subset covering
+    * exactly `scope`): one per-shard counts pass to size the sketches,
+    * then one `BloomFilterAggregate` per shard. */
+  private def skipRows(slice: DataFrame,
+      scope: Map[Option[String], Seq[(String, Long)]],
+      fpp: Double): DataFrame = {
+    val key = col(partCol).cast(StringType).as("part")
+    val counts = slice.groupBy(key).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val maxN = math.max(1L, if (counts.isEmpty) 1L else counts.values.max)
+    val numBits = graft.operators.SkipIndex.optimalBits(maxN, fpp)
+    val sketches = slice.groupBy(key)
+      .agg(graft.operators.BloomJoin.bloomAgg(col("id"), maxN, numBits)
+        .as("sketch"),
+        org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    import spark.implicits._
+    val fps = scope.toSeq.map { case (v, fl) =>
+      (v.orNull, graft.operators.SkipIndex.fingerprint(fl))
+    }.toDF("part_f", "fp")
+    sketches.join(broadcast(fps), col("part") <=> col("part_f"), "inner")
+      .select(col("part"), col("fp"), col("cnt"), col("sketch"))
+  }
+
+  /** Replace `<root>/_skip` with `rows` via tmp + swap: a torn swap
+    * (copy+delete rename) leaves either no index or a parse failure —
+    * both degrade to the exact full probe. The plan in `rows` may read
+    * the OLD index (refresh does); it executes during the tmp write,
+    * before the old directory is touched. */
+  private def writeSkipIndex(rows: DataFrame): Unit = {
+    val fs = fsOfRoot
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location, "_skip__tmp")
+    fs.delete(tmp, true)
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(skipPath, true)
+    fs.rename(tmp, skipPath)
+  }
+
+  /** Post-maintenance index refresh, called by every rewrite path
+    * after its commit (still under the writer lock): recompute sketches
+    * for exactly the `affected` shards from the just-committed tree,
+    * keep every other row as-is. Best-effort and only when an index
+    * exists — a failure leaves fingerprint-mismatched (= stale = probed
+    * exactly) entries, never wrong ones. Cost tracks the affected
+    * shards, like the rewrite itself. Refreshed sketches use the
+    * default 1% fpp regardless of the original build's setting (fpp is
+    * not stored; a full [[buildSkipIndex]] restores a custom one). */
+  private def refreshSkipIndex(affected: Set[Option[String]]): Unit = try {
+    val fs = fsOfRoot
+    if (affected.isEmpty || readSkipIndex(fs).isEmpty) return
+    val partFiles = fs.listStatus(skipPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val keep = spark.read.parquet(partFiles.toSeq: _*)
+      .select("part", "fp", "cnt", "sketch")
+      .where(!affected.toSeq.map(v => col("part") <=> lit(v.orNull))
+        .reduce(_ || _))
+    val live = liveShardFiles(fs, readState())
+    val affectedLive = live.filter { case (v, _) => affected.contains(v) }
+    val refreshed =
+      if (affectedLive.isEmpty) keep // every affected shard fully emptied
+      else keep.unionByName(skipRows(
+        read().where(affectedPartPred(affectedLive.keySet)),
+        affectedLive, fpp = 0.01))
+    writeSkipIndex(refreshed)
+  } catch { case scala.util.control.NonFatal(_) => () } // stale = safe
 
   /** Shards that might hold any id in `ids`, per the skip index:
     * `Some(values)` = probe only these (sketch hits plus every shard
@@ -1399,27 +1448,37 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   /** Shared core of [[skipCandidates]]: load + freshness-check the
     * index, delegate the sketch membership test, decode hit indices
     * back to partition values. */
+  /** The stored index rows as (value → (fingerprint, sketch)); None
+    * when absent or unreadable. The part FILES are read, not the
+    * directory: the dir itself is underscore-prefixed (so the lake's
+    * own data scans never see it), which Spark's DataSource path
+    * filter treats as a non-data path — explicit file paths sidestep
+    * that filter deterministically. */
+  private def readSkipIndex(fs: org.apache.hadoop.fs.FileSystem)
+      : Option[Map[Option[String], (String, Array[Byte])]] = {
+    if (!fs.exists(skipPath)) return None
+    val parts = fs.listStatus(skipPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) return None
+    Some(spark.read.parquet(parts.toSeq: _*)
+      .select("part", "fp", "sketch").collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getString(1), r.getAs[Array[Byte]]("sketch"))).toMap)
+  }
+
   private def skipProbe(
       hitIdx: Array[Array[Byte]] => Set[Int]): Option[Set[Option[String]]] = {
     val fs = fsOfRoot
     try {
-      if (!fs.exists(skipPath)) return None
       if (rootLevelData(fs).nonEmpty) return None
+      val idx = readSkipIndex(fs) match {
+        case Some(m) => m
+        case None => return None
+      }
       val st = readState()
       val live = liveShardFiles(fs, st)
       if (live.isEmpty) return Some(Set.empty)
-      // list the part files and read THEM: the directory itself is
-      // underscore-prefixed (so the lake's own data scans never see it),
-      // which Spark's DataSource path filter treats as a non-data path —
-      // explicit file paths sidestep that filter deterministically
-      val parts = fs.listStatus(skipPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-      if (parts.isEmpty) return None
-      val idx = spark.read.parquet(parts.toSeq: _*)
-        .select("part", "fp", "sketch").collect()
-        .map(r => Option(r.getString(0)) ->
-          (r.getString(1), r.getAs[Array[Byte]]("sketch"))).toMap
       val (fresh, stale) = live.partition { case (v, fl) =>
         idx.get(v).exists(_._1 == graft.operators.SkipIndex.fingerprint(fl))
       }
@@ -1537,6 +1596,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       !affected.contains(unescapePartitionValue(d.split("=", 2)(1)))
     }
     writeState(LakeState(newGen, survivors))
+    refreshSkipIndex(affected)
   }
 
   /** Sweep DEAD storage — the VACUUM of this layout: generation trees
@@ -1705,6 +1765,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .reduce(_ + _)
       violations(col("pq_code") =!= recomputed)
     }.getOrElse(unconfigured)
+    // skip-index health, computed driver-side from listings (it is
+    // metadata, not rows): shards whose recorded fingerprint no longer
+    // matches the live file set; -1 = no index present
+    val skipStale: Long = try {
+      val fs = fsOfRoot
+      readSkipIndex(fs) match {
+        case None => -1L
+        case Some(idx) =>
+          liveShardFiles(fs, readState()).count { case (v, fl) =>
+            !idx.get(v).exists(
+              _._1 == graft.operators.SkipIndex.fingerprint(fl))
+          }.toLong
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
     // functions.count is shadowed by Lake.count() inside this class
     val rowsAgg = org.apache.spark.sql.functions.count(lit(1))
     df.agg(
@@ -1715,6 +1789,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       badPq.as("bad_pq"),
       violations(coalesce(size(col("vector")), lit(-1)) =!= cfg.dim)
         .as("bad_dim"))
+      .withColumn("skip_stale", lit(skipStale))
   }
 
   /** Test/tooling hook: the current generation's subtree path (appends

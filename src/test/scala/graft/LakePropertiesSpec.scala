@@ -59,7 +59,7 @@ class LakePropertiesSpec extends SparkSpec {
         s"model-only: ${(model.keySet -- got.keySet).take(5)})")
     }
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(10) match {
+      val op = rng.nextInt(13) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           lake.ingest(rows.toDF("id", "vector", "document"))
@@ -90,7 +90,29 @@ class LakePropertiesSpec extends SparkSpec {
           "upsert"
         case 7 => lake.compact(); "compact"
         case 8 => lake.compactIncremental(maxFilesPerShard = 2); "compactIncremental"
-        case _ => lake.vacuum(); "vacuum"
+        case 9 => lake.vacuum(); "vacuum"
+        case 10 =>
+          if (lake.exists()) lake.buildSkipIndex()
+          "buildSkipIndex"
+        case 11 =>
+          // deleteIds of a random existing sample + one absent id —
+          // exercises the skip-index-bounded discovery whenever a prior
+          // step built an index (fresh or stale, both must be exact)
+          val sample = rng.shuffle(model.keySet.toList).take(rng.nextInt(4))
+          val deleted = lake.deleteIds(sample :+ "no-such-id")
+          assert(deleted === sample.size.toLong, s"step $step deleteIds count")
+          model --= sample
+          "deleteIds"
+        case _ =>
+          // lookup through whatever index state the sequence produced,
+          // checked against the model
+          val present = rng.shuffle(model.keySet.toList).take(2)
+          val got = lake.lookup(present :+ "absent-id")
+            .select("id", "document").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toSet
+          assert(got === present.map(id => id -> model(id)._2).toSet,
+            s"step $step lookup")
+          "lookup"
       }
       check(s"step $step: $op")
     }

@@ -113,15 +113,60 @@ class SkipIndexSpec extends SparkSpec {
     assert(lake.deleteIds(Seq("id-99")) === 1L)
   }
 
-  test("maintenance invalidates by fingerprint: post-compact probes are exact") {
-    val lake = mkLake("compact")
+  test("maintenance REFRESHES the index: post-rewrite probes still skip") {
+    val lake = mkLake("refresh")
+    lake.buildSkipIndex(fpp = 0.001)
+    assert(lake.deleteIds(Seq("id-10")) === 1L)
+    // the rewrite refreshed the touched shard's sketch in place:
+    // zero stale shards, and the point-read still prunes
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    val totalShards = lake.read().select("shard").distinct().count()
+    val scanned = scannedShards(lake.lookup(Seq("id-57")))
+    assert(scanned.nonEmpty && scanned.size < totalShards)
+    lake.upsert(Seq(("id-57", Seq(2f, 0f, 0f, 0f, 0f), "v2"))
+      .toDF("id", "vector", "document"))
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    // full compact rewrites every shard -> full refresh
+    lake.compact()
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    val scanned2 = scannedShards(lake.lookup(Seq("id-57")))
+    assert(scanned2.nonEmpty && scanned2.size < totalShards)
+    assert(lake.lookup(Seq("id-57")).head().getAs[String]("document") === "v2")
+  }
+
+  test("validate reports index health: -1 absent, 0 fresh, appends count") {
+    val lake = mkLake("health")
+    assert(lake.validate().head().getAs[Long]("skip_stale") === -1L)
     lake.buildSkipIndex()
-    lake.compact() // every shard moves generations -> every sketch stale
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    lake.ingest(Seq(("x1", Seq(1f, 1f, 1f, 1f, 1f), "x"))
+      .toDF("id", "vector", "document"))
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 1L)
+  }
+
+  test("a missed refresh (crash window) leaves a stale index: probes exact") {
+    val lake = mkLake("crashwin")
+    lake.buildSkipIndex()
+    val fs = new Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val skip = new Path(lake.cfg.location, "_skip")
+    val saved = new Path(s"${lake.cfg.location}__savedskip")
+    org.apache.hadoop.fs.FileUtil.copy(fs, skip, fs, saved, false,
+      spark.sparkContext.hadoopConfiguration)
+    lake.compact()
+    // simulate a crash between the maintenance commit and its index
+    // refresh: the PRE-compact index is what's on disk
+    fs.delete(skip, true)
+    fs.rename(saved, skip)
+    val audit = lake.validate().head()
+    assert(audit.getAs[Long]("skip_stale") > 0L) // loudly visible
+    // every fingerprint mismatches -> every probe exact, nothing wrong
     assert(lake.lookup(Seq("id-42")).count() === 1L)
+    assert(lake.deleteIds(Seq("id-42")) === 1L)
     // rebuilding restores skipping
     assert(lake.buildSkipIndex(fpp = 0.001) > 0L)
     val totalShards = lake.read().select("shard").distinct().count()
-    val scanned = scannedShards(lake.lookup(Seq("id-42")))
+    val scanned = scannedShards(lake.lookup(Seq("id-7")))
     assert(scanned.nonEmpty && scanned.size < totalShards)
   }
 }
