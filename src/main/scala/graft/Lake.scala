@@ -388,13 +388,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // `_spark_metadata` dir here, so the maintenance guard refuses
     // from stream START, not from batch 0's commit; the sink's
     // metadata log happily adopts the pre-existing empty dir.
-    val sinkPath = withWriterLock("ingestStream-start") {
+    val (sinkPath, pinnedMeta) = withWriterLock("ingestStream-start") {
       val st = readState()
       writeState(st)
       val p = genPath(st.generation)
       val fs = fsOfRoot
-      fs.mkdirs(new org.apache.hadoop.fs.Path(p, "_spark_metadata"))
-      p.toString
+      val meta = new org.apache.hadoop.fs.Path(p, "_spark_metadata")
+      // remember whether THIS call created the pin: a pre-existing
+      // manifest (a restarted stream, possibly with committed batches)
+      // must never be rolled back by our failure path below
+      val created = !fs.exists(meta)
+      if (created) fs.mkdirs(meta)
+      (p.toString, if (created) Some(meta) else None)
     }
     import org.apache.spark.sql.streaming.StreamingQueryListener
     // registered BEFORE start() so batch 0's progress event can't slip
@@ -430,7 +435,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .trigger(trigger)
         .start()
       catch { case t: Throwable =>
-        spark.streams.removeListener(stamper); throw t }
+        spark.streams.removeListener(stamper)
+        // a failed start() must not leave the pin behind: an EMPTY
+        // streaming manifest in the live tree would hide every
+        // current-generation row from read() (the branch honors it)
+        // and refuse maintenance forever. Remove only the dir this
+        // call created, only while still empty, under the lock;
+        // best-effort — the start failure is the error that matters
+        try pinnedMeta.foreach { m =>
+          withWriterLock("ingestStream-unpin") {
+            val fs = fsOfRoot
+            if (fs.exists(m) && fs.listStatus(m).isEmpty) {
+              fs.delete(m, false); ()
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw t }
     query
   }
 
@@ -1231,7 +1251,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // old-version probe, skip-index pruned when one is fresh: the exact
     // semi-join below kills bloom false positives, so the discovered
     // shard set is identical — only the files READ to discover it shrink
-    val probe = skipCandidates(newDerived.select("id")) match {
+    val probe = {
+      val fs = fsOfRoot
+      val entries = listRoot(fs)
+      skipCandidates(newDerived.select("id"),
+        readStateFrom(fs, entries), entries)
+    } match {
       case Some(c) if c.isEmpty => None // no stored shard can hold these ids
       case Some(c) => Some(read().where(affectedPartPred(c)))
       case None => Some(read())
@@ -1274,8 +1299,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * (FileSystem implementations are thread-safe for reads; s3a
     * documents this). */
   private def liveShardFiles(fs: org.apache.hadoop.fs.FileSystem,
-      st: LakeState): Map[Option[String], Seq[(String, Long)]] = {
-    val entries = liveEntries(st)
+      st: LakeState,
+      only: Option[Set[Option[String]]] = None)
+      : Map[Option[String], Seq[(String, Long)]] = {
+    val all = liveEntries(st)
+    val entries = only match {
+      case Some(vals) => all.filter { case (d, _) =>
+        vals.contains(unescapePartitionValue(d.split("=", 2)(1))) }
+      case None => all
+    }
     if (entries.isEmpty) return Map.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, entries.size))
@@ -1385,8 +1417,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .select("part", "fp", "cnt", "sketch")
       .where(!affected.toSeq.map(v => col("part") <=> lit(v.orNull))
         .reduce(_ || _))
-    val live = liveShardFiles(fs, readState())
-    val affectedLive = live.filter { case (v, _) => affected.contains(v) }
+    // list ONLY the affected directories: kept rows reuse their stored
+    // fingerprints, so the refresh's LIST cost tracks the rewrite's
+    val affectedLive = liveShardFiles(fs, readState(), only = Some(affected))
     val refreshed =
       if (affectedLive.isEmpty) keep // every affected shard fully emptied
       else keep.unionByName(skipRows(
@@ -1406,8 +1439,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * (upsert batches can be arbitrarily large); the Seq overload tests
     * driver-side against the already-collected sketches — a point-read
     * must not pay a Spark job just to decide where to point. */
-  private def skipCandidates(ids: DataFrame): Option[Set[Option[String]]] =
-    skipProbe { sketches =>
+  private def skipCandidates(ids: DataFrame, st: LakeState,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Option[Set[Option[String]]] =
+    skipProbe(st, entries) { sketches =>
       val bc = spark.sparkContext.broadcast(sketches)
       import spark.implicits._
       // one narrow pass over the ids: each task deserializes every
@@ -1435,8 +1469,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         }.distinct().collect().toSet
     }
 
-  private def skipCandidates(ids: Seq[String]): Option[Set[Option[String]]] =
-    skipProbe { sketches =>
+  private def skipCandidates(ids: Seq[String], st: LakeState,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Option[Set[Option[String]]] =
+    skipProbe(st, entries) { sketches =>
       val hashes = ids.map(org.apache.spark.sql.GraftShims.xxhash64String)
       sketches.zipWithIndex.collect { case (b, i) if {
         val bf = org.apache.spark.util.sketch.BloomFilter
@@ -1467,16 +1502,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         (r.getString(1), r.getAs[Array[Byte]]("sketch"))).toMap)
   }
 
-  private def skipProbe(
+  /** `st`/`entries` are the CALLER's resolved state and root listing —
+    * the probe and the scan it prunes must share one snapshot, or an
+    * unlocked [[lookup]] racing a shard-moving upsert could probe the
+    * pre-commit shards and scan the post-commit tree, missing a row
+    * that was live at both instants. */
+  private def skipProbe(st: LakeState,
+      entries: Seq[org.apache.hadoop.fs.FileStatus])(
       hitIdx: Array[Array[Byte]] => Set[Int]): Option[Set[Option[String]]] = {
     val fs = fsOfRoot
     try {
-      if (rootLevelData(fs).nonEmpty) return None
+      if (rootLevelDataFrom(entries).nonEmpty) return None
       val idx = readSkipIndex(fs) match {
         case Some(m) => m
         case None => return None
       }
-      val st = readState()
       val live = liveShardFiles(fs, st)
       if (live.isEmpty) return Some(Set.empty)
       val (fresh, stale) = live.partition { case (v, fl) =>
@@ -1495,11 +1535,19 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * no index, a full exact probe. Identical rows either way. */
   def lookup(ids: Seq[String]): DataFrame = {
     require(ids.nonEmpty, "lookup needs at least one id")
+    routingChecked
+    // ONE state resolution feeds both the candidate probe and the scan:
+    // lookup takes no lock, so resolving twice would let a concurrent
+    // shard-moving upsert slip between them and the pruned scan miss a
+    // row that was live at both instants
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
     val pred = col("id").isin(ids: _*)
-    skipCandidates(ids) match {
-      case Some(c) if c.isEmpty => read().where(lit(false))
-      case Some(c) => read().where(affectedPartPred(c) && pred)
-      case None => read().where(pred)
+    skipCandidates(ids, st, entries) match {
+      case Some(c) if c.isEmpty => readFrom(st, entries).where(lit(false))
+      case Some(c) => readFrom(st, entries).where(affectedPartPred(c) && pred)
+      case None => readFrom(st, entries).where(pred)
     }
   }
 
@@ -1511,7 +1559,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (ids.isEmpty || !exists()) return 0L
     val pred = col("id").isin(ids: _*)
     withWriterLock("deleteIds") {
-      skipCandidates(ids) match {
+      val fs = fsOfRoot
+      val entries = listRoot(fs)
+      skipCandidates(ids, readStateFrom(fs, entries), entries) match {
         case Some(c) if c.isEmpty => 0L
         case Some(c) => deleteWhereImpl(pred, scope = Some(c))
         case None => deleteWhereImpl(pred)
@@ -1679,17 +1729,52 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         (v, fs.getFileStatus(p).getModificationTime,
           (s.live.map(_._2) :+ s.generation).toSet)
       }
+    def tombstone(g: Long) =
+      new org.apache.hadoop.fs.Path(cfg.location, s"_dead.$g")
     def diedWithinWindow(g: Long): Boolean = retainMs > 0L && {
       val lastRef = commits.filter(_._3.contains(g))
         .map(_._1).maxOption.getOrElse(Long.MinValue)
-      commits.collectFirst { case (v, mt, _) if v > lastRef => mt }
-        .exists(deathTime => now - deathTime < retainMs)
+      val byCommit =
+        if (lastRef == Long.MinValue) None
+        else commits.collectFirst { case (v, mt, _) if v > lastRef => mt }
+      byCommit match {
+        case Some(death) => now - death < retainMs
+        case None =>
+          // every commit that knew this generation's death has rotated
+          // out of the retained sidecars. The retained commits' mtimes
+          // are useless as a clock here — steady appends keep rotating
+          // the window, so "oldest retained commit" stays perpetually
+          // recent and the generation would be retained FOREVER. Stamp
+          // a tombstone at first observation instead: an upper bound on
+          // death time (retains longer, never sweeps early) that stops
+          // moving once written.
+          val ts = tombstone(g)
+          if (!fs.exists(ts)) {
+            fs.create(ts, true).close()
+            true // just stamped: the window starts now
+          } else now - fs.getFileStatus(ts).getModificationTime < retainMs
+      }
     }
     var removed = 0L
     fs.listStatus(root).foreach { s =>
       s.getPath.getName match {
         case genDirRe(g) if s.isDirectory && !liveGens.contains(g.toLong)
             && !diedWithinWindow(g.toLong) =>
+          if (fs.delete(s.getPath, true)) removed += 1L
+          fs.delete(tombstone(g.toLong), false) // with its clock, if any
+        case _ => ()
+      }
+    }
+    // orphan tombstones (their generation already swept — e.g. by a
+    // later retainMs=0 run — or never existed): plain cleanup. The
+    // skip-index scratch dir is swept here too — a crash between its
+    // write and its rename strands it, and nothing else removes it.
+    val deadRe = """_dead\.(\d+)""".r
+    fs.listStatus(root).foreach { s =>
+      s.getPath.getName match {
+        case deadRe(g) if s.isFile && !fs.exists(genPath(g.toLong)) =>
+          fs.delete(s.getPath, false); ()
+        case "_skip__tmp" =>
           if (fs.delete(s.getPath, true)) removed += 1L
         case _ => ()
       }

@@ -266,8 +266,11 @@ class PlanSpec extends SparkSpec {
     // PARTITION filter — at 100 TB each branch lists only its routed
     // directory, union or not
     scans.foreach { s =>
+      // require "= <routed>" so an attribute exprId that happens to
+      // collide with the routed number (shard#3 when routed=3) cannot
+      // satisfy the check vacuously
       assert(s.partitionFilters.exists(
-        _.toString.matches(s".*shard.*\\b$routed\\b.*")),
+        _.toString.matches(s".*shard.*=\\s*$routed\\b.*")),
         s"branch scan missing partition filter: ${s.partitionFilters}")
       // and the RESOLVED file list after pruning touches ONLY the
       // routed directory — the actual outcome, not just the predicate

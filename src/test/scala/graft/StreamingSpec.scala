@@ -110,6 +110,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: a failed start() leaves no pin — rows stay visible, maintenance stays allowed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_failpin")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+    lake.ingest(Seq(("a1", Seq(1.0f, 0f, 0f, 0f, 0f), "doc a"))
+      .toDF("id", "vector", "document"))
+    // a BATCH frame has no writeStream: start() throws after the pin
+    // was planted — the failure path must remove the empty manifest,
+    // or every current-generation row vanishes from read() (the branch
+    // honors an empty _spark_metadata) and maintenance is refused
+    // forever on a lake no stream ever wrote to
+    intercept[Exception] {
+      lake.ingestStream(
+        Seq((Seq(0f, 1.0f, 0f, 0f, 0f), "doc b")).toDF("vector", "document"),
+        s"$dir/ckpt")
+    }
+    assert(lake.read().count() === 1L, "pre-existing rows still visible")
+    assert(lake.compact() > 0L, "maintenance not refused")
+    assert(lake.count() === 1L)
+  }
+
   test("ingestStream: present-but-empty metadata map coerces to {id:1} like batch ingest") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_meta")

@@ -63,6 +63,35 @@ class VacuumRetentionSpec extends SparkSpec {
     assert(lake.count() === 16L)
   }
 
+  test("steady commits rotating out the death commit do not retain forever: the tombstone clock takes over") {
+    val (lake, root) = freshLake()
+    seed(lake)
+    assert(lake.compact() > 0L) // gen-1 dies; its death commit is v2
+    // enough further commits to rotate the death commit out of the
+    // retained sidecar window — the steady-append regime in which the
+    // retained commits' mtimes are perpetually recent
+    (0 until 8).foreach { i =>
+      lake.ingest(Seq((s"x$i", Seq(1f, 2f, 3f, 4f, 5f), s"late $i"))
+        .toDF("id", "vector", "document"))
+    }
+    val hour = 60L * 60L * 1000L
+    // first windowed vacuum: no retained commit knows gen-1's death ->
+    // a tombstone is stamped and the generation retained
+    assert(lake.vacuum(retainMs = hour) === 0L)
+    assert(genDirs(root).contains("gen-1"))
+    val ts = new java.io.File(root, "_dead.1")
+    assert(ts.isFile, "tombstone stamped at first observation")
+    // still inside the window on a repeat run: retained, clock unmoved
+    assert(lake.vacuum(retainMs = hour) === 0L)
+    assert(genDirs(root).contains("gen-1"))
+    // age the tombstone past the window: swept, tombstone cleaned up
+    assert(ts.setLastModified(ts.lastModified() - 2L * hour))
+    assert(lake.vacuum(retainMs = hour) >= 1L)
+    assert(!genDirs(root).contains("gen-1"), "tombstone-clocked sweep")
+    assert(!ts.exists, "tombstone removed with its generation")
+    assert(lake.count() === 24L)
+  }
+
   test("readAt stays servable for retained snapshots and the default window remains sweep-now") {
     val (lake, root) = freshLake()
     seed(lake)
