@@ -287,6 +287,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def writeAppend(derived: DataFrame): Unit = {
     routingChecked // never append rows routed under foreign hyperplanes
     val st = readState()
+    // a generation with a sink manifest is STREAM-OWNED: the manifest
+    // governs which files readers see, and it will never name a batch
+    // append's files — writing here would produce committed-but-
+    // invisible rows. [[ingestStream]] rolls a fresh generation when it
+    // starts over batch data; the inverse direction refuses.
+    require(!fsOfRoot.exists(new org.apache.hadoop.fs.Path(
+      genPath(st.generation), "_spark_metadata")),
+      s"refusing batch ingest at ${cfg.location}: the current generation " +
+        "is a streaming sink (its _spark_metadata manifest would not " +
+        "name the appended files, hiding them from every read)")
     derived
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
@@ -390,9 +400,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // metadata log happily adopts the pre-existing empty dir.
     val (sinkPath, pinnedMeta) = withWriterLock("ingestStream-start") {
       val st = readState()
-      writeState(st)
-      val p = genPath(st.generation)
       val fs = fsOfRoot
+      val cur = genPath(st.generation)
+      val metaExisted = fs.exists(
+        new org.apache.hadoop.fs.Path(cur, "_spark_metadata"))
+      // A generation that already holds BATCH data must not become the
+      // sink: the sink's manifest governs which files readers see in
+      // its tree, and it would never name the batch files — every
+      // pre-existing row would vanish from read(). ROLL instead: one
+      // commit keeps every live dir at its existing generation (they
+      // keep reading through the normal older-generation branch) and
+      // opens a fresh generation the manifest is truthfully
+      // authoritative for. A generation that already HAS a manifest is
+      // stream-owned (this is a restart): reuse it, never roll —
+      // the checkpointed sink log continues where it left off.
+      val sinkSt =
+        if (!metaExisted && treeHasData(fs, cur)) {
+          val rolled = LakeState(nextGen(st), liveEntries(st))
+          writeState(rolled)
+          rolled
+        } else { writeState(st); st }
+      val p = genPath(sinkSt.generation)
       val meta = new org.apache.hadoop.fs.Path(p, "_spark_metadata")
       // remember whether THIS call created the pin: a pre-existing
       // manifest (a restarted stream, possibly with committed batches)
@@ -563,9 +591,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // present dir pays the inner listing for data-dir detection
     val curPresent = rootEntries.exists(s =>
       s.isDirectory && s.getPath.getName == cur.getName)
+    // a stream-owned current generation is read with the CANONICAL
+    // schema instead of footer inference: its `_spark_metadata`
+    // manifest governs the file list, and between stream start and
+    // batch 0's commit that list is legitimately EMPTY — inference
+    // would throw "unable to infer schema" at a perfectly healthy
+    // moment, where the truthful answer is an empty slice. The sink
+    // writes exactly withDerived's columns, so no drift can hide here.
+    val curSinkOwned = curPresent && fs.exists(
+      new org.apache.hadoop.fs.Path(cur, "_spark_metadata"))
     val curBranch =
       if (curPresent && treeHasData(fs, cur, knownExists = true))
-        Seq(branch(None, Seq(cur.toString)))
+        Seq(
+          if (curSinkOwned)
+            spark.read
+              .schema(StructType(storedFields :+ StructField(partCol, partType)))
+              .parquet(cur.toString)
+          else branch(None, Seq(cur.toString)))
       else Nil
     val oldBranches = st.live.filter(_._2 != st.generation)
       .groupBy(_._2).toSeq.sortBy(_._1).map { case (g, entries) =>

@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream over batch data: the start ROLLS a generation — batch rows stay visible at every stream phase") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mix")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 4))
+    lake.ingest(Seq(("a1", Seq(1.0f, 0f, 0f, 0f, 0f), "batch doc"))
+      .toDF("id", "vector", "document"))
+    val stream = MemoryStream[(Seq[Float], String)]
+    val q = lake.ingestStream(
+      stream.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    try {
+      // zero streamed batches: the sink's manifest is legitimately
+      // empty — the lake must still read (and still show batch rows),
+      // not throw schema-inference errors or hide the old generation
+      assert(lake.count() === 1L, "batch rows visible pre-batch-0")
+      stream.addData((Seq(0f, 1.0f, 0f, 0f, 0f), "stream doc"))
+      q.processAllAvailable()
+      assert(lake.count() === 2L, "batch + streamed rows both visible")
+    } finally q.stop()
+    val docs = lake.read().select("document").collect()
+      .map(_.getString(0)).toSet
+    assert(docs === Set("batch doc", "stream doc"))
+    // the stream-owned generation refuses batch appends (its manifest
+    // would never name them — they would be committed but invisible)
+    val refused = intercept[IllegalArgumentException] {
+      lake.ingest(Seq(("a2", Seq(0f, 0f, 1.0f, 0f, 0f), "late batch"))
+        .toDF("id", "vector", "document"))
+    }
+    assert(refused.getMessage.contains("streaming sink"))
+  }
+
   test("ingestStream: a failed start() leaves no pin — rows stay visible, maintenance stays allowed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_failpin")
