@@ -238,6 +238,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * One dir name can appear under several generations — a partition
     * rewritten long ago and appended to since has copies in both. */
   private def liveEntries(st: LakeState): Seq[(String, Long)] = {
+    // a SEALED state is manifest-only ([[seal]]): its generation tree
+    // was empty at commit, and anything there now (post-seal appends
+    // before their unsealing commit, or a crashed append's orphans) is
+    // not part of the sealed snapshot
+    if (st.isSealed) return st.live
     val fs = fsOfRoot
     val cur = genPath(st.generation)
     val inCur =
@@ -521,12 +526,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     routingChecked
     val fs = fsOfRoot
     val entries = listRoot(fs)
-    val versions = metaVersionsFrom(entries)
-    val p = versions.collectFirst { case (v, path) if v == version => path }
-      .getOrElse(throw new IllegalArgumentException(
-        s"no sidecar version $version at ${cfg.location} (vacuumed, or never " +
-          s"existed) — available: ${versions.map(_._1).sorted.mkString(", ")}"))
-    val st = parseState(readFully(fs, p))
+    val st = stateAt(version, fs, entries)
     // a vacuumed snapshot must fail loudly, never read back partial or
     // empty: the commit recorded whether its OWN generation tree held
     // data, so that tree being gone is detectably retired regardless of
@@ -552,8 +552,225 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       val stamp = """"last_update"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
       val st = parseState(json)
-      (v, stamp, st.generation, st.live.size.toLong)
-    }.toDF("version", "last_update", "generation", "live_dirs")
+      (v, stamp, st.generation, st.live.size.toLong, st.isSealed)
+    }.toDF("version", "last_update", "generation", "live_dirs", "sealed")
+  }
+
+  /** The newest committed sidecar version — what [[read]] serves and
+    * [[history]]'s last row; None before any write. */
+  def currentVersion(): Option[Long] =
+    metaVersions(fsOfRoot).map(_._1).maxOption
+
+  /** SEAL the live set — the change-feed SYNC POINT: one sidecar commit,
+    * zero data movement, after which the sealed version denotes an
+    * IMMUTABLE row set. The problem it solves: appends land inside the
+    * current generation's tree below commit granularity, so an ordinary
+    * version cannot tell "file present at my commit" from "file
+    * appended after it". Sealing ROLLS the append target to a fresh
+    * generation (every live directory keeps its existing location,
+    * named in the manifest; the data path is untouched), so everything
+    * the sealed version names is a directory no future write can add a
+    * file to — the file-set diff of two sealed versions, or of a sealed
+    * version against the current live set, is EXACT, which is what
+    * [[changesSince]]/[[changesBetween]] ship. [[readAt]] of a sealed
+    * version serves the frozen row set (later appends excluded — unlike
+    * unsealed versions, whose whole-tree-live rule admits them).
+    *
+    * Cost: one sidecar write now; one extra union branch per seal on
+    * later reads until a compact folds the generations back into one.
+    * Sealed sidecars are exempt from the inline version rotation —
+    * consumers hold sync points across arbitrarily many commits — and
+    * are retired only by [[vacuum]] (pass `retainMs` to keep the
+    * consumer window; a swept sync point fails loudly, never reads back
+    * partial). Returns the sealed version number. */
+  def seal(): Long = withWriterLock("seal") {
+    val fs = fsOfRoot
+    val st = readState()
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      genPath(st.generation), "_spark_metadata")),
+      s"refusing to seal ${cfg.location}: the current generation is a " +
+        "streaming sink — its manifest governs file visibility, so a " +
+        "physical freeze would misattribute uncommitted files; stop the " +
+        "stream first")
+    require(rootLevelData(fs).isEmpty,
+      s"refusing to seal ${cfg.location}: root-level (pre-v2/foreign) data " +
+        "present — the manifest does not govern it, so a sealed snapshot " +
+        "could not name it; re-ingest into the generation layout first")
+    if (treeHasData(fs, genPath(st.generation)))
+      writeState(LakeState(nextGen(st), liveEntries(st)), sealedCommit = true)
+    else writeState(LakeState(st.generation, st.live), sealedCommit = true)
+  }
+
+  /** CHANGE FEED — every row the lake gained or lost since the sealed
+    * sync point `version`, reading ONLY changed files: files in this
+    * layout are immutable, never renamed, and deleted only by vacuum,
+    * so (live files now) − (live files at the sync point) holds exactly
+    * the inserted rows and the reverse difference exactly the removed
+    * ones. The cost of a sync tracks what CHANGED, never lake size —
+    * the incremental-consumer contract (downstream tokenizers, index
+    * builds, embedding jobs) at 100 TB.
+    *
+    * `netted = true` (default) cancels rows identical on every stored
+    * byte across the two sides — a row that merely moved files (a
+    * compact, a rewrite's kept rows) vanishes, leaving the true
+    * row-level delta: DELETE WHERE emits exactly the deleted rows,
+    * upsert a delete+insert pair per replaced id, appends plain
+    * inserts, and a pure compact nets to ZERO. The netting anti-joins
+    * shuffle only changed-file rows. `netted = false` skips the joins
+    * and reports raw file-level churn (cheaper; rewrites show their
+    * kept rows on both sides).
+    *
+    * The upper side is the CURRENT live set (a racing in-flight append
+    * may be partially visible, like any read — seal first and use
+    * [[changesBetween]] for a fully reproducible delta). Fails loudly:
+    * unknown version, a version that is not a [[seal]] sync point, or a
+    * sync point whose directories vacuum already swept.
+    *
+    * @return changed rows with the stored columns plus
+    *         `change ∈ {insert, delete}` */
+  def changesSince(version: Long, netted: Boolean = true): DataFrame = {
+    routingChecked
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    require(rootLevelDataFrom(entries).isEmpty,
+      s"changesSince at ${cfg.location} refused: root-level (pre-v2/foreign) " +
+        "data present — the manifest does not govern it")
+    val stOld = stateAt(version, fs, entries)
+    requireSealedSync(version, stOld)
+    val stNew = readStateFrom(fs, entries)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      genPath(stNew.generation), "_spark_metadata")),
+      s"changesSince at ${cfg.location} refused: the current generation is " +
+        "a streaming sink — its manifest governs file visibility, so a " +
+        "physical diff would count uncommitted files; stop the stream first")
+    changeFrame(
+      fileOwners(fs, stOld.live, s"changesSince($version)"),
+      fileOwners(fs, liveEntries(stNew), "changesSince: current state"),
+      netted)
+  }
+
+  /** [[changesSince]] between TWO sealed sync points — both sides
+    * immutable, so the delta is exactly reproducible until vacuum
+    * retires either version: the replayable feed a scheduled downstream
+    * sync wants (`seal()` each cycle, ship `changesBetween(prev, cur)`,
+    * advance). Same columns, netting, cost shape, and loud-failure
+    * contract as [[changesSince]]. */
+  def changesBetween(fromVersion: Long, toVersion: Long,
+      netted: Boolean = true): DataFrame = {
+    routingChecked
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    require(rootLevelDataFrom(entries).isEmpty,
+      s"changesBetween at ${cfg.location} refused: root-level (pre-v2/" +
+        "foreign) data present — the manifest does not govern it")
+    val stFrom = stateAt(fromVersion, fs, entries)
+    requireSealedSync(fromVersion, stFrom)
+    val stTo = stateAt(toVersion, fs, entries)
+    requireSealedSync(toVersion, stTo)
+    changeFrame(
+      fileOwners(fs, stFrom.live, s"changesBetween($fromVersion, _)"),
+      fileOwners(fs, stTo.live, s"changesBetween(_, $toVersion)"),
+      netted)
+  }
+
+  /** State at a specific sidecar version, from an already-taken root
+    * listing; throws for unknown/vacuumed versions (shared by
+    * [[readAt]] and the change feed). */
+  private def stateAt(version: Long, fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): LakeState = {
+    val versions = metaVersionsFrom(entries)
+    val p = versions.collectFirst { case (v, path) if v == version => path }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sidecar version $version at ${cfg.location} (vacuumed, or never " +
+          s"existed) — available: ${versions.map(_._1).sorted.mkString(", ")}"))
+    parseState(readFully(fs, p))
+  }
+
+  private def requireSealedSync(version: Long, st: LakeState): Unit =
+    if (!st.isSealed) throw new IllegalArgumentException(
+      s"version $version at ${cfg.location} is not a sealed sync point — " +
+        "its generation tree could receive appends after the commit, so a " +
+        "file diff against it cannot attribute them; take change-feed sync " +
+        "points with seal()")
+
+  /** Every data file of the given live (escaped-dir, generation)
+    * entries, as file-path → owning generation. One LIST per directory
+    * from a bounded pool (the [[liveShardFiles]] object-store
+    * discipline). A named directory that is gone means vacuum swept
+    * past the sync point — loud, never a partial delta. */
+  private def fileOwners(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[(String, Long)], context: String): Map[String, Long] = {
+    val uniq = dirs.distinct
+    if (uniq.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, uniq.size))
+    try {
+      uniq.map { case (d, g) =>
+        val p = new org.apache.hadoop.fs.Path(genPath(g), d)
+        g -> pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            try fs.listStatus(p).toSeq
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(_.getPath.toString)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                throw new IllegalStateException(
+                  s"$context at ${cfg.location}: live directory $p is no " +
+                    "longer on disk — vacuum has swept past this sync " +
+                    "point (see vacuum(retainMs) for the consumer window)")
+            }
+        })
+      }.flatMap { case (g, f) =>
+        (try f.get()
+         catch {
+           case e: java.util.concurrent.ExecutionException => throw e.getCause
+         }).map(_ -> g)
+      }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** Read an explicit file set with the canonical schema, one branch
+    * per owning generation so partition values resolve against the
+    * right basePath. Only these files are opened — the change feed's
+    * cost contract. */
+  private def readFileSlice(files: Map[String, Long]): DataFrame = {
+    val partType =
+      if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
+    val full = StructType(storedFields :+ StructField(partCol, partType))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    files.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, fm) =>
+      spark.read.option("basePath", genPath(g).toString).schema(full)
+        .parquet(fm.keys.toSeq.sorted: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Assemble the change frame from the two resolved file→generation
+    * maps: rows of files only the new side holds are inserts, rows of
+    * files only the old side holds are deletes; `netted` cancels
+    * byte-identical rows across the two (metadata compared as sorted
+    * entries — maps are not join keys). */
+  private def changeFrame(oldFiles: Map[String, Long],
+      newFiles: Map[String, Long], netted: Boolean): DataFrame = {
+    val ins = readFileSlice(newFiles -- oldFiles.keySet)
+    val del = readFileSlice(oldFiles -- newFiles.keySet)
+    val out =
+      if (!netted)
+        ins.withColumn("change", lit("insert"))
+          .unionByName(del.withColumn("change", lit("delete")))
+      else {
+        def prep(df: DataFrame): DataFrame =
+          df.withColumn("_mcmp", array_sort(map_entries(col("metadata"))))
+        val li = prep(ins); val rd = prep(del)
+        val keys = (storedCols.filterNot(_ == "metadata") :+ partCol) :+ "_mcmp"
+        val cond = keys.map(k => li(k) <=> rd(k)).reduce(_ && _)
+        li.join(rd, cond, "left_anti").withColumn("change", lit("insert"))
+          .unionByName(
+            rd.join(li, cond, "left_anti").withColumn("change", lit("delete")))
+      }
+    out.select((storedCols.map(col) :+ col(partCol) :+ col("change")): _*)
   }
 
   private def readFrom(st: LakeState,
@@ -587,9 +804,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       else raw
     }
     val cur = genPath(st.generation)
-    // the root listing already says whether the gen dir exists; only a
-    // present dir pays the inner listing for data-dir detection
-    val curPresent = rootEntries.exists(s =>
+    // a SEALED state is manifest-only by contract ([[seal]]): its
+    // generation tree was empty at commit, and anything in it NOW is a
+    // later append (or an in-flight write racing this read) that the
+    // sync point must not serve — the frozen-snapshot semantics the
+    // change feed diffs against
+    val curPresent = !st.isSealed && rootEntries.exists(s =>
       s.isDirectory && s.getPath.getName == cur.getName)
     // a stream-owned current generation is read with the CANONICAL
     // schema instead of footer inference: its `_spark_metadata`
@@ -2034,7 +2254,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // manifest-only snapshots; absent field = no vacuumed-snapshot check
     val genHasData = """"gen_has_data"\s*:\s*(true|false)""".r
       .findFirstMatchIn(json).map(_.group(1) == "true")
-    LakeState(gen, live, genHasData)
+    val isSealed = """"sealed"\s*:\s*true""".r.findFirstIn(json).isDefined
+    LakeState(gen, live, genHasData, isSealed)
   }
 
   /** Best-effort `last_update` stamp for the streaming path. The
@@ -2052,8 +2273,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   /** Commit `st` (and refresh `last_update`): create sidecar version
     * latest+1. Every caller holds the writer lock (maintenance ops,
     * appends, and the streaming stamp via [[stampQuietly]]), so the
-    * read-modify-write of the state is serialized. */
-  private def writeState(st: LakeState): Unit = {
+    * read-modify-write of the state is serialized. Returns the version
+    * written. `sealedCommit` marks the version as a [[seal]] sync point
+    * — exempt from the inline rotation below (only [[vacuum]] retires
+    * sync points), and resolved manifest-only by readers. */
+  private def writeState(st: LakeState, sealedCommit: Boolean = false): Long = {
     val fs = fsOfRoot
     val versions = metaVersions(fs)
     val latest = if (versions.isEmpty) 0L else versions.map(_._1).max
@@ -2061,6 +2285,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
     val seedField =
       if (cfg.partitionKey.isEmpty) s""", "lsh_seed": ${cfg.seed}""" else ""
+    val sealedField = if (sealedCommit) s""", "sealed": true""" else ""
     val liveField = st.live
       .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }
       .mkString("[", ", ", "]")
@@ -2069,7 +2294,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // "snapshot of an empty/manifest-only lake" apart from "snapshot
     // whose own generation was vacuumed"
     val genHasData = treeHasData(fs, genPath(st.generation))
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$sealedField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     var v = latest + 1
     var done = false
     while (!done) {
@@ -2083,9 +2308,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
       }
     }
-    // sweep far-superseded versions; keep a few for in-flight readers
+    // sweep far-superseded versions; keep a few for in-flight readers.
+    // SEALED versions are exempt: they are the change-feed's sync
+    // points, and consumers hold them across arbitrarily many commits —
+    // only the operator-invoked vacuum() retires them.
     versions.filter(_._1 < v - keptMetaVersions)
+      .filterNot { case (_, p) =>
+        try parseState(readFully(fs, p)).isSealed
+        catch { case scala.util.control.NonFatal(_) => false } }
       .foreach(p => fs.delete(p._2, false))
+    v
   }
 
   private def readMetaSidecar(): Option[String] = {
@@ -2191,7 +2423,8 @@ object Lake {
     * rewrite + later appends). */
   private[graft] final case class LakeState(
       generation: Long, live: Seq[(String, Long)],
-      genHasData: Option[Boolean] = None)
+      genHasData: Option[Boolean] = None,
+      isSealed: Boolean = false)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

@@ -412,6 +412,80 @@ object CurationQueries {
              FROM embeddings WHERE vec_id IN (7, 42, 123, 321, 499)
              ORDER BY id"""))
 
+  /** CHANGE FEED round-trip ([[graft.Lake.seal]]/[[graft.Lake
+    * .changesSince]]): ingest with caller ids, seal a sync point, then
+    * run the full mutation mix — DELETE WHERE every 5th id, an upsert
+    * that negate-replaces ids < 40 and inserts 20 fresh ids, and a late
+    * append batch — and read the netted delta. The oracle knows nothing
+    * about files or generations: it reconstructs the logical
+    * inserted/deleted row sets straight from the source table —
+    * equality proves the file-set diff reports exactly the true
+    * row-level changes (rewritten-but-identical rows net out; the
+    * replaced id surfaces as its delete+insert pair with the negated
+    * vector on the insert side). The incremental-consumer contract:
+    * a downstream sync reads only what changed, never the lake. */
+  val qChangeFeed = Q(
+    "q_change_feed",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_changes_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val emb = Tables.embeddings(s, dir)
+      lake.ingest(emb.where(col("vec_id") < 300)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      val sync = lake.seal()
+      lake.deleteWhere(col("id").cast("long") % 5 === 0)
+      val replace = emb.where(col("vec_id") < 40 && col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").cast("string").as("id"),
+          transform(col("embedding"), x => -x).as("vector"),
+          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+      val fresh = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("new-"), col("vec_id")).as("document"))
+      lake.upsert(replace.unionByName(fresh))
+      lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      lake.changesSince(sync)
+        .select(col("change"), col("id"),
+          V.round6z(element_at(col("vector"), 1).cast("double")).as("v1"),
+          col("document"))
+        .orderBy("change", "id")
+    },
+    Some(s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+             del AS (
+               SELECT 'delete' AS change, CAST(vec_id AS VARCHAR) AS id,
+                      ${V.sqlRound6z("embedding[1]::DOUBLE")} AS v1,
+                      'doc-' || vec_id AS document
+               FROM src WHERE vec_id % 5 = 0
+               UNION ALL
+               SELECT 'delete', CAST(vec_id AS VARCHAR),
+                      ${V.sqlRound6z("embedding[1]::DOUBLE")},
+                      'doc-' || vec_id
+               FROM src WHERE vec_id < 40 AND vec_id % 5 != 0),
+             ins AS (
+               SELECT 'insert' AS change, CAST(vec_id AS VARCHAR) AS id,
+                      ${V.sqlRound6z("-(embedding[1]::DOUBLE)")} AS v1,
+                      'doc-' || vec_id || '-v2' AS document
+               FROM src WHERE vec_id < 40 AND vec_id % 5 != 0
+               UNION ALL
+               SELECT 'insert', CAST(vec_id + 1000000 AS VARCHAR),
+                      ${V.sqlRound6z("embedding[1]::DOUBLE")},
+                      'new-' || vec_id
+               FROM embeddings WHERE vec_id < 20
+               UNION ALL
+               SELECT 'insert', CAST(vec_id AS VARCHAR),
+                      ${V.sqlRound6z("embedding[1]::DOUBLE")},
+                      'doc-' || vec_id
+               FROM embeddings WHERE vec_id >= 300 AND vec_id < 350)
+             SELECT * FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
+             ORDER BY change, id"""))
+
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
     * 127/max|v|, q = round(v·scale), plus the reconstruction-error
@@ -638,6 +712,6 @@ object CurationQueries {
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
-    qSkipLookup, qTfidf,
+    qSkipLookup, qChangeFeed, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change feed over the generation layout: [[Lake.seal]] freezes the
+  * live set into an immutable sync point (one sidecar commit, zero data
+  * movement), and [[Lake.changesSince]]/[[Lake.changesBetween]] diff
+  * the resolved file sets — files are immutable and never renamed, so
+  * the diff is exact, and ONLY changed files are read (pinned below via
+  * inputFiles). Netting cancels byte-identical rows across the two
+  * sides, so row-level semantics come out right: appends → inserts,
+  * DELETE WHERE → exactly the deleted rows, upsert → delete+insert per
+  * replaced id, pure compact → zero. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLake(tag: String): Lake = {
+    val dir = Files.createTempDirectory(s"graft_cf_$tag").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 4, numHashes = 2))
+  }
+
+  private def rows(ids: Range): DataFrame =
+    ids.map(i => (i.toString, Seq(i.toFloat, 1f, -i.toFloat, 0.5f), s"doc-$i"))
+      .toDF("id", "vector", "document")
+
+  private def ids(df: DataFrame, change: String): Seq[String] =
+    df.where(col("change") === change).select("id").as[String]
+      .collect().sorted.toSeq
+
+  test("appends since a seal are exactly the insert delta") {
+    val lake = mkLake("append")
+    lake.ingest(rows(0 until 30))
+    val v = lake.seal()
+    lake.ingest(rows(100 until 120))
+    for (netted <- Seq(true, false)) {
+      val ch = lake.changesSince(v, netted)
+      assert(ids(ch, "delete").isEmpty)
+      assert(ids(ch, "insert") === (100 until 120).map(_.toString).sorted)
+    }
+  }
+
+  test("deleteWhere: netted delta is exactly the deleted rows; raw shows rewrite churn") {
+    val lake = mkLake("del")
+    lake.ingest(rows(0 until 60))
+    val v = lake.seal()
+    assert(lake.deleteWhere(col("id").cast("long") % 3 === 0) === 20L)
+    val ch = lake.changesSince(v)
+    assert(ids(ch, "delete") ===
+      (0 until 60).filter(_ % 3 == 0).map(_.toString).sorted)
+    assert(ids(ch, "insert").isEmpty)
+    // raw file-level mode reports the kept rows of rewritten dirs on
+    // both sides (the netting is what cancels them)
+    val raw = lake.changesSince(v, netted = false)
+    assert(raw.where(col("change") === "insert").count() > 0L)
+  }
+
+  test("only changed files are read: a one-shard delete never opens other shards") {
+    val lake = mkLake("pruned")
+    lake.ingest(rows(0 until 60))
+    val v = lake.seal()
+    assert(lake.deleteIds(Seq("1")) === 1L)
+    val routed = lake.lsh.shardOf(Seq(1.0, 1.0, -1.0, 0.5))
+    val opened = lake.changesSince(v).inputFiles
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.contains(s"shard=$routed")),
+      s"read outside the rewritten shard: ${opened.mkString(", ")}")
+  }
+
+  test("upsert: replaced id is a delete+insert pair, fresh id an insert") {
+    val lake = mkLake("upsert")
+    lake.ingest(rows(0 until 40))
+    val v = lake.seal()
+    lake.upsert(Seq(
+      ("7", Seq(-7f, -1f, 7f, -0.5f), "doc-7-v2"),
+      ("9999", Seq(1f, 2f, 3f, 4f), "fresh")).toDF("id", "vector", "document"))
+    val ch = lake.changesSince(v)
+    assert(ch.where(col("change") === "delete")
+      .select("id", "document").as[(String, String)].collect().toSeq ===
+      Seq(("7", "doc-7")))
+    assert(ids(ch, "insert") === Seq("7", "9999"))
+  }
+
+  test("a pure compact nets to zero; changesBetween two seals stays reproducible") {
+    val lake = mkLake("compact")
+    lake.ingest(rows(0 until 50))
+    val v1 = lake.seal()
+    lake.compact()
+    val v2 = lake.seal()
+    assert(lake.changesSince(v1).count() === 0L)
+    assert(lake.changesSince(v1, netted = false).count() > 0L) // churn visible raw
+    assert(lake.changesBetween(v1, v2).count() === 0L)
+    lake.ingest(rows(200 until 210))
+    // the between-seals delta is frozen even as the lake moves on
+    assert(lake.changesBetween(v1, v2).count() === 0L)
+    assert(ids(lake.changesSince(v2), "insert") ===
+      (200 until 210).map(_.toString).sorted)
+  }
+
+  test("seal leaves live rows unchanged; readAt(sealed) is frozen against later appends") {
+    val lake = mkLake("frozen")
+    lake.ingest(rows(0 until 25))
+    val before = lake.read().select("id").as[String].collect().sorted
+    val v = lake.seal()
+    assert(lake.read().select("id").as[String].collect().sorted === before)
+    assert(lake.topKExact(Seq(1.0, 1.0, -1.0, 0.5), 3).count() === 3L)
+    lake.ingest(rows(500 until 505))
+    assert(lake.readAt(v).select("id").as[String].collect().sorted === before)
+    assert(lake.read().count() === 30L)
+  }
+
+  test("refusals: unsealed version, unknown version, vacuumed sync point") {
+    val lake = mkLake("refuse")
+    lake.ingest(rows(0 until 20))
+    val unsealed = lake.currentVersion().get
+    val e = intercept[IllegalArgumentException](lake.changesSince(unsealed))
+    assert(e.getMessage.contains("seal()"))
+    intercept[IllegalArgumentException](lake.changesSince(999L))
+    val v = lake.seal()
+    lake.compact() // v's directories become dead…
+    lake.vacuum()  // …and the sweep retires them (retainMs = 0)
+    val gone = intercept[IllegalStateException](lake.changesSince(v))
+    assert(gone.getMessage.contains("vacuum"))
+  }
+
+  test("sealed sidecars survive the inline version rotation") {
+    val lake = mkLake("rotate")
+    lake.ingest(rows(0 until 10))
+    val v = lake.seal()
+    (0 until 8).foreach(i =>
+      lake.ingest(rows(100 + 10 * i until 100 + 10 * i + 5)))
+    val sealedVersions = lake.history().where(col("sealed"))
+      .select("version").as[Long].collect()
+    assert(sealedVersions.contains(v))
+    assert(lake.changesSince(v).where(col("change") === "insert").count() === 40L)
+  }
+}

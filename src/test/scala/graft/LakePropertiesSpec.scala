@@ -58,8 +58,10 @@ class LakePropertiesSpec extends SparkSpec {
         s"(lake-only: ${(got.keySet -- model.keySet).take(5)}, " +
         s"model-only: ${(model.keySet -- got.keySet).take(5)})")
     }
+    // change-feed sync point taken mid-sequence: (version, model at seal)
+    var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(13) match {
+      val op = rng.nextInt(15) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           lake.ingest(rows.toDF("id", "vector", "document"))
@@ -103,7 +105,7 @@ class LakePropertiesSpec extends SparkSpec {
           assert(deleted === sample.size.toLong, s"step $step deleteIds count")
           model --= sample
           "deleteIds"
-        case _ =>
+        case 12 =>
           // lookup through whatever index state the sequence produced,
           // checked against the model
           val present = rng.shuffle(model.keySet.toList).take(2)
@@ -113,6 +115,42 @@ class LakePropertiesSpec extends SparkSpec {
           assert(got === present.map(id => id -> model(id)._2).toSet,
             s"step $step lookup")
           "lookup"
+        case 13 =>
+          sync = Some(lake.seal() -> model)
+          "seal"
+        case _ =>
+          // replay the change feed from the last sync point over that
+          // moment's model: the result must be exactly today's model —
+          // deletes must name rows the snapshot held, byte-for-byte
+          sync.foreach { case (v, snap) =>
+            try {
+              val delta = lake.changesSince(v)
+                .select("change", "id", "vector", "document").collect()
+                .map(r => (r.getString(0), r.getString(1),
+                  r.getAs[scala.collection.Seq[Float]]("vector").toSeq,
+                  r.getString(3)))
+              var replay = snap
+              delta.filter(_._1 == "delete").foreach { case (_, id, vec, doc) =>
+                assert(replay.get(id).contains((vec, doc)),
+                  s"step $step: change feed deleted a row the sync point never held: $id")
+                replay -= id
+              }
+              delta.filter(_._1 == "insert").foreach { case (_, id, vec, doc) =>
+                replay += id -> ((vec, doc))
+              }
+              assert(replay === model,
+                s"step $step: replaying the change feed from the sync point diverged")
+            } catch {
+              // a vacuum in the sequence may legally retire the sync
+              // point (dirs swept, or its sidecar rotated out) — loud on
+              // use, which is exactly the contract; drop it and re-seal
+              case e: IllegalStateException if e.getMessage.contains("vacuum") =>
+                sync = None
+              case e: IllegalArgumentException if e.getMessage.contains("no sidecar") =>
+                sync = None
+            }
+          }
+          "changesSince replay"
       }
       check(s"step $step: $op")
     }
