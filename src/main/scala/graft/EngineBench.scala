@@ -133,6 +133,10 @@ object EngineBench {
   *    columns) + a rewrite of ONLY the affected directories (flat in n
   *    for a fixed victim set, ~10× at 10× only because each affected
   *    directory is itself 10× bigger).
+  *  - `changes_files`: the netted change feed after that one-shard
+  *    delete opens only the affected shard's old+new files — flat in n
+  *    (the downstream-sync contract: cost tracks what changed, never
+  *    lake size).
   *  - `compact_inc_sec`: [[Lake.compactIncremental]] after the delete —
   *    nothing else is fragmented, so its cost tracks the affected-shard
   *    bytes, NOT the lake size (the incremental-compact contract).
@@ -210,7 +214,20 @@ object ScaleBench {
       val routed = lake.lsh.shardOf(q)
       val victims = lake.read().where(col("shard") === routed)
         .select("id").limit(100).collect().map(_.getString(0)).toSeq
+      val syncV = lake.seal()
       val (tDel, deleted) = time(lake.deleteWhere(col("id").isin(victims: _*)))
+      // change-feed slope: the netted delta after a one-shard delete must
+      // OPEN only that shard's old+new files — a downstream sync costs
+      // O(changed files), never a lake re-scan (the files count is the
+      // honest quantity; seconds are job-overhead-dominated here).
+      // inputFiles is exact here — the delta plan is built from explicit
+      // changed-file lists (filesScanned's plan walk would miss scans
+      // behind the netting joins' AQE wrapper)
+      val (tChanges, filesChanged) = time {
+        val ch = lake.changesSince(syncV)
+        ch.count()
+        ch.inputFiles.distinct.length.toLong
+      }
       // fragment exactly one shard (6 tiny same-vector appends), then
       // incremental compact must rewrite only it
       import spark.implicits._
@@ -227,6 +244,7 @@ object ScaleBench {
         s""""lookup_skip_sec":${f"$tLookupSkip%.3f"},"lookup_skip_files":$filesSkip,""" +
         s""""lookup_full_sec":${f"$tLookupFull%.3f"},"lookup_full_files":$filesFull,""" +
         s""""delete_where_sec":${f"$tDel%.3f"},"deleted":$deleted,""" +
+        s""""changes_sec":${f"$tChanges%.3f"},"changes_files":$filesChanged,""" +
         s""""compact_inc_sec":${f"$tCompactInc%.3f"},"shards_rewritten":$rewritten}""")
       lake.delete()
     }

@@ -107,6 +107,28 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("change feed round-trips on a non-file: FS: seal, mutate, netted delta") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 4, numHashes = 2))
+      lake.ingest((0 until 30)
+        .map(i => (i.toString, Seq(i.toFloat, 1f, -i.toFloat, 0.5f), s"doc-$i"))
+        .toDF("id", "vector", "document"))
+      val sync = lake.seal()
+      assert(lake.deleteWhere(col("id").cast("long") % 3 === 0) === 10L)
+      lake.ingest(Seq(("100", Seq(1f, 2f, 3f, 4f), "late"))
+        .toDF("id", "vector", "document"))
+      val ch = lake.changesSince(sync)
+      // every file the delta opened is addressed through the bucket scheme
+      assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(_.startsWith("bucket:")))
+      val deleted = ch.where(col("change") === "delete")
+        .select("id").as[String].collect().sorted
+      assert(deleted === (0 until 30).filter(_ % 3 == 0).map(_.toString).sorted.toArray)
+      assert(ch.where(col("change") === "insert")
+        .select("id").as[String].collect().toSeq === Seq("100"))
+      lake.delete()
+    }
+  }
+
   test("skip index round-trips on a non-file: FS: build, pruned lookup, maintenance refresh") {
     withBucketFs { root =>
       val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 5, numHashes = 4))
