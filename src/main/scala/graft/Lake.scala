@@ -584,6 +584,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * consumer window; a swept sync point fails loudly, never reads back
     * partial). Returns the sealed version number. */
   def seal(): Long = withWriterLock("seal") {
+    routingChecked // seal re-stamps the sidecar: never under a foreign config
+    requirePqModelMatch()
     val fs = fsOfRoot
     val st = readState()
     require(!fs.exists(new org.apache.hadoop.fs.Path(
@@ -657,6 +659,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * contract as [[changesSince]]. */
   def changesBetween(fromVersion: Long, toVersion: Long,
       netted: Boolean = true): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween($fromVersion, $toVersion): from must not exceed to — " +
+        "a swapped pair would return a plausible-looking INVERTED delta " +
+        "(inserts reported as deletes) with no other symptom")
     routingChecked
     val fs = fsOfRoot
     val entries = listRoot(fs)
@@ -699,36 +705,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * discipline). A named directory that is gone means vacuum swept
     * past the sync point — loud, never a partial delta. */
   private def fileOwners(fs: org.apache.hadoop.fs.FileSystem,
-      dirs: Seq[(String, Long)], context: String): Map[String, Long] = {
-    val uniq = dirs.distinct
-    if (uniq.isEmpty) return Map.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, uniq.size))
-    try {
-      uniq.map { case (d, g) =>
-        val p = new org.apache.hadoop.fs.Path(genPath(g), d)
-        g -> pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-          def call(): Seq[String] =
-            try fs.listStatus(p).toSeq
-              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-                !s.getPath.getName.startsWith("."))
-              .map(_.getPath.toString)
-            catch {
-              case _: java.io.FileNotFoundException =>
-                throw new IllegalStateException(
-                  s"$context at ${cfg.location}: live directory $p is no " +
-                    "longer on disk — vacuum has swept past this sync " +
-                    "point (see vacuum(retainMs) for the consumer window)")
-            }
-        })
-      }.flatMap { case (g, f) =>
-        (try f.get()
-         catch {
-           case e: java.util.concurrent.ExecutionException => throw e.getCause
-         }).map(_ -> g)
-      }.toMap
-    } finally pool.shutdown()
-  }
+      dirs: Seq[(String, Long)], context: String): Map[String, Long] =
+    mapDirsPooled(dirs.distinct) { (d, g) =>
+      val p = new org.apache.hadoop.fs.Path(genPath(g), d)
+      try dataFilesIn(fs, p).map(_.getPath.toString -> g)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"$context at ${cfg.location}: live directory $p is no " +
+              "longer on disk — vacuum has swept past this sync " +
+              "point (see vacuum(retainMs) for the consumer window)")
+      }
+    }.flatten.toMap
 
   /** Read an explicit file set with the canonical schema, one branch
     * per owning generation so partition values resolve against the
@@ -1570,22 +1558,41 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         vals.contains(unescapePartitionValue(d.split("=", 2)(1))) }
       case None => all
     }
-    if (entries.isEmpty) return Map.empty
+    mapDirsPooled(entries) { (d, g) =>
+      unescapePartitionValue(d.split("=", 2)(1)) ->
+        dataFilesIn(fs, new org.apache.hadoop.fs.Path(genPath(g), d))
+          .map(s => (s.getPath.toString, s.getLen))
+    }.groupBy(_._1).map { case (v, xs) => v -> xs.flatMap(_._2) }
+  }
+
+  /** Data files of one directory (markers and hidden files excluded). */
+  private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq.filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+
+  /** Run `per(dir, gen)` for each entry from a bounded thread pool —
+    * one object-store LIST per directory is a round trip, and serial
+    * LISTs would pay |dirs| of them end to end (FileSystem reads are
+    * thread-safe; s3a documents this). ExecutionExceptions are
+    * unwrapped so callers see the real cause. Shared by the skip-index
+    * and change-feed listing paths. */
+  private def mapDirsPooled[A](dirs: Seq[(String, Long)])(
+      per: (String, Long) => A): Seq[A] = {
+    if (dirs.isEmpty) return Nil
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, entries.size))
+      math.min(16, dirs.size))
     try {
-      entries.map { case (d, g) =>
-        val v = unescapePartitionValue(d.split("=", 2)(1))
-        v -> pool.submit(new java.util.concurrent.Callable[Seq[(String, Long)]] {
-          def call(): Seq[(String, Long)] =
-            fs.listStatus(new org.apache.hadoop.fs.Path(genPath(g), d)).toSeq
-              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-                !s.getPath.getName.startsWith("."))
-              .map(s => (s.getPath.toString, s.getLen))
+      dirs.map { case (d, g) =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = per(d, g)
         })
-      }.groupBy(_._1).map { case (v, xs) =>
-        v -> xs.flatMap(_._2.get())
-      }
+      }.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
     } finally pool.shutdown()
   }
 
@@ -1983,8 +1990,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val now = System.currentTimeMillis()
     // The commit clock for the retention window: every retained sidecar
     // as (version, mtime, generations it references). Bounded work —
-    // at most keptMetaVersions+1 small files, read once per sweep
-    // (the sidecar sweep below reuses it even with no window).
+    // keptMetaVersions+1 small files plus one per retained SEALED sync
+    // point, read once per sweep (the sidecar sweep below reuses it
+    // even with no window; vacuum is operator-invoked, so the
+    // seal-proportional cost sits off every hot path).
     lazy val commits: Seq[(Long, Long, Set[Long])] =
       metaVersions(fs).sortBy(_._1).map { case (v, p) =>
         val s = parseState(readFully(fs, p))
@@ -2311,14 +2320,28 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // sweep far-superseded versions; keep a few for in-flight readers.
     // SEALED versions are exempt: they are the change-feed's sync
     // points, and consumers hold them across arbitrarily many commits —
-    // only the operator-invoked vacuum() retires them.
+    // only the operator-invoked vacuum() retires them. Sealedness is
+    // memoized per version (immutable once written), so a long-lived
+    // writer pays ONE control-file read per retained seal, not one per
+    // commit; an UNREADABLE sidecar counts as sealed — failing open
+    // here would let a transient read error delete a consumer's sync
+    // point, the exact loss the exemption exists to prevent (vacuum
+    // retires genuinely dead versions later).
     versions.filter(_._1 < v - keptMetaVersions)
-      .filterNot { case (_, p) =>
-        try parseState(readFully(fs, p)).isSealed
-        catch { case scala.util.control.NonFatal(_) => false } }
+      .filterNot { case (ver, p) =>
+        sealedCache.getOrElseUpdate(ver,
+          try parseState(readFully(fs, p)).isSealed
+          catch { case scala.util.control.NonFatal(_) => true }) }
       .foreach(p => fs.delete(p._2, false))
     v
   }
+
+  /** Version → isSealed memo for the rotation exemption above (a
+    * version's sealedness never changes once written; entries for
+    * vacuum-retired versions are just dead keys, bounded by seals ever
+    * observed in this session). */
+  private val sealedCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Boolean]
 
   private def readMetaSidecar(): Option[String] = {
     val fs = fsOfRoot

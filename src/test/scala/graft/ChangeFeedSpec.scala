@@ -125,6 +125,22 @@ class ChangeFeedSpec extends SparkSpec {
     assert(gone.getMessage.contains("vacuum"))
   }
 
+  test("seal refuses a mismatched routing config; changesBetween refuses swapped versions") {
+    val lake = mkLake("guard")
+    lake.ingest(rows(0 until 10))
+    val v1 = lake.seal()
+    // a foreign-config session must not re-stamp the sidecar via seal:
+    // its commit would carry the WRONG num_shards/seed, flipping which
+    // session the routing check rejects
+    val foreign = Lake(spark, LakeConfig(lake.cfg.location, dim = 4, numHashes = 3))
+    intercept[IllegalArgumentException](foreign.seal())
+    lake.ingest(rows(50 until 55))
+    val v2 = lake.seal()
+    val e = intercept[IllegalArgumentException](lake.changesBetween(v2, v1))
+    assert(e.getMessage.contains("INVERTED"))
+    assert(lake.changesBetween(v1, v2).count() === 5L)
+  }
+
   test("sealed sidecars survive the inline version rotation") {
     val lake = mkLake("rotate")
     lake.ingest(rows(0 until 10))
