@@ -17,11 +17,17 @@ import org.apache.spark.sql.SparkSession
   *
   * The machine's 1-minute loadavg is sampled before and after the run
   * and carried in the output (`loadavg:[start,end]`), and the line
-  * SELF-ADJUDICATES: `"contended":true` whenever either sample exceeds
+  * SELF-ADJUDICATES: `"contended":true` when the START sample exceeds
   * `SPARK_GRAFT_LOAD_THRESHOLD` (default 2.0 — round 6 measured ~15%
   * tail inflation at loadavg ≈ 4 while a fresh run at ≈ 0.8 matched
-  * the judge's). A contended artifact means "rerun fresh before
-  * calling any regression", from the artifact alone (BENCHNOTES.md).
+  * the judge's), OR when the END sample exceeds threshold + `cpus` —
+  * the bench's own `local[cpus]` threads legitimately drive the
+  * 1-minute loadavg toward `cpus` over a multi-minute run, so an end
+  * sample below that bound is indistinguishable from self-load (a
+  * plain either-sample rule self-flagged every clean run once the
+  * registry crossed ~105 queries); beyond it, the excess must be
+  * external. A contended artifact means "rerun fresh before calling
+  * any regression", from the artifact alone (BENCHNOTES.md).
   */
 object Bench {
   def median(xs: Seq[Double]): Double = {
@@ -58,7 +64,7 @@ object Bench {
     * BenchFormatSpec pins the byte ceiling against registry growth. */
   def formatLines(results: Seq[(String, QueryResult)], reps: Int,
       sfDir: String, loadavg: (Double, Double),
-      loadThreshold: Double = 2.0): (String, String) = {
+      loadThreshold: Double = 2.0, cpus: Int = 4): (String, String) = {
     val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, QueryResult(_, Some(m), _)) =>
@@ -67,7 +73,11 @@ object Bench {
       jstr(k) + ":" + r.failedReps }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
-    val contended = loadavg._1 > loadThreshold || loadavg._2 > loadThreshold
+    // start: any pre-existing load poisons the whole run. end: only the
+    // excess past what our own cpus threads can have produced is signal
+    // (see object scaladoc)
+    val contended =
+      loadavg._1 > loadThreshold || loadavg._2 > loadThreshold + cpus
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
     val budget = 1300
@@ -150,8 +160,8 @@ object Bench {
       name -> QueryResult(median(timed.map(_._1)),
         runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
     }
-    val (fullLine, compactLine) =
-      formatLines(results, reps, sfDir, (loadStart, loadavg1m()), loadThreshold)
+    val (fullLine, compactLine) = formatLines(results, reps, sfDir,
+      (loadStart, loadavg1m()), loadThreshold, cpus.toInt)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(

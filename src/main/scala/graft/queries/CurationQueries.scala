@@ -486,6 +486,60 @@ object CurationQueries {
              SELECT * FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
              ORDER BY change, id"""))
 
+  /** TIME TRAVEL round-trip ([[graft.Lake.seal]]/[[graft.Lake.readAt]]):
+    * ingest with caller ids, seal a snapshot, then mutate hard —
+    * DELETE WHERE every 3rd id, an upsert that negate-replaces ids < 50
+    * (shard-moving) and inserts fresh ids, a late append, AND a full
+    * compact() — and read the lake AT the sealed version. The oracle is
+    * simply the initial logical row set from the source table: equality
+    * proves the snapshot still serves exactly the pre-mutation rows,
+    * bytes, and routes after every class of rewrite, including a
+    * compaction that rebuilt the whole live tree. That is the layout's
+    * central property made testable: data paths are never renamed or
+    * deleted by maintenance (commits are sidecar writes; only vacuum
+    * retires generations), so any retained version replays for free —
+    * the audit/repro story (which exact corpus trained run N?) at
+    * 100 TB costs one sidecar read, not a copy. */
+  val qTimeTravel = Q(
+    "q_time_travel",
+    (s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_travel_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val emb = Tables.embeddings(s, dir)
+      lake.ingest(emb.where(col("vec_id") < 300)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      val snap = lake.seal()
+      lake.deleteWhere(col("id").cast("long") % 3 === 0)
+      val replace = emb.where(col("vec_id") < 50 && col("vec_id") % 3 =!= 0)
+        .select(col("vec_id").cast("string").as("id"),
+          transform(col("embedding"), x => -x).as("vector"),
+          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+      val fresh = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("new-"), col("vec_id")).as("document"))
+      lake.upsert(replace.unionByName(fresh))
+      lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      lake.compact()
+      lake.readAt(snap)
+        .select(col("id"), col("shard"),
+          V.round6z(element_at(col("vector"), 1).cast("double")).as("v1"),
+          col("document"))
+        .orderBy("id")
+    },
+    Some(s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+                    ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard,
+                    ${V.sqlRound6z("embedding[1]::DOUBLE")} AS v1,
+                    'doc-' || vec_id AS document
+             FROM embeddings WHERE vec_id < 300 ORDER BY id"""))
+
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
     * 127/max|v|, q = round(v·scale), plus the reconstruction-error
@@ -712,6 +766,6 @@ object CurationQueries {
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
-    qSkipLookup, qChangeFeed, qTfidf,
+    qSkipLookup, qChangeFeed, qTimeTravel, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }

@@ -31,14 +31,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(compact.contains("\"omitted_n\":"))
   }
 
-  test("the line self-adjudicates contention from either loadavg sample") {
+  test("the line self-adjudicates contention, net of the bench's own load") {
     val rs = synthetic(10)
     val (fullHot, compactHot) = formatLines(rs, 3, "sf", (3.7, 4.1))
     assert(fullHot.contains("\"contended\":true") &&
       compactHot.contains("\"contended\":true"))
-    val (fullEnd, _) = formatLines(rs, 3, "sf", (0.5, 2.9))
+    // heavy load ARRIVING mid-run still flags: the end sample exceeds
+    // threshold + cpus, which the bench's own threads cannot produce
+    val (fullEnd, _) = formatLines(rs, 3, "sf", (0.5, 7.1), cpus = 4)
     assert(fullEnd.contains("\"contended\":true"),
       "load arriving mid-run must still flag the artifact")
+    // the bench's own multi-minute local[4] run drives the 1-minute
+    // loadavg past a bare threshold by itself — that is NOT contention
+    // (the either-sample rule self-flagged every clean run)
+    val (fullSelf, compactSelf) = formatLines(rs, 3, "sf", (0.29, 2.44), cpus = 4)
+    assert(fullSelf.contains("\"contended\":false") &&
+      compactSelf.contains("\"contended\":false"),
+      "self-load at the end sample must not flag a clean run")
     val (fullCold, compactCold) = formatLines(rs, 3, "sf", (0.78, 1.2))
     assert(fullCold.contains("\"contended\":false") &&
       compactCold.contains("\"contended\":false"))
