@@ -61,7 +61,7 @@ class LakePropertiesSpec extends SparkSpec {
     // change-feed sync point taken mid-sequence: (version, model at seal)
     var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(15) match {
+      val op = rng.nextInt(16) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           lake.ingest(rows.toDF("id", "vector", "document"))
@@ -118,6 +118,33 @@ class LakePropertiesSpec extends SparkSpec {
         case 13 =>
           sync = Some(lake.seal() -> model)
           "seal"
+        case 14 =>
+          // TIME TRAVEL: the sealed snapshot must serve exactly the
+          // model at seal time no matter what rewrites (delete/upsert/
+          // compact/vacuum-survivors) ran since — q_time_travel's
+          // invariant inside the model-based artifact, checked at a
+          // random point of a random history
+          sync.foreach { case (v, snap) =>
+            try {
+              val got = lake.readAt(v).select("id", "vector", "document")
+                .collect()
+                .map(r => r.getString(0) ->
+                  ((r.getAs[scala.collection.Seq[Float]]("vector").toSeq,
+                    r.getString(2))))
+                .toMap
+              assert(got === snap,
+                s"step $step: readAt($v) diverged from the sealed-time model " +
+                  s"(snapshot-only: ${(snap.keySet -- got.keySet).take(5)}, " +
+                  s"readAt-only: ${(got.keySet -- snap.keySet).take(5)})")
+            } catch {
+              // vacuum may legally retire the snapshot — loud on use
+              case e: IllegalStateException if e.getMessage.contains("vacuum") =>
+                sync = None
+              case e: IllegalArgumentException if e.getMessage.contains("no sidecar") =>
+                sync = None
+            }
+          }
+          "readAt snapshot"
         case _ =>
           // replay the change feed from the last sync point over that
           // moment's model: the result must be exactly today's model —
