@@ -20,14 +20,17 @@ import org.apache.spark.sql.SparkSession
   * SELF-ADJUDICATES: `"contended":true` when the START sample exceeds
   * `SPARK_GRAFT_LOAD_THRESHOLD` (default 2.0 — round 6 measured ~15%
   * tail inflation at loadavg ≈ 4 while a fresh run at ≈ 0.8 matched
-  * the judge's), OR when the END sample exceeds threshold + `cpus` —
-  * the bench's own `local[cpus]` threads legitimately drive the
-  * 1-minute loadavg toward `cpus` over a multi-minute run, so an end
-  * sample below that bound is indistinguishable from self-load (a
-  * plain either-sample rule self-flagged every clean run once the
-  * registry crossed ~105 queries); beyond it, the excess must be
-  * external. A contended artifact means "rerun fresh before calling
-  * any regression", from the artifact alone (BENCHNOTES.md).
+  * the judge's), OR when the END sample exceeds threshold plus the
+  * run's own possible self-load — the bench's `local[cpus]` threads
+  * legitimately drive the 1-minute loadavg toward `cpus`, but only
+  * asymptotically: after `t` seconds of full load the EWMA reads at
+  * most `cpus·(1−e^(−t/60))`, so the bound is DURATION-AWARE
+  * (a flat `+cpus` allowance would hide a competitor that joined a
+  * sub-minute run, while a plain either-sample rule self-flagged
+  * every clean run once the registry crossed ~105 queries); excess
+  * past the bound must be external. A contended artifact means
+  * "rerun fresh before calling any regression", from the artifact
+  * alone (BENCHNOTES.md).
   */
 object Bench {
   def median(xs: Seq[Double]): Double = {
@@ -64,7 +67,8 @@ object Bench {
     * BenchFormatSpec pins the byte ceiling against registry growth. */
   def formatLines(results: Seq[(String, QueryResult)], reps: Int,
       sfDir: String, loadavg: (Double, Double),
-      loadThreshold: Double = 2.0, cpus: Int = 4): (String, String) = {
+      loadThreshold: Double = 2.0, cpus: Int = 4,
+      elapsedSec: Double = Double.MaxValue): (String, String) = {
     val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, QueryResult(_, Some(m), _)) =>
@@ -74,10 +78,14 @@ object Bench {
     val total = results.map(_._2.sec).sum
     val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
     // start: any pre-existing load poisons the whole run. end: only the
-    // excess past what our own cpus threads can have produced is signal
-    // (see object scaladoc)
+    // excess past what our own cpus threads can have produced BY NOW is
+    // signal — the 1-minute EWMA reaches cpus·(1−e^(−t/60)) after t
+    // seconds of full self-load, so a short run's allowance is far
+    // below the flat `cpus` a long run earns (see object scaladoc)
+    val selfLoadBound =
+      cpus * (1 - math.exp(-math.max(0.0, elapsedSec) / 60.0))
     val contended =
-      loadavg._1 > loadThreshold || loadavg._2 > loadThreshold + cpus
+      loadavg._1 > loadThreshold || loadavg._2 > loadThreshold + selfLoadBound
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
     val budget = 1300
@@ -109,17 +117,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     // parse BEFORE the queries run: a malformed env value must fail in
     // the first second, not after ~35s of completed work whose output
-    // would be discarded by the late NumberFormatException
+    // would be discarded by the late NumberFormatException (this rules
+    // out `local[*]` spelled as SPARK_GRAFT_CPUS=* — the contention
+    // bound needs the numeric thread count anyway)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "2.0").toDouble
     val loadStart = loadavg1m()
+    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       // the generated-class cache defaults to 100 entries; a 104-query
       // interleaved pass evicts every query's compiled classes between
@@ -161,7 +172,8 @@ object Bench {
         runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
     }
     val (fullLine, compactLine) = formatLines(results, reps, sfDir,
-      (loadStart, loadavg1m()), loadThreshold, cpus.toInt)
+      (loadStart, loadavg1m()), loadThreshold, cpus,
+      (System.nanoTime() - wallStart) / 1e9)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(

@@ -528,15 +528,28 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val entries = listRoot(fs)
     val st = stateAt(version, fs, entries)
     // a vacuumed snapshot must fail loudly, never read back partial or
-    // empty: the commit recorded whether its OWN generation tree held
-    // data, so that tree being gone is detectably retired regardless of
-    // what the manifest still names (manifest-named dirs that were
-    // vacuumed fail in the scan with path-not-found)
+    // empty — two detectors, both needed: (a) the commit recorded
+    // whether its OWN generation tree held data, so that tree being
+    // gone is detectably retired; (b) SEALED commits always record
+    // gen_has_data=false (seal rolls to a fresh empty generation), so
+    // for them the signal is a MANIFEST-NAMED generation missing from
+    // the root listing — vacuum only ever sweeps whole generation
+    // trees, and the listing is already in hand, so this costs nothing
     if (st.genHasData.contains(true) &&
         !treeHasData(fs, genPath(st.generation)))
       throw new IllegalStateException(
         s"snapshot $version at ${cfg.location} has been vacuumed: " +
           s"generation ${st.generation} is no longer on disk")
+    val present = entries.collect {
+      case e if e.isDirectory => e.getPath.getName
+    }.toSet
+    val swept = st.live.map(_._2).distinct.sorted
+      .filterNot(g => present.contains(genPath(g).getName))
+    if (swept.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $version at ${cfg.location} has been vacuumed: " +
+          s"generation(s) ${swept.mkString(", ")} no longer on disk " +
+          "(see vacuum(retainMs) for the consumer window)")
     readFrom(st, entries)
   }
 

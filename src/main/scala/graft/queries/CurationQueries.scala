@@ -412,11 +412,49 @@ object CurationQueries {
              FROM embeddings WHERE vec_id IN (7, 42, 123, 321, 499)
              ORDER BY id"""))
 
+  /** Shared fixture for the change-feed and time-travel round-trips:
+    * ingest ids < 300 of `embeddings` under caller ids, [[graft.Lake
+    * .seal]] a sync point, then run the full mutation mix — DELETE
+    * WHERE every `deleteMod`-th id, an upsert that negate-replaces ids
+    * < `replaceBound` (shard-moving) and inserts 20 fresh `+1000000`
+    * ids, and a late append of ids 300..350. One definition of the
+    * corpus-construction conventions (id scheme, ingest projection,
+    * tmp-dir hygiene) so the two oracles can never silently diverge
+    * from different setups. Returns the lake and the sealed version. */
+  private def mutatedLake(s: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String, deleteMod: Int, replaceBound: Int): (Lake, Long) = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+    val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+    lake.delete()
+    val emb = Tables.embeddings(s, dir)
+    lake.ingest(emb.where(col("vec_id") < 300)
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc-"), col("vec_id")).as("document")))
+    val sync = lake.seal()
+    lake.deleteWhere(col("id").cast("long") % deleteMod === 0)
+    val replace = emb.where(
+        col("vec_id") < replaceBound && col("vec_id") % deleteMod =!= 0)
+      .select(col("vec_id").cast("string").as("id"),
+        transform(col("embedding"), x => -x).as("vector"),
+        concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+    val fresh = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("new-"), col("vec_id")).as("document"))
+    lake.upsert(replace.unionByName(fresh))
+    lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        concat(lit("doc-"), col("vec_id")).as("document")))
+    (lake, sync)
+  }
+
   /** CHANGE FEED round-trip ([[graft.Lake.seal]]/[[graft.Lake
-    * .changesSince]]): ingest with caller ids, seal a sync point, then
-    * run the full mutation mix — DELETE WHERE every 5th id, an upsert
-    * that negate-replaces ids < 40 and inserts 20 fresh ids, and a late
-    * append batch — and read the netted delta. The oracle knows nothing
+    * .changesSince]]): the [[mutatedLake]] mix (delete every 5th id,
+    * negate-replace ids < 40, fresh inserts, late append), then read
+    * the netted delta. The oracle knows nothing
     * about files or generations: it reconstructs the logical
     * inserted/deleted row sets straight from the source table —
     * equality proves the file-set diff reports exactly the true
@@ -427,30 +465,8 @@ object CurationQueries {
   val qChangeFeed = Q(
     "q_change_feed",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_changes_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      val emb = Tables.embeddings(s, dir)
-      lake.ingest(emb.where(col("vec_id") < 300)
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
-      val sync = lake.seal()
-      lake.deleteWhere(col("id").cast("long") % 5 === 0)
-      val replace = emb.where(col("vec_id") < 40 && col("vec_id") % 5 =!= 0)
-        .select(col("vec_id").cast("string").as("id"),
-          transform(col("embedding"), x => -x).as("vector"),
-          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
-      val fresh = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("new-"), col("vec_id")).as("document"))
-      lake.upsert(replace.unionByName(fresh))
-      lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
+      val (lake, sync) =
+        mutatedLake(s, dir, "changes", deleteMod = 5, replaceBound = 40)
       lake.changesSince(sync)
         .select(col("change"), col("id"),
           V.round6z(element_at(col("vector"), 1).cast("double")).as("v1"),
@@ -487,10 +503,10 @@ object CurationQueries {
              ORDER BY change, id"""))
 
   /** TIME TRAVEL round-trip ([[graft.Lake.seal]]/[[graft.Lake.readAt]]):
-    * ingest with caller ids, seal a snapshot, then mutate hard —
-    * DELETE WHERE every 3rd id, an upsert that negate-replaces ids < 50
-    * (shard-moving) and inserts fresh ids, a late append, AND a full
-    * compact() — and read the lake AT the sealed version. The oracle is
+    * the [[mutatedLake]] mix (delete every 3rd id, shard-moving
+    * negate-replace of ids < 50, fresh inserts, late append) PLUS a
+    * full compact() — then read the lake AT the sealed version. The
+    * oracle is
     * simply the initial logical row set from the source table: equality
     * proves the snapshot still serves exactly the pre-mutation rows,
     * bytes, and routes after every class of rewrite, including a
@@ -503,30 +519,8 @@ object CurationQueries {
   val qTimeTravel = Q(
     "q_time_travel",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_travel_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      val emb = Tables.embeddings(s, dir)
-      lake.ingest(emb.where(col("vec_id") < 300)
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
-      val snap = lake.seal()
-      lake.deleteWhere(col("id").cast("long") % 3 === 0)
-      val replace = emb.where(col("vec_id") < 50 && col("vec_id") % 3 =!= 0)
-        .select(col("vec_id").cast("string").as("id"),
-          transform(col("embedding"), x => -x).as("vector"),
-          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
-      val fresh = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("new-"), col("vec_id")).as("document"))
-      lake.upsert(replace.unionByName(fresh))
-      lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
+      val (lake, snap) =
+        mutatedLake(s, dir, "travel", deleteMod = 3, replaceBound = 50)
       lake.compact()
       lake.readAt(snap)
         .select(col("id"), col("shard"),

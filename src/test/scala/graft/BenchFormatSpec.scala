@@ -41,6 +41,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val (fullEnd, _) = formatLines(rs, 3, "sf", (0.5, 7.1), cpus = 4)
     assert(fullEnd.contains("\"contended\":true"),
       "load arriving mid-run must still flag the artifact")
+    // the self-load allowance is DURATION-AWARE: over a 47 s run
+    // local[4] can push the 1-minute EWMA to at most 4·(1−e^(−47/60))
+    // ≈ 2.2, so an end sample of 4.5 — under a flat threshold+cpus —
+    // is still evidence of external load on a short run
+    val (fullShort, _) =
+      formatLines(rs, 3, "sf", (0.3, 4.5), cpus = 4, elapsedSec = 47)
+    assert(fullShort.contains("\"contended\":true"),
+      "a flat +cpus allowance would hide contention joining a short run")
+    // ...while the same end sample on a long run is within self-load
+    val (fullLong, _) =
+      formatLines(rs, 3, "sf", (0.3, 4.5), cpus = 4, elapsedSec = 600)
+    assert(fullLong.contains("\"contended\":false"),
+      "a long run earns (asymptotically) the full +cpus allowance")
     // the bench's own multi-minute local[4] run drives the 1-minute
     // loadavg past a bare threshold by itself — that is NOT contention
     // (the either-sample rule self-flagged every clean run)

@@ -230,10 +230,28 @@ class DeleteUpsertSpec extends SparkSpec {
     lake.compact()
     assert(lake.vacuum() >= 1L)
     assert(lake.count() === 31L)
-    intercept[Exception](lake.readAt(preVersion).count())
+    val gone = intercept[IllegalStateException](lake.readAt(preVersion).count())
+    assert(gone.getMessage.contains("vacuumed"),
+      "a swept snapshot must fail with the typed vacuumed error, not a raw scan failure")
     // a never-committed version is refused by name
     val e = intercept[IllegalArgumentException](lake.readAt(999999L))
     assert(e.getMessage.contains("no sidecar version"))
+  }
+
+  test("a SEALED snapshot refuses after compact + vacuum sweep its generations") {
+    val lake = freshLake()
+    seed(lake)
+    val snap = lake.seal()
+    assert(lake.readAt(snap).count() === 32L)
+    lake.compact() // rebuilds the whole live tree into a new generation
+    assert(lake.vacuum() >= 1L, "the sealed snapshot's generations are dead and swept")
+    // sealed commits always record gen_has_data=false (seal rolls to a
+    // fresh empty generation), so the vacuumed signal here is a
+    // MANIFEST-NAMED generation missing from the root listing — the
+    // refusal must be the typed error, never Spark's raw path-not-found
+    // and never a silently partial/empty read
+    val e = intercept[IllegalStateException](lake.readAt(snap).count())
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("readAt refuses a snapshot whose OWN generation was vacuumed, even with live manifest dirs") {
