@@ -1076,7 +1076,41 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * [[topKCompressed]], but the coarse metric is LEARNED (codebooks)
     * instead of data-independent sign bits — tighter candidates at the
     * same stored size. */
-  def topKPq(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame = {
+  def topKPq(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame =
+    topKPqWhere(q, k, coarseK, lit(true))
+
+  /** [[topKPq]] with LSH shard pruning composed in — the full serving
+    * stack a 100 TB ANN deployment actually runs, each stage cutting
+    * what the next one reads:
+    *
+    *  1. ROUTE: a literal shard predicate prunes partition directories
+    *     at planning — the candidate universe shrinks to 1 (or
+    *     1+numHashes under `multiProbe`) of 2^numHashes shards before
+    *     a single byte is read;
+    *  2. COARSE: the ADC scan inside the routed shards reads only
+    *     (id, pq_code) — 8 stored bytes of vector data per row;
+    *  3. RERANK: full-precision vectors are touched for ≤ `coarseK`
+    *     rows, also only inside the routed shards.
+    *
+    * Recall dials: `multiProbe` (widens stage 1 to Hamming-distance-1
+    * shards, the [[topKMultiProbe]] trade) and `coarseK` (widens
+    * stage 3). With both stages exhaustive (`multiProbe` covering the
+    * lake, `coarseK` ≥ rows) this reduces to [[topK]]'s exact routed
+    * retrieval — PqSpec pins the contract. */
+  def topKPqRouted(q: Seq[Double], k: Int, coarseK: Int = 100,
+      multiProbe: Boolean = false): DataFrame = {
+    require(cfg.partitionKey.isEmpty,
+      "topKPqRouted routes by the LSH shard column — a user-partitioned " +
+        "lake has no LSH routing; use topKPq (full scan) or topKFiltered")
+    val routed = lsh.shardOf(q)
+    val probes =
+      if (multiProbe) routed +: (0 until cfg.numHashes).map(j => routed ^ (1 << j))
+      else Seq(routed)
+    topKPqWhere(q, k, coarseK, col(partCol).isin(probes: _*))
+  }
+
+  private def topKPqWhere(q: Seq[Double], k: Int, coarseK: Int,
+      pred: Column): DataFrame = {
     val model = cfg.pqCodebooks.getOrElse(throw new IllegalArgumentException(
       "topKPq needs a materialized pq_code column: set pqCodebooks = Some(model)"))
     requirePqModelMatch() // stored codes must be this model's codes
@@ -1085,11 +1119,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         (shiftright(col("pq_code"), 8 * mi).bitwiseAND(lit(255)) + 1).cast("int"))
     }.reduce(_ + _)
     val coarse = read()
+      .where(pred)
       .select(col("id"), adc.as("adc"))
       .orderBy(col("adc"), col("id"))
       .limit(coarseK)
       .select("id")
     read()
+      .where(pred) // the rerank never reads outside the routed shards either
       .join(broadcast(coarse), Seq("id"))
       .withColumn("dist", V.round6z(distCol(q)))
       .orderBy(col("dist"), col("id"))

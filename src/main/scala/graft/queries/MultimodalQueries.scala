@@ -181,6 +181,16 @@ object AnnQueries {
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.operators.Pq.PqModel]()
 
+  /** The PQ twin of [[cachedModel]]: train 8×16 codebooks once per
+    * (session, sfDir) on a bounded sample (`vec_id < 1000` — the
+    * train-on-a-sliver posture), rounded to the 6-dp literal grid. */
+  private def cachedPqModel(s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): graft.operators.Pq.PqModel =
+    pqModels.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => graft.operators.Pq.round6(graft.operators.Pq.train(
+        emb.where(col("vec_id") < 1000), "embedding", "vec_id",
+        dim = graft.Fixtures.queryVec.length, m = 8, k = 16, iters = 2)))
+
   /** Product-quantization ADC scan ([[graft.operators.Pq]]): train
     * 8×16 codebooks on a bounded sample (the at-scale posture), encode
     * every vector to 8 codes via rounded-argmin expressions, and rank
@@ -192,10 +202,7 @@ object AnnQueries {
     (s, dir) => {
       val emb = graft.Tables.embeddings(s, dir)
       // same offline-training cache discipline as qAnnIvf above
-      val m = pqModels.computeIfAbsent((System.identityHashCode(s), dir),
-        _ => graft.operators.Pq.round6(graft.operators.Pq.train(
-          emb.where(col("vec_id") < 1000), "embedding", "vec_id",
-          dim = graft.Fixtures.queryVec.length, m = 8, k = 16, iters = 2)))
+      val m = cachedPqModel(s, dir, emb)
       emb
         .select(col("vec_id"),
           m.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("pq_dist"))
@@ -218,10 +225,7 @@ object AnnQueries {
     "q_pq_recall",
     (s, dir) => {
       val emb = graft.Tables.embeddings(s, dir)
-      val m = pqModels.computeIfAbsent((System.identityHashCode(s), dir),
-        _ => graft.operators.Pq.round6(graft.operators.Pq.train(
-          emb.where(col("vec_id") < 1000), "embedding", "vec_id",
-          dim = graft.Fixtures.queryVec.length, m = 8, k = 16, iters = 2)))
+      val m = cachedPqModel(s, dir, emb)
       val pq = emb.select(col("vec_id"),
           m.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("d"))
         .orderBy(col("d"), col("vec_id")).limit(50).select("vec_id")
@@ -241,6 +245,56 @@ object AnnQueries {
                       LIMIT 50)
           SELECT CAST(count(*) AS BIGINT) AS n_overlap
           FROM pq SEMI JOIN ex USING (vec_id)"""
+    })
+
+  /** IVF × PQ — the composed big-ANN serving pipeline (the
+    * IVFADC architecture of Jégou et al. 2011, and what FAISS/Milvus
+    * run at billion scale), each stage cutting what the next reads:
+    * (1) PROBE: k-means cells rank by centroid distance to the query
+    * and only the top `NProbe` are scanned — the candidate universe
+    * shrinks by nprobe/k before any vector work; (2) COARSE: rows
+    * inside probed cells rank by PQ asymmetric distance — m table
+    * lookups per row, no float vector math; (3) RERANK: exact cosine
+    * over the ≤ 30 survivors. Both models are deterministic and
+    * literal-inlined, so the full three-stage pipeline is
+    * oracle-paired — not just its parts (q_ann_ivf, q_knn_pq).
+    * The lake-API twin over MATERIALIZED codes and shard dirs is
+    * [[graft.Lake.topKPqRouted]] (PqSpec). */
+  def qIvfPq = Q(
+    "q_ivf_pq",
+    (s, dir) => {
+      val emb = graft.Tables.embeddings(s, dir)
+      val mi = cachedModel(s, dir, emb)
+      val mp = cachedPqModel(s, dir, emb)
+      val cells = mi.cellsFor(graft.Fixtures.queryVec, NProbe)
+      val coarse = emb
+        .withColumn("cell", assignRounded(col("embedding"), mi))
+        .where(col("cell").isin(cells: _*))
+        .select(col("vec_id"),
+          mp.adcDistCol(col("embedding"), graft.Fixtures.queryVec).as("pq_dist"))
+        .orderBy(col("pq_dist"), col("vec_id"))
+        .limit(30)
+        .select("vec_id")
+      emb.join(coarse, Seq("vec_id"))
+        .select(col("vec_id"),
+          V.round6z(V.cosineDist(col("embedding"),
+            V.vecLit(graft.Fixtures.queryVec))).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    for (mi <- soleModel(models); mp <- soleModel(pqModels)) yield {
+      val cells = mi.cellsFor(graft.Fixtures.queryVec, NProbe)
+      s"""WITH c AS (SELECT vec_id, embedding,
+                            ${sqlAssignRounded("embedding", mi)} AS cell
+                     FROM embeddings),
+               coarse AS (SELECT vec_id FROM c
+                          WHERE cell IN (${cells.mkString(", ")})
+                          ORDER BY ${mp.sqlAdcDistExpr("embedding", graft.Fixtures.queryVec)}, vec_id
+                          LIMIT 30)
+          SELECT e.vec_id,
+                 ${V.sqlRound6z(V.sqlCosineDistLit("e.embedding", graft.Fixtures.queryVec))} AS dist
+          FROM embeddings e JOIN coarse USING (vec_id)
+          ORDER BY dist, vec_id LIMIT 10"""
     })
 
   /** kNN in a Johnson-Lindenstrauss projected space
@@ -387,6 +441,6 @@ object AnnQueries {
           ORDER BY cell, rank"""
     })
 
-  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qKnnJl, qSemDedup,
+  def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qIvfPq, qKnnJl, qSemDedup,
     qClusterLabels)
 }

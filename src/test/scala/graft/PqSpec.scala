@@ -94,6 +94,63 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:string,pq_code:bigint>"), plan.take(1500))
   }
 
+  test("topKPqRouted: route + coarse + rerank all stay inside the routed shards; exhaustive dials reduce to exact routed retrieval") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_routed")
+    val m16 = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
+      numHashes = 3, pqCodebooks = Some(m16)))
+    lake.ingest(data.select(col("vec").as("vector"),
+      concat(lit("doc-"), col("id")).as("document")))
+    val q = {
+      val rnd = new scala.util.Random(17)
+      Seq.fill(dim)(rnd.nextGaussian())
+    }
+    val routed = lake.lsh.shardOf(q)
+    // exhaustive coarse stage ⇒ exact retrieval over the routed shard
+    val got = lake.topKPqRouted(q, 5, coarseK = 1000)
+      .select("document", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = lake.topKFiltered(q, 5, col("shard") === routed)
+      .select("document", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === want.toSeq,
+      "exhaustive topKPqRouted must equal exact routed retrieval")
+    // single-probe results never leave the routed shard
+    lake.topKPqRouted(q, 5).collect()
+      .foreach(r => assert(r.getAs[Int]("shard") === routed))
+    // multiProbe widens to exactly the Hamming-distance-1 shard set
+    val probes = (routed +: (0 until 3).map(j => routed ^ (1 << j))).toSet
+    lake.topKPqRouted(q, 5, multiProbe = true).collect()
+      .foreach(r => assert(probes.contains(r.getAs[Int]("shard"))))
+    // the plan must show BOTH stages pruned: every scan carries the
+    // shard partition filter, and the coarse scan projects only
+    // (id, pq_code) — the two claims that make this the 100 TB path
+    val plan = lake.topKPqRouted(q, 5).queryExecution.executedPlan
+    // the broadcast join wraps the plan in AdaptiveSparkPlanExec, whose
+    // children are invisible to a plain collect — recurse through it
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(
+      s.partitionFilters.exists(_.toString.contains("shard")),
+      s"scan missing shard partition filter: ${s.partitionFilters}"))
+    scans.foreach(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+      .foreach(f => assert(f.contains(s"shard=$routed/"),
+        s"pruned scan still lists $f")))
+    assert(plan.toString.contains("ReadSchema: struct<id:string,pq_code:bigint>"),
+      plan.toString.take(1500))
+    // a user-partitioned lake has no LSH routing to compose with
+    val userLake = Lake(spark, LakeConfig(s"$dir/user", dim = dim,
+      partitionKey = Some("pk"), pqCodebooks = Some(m16)))
+    val e = intercept[IllegalArgumentException](userLake.topKPqRouted(q, 5))
+    assert(e.getMessage.contains("LSH"))
+  }
+
   test("a lake refuses pq_code access under a different model; accepts an identical retrain") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_fp")
     val loc = s"$dir/lake"
