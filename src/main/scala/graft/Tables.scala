@@ -48,8 +48,25 @@ object Tables {
     // IllegalStateException when the base entry isn't populated yet
     val base = load(spark, dir, "events")
     planCache.computeIfAbsent((spark, s"$dir/events.parquet#converted"),
-      _ => base.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      _ => {
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        // the fixture's ts column has shipped in several parquet shapes
+        // across driver rounds — normalize every one to a session-TZ
+        // TimestampType (the session TZ is pinned UTC, so the NTZ cast
+        // is value-preserving):
+        base.schema("ts").dataType match {
+          // TIMESTAMP(NANOS), read as long under nanosAsLong (conf above)
+          case LongType => base.withColumn("ts",
+            expr("timestamp_micros(ts div 1000)"))
+          // plain timestamp[us] with isAdjustedToUTC=false
+          case TimestampNTZType => base.withColumn("ts",
+            col("ts").cast(TimestampType))
+          case TimestampType => base
+          case other => throw new IllegalStateException(
+            s"events.ts: unexpected parquet-inferred type $other")
+        }
+      })
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
