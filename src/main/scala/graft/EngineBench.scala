@@ -123,6 +123,10 @@ object EngineBench {
   *  - `topk_exact_sec` / `topk_pq_sec`: full-scan floor vs the 8-byte
   *    coarse scan + bounded rerank — both linear in n, PQ with a far
   *    smaller constant (bytes read per row).
+  *  - `topk_pq_routed_sec`: the composed serving path
+  *    ([[Lake.topKPqRouted]]) — directory pruning cuts the coarse scan
+  *    to one shard, so the slope is n/shards on the 8-byte column, the
+  *    smallest constant of any mode here.
   *  - `skip_build_sec` / `lookup_skip_sec` / `lookup_full_sec`: the
   *    id point-read with a fresh Bloom skip index (scans only the
   *    sketch-hit shards — near-flat in n) vs the full id-probe floor
@@ -186,6 +190,11 @@ object ScaleBench {
       val (tPruned, _) = time(lake.topK(q, 10).count())
       val (tExact, _) = time(lake.topKExact(q, 10).count())
       val (tPq, _) = time(lake.topKPq(q, 10, coarseK = 100).count())
+      // the composed serving path: directory pruning × 8-byte ADC ×
+      // bounded rerank — its slope is n/shards on the coarse bytes, the
+      // smallest of any mode here (PqSpec pins the file-confinement
+      // claim in the plan; this records the measured cost)
+      val (tPqRouted, _) = time(lake.topKPqRouted(q, 10, coarseK = 100).count())
 
       // skip-index slope: a 5-id point-read with a fresh index scans
       // only the sketch-hit shards (near-flat in n — per-shard rows grow
@@ -240,6 +249,7 @@ object ScaleBench {
       println(s"""{"probe":"scale","rows":$n,"dim":$dim,""" +
         s""""ingest_sec":${f"$tIngest%.3f"},"topk_pruned_sec":${f"$tPruned%.3f"},""" +
         s""""topk_exact_sec":${f"$tExact%.3f"},"topk_pq_sec":${f"$tPq%.3f"},""" +
+        s""""topk_pq_routed_sec":${f"$tPqRouted%.3f"},""" +
         s""""skip_build_sec":${f"$tSkipBuild%.3f"},""" +
         s""""lookup_skip_sec":${f"$tLookupSkip%.3f"},"lookup_skip_files":$filesSkip,""" +
         s""""lookup_full_sec":${f"$tLookupFull%.3f"},"lookup_full_files":$filesFull,""" +
