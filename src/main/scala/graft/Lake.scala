@@ -916,6 +916,50 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .orderBy("qid", "rank")
   }
 
+  /** [[topKBatch]] with per-query LSH routing — the batch shape that
+    * survives 100 TB. Two cuts over the plain batch scan:
+    *
+    *  1. the scan prunes to the UNION of the queries' routed shard
+    *     directories (a literal IN predicate resolved at planning —
+    *     a 100-query batch touches ≤ 100 of 2^numHashes directories);
+    *  2. the broadcast join is an EQUI-join on shard, so each row
+    *     meets only the queries routed to its shard —
+    *     Σ_s rows_s × queries_s distance evaluations instead of the
+    *     cross join's rows × queries.
+    *
+    * Same single-probe recall contract as [[topK]], per query (a query
+    * routed to an empty shard returns no rows, exactly like topK).
+    * Returns (qid, rank, id, dist). */
+  def topKBatchRouted(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(cfg.partitionKey.isEmpty,
+      "topKBatchRouted routes by the LSH shard column — a user-partitioned " +
+        "lake has no LSH routing; use topKBatch")
+    import spark.implicits._
+    val routed = queries.map { case (qid, qv) => (qid, qv, lsh.shardOf(qv)) }
+    val qdf = routed.toDF("qid", "qvec", "qshard")
+      .select(col("qid"), col("qvec"), col("qshard"),
+        V.l2Norm(col("qvec")).as("qnrm"))
+    val shards = routed.map(_._3).distinct
+    val batchDist: Column = cfg.metric match {
+      case "cosine" => lit(1.0) -
+        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+      case "dot" => -V.dot(col("vec"), col("qvec"))
+    }
+    read()
+      .where(col(partCol).isin(shards: _*))
+      .select(col("id"), col(partCol),
+        V.asDouble(col("vector")).as("vec"), V.l2Norm(col("vector")).as("nrm"))
+      .join(broadcast(qdf), col(partCol) === col("qshard"))
+      .select(col("qid"), col("id"), V.round6z(batchDist).as("dist"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("id"), col("p.dist").as("dist"))
+      .orderBy("qid", "rank")
+  }
+
   /** Continuous retrieval: serve a STREAM of query vectors against the
     * lake — the streaming twin of [[topKBatch]], and a surface the
     * reference's blocking one-query API cannot express. Each

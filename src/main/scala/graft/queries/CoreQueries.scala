@@ -193,6 +193,50 @@ object CoreQueries {
              SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 5
              ORDER BY qid, rank"""))
 
+  /** [[qKnnBatch]]'s at-scale twin (the [[graft.Lake.topKBatchRouted]]
+    * shape): each of the 10 queries routes to its LSH shard, rows pair
+    * with ONLY the queries routed to their shard (broadcast EQUI-join
+    * on the shard value — Σ_s rows_s × queries_s distance evaluations,
+    * never rows × queries), per-query top-5 off the bounded heap. The
+    * single-probe recall contract of q_knn_pruned, batched; each query
+    * finds itself at dist 0 (it lives in its own routed shard), a
+    * built-in sanity row. */
+  val qKnnBatchRouted = Q(
+    "q_knn_batch_routed",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
+          V.l2Norm(col("embedding")).as("nrm"),
+          lsh.shardCol(col("embedding")).as("shard"))
+      val q = Tables.embeddings(s, dir).orderBy("vec_id").limit(10)
+        .select(col("vec_id").as("qid"), V.asDouble(col("embedding")).as("qvec"),
+          V.l2Norm(col("embedding")).as("qnrm"),
+          lsh.shardCol(col("embedding")).as("qshard"))
+      e.join(broadcast(q), col("shard") === col("qshard"))
+        .select(col("qid"), col("vec_id"),
+          V.round6z(lit(1.0) - V.cosineSimPre(V.dot(col("vec"), col("qvec")),
+            col("nrm"), col("qnrm"))).as("dist"))
+        .groupBy("qid")
+        .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("vec_id")), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("qid"), col("p.id").as("vec_id"), col("p.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+                               ${lsh.sqlShardExpr("embedding")} AS shard
+                        FROM embeddings),
+             q AS (SELECT vec_id AS qid, embedding AS qvec, shard AS qshard
+                   FROM e ORDER BY vec_id LIMIT 10),
+             d AS (SELECT q.qid, e.vec_id,
+                          ${V.sqlRound6z(V.sqlCosineDistCols("e.embedding", "q.qvec"))} AS dist
+                   FROM e JOIN q ON e.shard = q.qshard),
+             r AS (SELECT qid, vec_id, dist,
+                          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+                   FROM d)
+             SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 5
+             ORDER BY qid, rank"""))
+
   // ---------------------------------------------------------- near-dup --
 
   /** Exact all-pairs cosine near-dup — the correctness BASELINE, bounded
@@ -528,7 +572,7 @@ object CoreQueries {
   def all: Seq[Q] = Seq(
     qKnnCosine, qKnnL2, qKnnDot, qKnnHamming, qKnnRerank,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
-    qKnnBatch, qNearDup, qNearDupLsh,
+    qKnnBatch, qKnnBatchRouted, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qHybridRrf, qMaxSim)

@@ -221,6 +221,52 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("topKBatchRouted equals per-query routed topK; the scan prunes to the routed shard union") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_batch_routed").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 3))
+    val rng = new scala.util.Random(31)
+    lake.ingest((0 until 200).map { i =>
+      (s"r$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document"))
+    val queries = (0 until 4).map(i =>
+      (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+    val batch = lake.topKBatchRouted(queries, 3).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq)
+      .toMap
+    // per query: the routed batch answer IS the single-probe topK answer
+    queries.foreach { case (qid, q) =>
+      val single = lake.topK(q, 3).select("id", "dist").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Nil) === single,
+        s"qid $qid: batch-routed and single-probe answers must agree")
+    }
+    // the scan lists ONLY the union of routed directories
+    val shardSet = queries.map(q => lake.lsh.shardOf(q._2)).toSet
+    val plan = lake.topKBatchRouted(queries, 3).queryExecution.executedPlan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty)
+    scans.foreach(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString).foreach { f =>
+        assert(shardSet.exists(sh => f.contains(s"shard=$sh/")),
+          s"scan lists a file outside the routed union: $f")
+      })
+    // a user-partitioned lake has no LSH routing to batch over
+    val userLake = Lake(spark, LakeConfig(s"$dir/user", dim = 5,
+      partitionKey = Some("pk")))
+    val e = intercept[IllegalArgumentException](
+      userLake.topKBatchRouted(queries, 3))
+    assert(e.getMessage.contains("LSH"))
+  }
+
   test("mmrSearch: a zero-norm candidate never hijacks the greedy pick") {
     val lake = freshLake()
     lake.ingest(Seq(
