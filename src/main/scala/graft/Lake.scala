@@ -1006,6 +1006,45 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
   }
 
+  /** [[topKStream]] with per-query LSH routing — the serve-path twin of
+    * [[topKBatchRouted]]: the stream-static join becomes an EQUI-join
+    * on the shard value. The static side carries its stored shard
+    * column; each incoming query derives `shardOf(qvec)` through the
+    * same hyperplane expression ingest routes with, so a micro-batch's
+    * queries pair only with the lake rows of their routed shards —
+    * Σ_s rows_s × queries_s distance evaluations, never
+    * rows × queries. The static side remains the whole-lake plan (its
+    * file listing froze at plan time; partition pruning cannot follow a
+    * per-batch dynamic key), so the cut is pairing count and shuffle
+    * volume, and the join gets a real equi-key to hash on instead of
+    * the degenerate single-key join. Same single-probe recall contract
+    * as [[topK]], per query: a query routed to an empty shard emits no
+    * row. State stays the bounded per-qid heap (≤ k rows); compose with
+    * [[topKStreamExpiring]]'s ttl semantics by watermarking upstream if
+    * the id space is open-ended. */
+  def topKStreamRouted(queries: DataFrame, k: Int): DataFrame = {
+    require(cfg.partitionKey.isEmpty,
+      "topKStreamRouted routes by the LSH shard column — a " +
+        "user-partitioned lake has no LSH routing; use topKStream")
+    val lakeV = read().select(
+      col("id"), V.asDouble(col("vector")).as("vec"),
+      V.l2Norm(col("vector")).as("nrm"), col(partCol))
+    val q = queries.select(col("qid"),
+      col("qvec").cast(ArrayType(DoubleType)).as("qvec"))
+      .withColumn("qnrm", V.l2Norm(col("qvec")))
+      .withColumn("qshard", lsh.shardCol(col("qvec")))
+    val dist: Column = cfg.metric match {
+      case "cosine" => lit(1.0) -
+        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+      case "dot" => -V.dot(col("vec"), col("qvec"))
+    }
+    q.join(lakeV, col("qshard") === col(partCol))
+      .select(col("qid"), col("id"), V.round6z(dist).as("dist"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+  }
+
   /** [[topKStream]] with a STATE LIFECYCLE: per-query state (≤ k rows)
     * is dropped once the query id has been idle past `ttl` of EVENT
     * time — over an unbounded stream of distinct query ids, plain

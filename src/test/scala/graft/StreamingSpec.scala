@@ -352,6 +352,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamRouted: each query is served from its routed shard only, matching single-probe topK") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_stream_r")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "east"),
+      ("b", Seq(0f, 1f, 0f), "north"),
+      ("c", Seq(0.9f, 0.1f, 0f), "east-ish"),
+      ("d", Seq(-1f, 0f, 0f), "west"))
+      .toDF("id", "vector", "document"))
+    val queries = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(-0.9, -0.1, 0.0)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = lake.topKStreamRouted(stream.toDF().toDF("qid", "qvec"), k = 2)
+      .writeStream.format("memory").queryName("serve_routed_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(queries: _*)
+      q.processAllAvailable()
+      val got = spark.table("serve_routed_out")
+        .select(col("qid"), col("top.id").as("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      // the streamed answer IS the single-probe topK answer, per query
+      // (including empty for a query routed to an unoccupied shard)
+      queries.foreach { case (qid, qv) =>
+        val single = lake.topK(qv, 2).select("id").collect()
+          .map(_.getString(0)).toSeq
+        assert(got.getOrElse(qid, Nil) === single,
+          s"qid $qid: routed stream answer must equal single-probe topK")
+      }
+      // sanity that routing actually separates: queries 1 and 3 route to
+      // different shards and must not see each other's neighbors
+      assert(lake.lsh.shardOf(queries(0)._2) !== lake.lsh.shardOf(queries(2)._2))
+    } finally q.stop()
+  }
+
   test("topKStreamExpiring: idle query state is retired by the event-time ttl") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
