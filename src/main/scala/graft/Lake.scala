@@ -861,6 +861,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     case "dot"    => -V.dot(col("vector"), V.vecLit(q)) // nearest = max dot
   }
 
+  /** Pair-distance under `cfg.metric` for a scored row holding
+    * (vec, nrm) against a joined query holding (qvec, qnrm) — the ONE
+    * definition every batch/stream serve path shares ([[topKBatch]],
+    * [[topKBatchRouted]], [[topKStream]], [[topKStreamRouted]],
+    * [[topKStreamExpiring]]); a metric addition or guard fix lands in
+    * all of them at once. Cosine goes through the zero-norm-guarded
+    * precomputed-norms kernel (one degenerate row must not ANSI-fail
+    * the scan); round6z at the call sites keeps self-pair dist +0.0. */
+  private def pairDist: Column = cfg.metric match {
+    case "cosine" => lit(1.0) -
+      V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
+    case "l2"  => V.l2Dist(col("vec"), col("qvec"))
+    case "dot" => -V.dot(col("vec"), col("qvec")) // nearest = max dot
+  }
+
+  /** The shared batch tail: bounded-heap top-k per qid, exploded to
+    * (qid, rank, id, dist) rows. */
+  private def batchTopKTail(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("id"), col("p.dist").as("dist"))
+      .orderBy("qid", "rank")
+
   /** Single-probe kNN: prune to the LSH-routed shard (a *literal*
     * predicate so Catalyst prunes partition directories at planning),
     * then exact top-k — `TakeOrderedAndProject` does per-partition heap
@@ -895,25 +920,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
       .select(col("qid"), col("qvec"), V.l2Norm(col("qvec")).as("qnrm"))
-    val batchDist: Column = cfg.metric match {
-      // zero-norm guarded (cosineSimPre): one degenerate row must not
-      // ANSI-fail the scan; round6z keeps self-pair dist at +0.0
-      case "cosine" => lit(1.0) -
-        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
-      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
-      case "dot" => -V.dot(col("vec"), col("qvec")) // nearest = max dot
-    }
-    read()
-      .select(col("id"), V.asDouble(col("vector")).as("vec"),
-        V.l2Norm(col("vector")).as("nrm"))
-      .crossJoin(broadcast(qdf))
-      .select(col("qid"), col("id"), V.round6z(batchDist).as("dist"))
-      .groupBy("qid")
-      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("p.id").as("id"), col("p.dist").as("dist"))
-      .orderBy("qid", "rank")
+    batchTopKTail(
+      read()
+        .select(col("id"), V.asDouble(col("vector")).as("vec"),
+          V.l2Norm(col("vector")).as("nrm"))
+        .crossJoin(broadcast(qdf))
+        .select(col("qid"), col("id"), V.round6z(pairDist).as("dist")),
+      k)
   }
 
   /** [[topKBatch]] with per-query LSH routing — the batch shape that
@@ -940,24 +953,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .select(col("qid"), col("qvec"), col("qshard"),
         V.l2Norm(col("qvec")).as("qnrm"))
     val shards = routed.map(_._3).distinct
-    val batchDist: Column = cfg.metric match {
-      case "cosine" => lit(1.0) -
-        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
-      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
-      case "dot" => -V.dot(col("vec"), col("qvec"))
-    }
-    read()
-      .where(col(partCol).isin(shards: _*))
-      .select(col("id"), col(partCol),
-        V.asDouble(col("vector")).as("vec"), V.l2Norm(col("vector")).as("nrm"))
-      .join(broadcast(qdf), col(partCol) === col("qshard"))
-      .select(col("qid"), col("id"), V.round6z(batchDist).as("dist"))
-      .groupBy("qid")
-      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("p.id").as("id"), col("p.dist").as("dist"))
-      .orderBy("qid", "rank")
+    batchTopKTail(
+      read()
+        .where(col(partCol).isin(shards: _*))
+        .select(col("id"), col(partCol),
+          V.asDouble(col("vector")).as("vec"), V.l2Norm(col("vector")).as("nrm"))
+        .join(broadcast(qdf), col(partCol) === col("qshard"))
+        .select(col("qid"), col("id"), V.round6z(pairDist).as("dist")),
+      k)
   }
 
   /** Continuous retrieval: serve a STREAM of query vectors against the
@@ -991,17 +994,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       col("qvec").cast(ArrayType(DoubleType)).as("qvec"),
       lit(1).as("__jq"))
       .withColumn("qnrm", V.l2Norm(col("qvec")))
-    val dist: Column = cfg.metric match {
-      case "cosine" => lit(1.0) -
-        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
-      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
-      case "dot" => -V.dot(col("vec"), col("qvec"))
-    }
     // a literal equi-key instead of crossJoin: stream-static INNER
     // equi-joins are supported by the streaming planner, cross joins
     // are not — same plan (broadcast the 1-key side), same rows
     q.join(lakeV, col("__jq") === col("__j"))
-      .select(col("qid"), col("id"), V.round6z(dist).as("dist"))
+      .select(col("qid"), col("id"), V.round6z(pairDist).as("dist"))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
   }
@@ -1033,14 +1030,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       col("qvec").cast(ArrayType(DoubleType)).as("qvec"))
       .withColumn("qnrm", V.l2Norm(col("qvec")))
       .withColumn("qshard", lsh.shardCol(col("qvec")))
-    val dist: Column = cfg.metric match {
-      case "cosine" => lit(1.0) -
-        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
-      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
-      case "dot" => -V.dot(col("vec"), col("qvec"))
-    }
     q.join(lakeV, col("qshard") === col(partCol))
-      .select(col("qid"), col("id"), V.round6z(dist).as("dist"))
+      .select(col("qid"), col("id"), V.round6z(pairDist).as("dist"))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("id")), k).as("top"))
   }
@@ -1077,14 +1068,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         col("qvec").cast(ArrayType(DoubleType)).as("qvec"),
         lit(1).as("__jq"))
       .withColumn("qnrm", V.l2Norm(col("qvec")))
-    val dist: Column = cfg.metric match {
-      case "cosine" => lit(1.0) -
-        V.cosineSimPre(V.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm"))
-      case "l2"  => V.l2Dist(col("vec"), col("qvec"))
-      case "dot" => -V.dot(col("vec"), col("qvec"))
-    }
     val scored = q.join(lakeV, col("__jq") === col("__j"))
-      .select(col("qid"), col("qtime"), col("id"), V.round6z(dist).as("dist"))
+      .select(col("qid"), col("qtime"), col("id"), V.round6z(pairDist).as("dist"))
       .as[(Long, java.sql.Timestamp, String, Double)]
     val ttlMs = ttl.toMillis
     scored.groupByKey(_._1)
@@ -1160,7 +1145,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * instead of data-independent sign bits — tighter candidates at the
     * same stored size. */
   def topKPq(q: Seq[Double], k: Int, coarseK: Int = 100): DataFrame =
-    topKPqWhere(q, k, coarseK, lit(true))
+    topKPqWhere("topKPq", q, k, coarseK, lit(true))
 
   /** [[topKPq]] with LSH shard pruning composed in — the full serving
     * stack a 100 TB ANN deployment actually runs, each stage cutting
@@ -1175,11 +1160,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *  3. RERANK: full-precision vectors are touched for ≤ `coarseK`
     *     rows, also only inside the routed shards.
     *
-    * Recall dials: `multiProbe` (widens stage 1 to Hamming-distance-1
-    * shards, the [[topKMultiProbe]] trade) and `coarseK` (widens
-    * stage 3). With both stages exhaustive (`multiProbe` covering the
-    * lake, `coarseK` ≥ rows) this reduces to [[topK]]'s exact routed
-    * retrieval — PqSpec pins the contract. */
+    * Recall dials: `multiProbe` (widens stage 1 to the routed shard's
+    * Hamming-distance-1 neighbors — 1+numHashes of 2^numHashes shards,
+    * the [[topKMultiProbe]] trade; never the whole lake) and `coarseK`
+    * (widens stage 3). With `coarseK` ≥ rows the result reduces to
+    * EXACT retrieval over the probed shard set — single-probe that is
+    * [[topK]]'s answer, multiprobe [[topKMultiProbe]]'s; PqSpec pins
+    * the single-probe contract. */
   def topKPqRouted(q: Seq[Double], k: Int, coarseK: Int = 100,
       multiProbe: Boolean = false): DataFrame = {
     require(cfg.partitionKey.isEmpty,
@@ -1189,13 +1176,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val probes =
       if (multiProbe) routed +: (0 until cfg.numHashes).map(j => routed ^ (1 << j))
       else Seq(routed)
-    topKPqWhere(q, k, coarseK, col(partCol).isin(probes: _*))
+    topKPqWhere("topKPqRouted", q, k, coarseK, col(partCol).isin(probes: _*))
   }
 
-  private def topKPqWhere(q: Seq[Double], k: Int, coarseK: Int,
+  private def topKPqWhere(op: String, q: Seq[Double], k: Int, coarseK: Int,
       pred: Column): DataFrame = {
     val model = cfg.pqCodebooks.getOrElse(throw new IllegalArgumentException(
-      "topKPq needs a materialized pq_code column: set pqCodebooks = Some(model)"))
+      s"$op needs a materialized pq_code column: set pqCodebooks = Some(model)"))
     requirePqModelMatch() // stored codes must be this model's codes
     val adc = (0 until model.m).map { mi =>
       element_at(V.vecLit(model.lutFor(q, mi)),

@@ -222,8 +222,6 @@ class LakeSpec extends SparkSpec {
   }
 
   test("topKBatchRouted equals per-query routed topK; the scan prunes to the routed shard union") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_batch_routed").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 3))
     val rng = new scala.util.Random(31)
@@ -247,12 +245,7 @@ class LakeSpec extends SparkSpec {
     // the scan lists ONLY the union of routed directories
     val shardSet = queries.map(q => lake.lsh.shardOf(q._2)).toSet
     val plan = lake.topKBatchRouted(queries, 3).queryExecution.executedPlan
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p.collect {
-        case f: FileSourceScanExec => Seq(f)
-        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      }.flatten
-    val scans = scansOf(plan)
+    val scans = fileScansOf(plan)
     assert(scans.nonEmpty)
     scans.foreach(_.selectedPartitions.toPartitionArray
       .map(_.filePath.toString).foreach { f =>

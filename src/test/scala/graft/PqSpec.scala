@@ -95,7 +95,6 @@ class PqSpec extends SparkSpec {
   }
 
   test("topKPqRouted: route + coarse + rerank all stay inside the routed shards; exhaustive dials reduce to exact routed retrieval") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_routed")
     val m16 = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim,
@@ -125,15 +124,7 @@ class PqSpec extends SparkSpec {
     // shard partition filter, and the coarse scan projects only
     // (id, pq_code) — the two claims that make this the 100 TB path
     val plan = lake.topKPqRouted(q, 5).queryExecution.executedPlan
-    // the broadcast join wraps the plan in AdaptiveSparkPlanExec, whose
-    // children are invisible to a plain collect — recurse through it
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p.collect {
-        case f: FileSourceScanExec => Seq(f)
-        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      }.flatten
-    val scans = scansOf(plan)
+    val scans = fileScansOf(plan)
     assert(scans.nonEmpty)
     scans.foreach(s => assert(
       s.partitionFilters.exists(_.toString.contains("shard")),

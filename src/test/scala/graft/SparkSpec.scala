@@ -7,6 +7,18 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local session for specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Every FileSourceScanExec in a physical plan, recursing through
+    * AdaptiveSparkPlanExec — a plain `collect` stops at the AQE
+    * boundary, so any plan with an exchange (joins, aggregates) hides
+    * its scans from it. Shared by every plan-pinning test. */
+  protected def fileScansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScansOf(a.executedPlan)
+    }.flatten
 }
 
 object SparkSpec {
