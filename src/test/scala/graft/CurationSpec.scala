@@ -9,6 +9,20 @@ import graft.queries.Registry
 class CurationSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("fixture-cached round-trips are idempotent: a repeated call returns identical rows") {
+    // the bench's rep contract for the BuiltFixtures queries: the
+    // second call (cache hit — no rebuild) must serve exactly the
+    // first call's rows, and the change-feed/time-travel pair must
+    // stay internally consistent across the hit
+    for (name <- Seq("q_change_feed", "q_time_travel", "q_compact_inc",
+        "q_maintain_stats", "q_skip_lookup")) {
+      val first = Registry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      val again = Registry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      assert(first === again, s"$name drifted across a fixture-cache hit")
+      assert(first.nonEmpty, s"$name returned no rows")
+    }
+  }
+
   test("split: train+test partition the corpus, and the split is stable across runs") {
     val rows = Registry.queries("q_split_train_test")(spark, dir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
