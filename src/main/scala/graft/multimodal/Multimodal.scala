@@ -34,8 +34,9 @@ trait Decoder extends Serializable {
 /** REAL image decoder — the JDK's public `javax.imageio` registry
   * (PNG/JPEG/GIF/BMP, zero native deps): width/height come from the
   * actually-decoded raster, duration is 0 by definition for stills. A
-  * payload imageio cannot parse, and the audio/video kinds (no
-  * public-JDK decoder exists), keep [[FakeDecoder]]'s deterministic
+  * payload imageio cannot parse, and the audio/video kinds (audio has
+  * its own real decoder, [[JdkDecoder]]; video has no public-JDK
+  * decoder), keep [[FakeDecoder]]'s deterministic
   * pseudo-features so the pipeline never drops an asset on a decode
   * gap — the fallback is visible in the features (fake dims), not
   * silent. Plugs into the SAME [[Multimodal.decodeAll]] partition-wise
@@ -57,9 +58,50 @@ object ImageIoDecoder extends Decoder {
     }
 }
 
+/** REAL audio decoder — the JDK's public `javax.sound.sampled`
+  * registry (WAV/AIFF/AU PCM, zero native deps): `duration_ms` comes
+  * from the actually-parsed frame count and frame rate. Raster dims
+  * are 0 by definition for audio — a real decode is visibly distinct
+  * from [[FakeDecoder]]'s pseudo-dims there too. Every other kind
+  * delegates to [[ImageIoDecoder]] (real rasters for images, fake
+  * features for video — the one kind with no public-JDK decoder), so
+  * ONE decoder instance serves a mixed-kind partition with the best
+  * real decode available per kind; undecodable audio falls back to
+  * the fake features like any other decode gap. */
+object JdkDecoder extends Decoder {
+  /** (frames, frameRate, channels) of a parseable PCM payload.
+    * UnsupportedAudioFileException = no parser claims the bytes;
+    * IOException = claimed (valid RIFF/AIFF header) but corrupt —
+    * both are "undecodable" and must not fail the Spark task. */
+  private[multimodal] def tryReadAudio(bytes: Array[Byte]): Option[(Long, Float, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0f) None
+        else Some((frames, fmt.getFrameRate, fmt.getChannels))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  def decode(a: Asset): AssetFeatures =
+    if (a.kind != "audio") ImageIoDecoder.decode(a)
+    else tryReadAudio(a.bytes) match {
+      case Some((frames, rate, _)) => AssetFeatures(a.asset_id, a.kind,
+        a.bytes.length.toLong, 0, 0, math.round(frames * 1000.0 / rate))
+      case None => FakeDecoder.decode(a)
+    }
+}
+
 /** Decoded per-image pixel statistics (Rec.601 luma). */
 final case class ImageStats(
     asset_id: Long, width: Int, height: Int, mean_luma: Double)
+
+/** Decoded per-clip audio statistics (RMS over normalized PCM
+  * samples in [-1, 1]). */
+final case class AudioStats(
+    asset_id: Long, frames: Long, rate_hz: Double, channels: Int, rms: Double)
 
 /** STUB decoder — deterministic pseudo-features from md5(bytes).
   * Kept as the ORACLE path: [[Multimodal.featureCols]] is its
@@ -125,6 +167,51 @@ object Multimodal {
           }
           ImageStats(a.asset_id, w, h, sum / (w.toLong * h))
         }
+      }
+    }
+  }
+
+  /** REAL sample-stats extraction over audio payloads: parse with
+    * `javax.sound.sampled` per partition, stream PCM frames through
+    * the JDK's own conversion chain (normalized to 16-bit signed
+    * little-endian at the source rate), one tight RMS loop per clip,
+    * no collect anywhere. Non-audio and undecodable payloads are
+    * dropped — this op is about REAL samples; the never-drop path is
+    * [[decodeAll]] with its fake-feature fallback. The audio analog
+    * of [[imageStats]]. */
+  def audioStats(assets: Dataset[Asset]): Dataset[AudioStats] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        try {
+          val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.bytes))
+          try {
+            val srcFmt = raw.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+            val buf = new Array[Byte](8192)
+            var sumSq = 0.0
+            var n = 0L
+            var read = in.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i + 1 < read) {
+                val s = (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort
+                val x = s / 32768.0
+                sumSq += x * x
+                n += 1
+                i += 2
+              }
+              read = in.read(buf)
+            }
+            if (n == 0) None
+            else Some(AudioStats(a.asset_id, raw.getFrameLength,
+              srcFmt.getSampleRate.toDouble, srcFmt.getChannels,
+              math.sqrt(sumSq / n)))
+          } finally raw.close()
+        } catch { case _: Exception => None }
       }
     }
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{Asset, FakeDecoder, ImageIoDecoder, Multimodal}
+import graft.multimodal.{Asset, FakeDecoder, ImageIoDecoder, JdkDecoder, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -14,6 +14,27 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A real in-memory WAV: 16-bit signed mono PCM 440 Hz sine at
+    * `amp`, round-tripped through the JDK encoder. */
+  private def wav(seconds: Double, rateHz: Float, amp: Double): Array[Byte] = {
+    val n = (seconds * rateHz).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rateHz) * amp * 32767).toInt.toShort
+      data(i * 2) = (s & 0xff).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
@@ -83,6 +104,44 @@ class MultimodalSpec extends SparkSpec {
     // and imageStats drops the claimed-but-corrupt payload, no crash
     assert(Multimodal.imageStats(Seq(Asset(15L, "image", truncated)).toDS())
       .count() === 0L)
+  }
+
+  test("JdkDecoder decodes REAL WAV payloads: true duration through the same plumbing; images still real; video still fake") {
+    val half = wav(0.5, 8000f, 0.5) // 4000 frames @ 8 kHz = exactly 500 ms
+    val two = wav(2.0, 16000f, 0.25)
+    val feats = Multimodal.decodeAll(Seq(
+      Asset(20L, "audio", half),
+      Asset(21L, "audio", two),
+      Asset(22L, "audio", "not a wav".getBytes("UTF-8")), // unclaimed → fake
+      Asset(23L, "image", png(37, 21, 0x336699)),          // delegates to imageio
+      Asset(24L, "video", "v".getBytes("UTF-8"))           // no JDK decoder → fake
+    ).toDS(), JdkDecoder).collect().map(f => f.asset_id -> f).toMap
+    assert(feats(20L).duration_ms === 500L)
+    assert(feats(21L).duration_ms === 2000L)
+    // real audio decode is visibly raster-free, unlike the fake's pseudo-dims
+    assert(feats(20L).width === 0 && feats(20L).height === 0)
+    assert(feats(22L) === FakeDecoder.decode(Asset(22L, "audio",
+      "not a wav".getBytes("UTF-8"))))
+    assert(feats(23L).width === 37 && feats(23L).height === 21)
+    assert(feats(24L) === FakeDecoder.decode(Asset(24L, "video",
+      "v".getBytes("UTF-8"))))
+  }
+
+  test("audioStats reads real samples: sine RMS is amp/sqrt(2), non-audio and corrupt dropped") {
+    val clip = wav(1.0, 8000f, 0.5) // whole number of 440 Hz cycles ≈ not exact, tolerance below
+    val stats = Multimodal.audioStats(Seq(
+      Asset(1L, "audio", clip),
+      Asset(2L, "audio", "corrupt".getBytes("UTF-8")),
+      Asset(3L, "image", png(2, 2, 0x000000)))
+      .toDS()).collect().map(s => s.asset_id -> s).toMap
+    assert(stats.keySet === Set(1L))
+    assert(stats(1L).frames === 8000L)
+    assert(stats(1L).rate_hz === 8000.0)
+    assert(stats(1L).channels === 1)
+    // RMS of a 0.5-amplitude sine = 0.5/√2 ≈ 0.35355; quantization and
+    // the partial final cycle keep it within a loose-but-meaningful band
+    assert(math.abs(stats(1L).rms - 0.5 / math.sqrt(2)) < 0.01,
+      s"rms = ${stats(1L).rms}")
   }
 
   test("imageStats reads real pixels: solid-color luma is exact, non-images dropped") {
