@@ -206,8 +206,12 @@ object Multimodal {
               }
               read = in.read(buf)
             }
+            // frames from the samples ACTUALLY streamed (n 16-bit
+            // samples / channels), never the header's frame-length
+            // field: a stream-style payload reports NOT_SPECIFIED (-1)
+            // there, and the decoded count can't disagree with the rms
             if (n == 0) None
-            else Some(AudioStats(a.asset_id, raw.getFrameLength,
+            else Some(AudioStats(a.asset_id, n / srcFmt.getChannels,
               srcFmt.getSampleRate.toDouble, srcFmt.getChannels,
               math.sqrt(sumSq / n)))
           } finally raw.close()

@@ -399,8 +399,7 @@ object CoreQueries {
       val lake = BuiltFixtures.once(s, dir, "shard_stats") {
         // session-scoped (q_export_shards posture): a read-back round-trip
         // must not share its tree with a concurrent session on the same sfDir
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_lake_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "lake")
         val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
         l.delete()
         l.ingest(Tables.embeddings(s, dir)

@@ -260,8 +260,7 @@ object CurationQueries {
       val lake = BuiltFixtures.once(s, dir, "compact_stats") {
         // session-scoped (q_export_shards posture): a read-back round-trip
         // must not share its tree with a concurrent session on the same sfDir
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "compact")
         val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
         l.delete()
         val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -299,8 +298,7 @@ object CurationQueries {
       // built once per (session, sfDir) — BuiltFixtures scaladoc; the
       // measured surface is the post-rewrite read-back profile
       val lake = BuiltFixtures.once(s, dir, "compact_inc") {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_inc_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "compact_inc")
         val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
         l.delete()
         val src = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -352,8 +350,7 @@ object CurationQueries {
         // session-scoped like q_export_shards: this query READS BACK what
         // it wrote, so two concurrent sessions on the same sfDir must not
         // interleave delete/rewrite cycles in one tree
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_maintain_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "maintain")
         val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
         l.delete()
         val emb = Tables.embeddings(s, dir)
@@ -409,8 +406,7 @@ object CurationQueries {
       // built once per (session, sfDir) — BuiltFixtures scaladoc; the
       // measured surface is the sketch-pruned point-read itself
       val lake = BuiltFixtures.once(s, dir, "skip_lookup") {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_skiplk_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "skiplk")
         val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
         l.delete()
         l.ingest(Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -444,12 +440,15 @@ object CurationQueries {
   private def mutatedLake(s: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String, deleteMod: Int, replaceBound: Int,
       compactAfter: Boolean = false): (Lake, Long) =
-    // built once per (session, sfDir, prefix) — BuiltFixtures scaladoc;
-    // the measured surfaces are the netted delta / snapshot read, not
-    // the (deterministic) mutation history they replay against
-    BuiltFixtures.once(s, dir, s"mutated_$prefix") {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+    // built once per (session, sfDir, FULL parameterization) —
+    // BuiltFixtures scaladoc; the params are part of the key so a
+    // future call site reusing a prefix with different mutation
+    // parameters can never be served the wrong history. The measured
+    // surfaces are the netted delta / snapshot read, not the
+    // (deterministic) mutation history they replay against
+    BuiltFixtures.once(s, dir,
+        s"mutated_${prefix}_${deleteMod}_${replaceBound}_$compactAfter") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, prefix)
       val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
       lake.delete()
       val emb = Tables.embeddings(s, dir)
@@ -721,8 +720,7 @@ object CurationQueries {
         // keyed by the SANITIZED FULL dir (collision-free, unlike a 32-bit
         // hashCode) plus the Spark application id, so two concurrent
         // sessions on the same sfDir write disjoint round-trip dirs
-        val o = s"${sys.props("java.io.tmpdir")}/graft_export_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+        val o = BuiltFixtures.sessionTmp(s, dir, "export")
         val tokens = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("text"),
             size(T.tokens(col("text"))).cast("long").as("t"))

@@ -23,11 +23,40 @@ final case class Q(
   * re-paying the setup I/O every rep. A failed build is NOT cached —
   * the next call retries. */
 private[queries] object BuiltFixtures {
+  /** Per-key memo whose body runs OUTSIDE the map's bin lock (a
+    * multi-second Spark build inside computeIfAbsent would pin a
+    * ConcurrentHashMap bin and serialize unrelated fixtures); the lazy
+    * val's own monitor serializes per-key, and a failed build is not
+    * cached — Scala lazy initialization retries after a throw. */
+  private final class Once(f: () => Any) { lazy val value: Any = f() }
+
+  /** Keyed on the LIVE session object (weak — a stopped session's
+    * fixtures are GC-eligible with it, and identity can never collide
+    * the way a recycled identityHashCode can), then (sfDir, fixture). */
   private val store =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Any]()
-  def once[T](s: SparkSession, dir: String, name: String)(build: => T): T =
-    store.computeIfAbsent((System.identityHashCode(s), dir, name),
-      _ => build).asInstanceOf[T]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), Once]]()
+
+  def once[T](s: SparkSession, dir: String, name: String)(build: => T): T = {
+    val perSession = store.synchronized {
+      var m = store.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), Once]()
+        store.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => new Once(() => build))
+      .value.asInstanceOf[T]
+  }
+
+  /** The one definition of the session-scoped round-trip tmp path:
+    * sanitized FULL sfDir (collision-free, unlike a 32-bit hashCode)
+    * plus the Spark application id, so two concurrent driver JVMs on
+    * the same sfDir write disjoint trees. */
+  def sessionTmp(s: SparkSession, dir: String, prefix: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
 }
 
 object Registry {
