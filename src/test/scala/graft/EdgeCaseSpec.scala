@@ -121,6 +121,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("Tables.events normalizes every fixture shape of ts to a session-TZ timestamp") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // the driver has regenerated events.parquet with different parquet
+    // types across rounds (TIMESTAMP(NANOS) → read as long under the
+    // legacy conf; plain timestamp[us] → TIMESTAMP_NTZ); every shape
+    // must come out as the TimestampType the 14 events queries expect
+    def dirWith(df: org.apache.spark.sql.DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_events_shape").toString
+      df.write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val base = spark.range(3).select(col("id"), lit("c").as("category"))
+    // shape 1: long nanos (what the legacy conf yields for TIMESTAMP(NANOS))
+    val nanos = dirWith(base.withColumn("ts",
+      (lit(1767225600000000000L) + col("id") * 1000000000L)))
+    // shape 2: plain timestamp[us] with isAdjustedToUTC=false → NTZ
+    val ntz = dirWith(base.withColumn("ts",
+      expr("timestamp_ntz '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")))
+    // shape 3: already a session-TZ timestamp
+    val ltz = dirWith(base.withColumn("ts",
+      expr("timestamp '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")))
+    for (d <- Seq(nanos, ntz, ltz)) {
+      val got = Tables.events(spark, d)
+      assert(got.schema("ts").dataType === TimestampType, s"dir $d")
+      // all three shapes encode the same instants (session TZ is UTC)
+      assert(got.select(max(col("ts")).cast("string")).head().getString(0)
+        === "2026-01-01 00:00:02", s"dir $d")
+    }
+    // a parquet NTZ round-trip really is NTZ (the shape-2 premise)
+    assert(spark.read.parquet(s"$ntz/events.parquet").schema("ts").dataType
+      === TimestampNTZType)
+  }
+
   test("stratifiedSample with n=0 is empty; sampling an empty frame is empty") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(graft.operators.Curation
