@@ -223,4 +223,32 @@ class LakePropertiesSpec extends SparkSpec {
       assert(lake.topK(q, k).count() === 0L)
     }
   }
+
+  /** The routed-batch contract as a property: for ANY query set and k,
+    * every qid's rows in [[Lake.topKBatchRouted]] equal the single-probe
+    * [[Lake.topK]] answer — including qids whose routed shard is empty
+    * (absent on both sides). One batch job checks many random queries
+    * per iteration, so the property covers empty shards, ties, and
+    * shard-boundary queries as they arise. */
+  test("property: topKBatchRouted(qs, k) == per-query topK(q, k) for random query sets") {
+    val lake = Lake(spark, LakeConfig(
+      s"${Files.createTempDirectory("graft_prop")}/lake", dim = dim, numHashes = 4))
+    val rng = new scala.util.Random(11)
+    lake.ingest((0 until 60).map(i =>
+      (s"p$i", Seq.fill(dim)(rng.nextGaussian().toFloat), "d"))
+      .toDF("id", "vector", "document"))
+    forAll(Gen.zip(Gen.listOfN(5, vecGen), Gen.chooseNum(1, 6)), 8) { case (qs, k) =>
+      val queries = qs.zipWithIndex.map { case (q, i) => (i.toLong, q: Seq[Double]) }
+      val batch = lake.topKBatchRouted(queries, k).collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq)
+        .toMap
+      queries.foreach { case (qid, q) =>
+        val single = lake.topK(q, k).select("id", "dist").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(batch.getOrElse(qid, Nil) === single, s"qid $qid k $k")
+      }
+    }
+  }
 }
