@@ -917,6 +917,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * path (previously cosine-only — the one API that ignored the
     * config). Returns (qid, rank, id, dist). */
   def topKBatch(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    if (queries.isEmpty) return emptyBatchResult
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
       .select(col("qid"), col("qvec"), V.l2Norm(col("qvec")).as("qnrm"))
@@ -929,30 +930,67 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       k)
   }
 
+  /** The empty (qid, rank, id, dist) frame — the batch-kNN result shape
+    * with no rows; the zero-query answer (an `isin()` with zero operands
+    * or a zero-row broadcast side is an untested edge on the serving
+    * path, so empty batches short-circuit here instead). */
+  private def emptyBatchResult: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("qid", LongType), StructField("rank", IntegerType),
+        StructField("id", StringType), StructField("dist", DoubleType))))
+
+  /** A query's probe sequence, nearest-first: its routed shard, then the
+    * `numHashes` Hamming-distance-1 neighbors in bit order — the same
+    * ladder [[topKMultiProbe]] climbs all the way up. `nprobe` takes a
+    * prefix: 1 = single-probe ([[topK]]'s recall contract),
+    * 1 + numHashes = the full Hamming≤1 ball ([[topKMultiProbe]]'s). */
+  private def probeShards(qv: Seq[Double], nprobe: Int): Seq[Int] = {
+    val routed = lsh.shardOf(qv)
+    (routed +: (0 until cfg.numHashes).map(j => routed ^ (1 << j))).take(nprobe)
+  }
+
+  private def requireNprobe(nprobe: Int): Unit =
+    require(nprobe >= 1 && nprobe <= 1 + cfg.numHashes,
+      s"nprobe must be in [1, ${1 + cfg.numHashes}] (routed shard + one " +
+        s"flip per hyperplane); got $nprobe")
+
   /** [[topKBatch]] with per-query LSH routing — the batch shape that
     * survives 100 TB. Two cuts over the plain batch scan:
     *
-    *  1. the scan prunes to the UNION of the queries' routed shard
+    *  1. the scan prunes to the UNION of the queries' probed shard
     *     directories (a literal IN predicate resolved at planning —
-    *     a 100-query batch touches ≤ 100 of 2^numHashes directories);
+    *     a 100-query batch touches ≤ 100·nprobe of 2^numHashes
+    *     directories);
     *  2. the broadcast join is an EQUI-join on shard, so each row
-    *     meets only the queries routed to its shard —
-    *     Σ_s rows_s × queries_s distance evaluations instead of the
-    *     cross join's rows × queries.
+    *     meets only the queries probing its shard —
+    *     Σ_s rows_s × queries_probing_s distance evaluations instead
+    *     of the cross join's rows × queries.
     *
-    * Same single-probe recall contract as [[topK]], per query (a query
-    * routed to an empty shard returns no rows, exactly like topK).
-    * Returns (qid, rank, id, dist). */
-  def topKBatchRouted(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    * `nprobe` is the recall/cost dial ([[probeShards]]): the default 1
+    * keeps [[topK]]'s single-probe contract per query (a query routed
+    * to an empty shard returns no rows, exactly like topK);
+    * `1 + cfg.numHashes` gives exactly [[topKMultiProbe]]'s Hamming≤1
+    * recall, still as ONE scan for the whole batch — the equi-join
+    * shape is unchanged, the broadcast side just carries nprobe rows
+    * per query. Returns (qid, rank, id, dist). */
+  def topKBatchRouted(queries: Seq[(Long, Seq[Double])], k: Int,
+      nprobe: Int = 1): DataFrame = {
     require(cfg.partitionKey.isEmpty,
       "topKBatchRouted routes by the LSH shard column — a user-partitioned " +
         "lake has no LSH routing; use topKBatch")
+    requireNprobe(nprobe)
+    if (queries.isEmpty) return emptyBatchResult
     import spark.implicits._
-    val routed = queries.map { case (qid, qv) => (qid, qv, lsh.shardOf(qv)) }
-    val qdf = routed.toDF("qid", "qvec", "qshard")
+    val probed = for {
+      (qid, qv) <- queries
+      shard <- probeShards(qv, nprobe)
+    } yield (qid, qv, shard)
+    val qdf = probed.toDF("qid", "qvec", "qshard")
       .select(col("qid"), col("qvec"), col("qshard"),
         V.l2Norm(col("qvec")).as("qnrm"))
-    val shards = routed.map(_._3).distinct
+    val shards = probed.map(_._3).distinct
     batchTopKTail(
       read()
         .where(col(partCol).isin(shards: _*))
@@ -1014,22 +1052,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * file listing froze at plan time; partition pruning cannot follow a
     * per-batch dynamic key), so the cut is pairing count and shuffle
     * volume, and the join gets a real equi-key to hash on instead of
-    * the degenerate single-key join. Same single-probe recall contract
-    * as [[topK]], per query: a query routed to an empty shard emits no
-    * row. State stays the bounded per-qid heap (≤ k rows); compose with
+    * the degenerate single-key join. `nprobe` is the same recall/cost
+    * dial as [[topKBatchRouted]]'s, derived IN THE PLAN: the probe
+    * ladder (routed shard, then each single-bit flip) is a literal
+    * array expression over the routed value, sliced to nprobe and
+    * exploded — each query becomes nprobe probe rows on the stream
+    * side, the equi-join shape unchanged. Default 1 keeps [[topK]]'s
+    * single-probe contract per query (a query routed to an empty shard
+    * emits no row); 1 + numHashes gives [[topKMultiProbe]]'s Hamming≤1
+    * recall. State stays the bounded per-qid heap (≤ k rows) — probes
+    * of one qid merge into one heap; compose with
     * [[topKStreamExpiring]]'s ttl semantics by watermarking upstream if
     * the id space is open-ended. */
-  def topKStreamRouted(queries: DataFrame, k: Int): DataFrame = {
+  def topKStreamRouted(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     require(cfg.partitionKey.isEmpty,
       "topKStreamRouted routes by the LSH shard column — a " +
         "user-partitioned lake has no LSH routing; use topKStream")
+    requireNprobe(nprobe)
     val lakeV = read().select(
       col("id"), V.asDouble(col("vector")).as("vec"),
       V.l2Norm(col("vector")).as("nrm"), col(partCol))
+    val probeLadder = array(
+      (col("__routed") +:
+        (0 until cfg.numHashes).map(j => col("__routed").bitwiseXOR(lit(1 << j)))): _*)
     val q = queries.select(col("qid"),
       col("qvec").cast(ArrayType(DoubleType)).as("qvec"))
       .withColumn("qnrm", V.l2Norm(col("qvec")))
-      .withColumn("qshard", lsh.shardCol(col("qvec")))
+      .withColumn("__routed", lsh.shardCol(col("qvec")))
+      .withColumn("qshard", explode(slice(probeLadder, 1, nprobe)))
+      .drop("__routed")
     q.join(lakeV, col("qshard") === col(partCol))
       .select(col("qid"), col("id"), V.round6z(pairDist).as("dist"))
       .groupBy("qid")

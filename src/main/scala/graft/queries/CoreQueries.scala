@@ -237,6 +237,60 @@ object CoreQueries {
              SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 5
              ORDER BY qid, rank"""))
 
+  /** [[qKnnBatchRouted]] with the nprobe dial OPEN (the
+    * [[graft.Lake.topKBatchRouted]] `nprobe = 1 + numHashes` shape):
+    * each query explodes to its full Hamming≤1 probe ladder — routed
+    * shard plus one single-bit flip per hyperplane — and the join stays
+    * the same broadcast EQUI-join on the shard value (a lake row meets
+    * a query through at most ONE of its probes, so no dedup step is
+    * needed). Per-query recall = q_knn_multiprobe's, batch cost still
+    * Σ_s rows_s × queries_probing_s — the dial the single-probe routed
+    * batch was missing. */
+  val qKnnBatchRoutedMp = Q(
+    "q_knn_batch_routed_mp",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("vec"),
+          V.l2Norm(col("embedding")).as("nrm"),
+          lsh.shardCol(col("embedding")).as("shard"))
+      val flips = (0 until lsh.numHashes)
+        .map(j => col("qrouted").bitwiseXOR(lit(1 << j)))
+      val q = Tables.embeddings(s, dir).orderBy("vec_id").limit(10)
+        .select(col("vec_id").as("qid"), V.asDouble(col("embedding")).as("qvec"),
+          V.l2Norm(col("embedding")).as("qnrm"),
+          lsh.shardCol(col("embedding")).as("qrouted"))
+        .select(col("qid"), col("qvec"), col("qnrm"),
+          explode(array((col("qrouted") +: flips): _*)).as("qshard"))
+      e.join(broadcast(q), col("shard") === col("qshard"))
+        .select(col("qid"), col("vec_id"),
+          V.round6z(lit(1.0) - V.cosineSimPre(V.dot(col("vec"), col("qvec")),
+            col("nrm"), col("qnrm"))).as("dist"))
+        .groupBy("qid")
+        .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("vec_id")), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("qid"), col("p.id").as("vec_id"), col("p.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("qid", "rank")
+    },
+    Some {
+      val flipsSql = (0 until lsh.numHashes)
+        .map(j => s"xor(q.qshard, ${1 << j})").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+                            ${lsh.sqlShardExpr("embedding")} AS shard
+                     FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qvec, shard AS qshard
+                FROM e ORDER BY vec_id LIMIT 10),
+          d AS (SELECT q.qid, e.vec_id,
+                       ${V.sqlRound6z(V.sqlCosineDistCols("e.embedding", "q.qvec"))} AS dist
+                FROM e JOIN q
+                  ON list_contains([q.qshard, $flipsSql], e.shard)),
+          r AS (SELECT qid, vec_id, dist,
+                       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+                FROM d)
+          SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 5
+          ORDER BY qid, rank"""
+    })
+
   // ---------------------------------------------------------- near-dup --
 
   /** Exact all-pairs cosine near-dup — the correctness BASELINE, bounded
@@ -576,7 +630,7 @@ object CoreQueries {
   def all: Seq[Q] = Seq(
     qKnnCosine, qKnnL2, qKnnDot, qKnnHamming, qKnnRerank,
     qLshRoute, qKnnPruned, qKnnMultiProbe,
-    qKnnBatch, qKnnBatchRouted, qNearDup, qNearDupLsh,
+    qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qHybridRrf, qMaxSim)

@@ -448,7 +448,13 @@ object CurationQueries {
     // (deterministic) mutation history they replay against
     BuiltFixtures.once(s, dir,
         s"mutated_${prefix}_${deleteMod}_${replaceBound}_$compactAfter") {
-      val tmp = BuiltFixtures.sessionTmp(s, dir, prefix)
+      // the tmp path derives from the FULL fixture key, not just the
+      // prefix: two cache entries sharing a prefix with different
+      // mutation params must never share an on-disk tree (each build
+      // starts with lake.delete(), which would silently invalidate the
+      // other entry's still-cached Lake)
+      val tmp = BuiltFixtures.sessionTmp(s, dir,
+        s"${prefix}_${deleteMod}_${replaceBound}_$compactAfter")
       val lake = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
       lake.delete()
       val emb = Tables.embeddings(s, dir)

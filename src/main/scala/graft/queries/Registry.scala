@@ -28,11 +28,24 @@ private[queries] object BuiltFixtures {
     * ConcurrentHashMap bin and serialize unrelated fixtures); the lazy
     * val's own monitor serializes per-key, and a failed build is not
     * cached — Scala lazy initialization retries after a throw. */
-  private final class Once(f: () => Any) { lazy val value: Any = f() }
+  private final class Once(f0: () => Any) {
+    /** Cleared once the build succeeds so the thunk's captured
+      * SparkSession stops being strongly reachable from this entry.
+      * Caveat that remains BY DESIGN: a built value that itself holds
+      * the session (a cached Lake does) is a WeakHashMap value
+      * referencing its own key, which pins that entry for the JVM's
+      * life — bounded at one small fixture set per session, the
+      * explicit cost of "build once, reuse across bench reps". Entries
+      * whose value is session-free (paths, counts) become collectable
+      * with the session once the thunk is nulled. */
+    private var f: () => Any = f0
+    lazy val value: Any = { val v = f(); f = null; v }
+  }
 
-  /** Keyed on the LIVE session object (weak — a stopped session's
-    * fixtures are GC-eligible with it, and identity can never collide
-    * the way a recycled identityHashCode can), then (sfDir, fixture). */
+  /** Keyed on the LIVE session object (weak; identity can never
+    * collide the way a recycled identityHashCode can), then
+    * (sfDir, fixture). See Once for exactly when an entry becomes
+    * GC-eligible with its session. */
   private val store =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), Once]]()
@@ -52,11 +65,17 @@ private[queries] object BuiltFixtures {
 
   /** The one definition of the session-scoped round-trip tmp path:
     * sanitized FULL sfDir (collision-free, unlike a 32-bit hashCode)
-    * plus the Spark application id, so two concurrent driver JVMs on
-    * the same sfDir write disjoint trees. */
+    * plus the Spark application id (two concurrent driver JVMs on the
+    * same sfDir write disjoint trees) plus the session object's
+    * identity (sibling `newSession()`s share an applicationId but
+    * cache fixtures per session object — without the discriminator a
+    * second session's rebuild would delete+rewrite the tree the first
+    * session's still-cached Lake points at). */
   def sessionTmp(s: SparkSession, dir: String, prefix: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + s.sparkContext.applicationId
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      s.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(System.identityHashCode(s))
 }
 
 object Registry {

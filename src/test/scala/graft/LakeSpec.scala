@@ -260,6 +260,53 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("LSH"))
   }
 
+  test("topKBatchRouted nprobe: full ladder equals per-query topKMultiProbe; empty batch short-circuits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_batch_nprobe").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 5, numHashes = 3))
+    val rng = new scala.util.Random(47)
+    lake.ingest((0 until 200).map { i =>
+      (s"r$i", Seq.fill(5)(rng.nextGaussian().toFloat), s"doc $i")
+    }.toDF("id", "vector", "document"))
+    val queries = (0 until 4).map(i =>
+      (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+    // nprobe at the top of the ladder = the Hamming≤1 recall contract
+    val batch = lake.topKBatchRouted(queries, 3, nprobe = 1 + 3).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq)
+      .toMap
+    queries.foreach { case (qid, q) =>
+      val multi = lake.topKMultiProbe(q, 3).select("id", "dist").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Nil) === multi,
+        s"qid $qid: full-ladder batch must equal per-query topKMultiProbe")
+    }
+    // widening the ladder never loses a single-probe hit and never
+    // worsens any returned distance (recall is monotone in nprobe)
+    val single = lake.topKBatchRouted(queries, 3, nprobe = 1).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Double]("dist")).sorted.toSeq).toMap
+    queries.foreach { case (qid, _) =>
+      val wide = batch.getOrElse(qid, Nil).map(_._2).sorted
+      val narrow = single.getOrElse(qid, Nil)
+      assert(wide.size >= narrow.size)
+      wide.zip(narrow).foreach { case (w, n) =>
+        assert(w <= n, s"qid $qid: nprobe widening worsened a distance")
+      }
+    }
+    // empty batches short-circuit with the result schema, zero rows
+    for (empty <- Seq(lake.topKBatch(Nil, 3), lake.topKBatchRouted(Nil, 3))) {
+      assert(empty.columns.toSeq === Seq("qid", "rank", "id", "dist"))
+      assert(empty.count() === 0L)
+    }
+    // the dial is validated against the ladder's length
+    val e = intercept[IllegalArgumentException](
+      lake.topKBatchRouted(queries, 3, nprobe = 5))
+    assert(e.getMessage.contains("nprobe"))
+    assert(intercept[IllegalArgumentException](
+      lake.topKBatchRouted(queries, 3, nprobe = 0)).getMessage.contains("nprobe"))
+  }
+
   test("mmrSearch: a zero-norm candidate never hijacks the greedy pick") {
     val lake = freshLake()
     lake.ingest(Seq(

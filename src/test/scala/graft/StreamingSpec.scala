@@ -390,6 +390,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStreamRouted nprobe: full ladder matches per-query topKMultiProbe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_stream_mp")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "east"),
+      ("b", Seq(0f, 1f, 0f), "north"),
+      ("c", Seq(0.9f, 0.1f, 0f), "east-ish"),
+      ("d", Seq(-1f, 0f, 0f), "west"))
+      .toDF("id", "vector", "document"))
+    val queries = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(-0.9, -0.1, 0.0)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = lake.topKStreamRouted(stream.toDF().toDF("qid", "qvec"), k = 3,
+        nprobe = 1 + 2)
+      .writeStream.format("memory").queryName("serve_routed_mp_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(queries: _*)
+      q.processAllAvailable()
+      val got = spark.table("serve_routed_mp_out")
+        .select(col("qid"), col("top.id").as("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      // the full probe ladder in the stream = per-query topKMultiProbe
+      queries.foreach { case (qid, qv) =>
+        val multi = lake.topKMultiProbe(qv, 3).select("id").collect()
+          .map(_.getString(0)).toSeq
+        assert(got.getOrElse(qid, Nil) === multi,
+          s"qid $qid: full-ladder stream answer must equal topKMultiProbe")
+      }
+      // and it is a strict widening over the single-probe stream answer
+      // for at least one query here (the dial actually does something)
+      val single = queries.map { case (qid, qv) =>
+        qid -> lake.topK(qv, 3).count()
+      }.toMap
+      assert(queries.exists { case (qid, _) =>
+        got.getOrElse(qid, Nil).size > single(qid) },
+        "expected the Hamming≤1 ladder to widen at least one answer")
+      assert(intercept[IllegalArgumentException](
+        lake.topKStreamRouted(stream.toDF().toDF("qid", "qvec"), k = 3,
+          nprobe = 9)).getMessage.contains("nprobe"))
+    } finally q.stop()
+  }
+
   test("topKStreamExpiring: idle query state is retired by the event-time ttl") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
