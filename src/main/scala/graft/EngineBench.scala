@@ -91,6 +91,39 @@ object EngineBench {
     val (tHam, _) = time(cLake.topKCompressed(q0, 10, coarseK = 100).count())
     val (tPq, _) = time(cLake.topKPq(q0, 10, coarseK = 100).count())
 
+    // concurrent-append scaling (the shared append gate): the same rows
+    // as TWO half-batches, loaded back-to-back vs in parallel. The old
+    // exclusive lock would REFUSE the second parallel loader outright;
+    // the shared gate admits both, and on a cluster with headroom the
+    // pair overlaps scheduling/IO gaps (local[32] with two ~16-task
+    // write jobs has exactly that headroom)
+    val halfA = base.where(col("id") % 2 === 0).select("vector", "document")
+    val halfB = base.where(col("id") % 2 === 1).select("vector", "document")
+    def freshIngestLake(tag: String): Lake = {
+      val l = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_engine_bench$tag", dim = dim))
+      l.delete(); l
+    }
+    val seqLake = freshIngestLake("_seq")
+    val tSeq0 = System.nanoTime()
+    seqLake.ingest(halfA); seqLake.ingest(halfB)
+    val tSeq = (System.nanoTime() - tSeq0) / 1e9
+    val parLake = freshIngestLake("_par")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val tPar0 = System.nanoTime()
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(halfA, halfB).map(h =>
+        scala.concurrent.Future(parLake.ingest(h)))),
+      scala.concurrent.duration.Duration(600, "s"))
+    val tPar = (System.nanoTime() - tPar0) / 1e9
+    pool.shutdown()
+    val parRows = parLake.count()
+    require(parRows == n.toLong && seqLake.count() == n.toLong,
+      s"concurrent loaders must land every row: $parRows of $n")
+    seqLake.delete(); parLake.delete()
+
     // sketch-gated corpus admission: snapshot cost scales with the
     // corpus (one scan), but the PER-BATCH admit cost must stay flat as
     // the corpus grows — that flatness is the gate's 100 TB claim, the
@@ -116,7 +149,9 @@ object EngineBench {
       s""""single_pruned_sec":${f"$tSingle%.3f"},"single_rows":$single,""" +
       s""""exact_scan_sec":${f"$tExact%.3f"},"hamming2stage_sec":${f"$tHam%.3f"},""" +
       s""""pq2stage_sec":${f"$tPq%.3f"},"admit_gate_build_sec":${f"$tGate%.3f"},""" +
-      s""""admit_batch_sec":${f"$tAdmit%.3f"},"admit_rows":$admitRows}""")
+      s""""admit_batch_sec":${f"$tAdmit%.3f"},"admit_rows":$admitRows,""" +
+      s""""ingest2_seq_sec":${f"$tSeq%.3f"},"ingest2_par_sec":${f"$tPar%.3f"},""" +
+      s""""ingest_par_speedup":${f"${tSeq / tPar}%.2f"}}""")
     spark.stop()
   }
 }

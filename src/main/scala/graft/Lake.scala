@@ -117,18 +117,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *
     * Scale: routing is a map-side expression; the only shuffle is the
     * cluster-by-shard exchange before the write, which keeps file count
-    * = O(shards) instead of O(tasks × shards).
-    */
-  def ingest(rows: DataFrame): Unit = withWriterLock("ingest") {
+    * = O(shards) instead of O(tasks × shards). CONCURRENT ingests are
+    * admitted (shared gate, [[withAppendLock]]) — N parallel loaders
+    * land disjoint files in the live tree and scale with the cluster;
+    * only maintenance excludes them. A built skip index is refreshed
+    * for exactly the shards this batch touched, so appends no longer
+    * stale-out their shards' sketches until the next rebuild. */
+  def ingest(rows: DataFrame): Unit = withAppendLock("ingest") {
     requirePqModelMatch()
-    writeAppend(withDerived(rows))
+    refreshSkipIndex(writeAppend(withDerived(rows)))
   }
 
-  /** Fail-fast single-writer gate for the mutating ops ([[ingest]],
-    * [[deleteWhere]], [[upsert]], [[compact]], [[vacuum]]): a
-    * marker-file create (`FileSystem.create` with overwrite=false —
-    * atomic on HDFS/POSIX) of `_lock` under the lake root, released in
-    * finally. A concurrent mutation THROWS
+  /** Fail-fast EXCLUSIVE gate for the structure-mutating ops
+    * ([[deleteWhere]], [[upsert]], [[compact]], [[vacuum]], [[seal]],
+    * stream-start): a marker-file create (`FileSystem.create` with
+    * overwrite=false — atomic on HDFS/POSIX) of `_lock` under the lake
+    * root, released in finally. Plain [[ingest]] appends do NOT take
+    * this lock — they hold a SHARED marker ([[withAppendLock]]) so N
+    * parallel loaders scale instead of serializing on one marker file;
+    * after verifying its own token, the exclusive side refuses while
+    * any shared marker is present (an append is writing into the very
+    * tree a rewrite would retire). A concurrent mutation THROWS
     * `ConcurrentModificationException` instead of silently losing the
     * race — two maintenance commits interleaving would lose one side's
     * manifest update. The reference's posture is last-persist-wins
@@ -187,6 +196,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // what the store now serves (see scaladoc: object-store race)
       if (!lockHolder(fs, lock).exists(_.contains(token)))
         contention(new java.io.IOException("lost lock-create race"))
+      // shared-marker check AFTER our lock is visible (store-then-load
+      // on both sides: an appender stores its marker then loads `_lock`;
+      // we store `_lock` then load markers — at least one side must see
+      // the other, so append and maintenance can never both proceed).
+      // Listing is strongly consistent on POSIX/HDFS and on S3 since
+      // 2020, so a marker created before our load is visible to it.
+      val markers = appendMarkers(fs)
+      if (markers.nonEmpty) {
+        fs.delete(lock, false)
+        throw new java.util.ConcurrentModificationException(
+          s"$op on ${cfg.location} refused: writer lock yields to " +
+            s"${markers.size} in-flight append(s) " +
+            s"(${markers.map(_.getPath.getName).mkString(", ")}). " +
+            "Retry after they finish; a crashed appender's stale marker " +
+            "is cleared by repair() or vacuum(force).")
+      }
       body
     } finally {
       // release ONLY a lock we still hold: if a racing writer's PUT
@@ -194,6 +219,60 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       if (lockHolder(fs, lock).exists(_.contains(token)))
         fs.delete(lock, false)
     }
+  }
+
+  /** Every live shared append marker under the root. */
+  private def appendMarkers(fs: org.apache.hadoop.fs.FileSystem)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    listRoot(fs).filter(s =>
+      s.isFile && Lake.appendMarkerRe.matches(s.getPath.getName))
+
+  /** SHARED gate for plain appends — the concurrent-ingest protocol
+    * (the 100 TB loading story: N parallel ingest jobs must not
+    * serialize on one marker file). An append:
+    *
+    *  1. refuses if the exclusive `_lock` is present (maintenance is
+    *     restructuring the very tree the append would land in);
+    *  2. creates its own uniquely-named `_append.<uuid>.lock` marker —
+    *     unique names never collide, so appends admit each other;
+    *  3. re-checks `_lock` AFTER its marker is visible: both sides
+    *     store their marker first and load the other's second, so under
+    *     a linearizable store (POSIX/HDFS; S3 is list-after-PUT
+    *     consistent since 2020) at least one of a racing append /
+    *     maintenance pair sees the other and backs off — they can never
+    *     both proceed. If maintenance won, the append deletes its
+    *     marker and throws, leaving nothing behind.
+    *
+    * Appends are safe to run concurrently by construction: each writes
+    * fresh uniquely-named files into the current generation's live tree
+    * via its own staging dir ([[writeAppend]]), touches no existing
+    * file, and its sidecar stamp re-reads the state it republishes
+    * UNDER this gate — maintenance cannot interleave, so a stamp can
+    * never republish a stale manifest (the lost-update hazard that kept
+    * ingest serialized before). A crashed appender strands its marker;
+    * maintenance then fails loudly until [[repair]] (or
+    * `vacuum(force)`) clears it — the same posture as the exclusive
+    * lock. */
+  private def withAppendLock[T](op: String)(body: => T): T = {
+    val fs = fsOfRoot
+    val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
+    def contention(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"$op on ${cfg.location} refused: writer lock $lock is held " +
+          s"(${lockHolder(fs, lock).getOrElse("holder unreadable")}). " +
+          "A maintenance op is in flight — retry after it finishes; if " +
+          "its writer crashed, repair() removes the stale lock.")
+    if (fs.exists(lock)) contention()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(cfg.location)) // first-ever append
+    val marker = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_append.${java.util.UUID.randomUUID()}.lock")
+    val out = fs.create(marker, false)
+    out.write(
+      s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}"}"""
+        .getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(lock)) { fs.delete(marker, false); contention() }
+    try body finally fs.delete(marker, false)
   }
 
   /** Read a small control file fully (sidecars, the lock). A single
@@ -288,30 +367,77 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * go into the CURRENT generation's tree — new files in live
     * directories, invisible to a concurrent reader's already-planned
     * scan, visible to the next; no commit needed beyond the
-    * `last_update` stamp. */
-  private def writeAppend(derived: DataFrame): Unit = {
+    * `last_update` stamp.
+    *
+    * Write path: stage under `_staging/<uuid>/` (each append gets its
+    * OWN Hadoop committer scratch — concurrent jobs appending to one
+    * directory share `_temporary/0` and clobber each other's in-flight
+    * task files at cleanup), then MOVE the finished part-files into the
+    * live tree. Filenames embed the write job's uuid, so moves from
+    * concurrent appends never collide; a crash mid-move leaves some
+    * files visible and the staging remainder as scratch ([[vacuum]]
+    * sweeps `_staging`) — the same partial-visibility contract as any
+    * non-atomic append, with zero committed rows lost. On object
+    * stores the move is copy+delete per file, the identical cost the
+    * file committer itself pays there. Returns the set of partition
+    * values this batch landed files in (the skip-index refresh scope).
+    * Caller holds the shared OR exclusive gate, so the generation
+    * pointer cannot move between the state read and the move, and the
+    * closing stamp republishes a state no maintenance commit can be
+    * concurrently replacing. */
+  private def writeAppend(derived: DataFrame): Set[Option[String]] = {
     routingChecked // never append rows routed under foreign hyperplanes
+    val fs = fsOfRoot
     val st = readState()
     // a generation with a sink manifest is STREAM-OWNED: the manifest
     // governs which files readers see, and it will never name a batch
     // append's files — writing here would produce committed-but-
     // invisible rows. [[ingestStream]] rolls a fresh generation when it
     // starts over batch data; the inverse direction refuses.
-    require(!fsOfRoot.exists(new org.apache.hadoop.fs.Path(
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
       genPath(st.generation), "_spark_metadata")),
       s"refusing batch ingest at ${cfg.location}: the current generation " +
         "is a streaming sink (its _spark_metadata manifest would not " +
         "name the appended files, hiding them from every read)")
+    val staging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(cfg.location, Lake.stagingDirName),
+      java.util.UUID.randomUUID().toString)
     derived
       // cluster rows by partition value before the write: each task then
       // writes whole shard files instead of every task touching every
       // shard directory (the small-files explosion at scale)
       .repartition(col(partCol))
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .option("compression", cfg.codec) // reference hard-codes gzip (index.py:308); snappy default scans faster
       .partitionBy(partCol)
-      .parquet(genPath(st.generation).toString)
-    writeState(st)
+      .parquet(staging.toString)
+    val gen = genPath(st.generation)
+    val stagedDirs = fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    stagedDirs.foreach { d =>
+      val tgt = new org.apache.hadoop.fs.Path(gen, d.getPath.getName)
+      fs.mkdirs(tgt)
+      dataFilesIn(fs, d.getPath).foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(tgt, f.getPath.getName)
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"append publish failed: could not move ${f.getPath} to $dst")
+      }
+    }
+    fs.delete(staging, true)
+    // drop the _staging parent too once no sibling append is staging —
+    // best-effort (delete(recursive=false) refuses a concurrently
+    // repopulated dir), so a racing append can never lose its scratch
+    try {
+      if (fs.listStatus(staging.getParent).isEmpty)
+        fs.delete(staging.getParent, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    // merge-safe stamp: re-read the state UNDER the gate (no maintenance
+    // commit can interleave; racing append stamps republish the same
+    // manifest) so the stamp can never resurrect a pre-commit manifest
+    writeState(readState())
+    stagedDirs.map(d =>
+      unescapePartitionValue(d.getPath.getName.split("=", 2)(1))).toSet
   }
 
   /** The ONE derived-column block, shared by batch and streaming ingest
@@ -1666,7 +1792,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val distinctIds = newDerived.select("id").distinct().count()
     require(distinctIds == newCount,
       s"upsert batch has duplicate ids ($newCount rows, $distinctIds distinct ids)")
-    if (!exists()) { writeAppend(newDerived); return 0L } // bootstrap: plain ingest
+    if (!exists()) { // bootstrap: plain ingest (index refreshed likewise)
+      refreshSkipIndex(writeAppend(newDerived)); return 0L
+    }
     val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
     // old-version probe, skip-index pruned when one is fresh: the exact
     // semi-join below kills bloom false positives, so the discovered
@@ -1827,11 +1955,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * (copy+delete rename) leaves either no index or a parse failure —
     * both degrade to the exact full probe. The plan in `rows` may read
     * the OLD index (refresh does); it executes during the tmp write,
-    * before the old directory is touched. */
+    * before the old directory is touched. The tmp name is unique per
+    * call: CONCURRENT refreshes (two shared-gate ingests refreshing
+    * disjoint shards) must not tear each other's scratch — their swaps
+    * then race last-wins, and the loser's refreshed shards merely read
+    * as fingerprint-stale (= probed exactly, never wrong). Stranded
+    * tmps from a crash are swept by [[vacuum]]. */
   private def writeSkipIndex(rows: DataFrame): Unit = {
     val fs = fsOfRoot
-    val tmp = new org.apache.hadoop.fs.Path(cfg.location, "_skip__tmp")
-    fs.delete(tmp, true)
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_skip__tmp_${java.util.UUID.randomUUID()}")
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(skipPath, true)
     fs.rename(tmp, skipPath)
@@ -2145,6 +2278,19 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "confirming the writer is dead.")
       if (fs.delete(lock, false)) removed += 1L
     }
+    // stranded SHARED append markers (a crashed appender's) block every
+    // maintenance op the same way a stranded _lock does — un-strand them
+    // here under the same age discipline: a young marker is a LIVE
+    // appender until proven otherwise
+    appendMarkers(fs).foreach { m =>
+      val age = System.currentTimeMillis() - m.getModificationTime
+      if (age < lockMaxAgeMs) throw new IllegalStateException(
+        s"vacuum(force) refused: append marker ${m.getPath} is only " +
+          s"${age} ms old (threshold $lockMaxAgeMs) — the appender may " +
+          "still be LIVE; wait it out, or pass lockMaxAgeMs = 0 after " +
+          "confirming it is dead.")
+      if (fs.delete(m.getPath, false)) removed += 1L
+    }
     // the sweep itself still runs LOCKED — force only un-strands the
     // dead writer's marker; sweeping unlocked would let a writer that
     // acquires the lock right now have its in-flight generation
@@ -2215,8 +2361,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s.getPath.getName match {
         case deadRe(g) if s.isFile && !fs.exists(genPath(g.toLong)) =>
           fs.delete(s.getPath, false); ()
-        case "_skip__tmp" =>
+        case n if n.startsWith("_skip__tmp") =>
           if (fs.delete(s.getPath, true)) removed += 1L
+        // append staging scratch: the sweep runs under the EXCLUSIVE
+        // lock, which excludes every in-flight append — anything still
+        // under _staging is a crashed appender's leftovers (an empty
+        // parent is dropped silently, not counted as a swept item)
+        case Lake.stagingDirName =>
+          val hadContent = fs.listStatus(s.getPath).nonEmpty
+          if (fs.delete(s.getPath, true) && hadContent) removed += 1L
         case _ => ()
       }
     }
@@ -2608,6 +2761,19 @@ object Lake {
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
+
+  /** Shared append-marker names: `_append.<uuid>.lock` under the root.
+    * Appends hold one of these (any number concurrently) instead of the
+    * exclusive `_lock`; maintenance refuses while any is present. */
+  private[graft] val appendMarkerRe = "_append\\.[0-9a-f-]+\\.lock".r
+
+  /** Per-append staging subtree root: each batch append writes its
+    * parquet under `_staging/<uuid>/` with its own committer scratch,
+    * then moves the finished files into the live generation tree —
+    * concurrent appends sharing one output directory would share
+    * Hadoop's `_temporary` job-attempt dir and clobber each other's
+    * in-flight task files at cleanup. */
+  private[graft] val stagingDirName: String = "_staging"
 
   /** Committed layout-v2 state: `generation` is the current append
     * target (its whole subtree is live); `live` names directories still

@@ -12,6 +12,20 @@ object GraftShims {
   def functionRegistry(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 
+  /** Wrap a planned BATCH frame's row RDD as a STREAMING frame — the
+    * v1 `Source.getBatch` contract (MicroBatchExecution asserts
+    * `isStreaming` on what a source returns, but the natural way to
+    * express a micro-batch is a plain DataFrame over the store;
+    * FileStreamSource does exactly this wrap internally, through the
+    * same `private[sql]` door this shim opens). The wrapped plan stays
+    * fully distributed — `toRdd` is the lazily-evaluated physical plan,
+    * not collected rows. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Driver-side twin of the `xxhash64(string)` SQL function (seed 42) —
     * what `BloomFilterAggregate` stored via [[graft.operators.BloomJoin]],
     * so a handful of ids can be tested against collected sketches

@@ -243,10 +243,13 @@ class ObjectStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_rival").toString
     val lake = Lake(spark, LakeConfig(s"rival://$dir/lake", dim = 3, numHashes = 3))
     lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
-    // arm the rival: its PUT lands between our PUT and our read-back
+    // arm the rival: its PUT lands between our PUT and our read-back.
+    // deleteWhere drives the race — it is an EXCLUSIVE-lock op (plain
+    // ingest holds a uniquely-named shared marker instead, which has no
+    // PUT race to lose)
     RivalPutFs.armed = true
     val e = intercept[java.util.ConcurrentModificationException](
-      lake.ingest(Seq((Seq(0f, 1f, 0f), "x")).toDF("vector", "document")))
+      lake.deleteWhere(col("id").isNotNull))
     assert(e.getMessage.contains("writer lock"))
     // the winner's lock survives: the loser must not delete it
     val lock = new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
@@ -256,6 +259,66 @@ class ObjectStoreSpec extends SparkSpec {
     val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     assert(body.contains("rival-token"))
     fs.delete(lock, false)
-    assert(lake.count() === 1L, "the refused ingest wrote nothing")
+    assert(lake.count() === 1L, "the refused delete removed nothing")
+  }
+
+  test("graft-changes streaming source round-trips on a non-file: FS") {
+    withBucketFs { base =>
+      val lake = Lake(spark, LakeConfig(s"$base/feed", dim = 3, numHashes = 2))
+      lake.ingest(Seq(("a", Seq(1f, 0f, 0f), "da"), ("b", Seq(0f, 1f, 0f), "db"))
+        .toDF("id", "vector", "document"))
+      val q = spark.readStream.format("graft-changes")
+        .option("location", lake.cfg.location)
+        .option("dim", 3).option("numHashes", 2)
+        .load().select("id", "change")
+        .writeStream.format("memory").queryName("bucket_feed_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("bucket_feed_out").count() === 2L)
+        lake.deleteWhere(col("id") === "a")
+        q.processAllAvailable()
+        val rows = spark.table("bucket_feed_out").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        assert(rows.count(_ == ("a", "delete")) === 1,
+          s"expected the delete to stream through: ${rows.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
+  test("concurrent ingests + excluded maintenance round-trip on a non-file: FS (copy+delete rename)") {
+    withBucketFs { base =>
+      val lake = Lake(spark, LakeConfig(s"$base/conc", dim = 3, numHashes = 2))
+      lake.ingest(Seq(("seed", Seq(1f, 0f, 0f), "s")).toDF("id", "vector", "document"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // two appends racing on the object-store stand-in: the staged
+      // files PUBLISH via BucketFs's copy+delete rename, and both land
+      val attempts = (0 until 2).map { i =>
+        val rows = (0 until 6).map(j => (s"b$i-$j",
+          Seq(i.toFloat, j.toFloat, 1f), s"row $i/$j"))
+          .toDF("id", "vector", "document")
+        scala.concurrent.Future { lake.ingest(rows); "ok" }
+      }
+      val outcomes = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(attempts),
+        scala.concurrent.duration.Duration(180, "s"))
+      pool.shutdown()
+      assert(outcomes === Seq("ok", "ok"))
+      assert(lake.count() === 13L)
+      assert(lake.read().select("id").distinct().count() === 13L)
+      // with no append in flight, maintenance proceeds and the netted
+      // row set is intact afterwards
+      assert(lake.deleteWhere(col("id") === "seed") === 1L)
+      assert(lake.compact() >= 0L)
+      assert(lake.count() === 12L)
+      val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leftovers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(lake.cfg.location)).map(_.getPath.getName)
+        .filter(n => n.startsWith("_append.") || n == "_staging")
+      assert(leftovers.isEmpty, s"scratch left behind: ${leftovers.mkString(", ")}")
+    }
   }
 }

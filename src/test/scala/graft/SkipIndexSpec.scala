@@ -60,15 +60,21 @@ class SkipIndexSpec extends SparkSpec {
     assert(lake.deleteIds(Seq("no-such-id")) === 0L)
   }
 
-  test("appends after the build stay visible: stale shards are probed") {
+  test("appends after the build stay visible AND keep pruning: ingest refreshes its shards") {
     val lake = mkLake("stale")
-    lake.buildSkipIndex()
+    lake.buildSkipIndex(fpp = 0.001)
     // a brand-new id the sketches have never seen, landing in whatever
-    // shard its vector routes to — that shard's fingerprint changes
+    // shard its vector routes to — ingest refreshes that shard's sketch
+    // post-publish, so the point-read prunes WITHOUT a manual rebuild
     lake.ingest(Seq(("late-1", Seq(9.0f, 9.0f, 9.0f, 9.0f, 9.0f), "late"))
       .toDF("id", "vector", "document"))
-    val got = lake.lookup(Seq("late-1")).collect()
-    assert(got.length === 1 && got.head.getAs[String]("document") === "late")
+    val got = lake.lookup(Seq("late-1"))
+    val rows = got.collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("document") === "late")
+    val totalShards = lake.read().select("shard").distinct().count()
+    val scanned = scannedShards(got)
+    assert(scanned.nonEmpty && scanned.size < totalShards,
+      s"ingest must refresh its shards' sketches: scanned $scanned of $totalShards")
     // ids from the original build remain exact too
     assert(lake.lookup(Seq("id-3")).count() === 1L)
   }
@@ -134,14 +140,17 @@ class SkipIndexSpec extends SparkSpec {
     assert(lake.lookup(Seq("id-57")).head().getAs[String]("document") === "v2")
   }
 
-  test("validate reports index health: -1 absent, 0 fresh, appends count") {
+  test("validate reports index health: -1 absent, 0 fresh, and appends KEEP it 0") {
     val lake = mkLake("health")
     assert(lake.validate().head().getAs[Long]("skip_stale") === -1L)
     lake.buildSkipIndex()
     assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    // ingest refreshes the shards it touched — the index stays fresh
+    // across plain appends, not just maintenance rewrites
     lake.ingest(Seq(("x1", Seq(1f, 1f, 1f, 1f, 1f), "x"))
       .toDF("id", "vector", "document"))
-    assert(lake.validate().head().getAs[Long]("skip_stale") === 1L)
+    assert(lake.validate().head().getAs[Long]("skip_stale") === 0L)
+    assert(lake.lookup(Seq("x1")).count() === 1L)
   }
 
   test("a missed refresh (crash window) leaves a stale index: probes exact") {

@@ -390,6 +390,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-changes source: snapshot then append/delete/upsert stream through as exact netted deltas") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chsource")
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "da"), ("b", Seq(0f, 1f, 0f), "db"),
+      ("c", Seq(0.9f, 0.1f, 0f), "dc"), ("d", Seq(-1f, 0f, 0f), "dd"))
+      .toDF("id", "vector", "document"))
+    val feed = spark.readStream.format("graft-changes")
+      .option("location", lake.cfg.location)
+      .option("dim", 3).option("numHashes", 2)
+      .load()
+    assert(feed.columns.toSeq ===
+      Seq("id", "vector", "metadata", "document", "timestamp", "shard", "change"))
+    val q = feed.select("id", "document", "change")
+      .writeStream.format("memory").queryName("chfeed_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = the full sealed snapshot as inserts (Delta-style)
+      val snap = spark.table("chfeed_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(snap.length === 4 && snap.forall(_._3 === "insert"))
+      assert(snap.map(_._1).sorted.toSeq === Seq("a", "b", "c", "d"))
+      // an idle trigger seals nothing: no sidecar accumulation
+      val sealsBefore = lake.history().where(col("sealed")).count()
+      q.processAllAvailable()
+      assert(lake.history().where(col("sealed")).count() === sealsBefore,
+        "an idle stream must not take new seal sync points")
+      // one interval carrying a delete + an upsert + an append nets to
+      // the exact row-level delta: old rows out, new rows in, untouched
+      // rows (even when their shard was rewritten) absent. The feed's
+      // seal is a millisecond sidecar commit that can momentarily hold
+      // the writer lock — a colliding writer retries, the documented
+      // posture for ANY lock collision
+      def retry[T](f: => T): T = {
+        var last: Throwable = null
+        var i = 0
+        while (i < 100) {
+          try return f
+          catch { case e: java.util.ConcurrentModificationException =>
+            last = e; Thread.sleep(50); i += 1 }
+        }
+        throw last
+      }
+      retry(lake.deleteWhere(col("id") === "a"))
+      retry(lake.upsert(Seq(("b", Seq(0f, 1f, 0.5f), "db-v2"))
+        .toDF("id", "vector", "document")))
+      retry(lake.ingest(Seq(("e", Seq(0f, 0f, 1f), "de"))
+        .toDF("id", "vector", "document")))
+      q.processAllAvailable()
+      val delta = spark.table("chfeed_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .filterNot(snap.contains)
+      assert(delta.toSet === Set(
+        ("a", "da", "delete"), ("b", "db", "delete"),
+        ("b", "db-v2", "insert"), ("e", "de", "insert")),
+        s"netted delta mismatch: ${delta.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("topKStreamRouted nprobe: full ladder matches per-query topKMultiProbe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

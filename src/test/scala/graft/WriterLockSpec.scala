@@ -87,6 +87,75 @@ class WriterLockSpec extends SparkSpec {
     assert(lake.deleteWhere(col("id") === "r1") === 1L, "ops recover after vacuum")
   }
 
+  test("concurrent ingests are ADMITTED: parallel loaders all land, no serialization on the lock") {
+    val lake = freshLake()
+    seed(lake)
+    val other = Lake(spark.newSession(), lake.cfg)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rng = new scala.util.Random(17)
+    // 4 concurrent batch appends, two sessions — the shared gate admits
+    // them ALL (the exclusive gate would have refused 3 of 4)
+    val attempts = (0 until 4).map { i =>
+      val target = if (i % 2 == 0) lake else other
+      val batch = (0 until 8).map(j =>
+        (s"c$i-$j", Seq.fill(5)(rng.nextGaussian().toFloat), s"batch $i row $j"))
+        .toDF("id", "vector", "document")
+      scala.concurrent.Future { target.ingest(batch); "ok" }
+    }
+    val outcomes = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(attempts),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    assert(outcomes === Seq("ok", "ok", "ok", "ok"),
+      s"concurrent appends must all be admitted: $outcomes")
+    // every row of every batch landed exactly once
+    assert(lake.read().where(col("id").startsWith("c")).count() === 32L)
+    assert(lake.read().select("id").distinct().count() === lake.count())
+    assert(lake.count() === 48L)
+    // no marker, no staging scratch survives
+    val fs = fsOf(lake)
+    val leftovers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(lake.cfg.location)).map(_.getPath.getName)
+      .filter(n => n.startsWith("_append.") || n == "_staging")
+    assert(leftovers.isEmpty, s"scratch left behind: ${leftovers.mkString(", ")}")
+  }
+
+  test("maintenance yields to in-flight appends; appends yield to maintenance") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = fsOf(lake)
+    // an append in flight: its shared marker is on disk
+    val marker = new org.apache.hadoop.fs.Path(lake.cfg.location,
+      s"_append.${java.util.UUID.randomUUID()}.lock")
+    fs.create(marker, false).close()
+    try {
+      // every structure-mutating op refuses while the append runs
+      val e = intercept[java.util.ConcurrentModificationException](lake.compact())
+      assert(e.getMessage.contains("append"))
+      intercept[java.util.ConcurrentModificationException](
+        lake.deleteWhere(col("id") === "r0"))
+      intercept[java.util.ConcurrentModificationException](lake.seal())
+      // and none of them left the exclusive lock behind when backing off
+      assert(!fs.exists(lockPath(lake)),
+        "a maintenance op that yielded to appends must release _lock")
+      // another APPEND is still admitted alongside
+      lake.ingest(Seq(("x", Seq(1f, 0f, 0f, 0f, 0f), "d"))
+        .toDF("id", "vector", "document"))
+      assert(lake.read().where(col("id") === "x").count() === 1L)
+    } finally fs.delete(marker, false)
+    // marker gone: maintenance proceeds again
+    assert(lake.deleteWhere(col("id") === "r0") === 1L)
+    // force-vacuum treats a stranded young marker as a LIVE appender
+    fs.create(marker, false).close()
+    val e2 = intercept[IllegalStateException](lake.vacuum(force = true))
+    assert(e2.getMessage.contains("LIVE") || e2.getMessage.contains("appender"))
+    // operator-confirmed dead: cleared with the explicit zero threshold
+    assert(lake.vacuum(force = true, lockMaxAgeMs = 0L) >= 1L)
+    assert(!fs.exists(marker))
+  }
+
   test("two sessions racing mutations: losers throw, invariants hold") {
     val lake = freshLake()
     seed(lake)
