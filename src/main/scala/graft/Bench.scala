@@ -77,15 +77,7 @@ object Bench {
       jstr(k) + ":" + r.failedReps }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
-    // start: any pre-existing load poisons the whole run. end: only the
-    // excess past what our own cpus threads can have produced BY NOW is
-    // signal — the 1-minute EWMA reaches cpus·(1−e^(−t/60)) after t
-    // seconds of full self-load, so a short run's allowance is far
-    // below the flat `cpus` a long run earns (see object scaladoc)
-    val selfLoadBound =
-      cpus * (1 - math.exp(-math.max(0.0, elapsedSec) / 60.0))
-    val contended =
-      loadavg._1 > loadThreshold || loadavg._2 > loadThreshold + selfLoadBound
+    val contended = isContended(loadavg, loadThreshold, cpus, elapsedSec)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
     val budget = 1300
@@ -108,6 +100,20 @@ object Bench {
     (fullLine, compactLine)
   }
 
+  /** The self-adjudication rule (shared by [[formatLines]] and the
+    * retry decision in [[main]]). start: any pre-existing load poisons
+    * the whole run. end: only the excess past what our own cpus threads
+    * can have produced BY NOW is signal — the 1-minute EWMA reaches
+    * cpus·(1−e^(−t/60)) after t seconds of full self-load, so a short
+    * run's allowance is far below the flat `cpus` a long run earns
+    * (see object scaladoc). */
+  def isContended(loadavg: (Double, Double), loadThreshold: Double,
+      cpus: Int, elapsedSec: Double): Boolean = {
+    val selfLoadBound =
+      cpus * (1 - math.exp(-math.max(0.0, elapsedSec) / 60.0))
+    loadavg._1 > loadThreshold || loadavg._2 > loadThreshold + selfLoadBound
+  }
+
   /** 1-minute loadavg (Linux /proc; 0.0 where unreadable — the field is
     * diagnostic, never load-bearing). */
   def loadavg1m(): Double =
@@ -126,8 +132,6 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "2.0").toDouble
-    val loadStart = loadavg1m()
-    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -150,35 +154,66 @@ object Bench {
     // one pass = the whole registry in a fixed order; reps of the same
     // query land minutes apart (see object scaladoc)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val passes: Seq[Map[String, (Double, Option[String])]] =
-      (0 until reps).map { _ =>
-        names.map { name =>
-          val t0 = System.nanoTime()
-          val err: Option[String] =
-            try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-            catch { case e: Throwable =>
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-          name -> ((System.nanoTime() - t0) / 1e9, err)
-        }.toMap
+    def measure(): (Seq[(String, QueryResult)], (Double, Double), Double) = {
+      val loadStart = loadavg1m()
+      val wallStart = System.nanoTime()
+      val passes: Seq[Map[String, (Double, Option[String])]] =
+        (0 until reps).map { _ =>
+          names.map { name =>
+            val t0 = System.nanoTime()
+            val err: Option[String] =
+              try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+              catch { case e: Throwable =>
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+            name -> ((System.nanoTime() - t0) / 1e9, err)
+          }.toMap
+        }
+      val results: Seq[(String, QueryResult)] = names.map { name =>
+        val runs = passes.map(_(name))
+        // a failing pass can exit far faster than a real run and would
+        // drag the median below the query's true cost — time successful
+        // passes only
+        val ok = runs.filter(_._2.isEmpty)
+        val timed = if (ok.nonEmpty) ok else runs
+        name -> QueryResult(median(timed.map(_._1)),
+          runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
       }
-    val results: Seq[(String, QueryResult)] = names.map { name =>
-      val runs = passes.map(_(name))
-      // a failing pass can exit far faster than a real run and would
-      // drag the median below the query's true cost — time successful
-      // passes only
-      val ok = runs.filter(_._2.isEmpty)
-      val timed = if (ok.nonEmpty) ok else runs
-      name -> QueryResult(median(timed.map(_._1)),
-        runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
+      (results, (loadStart, loadavg1m()),
+        (System.nanoTime() - wallStart) / 1e9)
     }
-    val (fullLine, compactLine) = formatLines(results, reps, sfDir,
-      (loadStart, loadavg1m()), loadThreshold, cpus,
-      (System.nanoTime() - wallStart) / 1e9)
+    // contended-retry discipline: a run whose self-adjudication says
+    // "external load poisoned me" is re-run ONCE after a cooldown (wait
+    // for the 1-minute EWMA to decay below threshold, bounded), so the
+    // committed artifact is a fresh number whenever the machine allows
+    // — not a flagged one a reader must discount. Both attempts' full
+    // lines are recorded (provenance first, fresh last); the parse-me
+    // LAST line is always the final attempt.
+    val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_CONTENDED", "1").toInt
+    val cooldownMaxSec =
+      sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "120").toInt
+    val attempts = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Boolean, Seq[(String, QueryResult)])]
+    var go = true
+    while (go) {
+      val (results, la, elapsed) = measure()
+      val (fullLine, compactLine) =
+        formatLines(results, reps, sfDir, la, loadThreshold, cpus, elapsed)
+      val contended = isContended(la, loadThreshold, cpus, elapsed)
+      attempts += ((fullLine, compactLine, contended, results))
+      if (contended && attempts.size <= retryMax) {
+        System.err.println(s"[bench] contended (loadavg $la): cooling " +
+          s"down up to ${cooldownMaxSec}s, then retrying once")
+        val deadline = System.nanoTime() + cooldownMaxSec * 1000000000L
+        while (loadavg1m() > loadThreshold && System.nanoTime() < deadline)
+          Thread.sleep(5000L)
+      } else go = false
+    }
+    val (fullLine, compactLine, _, results) = attempts.last
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-        (fullLine + "\n").getBytes("UTF-8"))
+        attempts.map(_._1 + "\n").mkString.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // cwd may be unwritable; stdout still carries it
     // Emit the JSON lines LAST, after the session is down and its logging
     // silenced: Spark's shutdown INFO logs go to stderr and interleave
@@ -187,6 +222,7 @@ object Bench {
     // recorded `parsed: None` with a log-noise tail).
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    attempts.dropRight(1).foreach(a => println(a._1)) // contended provenance
     println(fullLine)
     println(compactLine)
     System.out.flush()

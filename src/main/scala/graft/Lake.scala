@@ -448,6 +448,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * All row-local expressions — map-side at any scale. */
   private def withDerived(rows: DataFrame): DataFrame = {
     var df = rows
+    // NESTED metadata (reference parity: `add` accepts an arbitrary
+    // dict, index.py:266): a `metadata_json` string column rides
+    // OPAQUELY in the stored map under the reserved "_json" key — the
+    // stored schema stays map<string,string>, any JSON nesting depth
+    // round-trips byte-exactly, and [[metadataField]] reads nested
+    // paths out at query time (get_json_object, codegen'd — no schema
+    // migration, no UDF). A user map that already carries "_json"
+    // fails map_concat's duplicate-key check loudly rather than
+    // silently shadowing one side.
+    if (df.columns.contains("metadata_json")) {
+      val j = coalesce(col("metadata_json").cast(StringType), lit("{}"))
+      df =
+        (if (df.columns.contains("metadata"))
+          df.withColumn("metadata", map_concat(
+            coalesce(col("metadata"),
+              map().cast(MapType(StringType, StringType))),
+            map(lit("_json"), j)))
+        else df.withColumn("metadata", map(lit("_json"), j)))
+          .drop("metadata_json")
+    }
     if (!df.columns.contains("metadata"))
       df = df.withColumn("metadata",
         map(lit("name"), lit("unknown")).cast(MapType(StringType, StringType)))
@@ -1443,6 +1463,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         cand(i).getAs[Double]("dist"))
     }.toDF("id", "document", "dist")
   }
+
+  /** A nested metadata field, read out of the opaque `"_json"` slot a
+    * `metadata_json` ingest column stored ([[ingest]] scaladoc): pass a
+    * dotted path (`"origin.source"`) or a full JsonPath (`"$.a.b"`).
+    * Returns the value as a string column (null when absent) —
+    * `get_json_object`, codegen'd, usable in filters/groupings/
+    * projections like any column. Numeric fields: `.cast("long")` etc.
+    * at the call site. */
+  def metadataField(path: String): Column = {
+    val p = if (path.startsWith("$")) path else "$." + path
+    get_json_object(metadataJson, p)
+  }
+
+  /** The raw nested-metadata JSON document (null for rows ingested
+    * without `metadata_json`). */
+  def metadataJson: Column = col("metadata").getItem("_json")
 
   /** Retrieval-surface projection mirroring the reference's LangChain
     * adapter `similarity_search` (langchain/__init__.py:78-90): top-k

@@ -792,7 +792,45 @@ object CurationQueries {
              SELECT epoch, CAST(pos AS INTEGER) AS pos, doc_id, shuffle_key
              FROM r WHERE pos <= 10 ORDER BY epoch, pos"""))
 
-  def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix,
+  /** NESTED-METADATA round-trip ([[graft.Lake]] `metadata_json` ingest +
+    * `metadataField`): documents ingest with their (lang, origin.source,
+    * origin.n_chars) packed as one nested JSON document riding opaquely
+    * in the stored string map; the query then filters and groups on
+    * nested paths read back with `get_json_object` — the reference's
+    * arbitrary-dict metadata (index.py:266) expressed without widening
+    * the stored schema. The oracle knows nothing about the lake: it
+    * recomputes the same aggregate straight from the source table. */
+  val qMetaJson = Q(
+    "q_meta_json",
+    (s, dir) => {
+      val lake = BuiltFixtures.once(s, dir, "meta_json") {
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "metajson")
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
+        val emb = Tables.embeddings(s, dir)
+        l.ingest(docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id").cast("string").as("id"),
+            col("embedding").as("vector"),
+            col("text").as("document"),
+            to_json(struct(col("lang"),
+              struct(col("source"), col("n_chars")).as("origin")))
+              .as("metadata_json")))
+        l
+      }
+      lake.read()
+        .where(lake.metadataField("lang") === "en")
+        .groupBy(lake.metadataField("origin.source").as("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(lake.metadataField("origin.n_chars").cast("long")).as("chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents WHERE doc_id < 300 AND lang = 'en'
+            GROUP BY source ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix, qMetaJson,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
     qSkipLookup, qChangeFeed, qTimeTravel, qTfidf,

@@ -307,6 +307,43 @@ class LakeSpec extends SparkSpec {
       lake.topKBatchRouted(queries, 3, nprobe = 0)).getMessage.contains("nprobe"))
   }
 
+  test("metadata_json: nested values round-trip opaquely; metadataField reads nested paths") {
+    val lake = freshLake()
+    val json1 = """{"lang":"en","origin":{"source":"web","score":0.75},"tags":["a","b"]}"""
+    val json2 = """{"lang":"fr","origin":{"source":"book","score":0.25}}"""
+    lake.ingest(Seq(
+      ("m1", Seq(1f, 0f, 0f, 0f, 0f), "d1", json1),
+      ("m2", Seq(0f, 1f, 0f, 0f, 0f), "d2", json2))
+      .toDF("id", "vector", "document", "metadata_json"))
+    // the raw JSON round-trips byte-exactly in the stored string map
+    val back = lake.read().where(col("id") === "m1")
+      .select(lake.metadataJson).head().getString(0)
+    assert(back === json1)
+    // nested paths are filterable/projectable
+    assert(lake.read().where(lake.metadataField("origin.source") === "web")
+      .select("id").head().getString(0) === "m1")
+    assert(lake.read().where(lake.metadataField("lang") === "fr")
+      .select("id").head().getString(0) === "m2")
+    assert(lake.read()
+      .select(sum(lake.metadataField("origin.score").cast("double")))
+      .head().getDouble(0) === 1.0)
+    // full JsonPath form and array indexing work too
+    assert(lake.read().where(col("id") === "m1")
+      .select(lake.metadataField("$.tags[1]")).head().getString(0) === "b")
+    // a plain metadata map coexists: json rides under the reserved key
+    lake.ingest(Seq(("m3", Seq(0f, 0f, 1f, 0f, 0f), "d3",
+      Map("team" -> "x"), """{"lang":"de"}"""))
+      .toDF("id", "vector", "document", "metadata", "metadata_json"))
+    val m3 = lake.read().where(col("id") === "m3")
+      .select(col("metadata")("team"), lake.metadataField("lang")).head()
+    assert(m3.getString(0) === "x" && m3.getString(1) === "de")
+    // rows without metadata_json read back null paths, never errors
+    lake.ingest(Seq(("m4", Seq(0f, 0f, 0f, 1f, 0f), "d4"))
+      .toDF("id", "vector", "document"))
+    assert(lake.read().where(col("id") === "m4")
+      .select(lake.metadataField("lang")).head().isNullAt(0))
+  }
+
   test("mmrSearch: a zero-norm candidate never hijacks the greedy pick") {
     val lake = freshLake()
     lake.ingest(Seq(
