@@ -267,11 +267,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val marker = new org.apache.hadoop.fs.Path(cfg.location,
       s"_append.${java.util.UUID.randomUUID()}.lock")
     val out = fs.create(marker, false)
-    out.write(
-      s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}"}"""
-        .getBytes("UTF-8"))
-    out.close()
-    if (fs.exists(lock)) { fs.delete(marker, false); contention() }
+    // once created, the marker blocks every maintenance op until aged
+    // out — so ANY failure between create and the body's own
+    // try/finally (a short write, the store-then-load re-check, the
+    // contention throw itself) must tear it down on the way out
+    try {
+      try out.write(
+        s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}"}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(lock)) contention()
+    } catch { case t: Throwable => fs.delete(marker, false); throw t }
     try body finally fs.delete(marker, false)
   }
 
@@ -708,17 +714,58 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val fs = fsOfRoot
     metaVersions(fs).sortBy(_._1).map { case (v, p) =>
       val json = readFully(fs, p)
-      val stamp = """"last_update"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
       val st = parseState(json)
-      (v, stamp, st.generation, st.live.size.toLong, st.isSealed)
+      (v, stampFrom(json).getOrElse(""), st.generation, st.live.size.toLong,
+        st.isSealed)
     }.toDF("version", "last_update", "generation", "live_dirs", "sealed")
+  }
+
+  /** The `last_update` stamp inside one sidecar's JSON. */
+  private def stampFrom(json: String): Option[String] =
+    """"last_update"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  /** The `last_update` stamp a specific sidecar version recorded — what
+    * the change-feed source pins after a [[seal]] (reading the sealed
+    * sidecar itself is immune to the re-read race where a writer lands
+    * between the seal's lock release and a `lastUpdate()` call, which
+    * would adopt the FOREIGN stamp as already-sealed and withhold its
+    * delta). None once vacuum retires the version. */
+  private[graft] def stampOfVersion(version: Long): Option[String] = {
+    val fs = fsOfRoot
+    metaVersions(fs).find(_._1 == version)
+      .flatMap(vp => stampFrom(readFully(fs, vp._2)))
+  }
+
+  /** The newest SEALED sync point still on disk, with the
+    * `last_update` stamp its commit recorded — the DURABLE resume point
+    * for change-feed subscribers: a restarting subscriber whose lake
+    * stamp still equals this seal's stamp adopts it instead of sealing
+    * a fresh sync point (an in-memory idle detector resets on every
+    * restart, and each spurious seal is a permanently-retained sidecar
+    * until vacuum). Control-plane cost: reads sidecars newest-first
+    * until the first sealed one. */
+  def latestSealed(): Option[(Long, String)] = {
+    val fs = fsOfRoot
+    metaVersions(fs).sortBy(-_._1).view
+      .map { case (v, p) => (v, readFully(fs, p)) }
+      .collectFirst { case (v, json) if parseState(json).isSealed =>
+        (v, stampFrom(json).getOrElse("")) }
   }
 
   /** The newest committed sidecar version — what [[read]] serves and
     * [[history]]'s last row; None before any write. */
   def currentVersion(): Option[Long] =
     metaVersions(fsOfRoot).map(_._1).maxOption
+
+  /** True when the CURRENT generation is stream-owned (a Structured
+    * Streaming sink's `_spark_metadata` manifest governs its file
+    * visibility) — the layout [[seal]] refuses. Surfaced so the change
+    * feed can refuse at SUBSCRIBE time with a clear error instead of
+    * killing the stream on its first data-carrying trigger. */
+  private[graft] def currentGenerationStreamOwned: Boolean =
+    exists() && fsOfRoot.exists(new org.apache.hadoop.fs.Path(
+      genPath(readState().generation), "_spark_metadata"))
 
   /** SEAL the live set — the change-feed SYNC POINT: one sidecar commit,
     * zero data movement, after which the sealed version denotes an
@@ -1046,8 +1093,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * the routed shard (IVF-style recall/cost dial; still prunes 247 of
     * 256 directories at 8 hashes). */
   def topKMultiProbe(q: Seq[Double], k: Int): DataFrame = {
-    val routed = lsh.shardOf(q)
-    val probes = routed +: (0 until cfg.numHashes).map(j => routed ^ (1 << j))
+    val probes = probeShards(q, 1 + cfg.numHashes)
     topKWhere(q, k, col(partCol).isin(probes: _*))
   }
 
@@ -2303,30 +2349,39 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!force) return withWriterLock("vacuum")(sweepDead(fs, retainMs))
     val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
     var removed = 0L
-    if (fs.exists(lock)) {
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime
-      if (age < lockMaxAgeMs) throw new IllegalStateException(
-        s"vacuum(force) refused: writer lock $lock is only ${age} ms old " +
-          s"(threshold $lockMaxAgeMs) — the writer may still be LIVE " +
-          "(slow, not crashed), and unlocking it would re-open the " +
-          "lost-update race. Wait it out, or pass lockMaxAgeMs = 0 after " +
-          "confirming the writer is dead.")
-      if (fs.delete(lock, false)) removed += 1L
-    }
+    // AGE-CHECK EVERYTHING FIRST, delete only after every check passes:
+    // a "refused" force-vacuum must leave lock state untouched — deleting
+    // the stale _lock and then throwing on a young append marker would
+    // mutate the lake while telling the caller nothing happened
+    val now = System.currentTimeMillis()
+    val staleLock: Option[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(lock)) None
+      else {
+        val age = now - fs.getFileStatus(lock).getModificationTime
+        if (age < lockMaxAgeMs) throw new IllegalStateException(
+          s"vacuum(force) refused: writer lock $lock is only ${age} ms old " +
+            s"(threshold $lockMaxAgeMs) — the writer may still be LIVE " +
+            "(slow, not crashed), and unlocking it would re-open the " +
+            "lost-update race. Wait it out, or pass lockMaxAgeMs = 0 after " +
+            "confirming the writer is dead.")
+        Some(lock)
+      }
     // stranded SHARED append markers (a crashed appender's) block every
     // maintenance op the same way a stranded _lock does — un-strand them
-    // here under the same age discipline: a young marker is a LIVE
-    // appender until proven otherwise
-    appendMarkers(fs).foreach { m =>
-      val age = System.currentTimeMillis() - m.getModificationTime
+    // under the same age discipline: a young marker is a LIVE appender
+    // until proven otherwise
+    val staleMarkers = appendMarkers(fs)
+    staleMarkers.foreach { m =>
+      val age = now - m.getModificationTime
       if (age < lockMaxAgeMs) throw new IllegalStateException(
         s"vacuum(force) refused: append marker ${m.getPath} is only " +
           s"${age} ms old (threshold $lockMaxAgeMs) — the appender may " +
           "still be LIVE; wait it out, or pass lockMaxAgeMs = 0 after " +
           "confirming it is dead.")
-      if (fs.delete(m.getPath, false)) removed += 1L
     }
+    staleLock.foreach(l => if (fs.delete(l, false)) removed += 1L)
+    staleMarkers.foreach(m =>
+      if (fs.delete(m.getPath, false)) removed += 1L)
     // the sweep itself still runs LOCKED — force only un-strands the
     // dead writer's marker; sweeping unlocked would let a writer that
     // acquires the lock right now have its in-flight generation
@@ -2639,9 +2694,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     catch { case _: java.util.ConcurrentModificationException => () }
 
   /** Commit `st` (and refresh `last_update`): create sidecar version
-    * latest+1. Every caller holds the writer lock (maintenance ops,
-    * appends, and the streaming stamp via [[stampQuietly]]), so the
-    * read-modify-write of the state is serialized. Returns the version
+    * latest+1. MAINTENANCE callers (and the streaming stamp via
+    * [[stampQuietly]]) hold the exclusive writer lock, so
+    * structure-changing read-modify-writes are serialized. SHARED-gate
+    * appends ([[withAppendLock]]) may call this CONCURRENTLY — safe
+    * because an append's stamp republishes the manifest it re-read
+    * under the gate (maintenance excluded, so every racing append
+    * carries the IDENTICAL manifest, stamps differing only in
+    * `last_update`); version allocation arbitrates via
+    * `create(overwrite=false)` + bump on POSIX/HDFS, and on a
+    * plain-S3-semantics store (where two PUTs of the same name both
+    * "succeed" — the documented lock residual) a clobbered append stamp
+    * loses nothing but its duplicate timestamp. Returns the version
     * written. `sealedCommit` marks the version as a [[seal]] sync point
     * — exempt from the inline rotation below (only [[vacuum]] retires
     * sync points), and resolved manifest-only by readers. */

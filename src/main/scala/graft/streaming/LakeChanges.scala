@@ -36,12 +36,21 @@ import graft.{Lake, LakeConfig}
   *
   * Contention: `seal()` takes the exclusive writer lock. A tick that
   * loses to in-flight appends or maintenance SKIPS (the previous offset
-  * stands; the delta is picked up next trigger) — writers never fail
-  * the stream. The inverse collision exists too: a writer that fires
+  * stands; the delta is picked up next trigger), and a transient store
+  * IO failure skips identically — writers and store hiccups never fail
+  * the stream. What DOES fail it, loudly and by design, is a layout
+  * seal cannot serve: subscribing to a lake whose current generation is
+  * an active streaming-sink tree is refused when the query starts (the
+  * source's construction), and an
+  * ingest stream taking over the generation mid-subscription fails the
+  * query on its next tick (skipping would silently deliver nothing
+  * forever). The inverse collision exists too: a writer that fires
   * during the feed's millisecond seal commit is refused like any lock
   * collision and retries — prefer a `Trigger.ProcessingTime` matched to
   * the downstream cadence over the default continuous trigger to make
-  * that window rare.
+  * that window rare. Restarts are cheap on an idle lake: the feed
+  * adopts the newest sealed sync point when the lake's stamp still
+  * matches it, so a crash-looping subscriber seals nothing new.
   *
   * Cost at 100 TB: each micro-batch opens only the files the interval
   * changed — cost tracks churn, never lake size — and the one
@@ -122,6 +131,15 @@ class LakeChangeSource(spark: SparkSession, cfg: LakeConfig,
   import LakeChanges._
 
   private val lake = Lake(spark, cfg)
+  // an actively stream-ingested generation cannot host seal sync points
+  // (its manifest governs file visibility) — refuse at SUBSCRIBE time
+  // with the real reason, not on the first data-carrying trigger via a
+  // StreamingQueryException three layers down
+  require(!lake.currentGenerationStreamOwned,
+    s"graft-changes cannot subscribe at ${cfg.location}: the current " +
+      "generation is a streaming-sink tree (its _spark_metadata manifest " +
+      "governs file visibility, so seal sync points cannot be taken). " +
+      "Stop the ingest stream and roll a batch generation first.")
   private val netted = opt(parameters, "netted").forall(_.toBoolean)
   private val initialSnapshot = opt(parameters, "initialSnapshot").forall(_.toBoolean)
 
@@ -129,24 +147,44 @@ class LakeChangeSource(spark: SparkSession, cfg: LakeConfig,
 
   /** Stamp observed at our last successful seal — the no-change
     * detector: an idle lake's stamp never moves, so an idle stream
-    * never accumulates sealed sidecars. */
+    * never accumulates sealed sidecars. In-memory state only
+    * ACCELERATES the check; the durable form is the newest sealed
+    * sidecar's recorded stamp, adopted on restart below. */
   @volatile private var lastSealedStamp: Option[String] = None
   @volatile private var lastSealed: Option[Long] = None
 
   override def getOffset: Option[OffsetV1] = {
     val stamp = lake.lastUpdate()
     if (stamp.isEmpty) return lastSealed.map(LongOffset(_)) // no lake yet
+    if (lastSealed.isEmpty && lastSealedStamp.isEmpty) {
+      // RESTART ADOPTION: if the newest sealed sync point already
+      // captures the current stamp, resume from it instead of sealing a
+      // fresh one — a crash-looping subscriber over an idle lake must
+      // not grow the sealed-sidecar set (each spurious seal is retained
+      // until vacuum), and the in-memory detector resets every restart
+      lake.latestSealed().foreach { case (v, s) =>
+        if (stamp.contains(s)) { lastSealed = Some(v); lastSealedStamp = Some(s) }
+      }
+    }
     if (stamp == lastSealedStamp) return lastSealed.map(LongOffset(_))
     try {
       val v = lake.seal()
-      // the seal itself re-stamped last_update: record the POST-seal
-      // stamp, so the next tick (with no interleaving write) is a no-op
-      lastSealedStamp = lake.lastUpdate()
+      // pin the stamp the seal ITSELF recorded (read from sidecar v) —
+      // a post-release lastUpdate() re-read could capture a FOREIGN
+      // stamp committed between the seal's lock release and the read,
+      // adopting that writer's delta as already-sealed and withholding
+      // it until some later write moves the stamp again
+      lastSealedStamp = lake.stampOfVersion(v)
       lastSealed = Some(v)
     } catch {
       // writers win: in-flight appends or maintenance hold the gate —
-      // skip the tick, the delta is picked up on the next trigger
+      // skip the tick, the delta is picked up on the next trigger. A
+      // transient store IO failure skips identically. Anything else
+      // (e.g. seal's refusal when an ingest stream took over the
+      // current generation mid-subscription) FAILS the stream loudly:
+      // skipping would silently deliver nothing forever.
       case _: java.util.ConcurrentModificationException => ()
+      case _: java.io.IOException => ()
     }
     lastSealed.map(LongOffset(_))
   }

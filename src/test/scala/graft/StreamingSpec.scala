@@ -452,6 +452,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-changes restart: an idle lake's sync point is ADOPTED, not re-sealed; a mid-air stamp is never mistaken for our seal") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chrestart")
+    val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)
+    val lake = Lake(spark, cfg)
+    lake.ingest(Seq(("a", Seq(1f, 0f, 0f), "da"), ("b", Seq(0f, 1f, 0f), "db"))
+      .toDF("id", "vector", "document"))
+    val params = Map("location" -> cfg.location, "dim" -> "3", "numHashes" -> "2")
+    // first subscriber seals the initial sync point
+    val s1 = new graft.streaming.LakeChangeSource(spark, cfg, params)
+    val o1 = s1.getOffset
+    assert(o1.isDefined)
+    assert(lake.history().where(col("sealed")).count() === 1L)
+    // RESTART (fresh source instance = crash-looped subscriber): the
+    // lake is idle, so the new instance must adopt the existing sync
+    // point — sealing a fresh one per restart grows the permanently-
+    // retained sidecar set without bound
+    val s2 = new graft.streaming.LakeChangeSource(spark, cfg, params)
+    val o2 = s2.getOffset
+    assert(o2.map(_.json) === o1.map(_.json),
+      "restart on an idle lake must resume the existing sync point")
+    assert(lake.history().where(col("sealed")).count() === 1L,
+      "restart on an idle lake must not seal a new sync point")
+    // data moves: the SAME instance seals a new point and serves the delta
+    lake.ingest(Seq(("c", Seq(0f, 0f, 1f), "dc")).toDF("id", "vector", "document"))
+    val o3 = s2.getOffset
+    assert(o3.isDefined)
+    assert(o3.map(_.json) !== o2.map(_.json))
+    // getBatch(o2,o3) IS changesBetween(v2,v3) wrapped streaming (can't
+    // collect a streaming frame here) — assert the same delta unwrapped
+    val delta = lake.changesBetween(
+        o2.get.json.trim.toLong, o3.get.json.trim.toLong)
+      .select("id", "change").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(delta.toSet === Set(("c", "insert")))
+    // the pinned stamp is the one sidecar o3 RECORDED (not a re-read): a
+    // foreign stamp landing right after the seal must still be seen as
+    // NEW data — simulate it, then confirm the next tick seals again
+    lake.ingest(Seq(("d", Seq(1f, 1f, 0f), "dd")).toDF("id", "vector", "document"))
+    val o4 = s2.getOffset
+    assert(o4.map(_.json) !== o3.map(_.json),
+      "a stamp moved by a foreign writer must trigger a new sync point")
+  }
+
+  test("graft-changes refuses at subscribe time when the current generation is a streaming sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chrefuse")
+    val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)
+    val lake = Lake(spark, cfg)
+    lake.ingest(Seq(("a", Seq(1f, 0f, 0f), "da")).toDF("id", "vector", "document"))
+    // make the current generation stream-owned the way ingestStream's
+    // sink would: a _spark_metadata manifest dir inside its tree
+    val fs = new org.apache.hadoop.fs.Path(cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genDir = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.location))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath).maxBy(_.getName)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(genDir, "_spark_metadata"))
+    val params = Map("location" -> cfg.location, "dim" -> "3", "numHashes" -> "2")
+    val e = intercept[IllegalArgumentException](
+      new graft.streaming.LakeChangeSource(spark, cfg, params))
+    assert(e.getMessage.contains("streaming-sink"),
+      s"subscribe must fail with the real reason, got: ${e.getMessage}")
+  }
+
   test("topKStreamRouted nprobe: full ladder matches per-query topKMultiProbe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -156,6 +156,34 @@ class WriterLockSpec extends SparkSpec {
     assert(!fs.exists(marker))
   }
 
+  test("a refused force-vacuum deletes NOTHING: the stale lock survives a young append marker") {
+    val lake = freshLake()
+    seed(lake)
+    val fs = fsOf(lake)
+    // a genuinely stale _lock (mtime pushed 1h back)...
+    fs.create(lockPath(lake), false).close()
+    fs.setTimes(lockPath(lake), System.currentTimeMillis() - 3600000L, -1L)
+    // ...next to a FRESH append marker (a live appender)
+    val marker = new org.apache.hadoop.fs.Path(lake.cfg.location,
+      s"_append.${java.util.UUID.randomUUID()}.lock")
+    fs.create(marker, false).close()
+    try {
+      // the young marker refuses the whole force-vacuum — and the
+      // refusal must be ATOMIC: the stale lock it would have cleared is
+      // untouched (deleting it first, then throwing, would mutate lock
+      // state while reporting "nothing happened")
+      val e = intercept[IllegalStateException](lake.vacuum(force = true))
+      assert(e.getMessage.contains("appender"))
+      assert(fs.exists(lockPath(lake)),
+        "refused force-vacuum must not have deleted the stale _lock")
+      assert(fs.exists(marker))
+      // operator-confirmed dead: one call clears both, counted
+      assert(lake.vacuum(force = true, lockMaxAgeMs = 0L) >= 2L)
+      assert(!fs.exists(lockPath(lake)) && !fs.exists(marker))
+    } finally { fs.delete(marker, false); fs.delete(lockPath(lake), false) }
+    assert(lake.deleteWhere(col("id") === "r0") === 1L, "ops recover")
+  }
+
   test("two sessions racing mutations: losers throw, invariants hold") {
     val lake = freshLake()
     seed(lake)
