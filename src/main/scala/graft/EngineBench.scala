@@ -427,3 +427,83 @@ object ScaleBench {
     spark.stop()
   }
 }
+
+/** The incremental-aggregate slope probe: per-batch maintenance cost
+  * must track CHURN (changed keys → touched buckets), not state size.
+  * For each key count n: seed a state of n keys, then apply a
+  * fixed-size churn batch (100 keys updated) and time it; the contrast
+  * line is a from-scratch recompute over an n-row corpus, which grows
+  * with n while the churn apply stays flat (BENCHNOTES.md carries the
+  * observed numbers). Args: [sizes...] (defaults 20000 200000). */
+object IncrAggBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+                else Seq(20000, 200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.streaming.IncrementalAgg
+
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val keys = Seq("k")
+    val aggs = Seq("chars" -> length(col("doc")).cast("double"))
+    sizes.foreach { n =>
+      val statePath =
+        s"${sys.props("java.io.tmpdir")}/graft_incragg_bench_$n/state"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath).getParent, true)
+      def corpus(rows: Long) = spark.range(rows).select(
+        concat(lit("k"), col("id")).as("k"),
+        concat(lit("doc-"), col("id"), lit(" body")).as("doc"))
+      val seed = corpus(n).withColumn("change", lit("insert"))
+      val (tSeed, _) = time(IncrementalAgg.applyDelta(spark, statePath,
+        IncrementalAgg.signedDelta(seed, keys, aggs), keys,
+        aggs.map(_._1), 0L))
+      // fixed churn regardless of n: 100 keys each updated
+      // (delete + longer insert) — the quantity whose cost must be flat.
+      // Uniformly-hashed keys touch ~all 64 buckets (the worst case);
+      // the LOCALIZED variant below (all churn in ONE bucket — the
+      // one-shard-compact shape) is what bucket granularity buys
+      def updated(keysDf: org.apache.spark.sql.DataFrame) =
+        keysDf.withColumn("change", lit("delete"))
+          .unionByName(keysDf
+            .withColumn("doc", concat(col("doc"), lit(" grew")))
+            .withColumn("change", lit("insert")))
+      def buckets(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(pmod(xxhash64(col("k")), lit(64)).as("b"))
+          .distinct().count()
+      val scattered = updated(corpus(100))
+      val bScattered = buckets(scattered)
+      val (tChurn, _) = time(IncrementalAgg.applyDelta(spark, statePath,
+        IncrementalAgg.signedDelta(scattered, keys, aggs), keys,
+        aggs.map(_._1), 1L))
+      val local = updated(corpus(n)
+        .where(pmod(xxhash64(col("k")), lit(64)) === 0).limit(100))
+      val (tChurnLocal, _) = time(IncrementalAgg.applyDelta(spark, statePath,
+        IncrementalAgg.signedDelta(local, keys, aggs), keys,
+        aggs.map(_._1), 2L))
+      // contrast: what a non-incremental consumer pays per refresh
+      val (tRecompute, _) = time(
+        corpus(n).groupBy("k")
+          .agg(count(lit(1)).as("__rows"), sum(length(col("doc"))).as("chars"))
+          .count())
+      val state = IncrementalAgg.readState(spark, statePath)
+      val stateKeys = state.count()
+      println(s"""{"probe":"incr_agg","keys":$n,"churn_keys":100,""" +
+        s""""seed_sec":${f"$tSeed%.3f"},"churn_apply_sec":${f"$tChurn%.3f"},""" +
+        s""""churn_buckets":$bScattered,""" +
+        s""""churn_local_sec":${f"$tChurnLocal%.3f"},"churn_local_buckets":1,""" +
+        s""""recompute_sec":${f"$tRecompute%.3f"},"state_keys":$stateKeys}""")
+      fs.delete(new org.apache.hadoop.fs.Path(statePath).getParent, true)
+    }
+    spark.stop()
+  }
+}

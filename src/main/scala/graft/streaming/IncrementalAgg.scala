@@ -1,0 +1,301 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** INCREMENTAL MATERIALIZED AGGREGATES over the lake's change feed —
+  * the downstream half of the `graft-changes` subscription story: a
+  * consumer that keeps a grouped aggregate table continuously correct
+  * by applying each micro-batch's row-level delta, never recomputing
+  * from the corpus. The reference has nothing like it (its index is
+  * re-derived per process, vector_lake/core/index.py:171); at 100 TB a
+  * full groupBy recompute per refresh reads the world, while this
+  * reads only what CHANGED.
+  *
+  * What it maintains: any SUM-DECOMPOSABLE aggregate — per-key values
+  * of the form Σ f(row) over the live rows (counts via f = 1, sums,
+  * and through them means/rates at read time). The netted change feed
+  * emits each mutation as insert/delete rows, so the maintained value
+  * is exact: value += f(inserted) − f(deleted). Non-decomposable
+  * aggregates (min/max under deletes, exact distinct) need a different
+  * structure and are refused by construction here — nothing silently
+  * degrades.
+  *
+  * State layout — the lake's own generation-pointer idea, reapplied:
+  *
+  * {{{
+  *   statePath/
+  *     _state.<v>.json            // pointer: batch_id + bucket -> owning version
+  *     v<v>/__bucket=<b>/part-N.parquet
+  * }}}
+  *
+  * Keys are hashed into `buckets` partitions. A micro-batch's delta
+  * touches some bucket set A; the merge reads ONLY A's partitions from
+  * their owning versions, merges the signed delta, writes A under a
+  * NEW version dir, and commits a new pointer mapping A to it (all
+  * other buckets keep their old owner). Three properties fall out:
+  *
+  *  - '''churn-proportional''': per-batch cost tracks |A| ≤ changed
+  *    keys, never total state size — the EngineBench probe shows flat
+  *    batch cost at 10× the key count;
+  *  - '''exactly-once''': the pointer records the batch id. A replayed
+  *    batch (foreachBatch is at-least-once) whose id is already
+  *    committed SKIPS; a crash before the pointer write leaves an
+  *    orphan version dir that the replay simply redoes — the committed
+  *    state can never double-apply a delta ([[vacuumState]] sweeps
+  *    orphans);
+  *  - '''no read/maintain contention''': readers resolve the newest
+  *    pointer and read immutable version dirs — a merge in flight is
+  *    invisible until its pointer commit, exactly like lake readers vs
+  *    maintenance.
+  *
+  * Single-writer by contract: one maintaining stream per statePath
+  * (run more and pointer commits collide loudly on overwrite=false —
+  * fail-fast, like the lake's writer lock, not silent corruption).
+  *
+  * Usage:
+  * {{{
+  *   val feed = spark.readStream.format("graft-changes")
+  *     .option("location", lakePath).option("dim", 64).load()
+  *   val q = IncrementalAgg.maintain(
+  *     feed, keys = Seq("shard"),
+  *     aggs = Seq("rows" -> lit(1L), "doc_chars" -> length(col("document"))),
+  *     statePath, checkpoint)
+  *   // any time, any session:
+  *   IncrementalAgg.readState(spark, statePath)   // (shard, rows, doc_chars)
+  * }}}
+  */
+object IncrementalAgg {
+
+  private val pointerRe = "_state\\.([0-9]+)\\.json".r
+
+  /** Start the maintaining stream: foreachBatch over the change feed,
+    * one [[applyDelta]] per micro-batch. `aggs` are per-row NUMERIC
+    * expressions f named by their state column; each maintained column
+    * is Σ f over live rows. Keys whose live row count reaches zero
+    * leave the state. */
+  def maintain(feed: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, Column)], statePath: String,
+      checkpoint: String): StreamingQuery =
+    writer(feed, keys, aggs, statePath, checkpoint).start()
+
+  /** The configured writer (callers add trigger/queryName). */
+  def writer(feed: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, Column)], statePath: String,
+      checkpoint: String): DataStreamWriter[Row] = {
+    require(keys.nonEmpty, "IncrementalAgg needs at least one key column")
+    require(aggs.nonEmpty, "IncrementalAgg needs at least one aggregate")
+    val reserved = Set("__rows", "__bucket", "__sign")
+    require(aggs.forall(a => !reserved(a._1)) && keys.forall(!reserved(_)),
+      s"names ${reserved.mkString(", ")} are reserved")
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDelta(batch.sparkSession, statePath,
+          signedDelta(batch, keys, aggs), keys, aggs.map(_._1), batchId)
+        ()
+      }
+  }
+
+  /** The signed per-key delta of one change batch: every maintained
+    * column as Σ f·sign, plus `__rows` (signed live-row count — the
+    * key-liveness tracker) and `__bucket`. Pure plan, no action. */
+  private[graft] def signedDelta(batch: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, Column)], buckets: Int = defaultBuckets): DataFrame = {
+    val sign = when(col("change") === "insert", lit(1)).otherwise(lit(-1))
+    batch
+      .withColumn("__sign", sign)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__sign").cast("long")).as("__rows"),
+        aggs.map { case (n, e) =>
+          sum(e.cast("double") * col("__sign")).as(n) }: _*)
+      .withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
+  }
+
+  /** How many key-hash buckets partition the state. Fixed at state
+    * creation by the first delta; 64 keeps per-batch rewrites small
+    * while staying far under per-batch job-commit overhead at local
+    * scale — at cluster scale raise it so one bucket ≈ one task. */
+  val defaultBuckets = 64
+
+  /** Merge one signed delta into the state under `statePath` as batch
+    * `batchId` — the exactly-once commit: no-op if `batchId` is already
+    * committed, otherwise write affected buckets to a fresh version dir
+    * and commit the pointer. Driver-side control work is one pointer
+    * read + one listing + one pointer write; data work touches only the
+    * affected buckets' partitions. */
+  private[graft] def applyDelta(spark: SparkSession, statePath: String,
+      delta: DataFrame, keys: Seq[String], aggNames: Seq[String],
+      batchId: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val ptr = currentPointer(fs, root)
+    if (ptr.exists(_._2.batchId >= batchId)) return false // replayed batch
+    val d = delta.cache()
+    try {
+      // affected buckets: bounded by the bucket count (≤ a few hundred
+      // ints to the driver), never by key or row count
+      val affected = d.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val owners = ptr.map(_._2.owners).getOrElse(Map.empty[Int, Long])
+      if (affected.isEmpty) { // delta-free batch: commit the id only
+        commitPointer(fs, root, ptr, owners, -1L, batchId)
+        return true
+      }
+      val ownedAffected = owners.filter { case (b, _) => affected(b) }
+      val merged = (
+        if (ownedAffected.isEmpty) d.where(col("__rows") =!= 0L) // fresh buckets only
+        else merge(readBuckets(spark, statePath, ownedAffected), d, keys, aggNames)
+      ).cache()
+      try {
+        // buckets whose merged content is EMPTY (every key deleted) must
+        // leave the pointer — an owner entry for a bucket with no
+        // written partition dir would break the next read
+        val survivors = merged.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val newV = ptr.map(_._1 + 1).getOrElse(0L)
+        // cluster by bucket before the partitioned write: each task then
+        // writes whole bucket files (ONE file per bucket) instead of
+        // every shuffle task spraying a sliver into every bucket dir —
+        // the same small-files rule the lake's own writeAppend applies
+        merged.repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("__bucket")
+          .parquet(new org.apache.hadoop.fs.Path(root, s"v$newV").toString)
+        commitPointer(fs, root, ptr, owners -- affected, newV, batchId,
+          survivors.map(_ -> newV).toMap)
+      } finally { merged.unpersist(); () }
+      true
+    } finally { d.unpersist(); () }
+  }
+
+  /** Full-outer merge of current bucket state with the signed delta;
+    * keys whose merged `__rows` is 0 leave the state. */
+  private def merge(current: DataFrame, delta: DataFrame,
+      keys: Seq[String], aggNames: Seq[String]): DataFrame = {
+    val cur = current.withColumnRenamed("__bucket", "__bucket_c")
+    val sumCols = ("__rows" +: aggNames).map { n =>
+      (coalesce(cur(n), lit(0)) + coalesce(delta(n), lit(0))).as(n) }
+    cur.join(delta, keys.map(k => cur(k) <=> delta(k)).reduce(_ && _), "full_outer")
+      .select(
+        keys.map(k => coalesce(delta(k), cur(k)).as(k)) ++
+          sumCols :+
+          coalesce(delta("__bucket"), cur("__bucket_c")).as("__bucket"): _*)
+      .where(col("__rows") =!= 0L)
+  }
+
+  /** The maintained aggregate table: key columns, each named aggregate,
+    * and `__rows` (live rows per key). Resolves the newest pointer and
+    * reads each bucket from its owning immutable version dir — safe
+    * against a concurrent in-flight merge by construction. A
+    * zero-column empty frame before the first data-carrying commit. */
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    currentPointer(fs, root).map(_._2.owners) match {
+      case Some(owners) if owners.nonEmpty =>
+        readBuckets(spark, statePath, owners).drop("__bucket")
+      case _ =>
+        spark.emptyDataFrame
+    }
+  }
+
+  /** Union of the named buckets read from their owning version dirs,
+    * grouped per version so each version contributes ONE multi-path
+    * parquet scan (basePath keeps the `__bucket` partition column). */
+  private def readBuckets(spark: SparkSession, statePath: String,
+      owners: Map[Int, Long]): DataFrame = {
+    val byVersion = owners.groupBy(_._2).toSeq.sortBy(_._1)
+    val parts = byVersion.map { case (v, bs) =>
+      val base = s"$statePath/v$v"
+      spark.read.option("basePath", base)
+        .parquet(bs.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
+    }
+    if (parts.isEmpty) spark.emptyDataFrame else parts.reduce(_ unionByName _)
+  }
+
+  /** Newest pointer (version, parsed) still on disk. */
+  private def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, Pointer)] = {
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case pointerRe(v) => Some(v.toLong -> s.getPath)
+      case _ => None
+    })
+    vs.sortBy(-_._1).headOption.map { case (v, p) =>
+      val in = fs.open(p)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      (v, parsePointer(json))
+    }
+  }
+
+  private final case class Pointer(batchId: Long, owners: Map[Int, Long])
+
+  private def parsePointer(json: String): Pointer = {
+    val batchId = """"batch_id"\s*:\s*(-?[0-9]+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+      .getOrElse(throw new java.io.IOException(s"bad state pointer: $json"))
+    val owners = """"([0-9]+)"\s*:\s*([0-9]+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    Pointer(batchId, owners)
+  }
+
+  /** Commit pointer version = prev+1 with overwrite=false — two racing
+    * maintainers (a misconfiguration; the contract is single-writer)
+    * collide here loudly instead of silently interleaving merges. */
+  private def commitPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, prev: Option[(Long, Pointer)],
+      owners: Map[Int, Long], newV: Long, batchId: Long,
+      reassigned: Map[Int, Long] = Map.empty): Unit = {
+    fs.mkdirs(root)
+    val next = owners ++ reassigned
+    val body = next.toSeq.sorted
+      .map { case (b, v) => s""""$b": $v""" }.mkString(", ")
+    val json = s"""{"batch_id": $batchId, "owners": {$body}}"""
+    val v = prev.map(_._1 + 1).getOrElse(0L)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, s"_state.$v.json"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // keep a short pointer history (crash-window readers), sweep the rest
+    fs.listStatus(root).foreach(s => s.getPath.getName match {
+      case pointerRe(old) if old.toLong + 3 < v => fs.delete(s.getPath, false)
+      case _ => ()
+    })
+  }
+
+  /** Sweep version dirs no bucket owns anymore (superseded merges and
+    * crash orphans) plus stale pointers. Run from the maintaining
+    * process on whatever cadence suits — readers of the newest pointer
+    * never see a referenced dir deleted because ownership only moves
+    * FORWARD to new versions. Returns dirs removed. */
+  def vacuumState(spark: SparkSession, statePath: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    currentPointer(fs, root) match {
+      case None => 0L
+      case Some((_, ptr)) =>
+        val live = ptr.owners.values.toSet
+        var removed = 0L
+        fs.listStatus(root).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && n.startsWith("v") &&
+              n.drop(1).forall(_.isDigit) && !live(n.drop(1).toLong)) {
+            if (fs.delete(s.getPath, true)) removed += 1L
+          }
+        }
+        removed
+    }
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalAgg
+
+/** Incremental materialized aggregates over the change feed: per-key
+  * sums/counts stay exactly equal to a from-scratch recompute while
+  * each micro-batch touches only the CHANGED key buckets, replays are
+  * no-ops (exactly-once via the pointer's batch id), and superseded
+  * version dirs are vacuumable. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changeBatch(rows: Seq[(String, String, Long, String)]): DataFrame =
+    rows.toDF("id", "document", "shard", "change")
+
+  private val keys = Seq("shard")
+  private val aggs = Seq(
+    "doc_chars" -> length(col("document")).cast("double"))
+  private def delta(rows: Seq[(String, String, Long, String)]) =
+    IncrementalAgg.signedDelta(changeBatch(rows), keys, aggs)
+  private def applyBatch(path: String, rows: Seq[(String, String, Long, String)],
+      batchId: Long): Boolean =
+    IncrementalAgg.applyDelta(spark, path, delta(rows), keys,
+      aggs.map(_._1), batchId)
+  private def stateMap(path: String): Map[Long, (Long, Double)] =
+    IncrementalAgg.readState(spark, path).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("__rows"), r.getAs[Double]("doc_chars"))).toMap
+
+  test("signed deltas maintain exact per-key sums through insert/delete churn; emptied keys leave the state") {
+    val path = Files.createTempDirectory("graft_incragg").toString + "/state"
+    // batch 0: snapshot inserts across three shards
+    assert(applyBatch(path, Seq(
+      ("a", "aaaa", 1L, "insert"), ("b", "bb", 1L, "insert"),
+      ("c", "cccccc", 2L, "insert"), ("d", "ddd", 3L, "insert")), 0L))
+    assert(stateMap(path) === Map(
+      1L -> ((2L, 6.0)), 2L -> ((1L, 6.0)), 3L -> ((1L, 3.0))))
+    // batch 1: an upsert on shard 1 (delete+insert), a plain append on
+    // shard 2, and the ONLY row of shard 3 deleted
+    assert(applyBatch(path, Seq(
+      ("b", "bb", 1L, "delete"), ("b", "bbbbb", 1L, "insert"),
+      ("e", "e", 2L, "insert"), ("d", "ddd", 3L, "delete")), 1L))
+    assert(stateMap(path) === Map(
+      1L -> ((2L, 9.0)), 2L -> ((2L, 7.0))),
+      "shard 3 was fully deleted and must leave the state")
+    // the merged state equals a from-scratch recompute of the live rows
+    val live = Seq(("a", "aaaa", 1L), ("b", "bbbbb", 1L),
+      ("c", "cccccc", 2L), ("e", "e", 2L))
+      .toDF("id", "document", "shard")
+    val recomputed = live.groupBy("shard")
+      .agg(count(lit(1)).as("__rows"),
+        sum(length(col("document")).cast("double")).as("doc_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stateMap(path) === recomputed)
+  }
+
+  test("a replayed batch id is a NO-OP (exactly-once) and per-batch writes touch only affected buckets") {
+    val path = Files.createTempDirectory("graft_incragg_replay").toString + "/state"
+    assert(applyBatch(path, Seq(
+      ("a", "aa", 1L, "insert"), ("b", "bbb", 2L, "insert"),
+      ("c", "c", 3L, "insert"), ("d", "dddd", 4L, "insert")), 0L))
+    val before = stateMap(path)
+    // foreachBatch is at-least-once: the SAME batch id replayed must
+    // refuse before any merge work
+    assert(!applyBatch(path, Seq(("a", "aa", 1L, "insert")), 0L))
+    assert(stateMap(path) === before, "a replayed batch must change nothing")
+    // a later batch touching ONE shard rewrites only that shard's
+    // bucket: the new version dir holds strictly fewer bucket
+    // partitions than the full state
+    assert(applyBatch(path, Seq(("e", "ee", 1L, "insert")), 1L))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(v: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, v))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+        .map(_.getPath.getName).toSet
+    assert(bucketDirs("v1").size === 1,
+      "a one-shard delta must rewrite exactly one bucket partition")
+    assert(bucketDirs("v0").size === 4)
+    assert(stateMap(path)(1L) === ((2L, 4.0)))
+    // out-of-order/old batch ids are also refused
+    assert(!applyBatch(path, Seq(("x", "x", 9L, "insert")), 1L))
+  }
+
+  test("vacuumState sweeps superseded and orphan version dirs, never an owned one") {
+    val path = Files.createTempDirectory("graft_incragg_vac").toString + "/state"
+    assert(applyBatch(path, Seq(
+      ("a", "aa", 1L, "insert"), ("b", "bbb", 2L, "insert")), 0L))
+    // supersede EVERY v0 bucket so v0 becomes sweepable
+    assert(applyBatch(path, Seq(
+      ("a2", "a", 1L, "insert"), ("b2", "b", 2L, "insert")), 1L))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plus a crash orphan: a version dir no pointer ever committed
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "v99"))
+    val before = stateMap(path)
+    assert(IncrementalAgg.vacuumState(spark, path) === 2L,
+      "v0 (fully superseded) and v99 (orphan) must both be swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v1")))
+    assert(stateMap(path) === before, "vacuum must not change the state")
+  }
+
+  test("end-to-end: a graft-changes subscriber maintains per-shard stats equal to recomputing over the lake") {
+    val dir = Files.createTempDirectory("graft_incragg_e2e")
+    val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)
+    val lake = Lake(spark, cfg)
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "alpha doc"), ("b", Seq(0f, 1f, 0f), "beta"),
+      ("c", Seq(0.9f, 0.1f, 0f), "gamma gamma"), ("d", Seq(-1f, 0f, 0f), "delta"))
+      .toDF("id", "vector", "document"))
+    val feed = spark.readStream.format("graft-changes")
+      .option("location", cfg.location)
+      .option("dim", 3).option("numHashes", 2)
+      .load()
+    val statePath = s"$dir/state"
+    val q = IncrementalAgg.maintain(feed, Seq("shard"),
+      Seq("doc_chars" -> length(col("document")).cast("double")),
+      statePath, s"$dir/ckpt")
+    def recompute(): Map[Int, (Long, Double)] =
+      lake.read().groupBy("shard")
+        .agg(count(lit(1)).as("__rows"),
+          sum(length(col("document")).cast("double")).as("doc_chars"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def state(): Map[Int, (Long, Double)] =
+      IncrementalAgg.readState(spark, statePath).collect()
+        .map(r => r.getAs[Int]("shard") ->
+          ((r.getAs[Long]("__rows"), r.getAs[Double]("doc_chars")))).toMap
+    def retry[T](f: => T): T = {
+      var last: Throwable = null
+      var i = 0
+      while (i < 100) {
+        try return f
+        catch { case e: java.util.ConcurrentModificationException =>
+          last = e; Thread.sleep(50); i += 1 }
+      }
+      throw last
+    }
+    try {
+      q.processAllAvailable()
+      assert(state() === recompute(), "snapshot batch must seed the state")
+      retry(lake.deleteWhere(col("id") === "a"))
+      retry(lake.upsert(Seq(("b", Seq(0f, 1f, 0.5f), "beta grew longer"))
+        .toDF("id", "vector", "document")))
+      retry(lake.ingest(Seq(("e", Seq(0f, 0f, 1f), "epsilon"))
+        .toDF("id", "vector", "document")))
+      q.processAllAvailable()
+      assert(state() === recompute(),
+        "after delete+upsert+append the maintained state must equal a full recompute")
+    } finally q.stop()
+  }
+}
