@@ -132,16 +132,8 @@ class IncrementalAggSpec extends SparkSpec {
       IncrementalAgg.readState(spark, statePath).collect()
         .map(r => r.getAs[Int]("shard") ->
           ((r.getAs[Long]("__rows"), r.getAs[Double]("doc_chars")))).toMap
-    def retry[T](f: => T): T = {
-      var last: Throwable = null
-      var i = 0
-      while (i < 100) {
-        try return f
-        catch { case e: java.util.ConcurrentModificationException =>
-          last = e; Thread.sleep(50); i += 1 }
-      }
-      throw last
-    }
+    def retry[T](f: => T): T =
+      Retry.onContention(maxAttempts = 100, maxDelayMs = 300)(f)
     try {
       q.processAllAvailable()
       assert(state() === recompute(), "snapshot batch must seed the state")

@@ -426,16 +426,8 @@ class StreamingSpec extends SparkSpec {
       // seal is a millisecond sidecar commit that can momentarily hold
       // the writer lock — a colliding writer retries, the documented
       // posture for ANY lock collision
-      def retry[T](f: => T): T = {
-        var last: Throwable = null
-        var i = 0
-        while (i < 100) {
-          try return f
-          catch { case e: java.util.ConcurrentModificationException =>
-            last = e; Thread.sleep(50); i += 1 }
-        }
-        throw last
-      }
+      def retry[T](f: => T): T =
+        Retry.onContention(maxAttempts = 100, maxDelayMs = 300)(f)
       retry(lake.deleteWhere(col("id") === "a"))
       retry(lake.upsert(Seq(("b", Seq(0f, 1f, 0.5f), "db-v2"))
         .toDF("id", "vector", "document")))
