@@ -507,3 +507,71 @@ object IncrAggBench {
     spark.stop()
   }
 }
+
+/** The zone-map slope probe: a FIXED time window's read cost must
+  * track the window, never lake size. Rows are ingested in 10k-row
+  * chunks, one synthetic day per chunk (the time-correlated append
+  * order a real loader produces); the probe reads day 0's window at
+  * each lake size and records files opened + seconds, against the
+  * full-scan floor. files_window stays flat as rows grow 10×;
+  * files_total grows linearly (BENCHNOTES.md carries the observed
+  * numbers). Args: [dim] [sizes...] (defaults 16, 20000 200000). */
+object ZoneBench {
+  def main(args: Array[String]): Unit = {
+    val dim = if (args.length > 0) args(0).toInt else 16
+    val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(20000, 200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val chunkRows = 10000L
+    sizes.foreach { n =>
+      val lake = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_zone_bench_$n", dim = dim,
+        numHashes = 4))
+      lake.delete()
+      // two selects: a single one would resolve the lambda's col("id")
+      // against the LATERAL alias (the "rN" string), not range's long
+      def chunk(c: Long) = spark.range(c * chunkRows, (c + 1) * chunkRows)
+        .select(col("id").as("num"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => sin(col("id") * 7919 + i * 104729) * 0.15)
+            .cast("array<float>").as("vector"))
+        .select(
+          concat(lit("r"), col("num")).as("id"), col("vector"),
+          concat(lit("doc-"), col("num")).as("document"),
+          timestamp_seconds(lit(c * 86400L)).as("timestamp"))
+      val chunks = n / chunkRows.toInt
+      (0L until chunks.toLong).foreach(c => lake.ingest(chunk(c)))
+      lake.buildZoneMap()
+      val day0 = (java.time.Instant.ofEpochSecond(0L),
+        java.time.Instant.ofEpochSecond(86399L))
+      val (tWin, (rowsWin, filesWin)) = time {
+        val df = lake.readTimeRange(day0._1, day0._2)
+        (df.count(), df.inputFiles.length)
+      }
+      val (tFull, (rowsFull, filesFull)) = time {
+        val df = lake.read().where(
+          col("timestamp").between(
+            java.sql.Timestamp.from(day0._1), java.sql.Timestamp.from(day0._2)))
+        (df.count(), df.inputFiles.length)
+      }
+      println(s"""{"probe":"zone","rows":$n,"dim":$dim,"chunks":$chunks,""" +
+        s""""window_rows":$rowsWin,"window_files":$filesWin,""" +
+        s""""window_sec":${f"$tWin%.3f"},""" +
+        s""""full_rows":$rowsFull,"full_files":$filesFull,""" +
+        s""""full_sec":${f"$tFull%.3f"}}""")
+      lake.delete()
+    }
+    spark.stop()
+  }
+}

@@ -125,7 +125,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * stale-out their shards' sketches until the next rebuild. */
   def ingest(rows: DataFrame): Unit = withAppendLock("ingest") {
     requirePqModelMatch()
-    refreshSkipIndex(writeAppend(withDerived(rows)))
+    val out = writeAppend(withDerived(rows))
+    refreshSkipIndex(out.shards)
+    refreshZoneMap(out.files)
   }
 
   /** Fail-fast EXCLUSIVE gate for the structure-mutating ops
@@ -385,13 +387,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * sweeps `_staging`) — the same partial-visibility contract as any
     * non-atomic append, with zero committed rows lost. On object
     * stores the move is copy+delete per file, the identical cost the
-    * file committer itself pays there. Returns the set of partition
-    * values this batch landed files in (the skip-index refresh scope).
+    * file committer itself pays there. Returns the partition values
+    * this batch landed files in (the skip-index refresh scope) and the
+    * published file paths themselves (the zone-map refresh scope).
     * Caller holds the shared OR exclusive gate, so the generation
     * pointer cannot move between the state read and the move, and the
     * closing stamp republishes a state no maintenance commit can be
     * concurrently replacing. */
-  private def writeAppend(derived: DataFrame): Set[Option[String]] = {
+  private def writeAppend(derived: DataFrame): Lake.Appended = {
     routingChecked // never append rows routed under foreign hyperplanes
     val fs = fsOfRoot
     val st = readState()
@@ -420,6 +423,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val gen = genPath(st.generation)
     val stagedDirs = fs.listStatus(staging).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val moved = Seq.newBuilder[String]
     stagedDirs.foreach { d =>
       val tgt = new org.apache.hadoop.fs.Path(gen, d.getPath.getName)
       fs.mkdirs(tgt)
@@ -428,6 +432,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         if (!fs.rename(f.getPath, dst))
           throw new java.io.IOException(
             s"append publish failed: could not move ${f.getPath} to $dst")
+        moved += dst.toString
       }
     }
     fs.delete(staging, true)
@@ -442,8 +447,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // commit can interleave; racing append stamps republish the same
     // manifest) so the stamp can never resurrect a pre-commit manifest
     writeState(readState())
-    stagedDirs.map(d =>
-      unescapePartitionValue(d.getPath.getName.split("=", 2)(1))).toSet
+    Lake.Appended(
+      stagedDirs.map(d =>
+        unescapePartitionValue(d.getPath.getName.split("=", 2)(1))).toSet,
+      moved.result())
   }
 
   /** The ONE derived-column block, shared by batch and streaming ingest
@@ -488,7 +495,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!df.columns.contains("id")) df = df.withColumn("id", expr("uuid()"))
     df = df
       .withColumn("id", col("id").cast(StringType))
-      .withColumn("timestamp", current_timestamp())
+      // a caller-supplied timestamp survives (backfill/replay ingest
+      // keeps source event times — and the `_zone` time pruning is only
+      // as good as the times are meaningful); absent or null → now(),
+      // the reference's always-stamp default. Never null either way.
+      .withColumn("timestamp",
+        if (df.columns.contains("timestamp"))
+          coalesce(col("timestamp").cast(TimestampType), current_timestamp())
+        else current_timestamp())
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
     if (cfg.packSignBits)
       df = df.withColumn("packed", V.signPack(col("vector")))
@@ -1769,6 +1783,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // live set; every older generation is dead-in-place (vacuum sweeps)
     writeState(LakeState(newGen, Nil))
     refreshSkipIndex(shardBytes.keySet) // full compact rewrote every shard
+    refreshZoneMapShards(shardBytes.keySet)
 
     fs.listStatus(tmp).filter(_.isDirectory).map(d =>
       fs.listStatus(d.getPath).count(f =>
@@ -1874,8 +1889,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val distinctIds = newDerived.select("id").distinct().count()
     require(distinctIds == newCount,
       s"upsert batch has duplicate ids ($newCount rows, $distinctIds distinct ids)")
-    if (!exists()) { // bootstrap: plain ingest (index refreshed likewise)
-      refreshSkipIndex(writeAppend(newDerived)); return 0L
+    if (!exists()) { // bootstrap: plain ingest (indexes refreshed likewise)
+      val out = writeAppend(newDerived)
+      refreshSkipIndex(out.shards); refreshZoneMap(out.files)
+      return 0L
     }
     val newIds = broadcast(newDerived.select(col("id").as("__new_id")).distinct())
     // old-version probe, skip-index pruned when one is fresh: the exact
@@ -2081,6 +2098,167 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         affectedLive, fpp = 0.01))
     writeSkipIndex(refreshed)
   } catch { case scala.util.control.NonFatal(_) => () } // stale = safe
+
+  // ------------------------------------------------- timestamp zone map --
+
+  private def zonePath: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(cfg.location, "_zone")
+
+  /** One canonical spelling of a data-file path for zone-map matching:
+    * `input_file_name()` (what the map stores) and `Path.toString`
+    * (what the listings produce) render the same file with different
+    * scheme/authority decorations — the URI path component is identical
+    * and unique within the lake's one filesystem. */
+  private def zoneKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The zone map as a frame, reading its part files EXPLICITLY — the
+    * `_`-prefixed dir is hidden from discovery-style listings (same
+    * convention the skip index uses), and passing the dir itself trips
+    * a cosmetic "all paths were ignored" warning. None = no usable
+    * map. */
+  private def readZone(fs: org.apache.hadoop.fs.FileSystem)
+      : Option[DataFrame] = {
+    if (!fs.exists(zonePath)) return None
+    val parts = fs.listStatus(zonePath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
+  }
+
+  /** Per-file (min_ts, max_ts, cnt) of `slice`'s `timestamp` column —
+    * the zone-map rows. Map-side combinable; the shuffle carries one
+    * row per file. */
+  private def zoneRows(slice: DataFrame): DataFrame =
+    slice.groupBy(input_file_name().as("file"))
+      .agg(min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"),
+        org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
+  /** Build the per-file TIMESTAMP ZONE MAP (`<root>/_zone`): (file,
+    * min_ts, max_ts, cnt), one row per live data file. LSH sharding
+    * scatters rows by VECTOR, so a time-window read
+    * ([[readTimeRange]]) prunes nothing at the directory level — but
+    * data files are IMMUTABLE in this layout (appends create, rewrites
+    * create new names, only vacuum deletes), so a per-file time range
+    * never goes stale: the read path simply intersects the map with
+    * the live listing. Files ABSENT from the map are scanned
+    * unconditionally (safe, merely unpruned); dead entries for retired
+    * files are ignored by construction. [[ingest]] appends entries for
+    * exactly the files it lands; rewrites re-map their affected shards
+    * ([[refreshZoneMapShards]]); a rebuild here also compacts
+    * accumulated dead entries away. With time-correlated appends (the
+    * 100 TB norm: loaders ingest in rough time order) a window read
+    * opens only the window's files — cost tracks the window, never
+    * lake size. Returns the number of files mapped. */
+  def buildZoneMap(): Long = {
+    if (!exists()) return 0L
+    withWriterLock("buildZoneMap") {
+      val fs = fsOfRoot
+      require(rootLevelData(fs).isEmpty,
+        s"refusing to zone-map ${cfg.location}: root-level (pre-v2/foreign) " +
+          "data present — the map cannot govern what the manifest does not")
+      val rows = zoneRows(read()).cache()
+      try {
+        val n = rows.count()
+        if (n == 0L) { fs.delete(zonePath, true); return 0L }
+        writeZone(rows)
+        n
+      } finally { rows.unpersist(); () }
+    }
+  }
+
+  /** Replace `_zone` via unique tmp + swap — same torn-swap contract as
+    * [[writeSkipIndex]]: a failure leaves no map or a parse error, both
+    * degrading to the unpruned full scan. */
+  private def writeZone(rows: DataFrame): Unit = {
+    val fs = fsOfRoot
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_zone__tmp_${java.util.UUID.randomUUID()}")
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(zonePath, true)
+    fs.rename(tmp, zonePath)
+  }
+
+  /** Post-append zone refresh: map exactly the just-published files by
+    * MOVING one new uniquely-named parquet part into `_zone` —
+    * concurrent appends' refreshes never touch each other's entries,
+    * and a racing full rebuild's swap at worst orphans this part's
+    * entries (dead entries are ignored; the files would then read as
+    * unmapped = scanned = still correct). Best-effort like the skip
+    * refresh: any failure leaves the files unmapped, never mismapped. */
+  private def refreshZoneMap(files: Seq[String]): Unit = try {
+    val fs = fsOfRoot
+    if (files.isEmpty || !fs.exists(zonePath)) return
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_zone__tmp_${java.util.UUID.randomUUID()}")
+    zoneRows(spark.read.parquet(files: _*))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.listStatus(tmp)
+      .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { p =>
+        fs.rename(p.getPath, new org.apache.hadoop.fs.Path(zonePath,
+          s"part-append-${java.util.UUID.randomUUID()}.parquet"))
+        ()
+      }
+    fs.delete(tmp, true)
+    ()
+  } catch { case scala.util.control.NonFatal(_) => () } // unmapped = safe
+
+  /** Post-rewrite zone refresh: rewrites publish NEW file names, so
+    * their entries are simply absent — map the affected shards' live
+    * files that the map does not cover yet (the retired files' old
+    * entries are dead-harmless and compacted away by the next
+    * [[buildZoneMap]]). Cost tracks the affected shards, like the
+    * rewrite itself. */
+  private def refreshZoneMapShards(affected: Set[Option[String]]): Unit = try {
+    val fs = fsOfRoot
+    if (affected.isEmpty || !fs.exists(zonePath)) return
+    val live = liveShardFiles(fs, readState(), only = Some(affected))
+      .values.flatten.map(_._1).toSeq
+    if (live.isEmpty) return
+    val mapped = readZone(fs).map(_.select("file").collect()
+      .map(r => zoneKey(r.getString(0))).toSet).getOrElse(Set.empty)
+    refreshZoneMap(live.filterNot(f => mapped.contains(zoneKey(f))))
+  } catch { case scala.util.control.NonFatal(_) => () } // unmapped = safe
+
+  /** Rows whose ingest `timestamp` lies in [from, to] — the zone-map
+    * pruned time-window read: resolve the live file listing, drop every
+    * file whose mapped [min_ts, max_ts] cannot intersect the window,
+    * scan only the rest (plus any unmapped file — never wrong, merely
+    * unpruned), and apply the exact residual filter. Falls back to the
+    * plain filtered [[read]] when no map exists, the layout has
+    * root-level foreign data, or the current generation is
+    * stream-owned (its manifest governs file visibility — raw listings
+    * would count uncommitted files). Same recall as
+    * `read().where(timestamp between ...)` ALWAYS; the map only cuts
+    * files opened. */
+  def readTimeRange(from: java.time.Instant, to: java.time.Instant): DataFrame = {
+    require(!from.isAfter(to), s"readTimeRange: from $from is after to $to")
+    routingChecked
+    val lob = lit(java.sql.Timestamp.from(from))
+    val hib = lit(java.sql.Timestamp.from(to))
+    val residual = col("timestamp") >= lob && col("timestamp") <= hib
+    val fs = fsOfRoot
+    if (!exists() || !fs.exists(zonePath)) return read().where(residual)
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
+    if (rootLevelDataFrom(entries).nonEmpty ||
+        fs.exists(new org.apache.hadoop.fs.Path(
+          genPath(st.generation), "_spark_metadata")))
+      return read().where(residual)
+    val owners = fileOwners(fs, liveEntries(st), "readTimeRange")
+    // collect only the EXCLUDABLE side (files provably outside the
+    // window): unmapped files never appear here, so they stay scanned
+    val excluded: Set[String] =
+      try readZone(fs).map(
+        _.where(!(col("max_ts") >= lob && col("min_ts") <= hib))
+          .select("file").collect().map(r => zoneKey(r.getString(0))).toSet)
+        .getOrElse(Set.empty)
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    readFileSlice(owners.filter { case (f, _) => !excluded(zoneKey(f)) })
+      .where(residual)
+  }
 
   /** Shards that might hold any id in `ids`, per the skip index:
     * `Some(values)` = probe only these (sketch hits plus every shard
@@ -2301,6 +2479,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }
     writeState(LakeState(newGen, survivors))
     refreshSkipIndex(affected)
+    refreshZoneMapShards(affected)
   }
 
   /** Sweep DEAD storage — the VACUUM of this layout: generation trees
@@ -2452,7 +2631,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s.getPath.getName match {
         case deadRe(g) if s.isFile && !fs.exists(genPath(g.toLong)) =>
           fs.delete(s.getPath, false); ()
-        case n if n.startsWith("_skip__tmp") =>
+        case n if n.startsWith("_skip__tmp") || n.startsWith("_zone__tmp") =>
           if (fs.delete(s.getPath, true)) removed += 1L
         // append staging scratch: the sweep runs under the EXCLUSIVE
         // lock, which excludes every in-flight append — anything still
@@ -2866,6 +3045,12 @@ object Lake {
     * Appends hold one of these (any number concurrently) instead of the
     * exclusive `_lock`; maintenance refuses while any is present. */
   private[graft] val appendMarkerRe = "_append\\.[0-9a-f-]+\\.lock".r
+
+  /** What one staged append published: the partition values it landed
+    * files in (skip-index refresh scope) and the published data-file
+    * paths themselves (zone-map refresh scope). */
+  private[graft] final case class Appended(
+      shards: Set[Option[String]], files: Seq[String])
 
   /** Per-append staging subtree root: each batch append writes its
     * parquet under `_staging/<uuid>/` with its own committer scratch,

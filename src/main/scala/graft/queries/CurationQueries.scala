@@ -564,6 +564,51 @@ object CurationQueries {
                     'doc-' || vec_id AS document
              FROM embeddings WHERE vec_id < 300 ORDER BY id"""))
 
+  /** TIMESTAMP ZONE MAP round-trip ([[graft.Lake.buildZoneMap]]/
+    * [[graft.Lake.readTimeRange]]): ingest three time segments with
+    * EXPLICIT event times (vec_id days — backfill ingest keeps source
+    * times), build the zone map after the FIRST segment only (the
+    * later appends must self-map through the ingest-side refresh), and
+    * read back the middle segment's window. LSH sharding scatters rows
+    * by vector, so directory pruning can never serve a time window —
+    * the per-file map is what turns "rows ingested in [t1, t2]" from a
+    * full scan into opening only the window's files at 100 TB. The
+    * oracle knows nothing about files: it filters the source rows by
+    * the same id-derived window — equality proves the pruned read
+    * returns exactly the window's rows. */
+  val qTimeRange = Q(
+    "q_time_range",
+    (s, dir) => {
+      val lake = BuiltFixtures.once(s, dir, "timed") {
+        val tmp = BuiltFixtures.sessionTmp(s, dir, "timed")
+        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+        l.delete()
+        val emb = Tables.embeddings(s, dir)
+        def seg(lo: Int, hi: Int) =
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id").cast("string").as("id"),
+              col("embedding").as("vector"),
+              concat(lit("doc-"), col("vec_id")).as("document"),
+              timestamp_seconds(col("vec_id") * 86400L).as("timestamp"))
+        l.ingest(seg(0, 150))
+        l.buildZoneMap() // later segments must self-map via the refresh
+        l.ingest(seg(150, 250))
+        l.ingest(seg(250, 350))
+        l
+      }
+      lake.readTimeRange(
+          java.time.Instant.ofEpochSecond(150L * 86400),
+          java.time.Instant.ofEpochSecond(249L * 86400))
+        .select(col("id"), col("shard"),
+          V.round6z(element_at(col("vector"), 1).cast("double")).as("v1"))
+        .orderBy("id")
+    },
+    Some(s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+                    ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard,
+                    ${V.sqlRound6z("embedding[1]::DOUBLE")} AS v1
+             FROM embeddings WHERE vec_id BETWEEN 150 AND 249
+             ORDER BY id"""))
+
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
     * 127/max|v|, q = round(v·scale), plus the reconstruction-error
@@ -833,6 +878,6 @@ object CurationQueries {
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix, qMetaJson,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
-    qSkipLookup, qChangeFeed, qTimeTravel, qTfidf,
+    qSkipLookup, qChangeFeed, qTimeTravel, qTimeRange, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+/** The per-file timestamp zone map: time-window reads open only the
+  * files whose [min_ts, max_ts] can intersect the window, stay exactly
+  * equal to the unpruned filtered read through appends / rewrites /
+  * missing entries, and never go wrong — files are immutable, so a
+  * mapped range never stales; an unmapped file is merely scanned. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(Instant.ofEpochSecond(day.toLong * 86400))
+  private def inst(day: Int): Instant = Instant.ofEpochSecond(day.toLong * 86400)
+
+  /** One day's batch: 8 rows, distinct vectors, all stamped `day`. */
+  private def batch(day: Int) =
+    (0 until 8).map { i =>
+      (s"d$day-r$i", Seq(math.sin(day * 10 + i).toFloat,
+        math.cos(day * 3 + i).toFloat, (i - 4).toFloat / 4), s"doc $day $i", ts(day))
+    }.toDF("id", "vector", "document", "timestamp")
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graft_zone").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+  }
+
+  private def windowRows(lake: Lake, lo: Int, hi: Int) =
+    lake.readTimeRange(inst(lo), inst(hi))
+      .select("id").collect().map(_.getString(0)).toSet
+  private def fullRows(lake: Lake, lo: Int, hi: Int) =
+    lake.read().where(col("timestamp").between(ts(lo), ts(hi)))
+      .select("id").collect().map(_.getString(0)).toSet
+
+  test("a supplied ingest timestamp SURVIVES; absent or null falls back to now()") {
+    val lake = freshLake()
+    lake.ingest(batch(5))
+    val stored = lake.read().select("id", "timestamp").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(stored("d5-r0") === ts(5), "explicit event time must be stored")
+    lake.ingest(Seq(("now-row", Seq(1f, 1f, 1f), "d"))
+      .toDF("id", "vector", "document"))
+    val auto = lake.read().where(col("id") === "now-row")
+      .select("timestamp").head().getTimestamp(0)
+    assert(math.abs(auto.getTime - System.currentTimeMillis()) < 600000L,
+      "absent timestamp must default to ingest time")
+  }
+
+  test("window reads prune to the window's files and equal the unpruned filtered read") {
+    val lake = freshLake()
+    (1 to 4).foreach(d => lake.ingest(batch(d)))
+    assert(lake.buildZoneMap() > 0L)
+    // correctness: every window, pruned == full
+    Seq((1, 1), (2, 3), (1, 4), (5, 9)).foreach { case (lo, hi) =>
+      assert(windowRows(lake, lo, hi) === fullRows(lake, lo, hi),
+        s"window [$lo,$hi] must match the unpruned read")
+    }
+    assert(windowRows(lake, 2, 2) === batch(2).select("id").collect()
+      .map(_.getString(0)).toSet)
+    // pruning: the one-day window must open strictly fewer files than
+    // the lake holds, and none of them may be provably outside the
+    // window per the map
+    val pruned = lake.readTimeRange(inst(2), inst(2))
+    val prunedFiles = pruned.inputFiles.toSet
+    val allFiles = lake.read().inputFiles.toSet
+    assert(prunedFiles.nonEmpty && prunedFiles.size < allFiles.size,
+      s"expected a strict file cut: ${prunedFiles.size} of ${allFiles.size}")
+    // an empty window opens NO files
+    assert(lake.readTimeRange(inst(50), inst(60)).inputFiles.isEmpty)
+    assert(windowRows(lake, 50, 60) === Set.empty[String])
+  }
+
+  test("appends refresh the map; an unmapped file is scanned, never dropped") {
+    val lake = freshLake()
+    (1 to 2).foreach(d => lake.ingest(batch(d)))
+    assert(lake.buildZoneMap() > 0L)
+    // append AFTER the build: the ingest-side refresh must map the new
+    // files with no manual rebuild — day 3's window still prunes day 1/2
+    lake.ingest(batch(3))
+    assert(windowRows(lake, 3, 3) === fullRows(lake, 3, 3))
+    val d3 = lake.readTimeRange(inst(3), inst(3))
+    assert(d3.inputFiles.toSet.size < lake.read().inputFiles.toSet.size,
+      "post-build appends must be mapped (else day 3 reads everything)")
+    // sabotage: drop day 3's entries from the map — its files become
+    // UNMAPPED and must be scanned unconditionally (correct, unpruned)
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zone = new org.apache.hadoop.fs.Path(lake.cfg.location, "_zone")
+    val kept = spark.read.parquet(zone.toString)
+      .where(col("max_ts") < ts(3)).cache()
+    kept.count()
+    val tmp = new org.apache.hadoop.fs.Path(lake.cfg.location, "_zone_new")
+    kept.coalesce(1).write.parquet(tmp.toString)
+    kept.unpersist()
+    fs.delete(zone, true)
+    fs.rename(tmp, zone)
+    assert(windowRows(lake, 3, 3) === fullRows(lake, 3, 3),
+      "unmapped files must still be scanned")
+    assert(windowRows(lake, 1, 1) === fullRows(lake, 1, 1))
+  }
+
+  test("rewrites and compaction keep window reads exact; rewritten files get re-mapped") {
+    val lake = freshLake()
+    (1 to 3).foreach(d => lake.ingest(batch(d)))
+    assert(lake.buildZoneMap() > 0L)
+    // a delete rewrites its shards: new file names, old entries dead
+    assert(lake.deleteWhere(col("id") === "d2-r0") === 1L)
+    Seq((1, 1), (2, 2), (3, 3), (1, 3)).foreach { case (lo, hi) =>
+      assert(windowRows(lake, lo, hi) === fullRows(lake, lo, hi),
+        s"window [$lo,$hi] after deleteWhere")
+    }
+    assert(!windowRows(lake, 2, 2).contains("d2-r0"))
+    // the rewrite-side refresh re-mapped the new files: day 1 alone
+    // still opens fewer files than the lake holds
+    assert(lake.readTimeRange(inst(1), inst(1)).inputFiles.toSet.size <
+      lake.read().inputFiles.toSet.size)
+    // full compact rewrites EVERY file; the refresh re-maps them all.
+    // Compacted files MIX the days (each spans [1,3]), so a day window
+    // legitimately prunes nothing — the re-mapping proof is a window
+    // OUTSIDE the lake's whole range opening ZERO files (unmapped
+    // files would all be scanned)
+    lake.compact()
+    Seq((1, 1), (2, 2), (1, 3)).foreach { case (lo, hi) =>
+      assert(windowRows(lake, lo, hi) === fullRows(lake, lo, hi),
+        s"window [$lo,$hi] after compact")
+    }
+    assert(lake.readTimeRange(inst(50), inst(60)).inputFiles.isEmpty,
+      "compact's rewrite must be re-mapped, not degrade to a full scan")
+    // rebuild compacts dead entries away and stays correct
+    assert(lake.buildZoneMap() > 0L)
+    assert(windowRows(lake, 2, 2) === fullRows(lake, 2, 2))
+  }
+
+  test("no map, no harm: readTimeRange without buildZoneMap is the plain filtered read") {
+    val lake = freshLake()
+    (1 to 2).foreach(d => lake.ingest(batch(d)))
+    assert(windowRows(lake, 2, 2) === fullRows(lake, 2, 2))
+    assert(windowRows(lake, 2, 2).nonEmpty)
+  }
+}
