@@ -499,10 +499,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // keeps source event times — and the `_zone` time pruning is only
       // as good as the times are meaningful); absent or null → now(),
       // the reference's always-stamp default. Never null either way.
+      // NUMERIC columns are REFUSED rather than cast: Spark reads a
+      // bare number as epoch SECONDS, so the overwhelmingly common
+      // epoch-millis source would silently land every row ~50,000 years
+      // out — convert explicitly (timestamp_seconds/timestamp_millis)
+      // to say which unit you mean.
       .withColumn("timestamp",
-        if (df.columns.contains("timestamp"))
+        if (df.columns.contains("timestamp")) {
+          require(!df.schema("timestamp").dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"ingest at ${cfg.location}: the supplied `timestamp` column is " +
+              s"numeric (${df.schema("timestamp").dataType.simpleString}) — " +
+              "ambiguous epoch unit (seconds? millis?). Convert explicitly " +
+              "with timestamp_seconds(...) or timestamp_millis(...).")
           coalesce(col("timestamp").cast(TimestampType), current_timestamp())
-        else current_timestamp())
+        } else current_timestamp())
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
     if (cfg.packSignBits)
       df = df.withColumn("packed", V.signPack(col("vector")))
@@ -2105,12 +2116,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     new org.apache.hadoop.fs.Path(cfg.location, "_zone")
 
   /** One canonical spelling of a data-file path for zone-map matching:
-    * `input_file_name()` (what the map stores) and `Path.toString`
-    * (what the listings produce) render the same file with different
-    * scheme/authority decorations — the URI path component is identical
-    * and unique within the lake's one filesystem. */
+    * `input_file_name()` (what the map stores) renders the file as a
+    * percent-ENCODED URI while `Path.toString` (what the listings
+    * produce) keeps raw characters — and the two also differ in
+    * scheme/authority decoration. Parse as a real URI first (decodes
+    * the escapes), fall back to Hadoop Path for raw strings a strict
+    * URI parser rejects (e.g. literal spaces): both land on the DECODED
+    * path component, identical and unique within the lake's one
+    * filesystem. A mismatch here is silent pruning loss (the safe
+    * direction, but permanently dead), hence the two-sided
+    * normalization. */
   private def zoneKey(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+    (try Option(new java.net.URI(p).getPath)
+     catch { case _: java.net.URISyntaxException => None })
+      .getOrElse(new org.apache.hadoop.fs.Path(p).toUri.getPath)
 
   /** The zone map as a frame, reading its part files EXPLICITLY — the
     * `_`-prefixed dir is hidden from discovery-style listings (same
@@ -2205,21 +2224,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     ()
   } catch { case scala.util.control.NonFatal(_) => () } // unmapped = safe
 
-  /** Post-rewrite zone refresh: rewrites publish NEW file names, so
-    * their entries are simply absent — map the affected shards' live
-    * files that the map does not cover yet (the retired files' old
+  /** Post-rewrite zone refresh: a rewrite retires EVERY old file of its
+    * affected shards and publishes only NEW names, so the affected
+    * shards' live files are all unmapped by construction — map them
+    * directly, no already-mapped probe (collecting the whole map to
+    * compute an always-empty intersection would cost O(map) driver work
+    * on every one-shard rewrite). Were a file somehow mapped twice, the
+    * duplicate entries are byte-identical (files are immutable) and
+    * collapse harmlessly on the read side; the retired files' old
     * entries are dead-harmless and compacted away by the next
-    * [[buildZoneMap]]). Cost tracks the affected shards, like the
+    * [[buildZoneMap]]. Cost tracks the affected shards, like the
     * rewrite itself. */
   private def refreshZoneMapShards(affected: Set[Option[String]]): Unit = try {
     val fs = fsOfRoot
     if (affected.isEmpty || !fs.exists(zonePath)) return
     val live = liveShardFiles(fs, readState(), only = Some(affected))
       .values.flatten.map(_._1).toSeq
-    if (live.isEmpty) return
-    val mapped = readZone(fs).map(_.select("file").collect()
-      .map(r => zoneKey(r.getString(0))).toSet).getOrElse(Set.empty)
-    refreshZoneMap(live.filterNot(f => mapped.contains(zoneKey(f))))
+    refreshZoneMap(live)
   } catch { case scala.util.control.NonFatal(_) => () } // unmapped = safe
 
   /** Rows whose ingest `timestamp` lies in [from, to] — the zone-map
@@ -2248,15 +2269,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           genPath(st.generation), "_spark_metadata")))
       return read().where(residual)
     val owners = fileOwners(fs, liveEntries(st), "readTimeRange")
-    // collect only the EXCLUDABLE side (files provably outside the
-    // window): unmapped files never appear here, so they stay scanned
-    val excluded: Set[String] =
+    // control-plane cost is O(live files) — the same order as the
+    // listing above (and as Spark's own file index): ONE pass over the
+    // map collecting (file, intersects-window). A file the map knows
+    // and marks disjoint is pruned; a mapped-and-overlapping or
+    // UNMAPPED file is scanned (never wrong, merely unpruned).
+    val verdicts: Map[String, Boolean] =
       try readZone(fs).map(
-        _.where(!(col("max_ts") >= lob && col("min_ts") <= hib))
-          .select("file").collect().map(r => zoneKey(r.getString(0))).toSet)
-        .getOrElse(Set.empty)
-      catch { case scala.util.control.NonFatal(_) => Set.empty }
-    readFileSlice(owners.filter { case (f, _) => !excluded(zoneKey(f)) })
+        _.select(col("file"),
+          (col("max_ts") >= lob && col("min_ts") <= hib).as("hit"))
+          .collect()
+          .map(r => zoneKey(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
+          .toMap)
+        .getOrElse(Map.empty)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    readFileSlice(owners.filter { case (f, _) =>
+      verdicts.getOrElse(zoneKey(f), true) })
       .where(residual)
   }
 

@@ -52,8 +52,12 @@ import org.apache.spark.sql.Row
   *    maintenance.
   *
   * Single-writer by contract: one maintaining stream per statePath
-  * (run more and pointer commits collide loudly on overwrite=false —
-  * fail-fast, like the lake's writer lock, not silent corruption).
+  * (run more and the rename-into-place pointer commit collides loudly
+  * — fail-fast, like the lake's writer lock, not silent corruption).
+  * The pointer itself is crash-safe: written to a tmp name and renamed
+  * in, sealed by a trailing `complete` sentinel, and a corrupt newest
+  * pointer falls back to the previous one (the interrupted batch
+  * replays).
   *
   * Usage:
   * {{{
@@ -144,7 +148,7 @@ object IncrementalAgg {
         .collect().map(_.getInt(0)).toSet
       val owners = ptr.map(_._2.owners).getOrElse(Map.empty[Int, Long])
       if (affected.isEmpty) { // delta-free batch: commit the id only
-        commitPointer(fs, root, ptr, owners, -1L, batchId)
+        commitPointer(fs, root, owners, batchId)
         return true
       }
       val ownedAffected = owners.filter { case (b, _) => affected(b) }
@@ -167,7 +171,7 @@ object IncrementalAgg {
           .write.mode(SaveMode.Overwrite)
           .partitionBy("__bucket")
           .parquet(new org.apache.hadoop.fs.Path(root, s"v$newV").toString)
-        commitPointer(fs, root, ptr, owners -- affected, newV, batchId,
+        commitPointer(fs, root, owners -- affected, batchId,
           survivors.map(_ -> newV).toMap)
       } finally { merged.unpersist(); () }
       true
@@ -220,30 +224,52 @@ object IncrementalAgg {
     if (parts.isEmpty) spark.emptyDataFrame else parts.reduce(_ unionByName _)
   }
 
-  /** Newest pointer (version, parsed) still on disk. */
-  private def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[(Long, Pointer)] = {
-    if (!fs.exists(root)) return None
-    val vs = fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+  /** Every pointer file still on disk, as (version, path), unsorted. */
+  private def pointerFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
       case pointerRe(v) => Some(v.toLong -> s.getPath)
       case _ => None
     })
-    vs.sortBy(-_._1).headOption.map { case (v, p) =>
-      val in = fs.open(p)
-      val json = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-      (v, parsePointer(json))
-    }
   }
+
+  private def readPointerFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Pointer = {
+    val in = fs.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    parsePointer(json)
+  }
+
+  /** Newest PARSEABLE pointer (version, parsed) still on disk. A
+    * corrupt newest file (a crash mid-commit on a store whose rename is
+    * copy+delete) falls back to the next older pointer — the state
+    * resumes from the last good commit and the interrupted batch simply
+    * replays ([[commitPointer]]'s `complete` sentinel rejects any
+    * truncated body, so a partial owners map can never parse as
+    * smaller-but-valid). */
+  private def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, Pointer)] =
+    pointerFiles(fs, root).sortBy(-_._1).view.flatMap { case (v, p) =>
+      try Some((v, readPointerFile(fs, p)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.headOption
 
   private final case class Pointer(batchId: Long, owners: Map[Int, Long])
 
   private def parsePointer(json: String): Pointer = {
+    // the `complete` sentinel is written LAST: a truncated pointer (torn
+    // copy+delete rename, short write) is missing it and is REJECTED
+    // here instead of parsing as a smaller-but-plausible owners map —
+    // which would silently drop buckets' accumulated state
+    if (""""complete"\s*:\s*true""".r.findFirstIn(json).isEmpty)
+      throw new java.io.IOException(s"truncated state pointer: $json")
     val batchId = """"batch_id"\s*:\s*(-?[0-9]+)""".r
       .findFirstMatchIn(json).map(_.group(1).toLong)
       .getOrElse(throw new java.io.IOException(s"bad state pointer: $json"))
@@ -252,50 +278,96 @@ object IncrementalAgg {
     Pointer(batchId, owners)
   }
 
-  /** Commit pointer version = prev+1 with overwrite=false — two racing
-    * maintainers (a misconfiguration; the contract is single-writer)
-    * collide here loudly instead of silently interleaving merges. */
+  /** Commit pointer version = prev+1, written to a uniquely-named tmp
+    * and RENAMED into place — the create/write/close window can no
+    * longer strand a half-written newest pointer (and even a torn
+    * copy+delete rename is caught by the `complete` sentinel + the
+    * older-pointer fallback in [[currentPointer]]). A rename that
+    * refuses because the destination exists means another maintainer
+    * committed this version — the single-writer contract is broken, and
+    * it throws loudly instead of silently interleaving merges. */
   private def commitPointer(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, prev: Option[(Long, Pointer)],
-      owners: Map[Int, Long], newV: Long, batchId: Long,
+      root: org.apache.hadoop.fs.Path,
+      owners: Map[Int, Long], batchId: Long,
       reassigned: Map[Int, Long] = Map.empty): Unit = {
     fs.mkdirs(root)
     val next = owners ++ reassigned
     val body = next.toSeq.sorted
       .map { case (b, v) => s""""$b": $v""" }.mkString(", ")
-    val json = s"""{"batch_id": $batchId, "owners": {$body}}"""
-    val v = prev.map(_._1 + 1).getOrElse(0L)
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, s"_state.$v.json"), false)
+    val json =
+      s"""{"batch_id": $batchId, "owners": {$body}, "complete": true}"""
+    // allocate past the max pointer FILE, not the max parseable one: a
+    // corrupt newest pointer (prev fell back behind it) must be stepped
+    // over, not collided with on every commit forever
+    val v = (pointerFiles(fs, root).map(_._1) :+ -1L).max + 1
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_state_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, s"_state.$v.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"state pointer $dst already exists: two maintainers are " +
+          "committing to one statePath (the contract is single-writer)")
+    }
     // keep a short pointer history (crash-window readers), sweep the rest
-    fs.listStatus(root).foreach(s => s.getPath.getName match {
-      case pointerRe(old) if old.toLong + 3 < v => fs.delete(s.getPath, false)
-      case _ => ()
-    })
+    pointerFiles(fs, root).foreach { case (old, p) =>
+      if (old + 3 < v) { fs.delete(p, false); () }
+    }
   }
 
-  /** Sweep version dirs no bucket owns anymore (superseded merges and
-    * crash orphans) plus stale pointers. Run from the maintaining
-    * process on whatever cadence suits — readers of the newest pointer
-    * never see a referenced dir deleted because ownership only moves
-    * FORWARD to new versions. Returns dirs removed. */
-  def vacuumState(spark: SparkSession, statePath: String): Long = {
+  /** How long an unreferenced version dir ABOVE the newest committed
+    * pointer must sit before [[vacuumState]] treats it as a crash
+    * orphan rather than an in-flight merge. */
+  val vacuumStaleMs: Long = 600000L
+
+  /** Sweep state garbage: version dirs referenced by NO retained
+    * pointer (superseded merges; crash orphans once provably dead),
+    * pointer files older than the keep window, and stranded commit
+    * tmps. Safe to run on a cadence from the maintaining process:
+    *
+    *  - dirs referenced by ANY retained pointer are kept, so a reader
+    *    that resolved an older (still-retained) pointer never loses a
+    *    dir mid-scan;
+    *  - a dir numbered ABOVE the newest committed pointer may be an
+    *    IN-FLIGHT merge — it is swept only once its mtime is older
+    *    than `staleMs` (crash orphan), never while fresh.
+    *
+    * Returns items removed. */
+  def vacuumState(spark: SparkSession, statePath: String,
+      staleMs: Long = vacuumStaleMs): Long = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(statePath)
-    currentPointer(fs, root) match {
-      case None => 0L
-      case Some((_, ptr)) =>
-        val live = ptr.owners.values.toSet
-        var removed = 0L
-        fs.listStatus(root).foreach { s =>
-          val n = s.getPath.getName
-          if (s.isDirectory && n.startsWith("v") &&
-              n.drop(1).forall(_.isDigit) && !live(n.drop(1).toLong)) {
-            if (fs.delete(s.getPath, true)) removed += 1L
-          }
-        }
-        removed
+    val ptrs = pointerFiles(fs, root)
+    if (ptrs.isEmpty) return 0L
+    val newest = ptrs.map(_._1).max
+    var removed = 0L
+    // pointer files past the keep window (commitPointer's rotation may
+    // have lagged if the maintainer stopped committing)
+    ptrs.foreach { case (v, p) =>
+      if (v + 3 < newest && fs.delete(p, false)) removed += 1L
     }
+    val referenced: Set[Long] = pointerFiles(fs, root).flatMap { case (_, p) =>
+      try readPointerFile(fs, p).owners.values
+      catch { case scala.util.control.NonFatal(_) => Nil } // corrupt = refs nothing
+    }.toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val isVersionDir = s.isDirectory && n.startsWith("v") &&
+        n.length > 1 && n.drop(1).forall(_.isDigit)
+      val isStrandedTmp = s.isFile && n.startsWith("_state_tmp_") &&
+        now - s.getModificationTime > staleMs
+      if (isVersionDir) {
+        val v = n.drop(1).toLong
+        val mayBeInFlight =
+          v > newest && now - s.getModificationTime <= staleMs
+        if (!referenced(v) && !mayBeInFlight && fs.delete(s.getPath, true))
+          removed += 1L
+      } else if (isStrandedTmp && fs.delete(s.getPath, false)) removed += 1L
+    }
+    removed
   }
 }

@@ -87,23 +87,68 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!applyBatch(path, Seq(("x", "x", 9L, "insert")), 1L))
   }
 
-  test("vacuumState sweeps superseded and orphan version dirs, never an owned one") {
+  test("vacuumState sweeps only provably-dead dirs: unreferenced by every retained pointer, aged if possibly in-flight") {
     val path = Files.createTempDirectory("graft_incragg_vac").toString + "/state"
-    assert(applyBatch(path, Seq(
-      ("a", "aa", 1L, "insert"), ("b", "bbb", 2L, "insert")), 0L))
-    // supersede EVERY v0 bucket so v0 becomes sweepable
-    assert(applyBatch(path, Seq(
-      ("a2", "a", 1L, "insert"), ("b2", "b", 2L, "insert")), 1L))
+    // 5 commits, each churning BOTH keys: pointer i maps both buckets
+    // to version dir i; the pointer rotation retains the newest 4, so
+    // after batch 4 only v0's pointer is gone and only v0 is
+    // unreferenced by every retained pointer
+    (0 to 4).foreach { i =>
+      assert(applyBatch(path, Seq(
+        (s"a$i", "aa", 1L, "insert"), (s"b$i", "bbb", 2L, "insert")), i.toLong))
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // plus a crash orphan: a version dir no pointer ever committed
+    // a FRESH dir above the newest pointer looks like an in-flight
+    // merge and must survive; once AGED past staleMs it is a crash
+    // orphan and is swept
     fs.mkdirs(new org.apache.hadoop.fs.Path(path, "v99"))
     val before = stateMap(path)
-    assert(IncrementalAgg.vacuumState(spark, path) === 2L,
-      "v0 (fully superseded) and v99 (orphan) must both be swept")
+    assert(IncrementalAgg.vacuumState(spark, path) === 1L,
+      "exactly v0 (unreferenced by every retained pointer) is sweepable; " +
+        "fresh v99 may be an in-flight merge")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v0")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v99")))
+    (1 to 4).foreach(i => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, s"v$i")),
+      s"v$i is referenced by a retained pointer and must survive"))
+    fs.setTimes(new org.apache.hadoop.fs.Path(path, "v99"),
+      System.currentTimeMillis() - 3600000L, -1L)
+    assert(IncrementalAgg.vacuumState(spark, path) === 1L,
+      "the aged v99 orphan is provably dead")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v99")))
     assert(stateMap(path) === before, "vacuum must not change the state")
+  }
+
+  test("a corrupt or truncated newest pointer falls back to the previous commit; the next commit steps over it") {
+    val path = Files.createTempDirectory("graft_incragg_crash").toString + "/state"
+    assert(applyBatch(path, Seq(
+      ("a", "aa", 1L, "insert"), ("b", "bbb", 2L, "insert")), 0L))
+    val good = stateMap(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a torn commit: the newest pointer file exists but is TRUNCATED
+    // mid-owners (parses as plausible JSON prefix — the `complete`
+    // sentinel is what rejects it); readers must resume from v0's
+    // commit, not brick and not silently drop bucket 2's state
+    val torn = new org.apache.hadoop.fs.Path(path, "_state.1.json")
+    val out = fs.create(torn, false)
+    out.write("""{"batch_id": 1, "owners": {"7": 0""".getBytes("UTF-8"))
+    out.close()
+    assert(stateMap(path) === good,
+      "a truncated newest pointer must fall back to the last good commit")
+    // the interrupted batch replays: batch id 1 is NOT committed (the
+    // torn pointer doesn't count), so the replay applies and the commit
+    // allocates PAST the torn file instead of colliding with it forever
+    assert(applyBatch(path, Seq(("c", "cccc", 1L, "insert")), 1L))
+    assert(stateMap(path)(1L) === ((2L, 6.0)))
+    assert(stateMap(path)(2L) === good(2L), "bucket 2's state must survive")
+    // an empty newest pointer (crash between create and write) likewise
+    val empty = new org.apache.hadoop.fs.Path(path, "_state.9.json")
+    fs.create(empty, false).close()
+    assert(stateMap(path)(1L) === ((2L, 6.0)))
+    assert(applyBatch(path, Seq(("d", "d", 2L, "insert")), 2L))
+    assert(stateMap(path)(2L) === ((2L, 4.0)))
   }
 
   test("end-to-end: a graft-changes subscriber maintains per-shard stats equal to recomputing over the lake") {

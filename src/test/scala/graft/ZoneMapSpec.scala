@@ -48,6 +48,12 @@ class ZoneMapSpec extends SparkSpec {
       .select("timestamp").head().getTimestamp(0)
     assert(math.abs(auto.getTime - System.currentTimeMillis()) < 600000L,
       "absent timestamp must default to ingest time")
+    // a NUMERIC timestamp column is refused (epoch unit is ambiguous —
+    // a millis source cast as seconds lands ~50,000 years out silently)
+    val e = intercept[IllegalArgumentException](lake.ingest(
+      Seq(("num-row", Seq(1f, 0f, 0f), "d", 1700000000000L))
+        .toDF("id", "vector", "document", "timestamp")))
+    assert(e.getMessage.contains("timestamp_seconds"))
   }
 
   test("window reads prune to the window's files and equal the unpruned filtered read") {
