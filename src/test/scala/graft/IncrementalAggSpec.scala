@@ -151,6 +151,54 @@ class IncrementalAggSpec extends SparkSpec {
     assert(stateMap(path)(2L) === ((2L, 4.0)))
   }
 
+  test("property: random delta sequences with replays and vacuums keep the state equal to a from-scratch recompute") {
+    val rng = new scala.util.Random(20260814L)
+    val path = Files.createTempDirectory("graft_incragg_fuzz").toString + "/state"
+    // the live corpus as a multiset of (key, doc) — the feed contract:
+    // deletes name rows that exist, byte-for-byte
+    var rows = Vector.empty[(Long, String)]
+    var nextDoc = 0
+    var batchId = 0L
+    var lastBatch: Option[(Seq[(String, String, Long, String)], Long)] = None
+    (0 until 25).foreach { step =>
+      rng.nextInt(10) match {
+        case r if r < 5 =>
+          // a mixed batch: fresh inserts + deletes of existing rows
+          val ins = (0 until 1 + rng.nextInt(5)).map { _ =>
+            val k = 1L + rng.nextInt(6)
+            val doc = s"doc$nextDoc ${"x" * rng.nextInt(5)}"; nextDoc += 1
+            (k, doc)
+          }
+          val nDel = if (rows.isEmpty) 0 else rng.nextInt(math.min(4, rows.size + 1))
+          val delIdx = rng.shuffle(rows.indices.toList).take(nDel).toSet
+          val dels = delIdx.toSeq.map(rows)
+          val batch =
+            ins.map { case (k, d) => ("i", d, k, "insert") } ++
+              dels.map { case (k, d) => ("d", d, k, "delete") }
+          assert(applyBatch(path, batch, batchId), s"step $step apply")
+          rows = rows.zipWithIndex.collect {
+            case (r, i) if !delIdx(i) => r } ++ ins
+          lastBatch = Some((batch, batchId)); batchId += 1
+        case 5 | 6 =>
+          // at-least-once replay of the LAST batch: must refuse cleanly
+          lastBatch.foreach { case (b, id) =>
+            assert(!applyBatch(path, b, id), s"step $step replay must no-op") }
+        case 7 =>
+          // vacuum mid-sequence (staleMs 0: single-threaded, nothing is
+          // genuinely in flight) — must never change the state
+          IncrementalAgg.vacuumState(spark, path, staleMs = 0L); ()
+        case _ =>
+          // a delta-free trigger: commits the id, moves no data
+          assert(applyBatch(path, Seq.empty, batchId), s"step $step empty")
+          batchId += 1
+      }
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> ((rs.size.toLong, rs.map(_._2.length).sum.toDouble)) }
+      assert(stateMap(path) === want,
+        s"step $step: state diverged from the recompute of the live corpus")
+    }
+  }
+
   test("end-to-end: a graft-changes subscriber maintains per-shard stats equal to recomputing over the lake") {
     val dir = Files.createTempDirectory("graft_incragg_e2e")
     val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)

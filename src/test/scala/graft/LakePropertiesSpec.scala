@@ -43,6 +43,12 @@ class LakePropertiesSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_fuzz").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
     var model = Map.empty[String, (Seq[Float], String)] // id -> (vector, doc)
+    // id -> synthetic ingest day (rows carry EXPLICIT event times so
+    // the zone-map window reads below have a model to check against)
+    var days = Map.empty[String, Int]
+    var day = 0
+    def ts(d: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(d.toLong * 86400))
     var nextId = 0
     def freshRows(n: Int): Seq[(String, Seq[Float], String)] =
       (0 until n).map { _ =>
@@ -61,11 +67,14 @@ class LakePropertiesSpec extends SparkSpec {
     // change-feed sync point taken mid-sequence: (version, model at seal)
     var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(16) match {
+      val op = rng.nextInt(19) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
-          lake.ingest(rows.toDF("id", "vector", "document"))
+          day += 1
+          lake.ingest(rows.map(r => (r._1, r._2, r._3, ts(day)))
+            .toDF("id", "vector", "document", "timestamp"))
           model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          days ++= rows.map(r => r._1 -> day)
           "ingest"
         case 3 | 4 =>
           // delete a random contiguous id band (may be empty)
@@ -78,7 +87,7 @@ class LakePropertiesSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("id")
               .isin((lo until hi).map("f" + _): _*))
           assert(deleted === victims.size.toLong, s"step $step deleteWhere count")
-          model --= victims
+          model --= victims; days --= victims
           "deleteWhere"
         case 5 | 6 =>
           // upsert: replace up to 3 existing (new vector moves shards) + 2 new
@@ -86,9 +95,13 @@ class LakePropertiesSpec extends SparkSpec {
             .map(id => (id, Seq.fill(dim)(rng.nextGaussian().toFloat), s"v2 $id"))
           val fresh = freshRows(2)
           val batch = existing ++ fresh
-          val replaced = lake.upsert(batch.toDF("id", "vector", "document"))
+          day += 1
+          val replaced = lake.upsert(
+            batch.map(r => (r._1, r._2, r._3, ts(day)))
+              .toDF("id", "vector", "document", "timestamp"))
           assert(replaced === existing.size.toLong, s"step $step upsert count")
           model ++= batch.map(r => r._1 -> ((r._2, r._3)))
+          days ++= batch.map(r => r._1 -> day)
           "upsert"
         case 7 => lake.compact(); "compact"
         case 8 => lake.compactIncremental(maxFilesPerShard = 2); "compactIncremental"
@@ -103,7 +116,7 @@ class LakePropertiesSpec extends SparkSpec {
           val sample = rng.shuffle(model.keySet.toList).take(rng.nextInt(4))
           val deleted = lake.deleteIds(sample :+ "no-such-id")
           assert(deleted === sample.size.toLong, s"step $step deleteIds count")
-          model --= sample
+          model --= sample; days --= sample
           "deleteIds"
         case 12 =>
           // lookup through whatever index state the sequence produced,
@@ -145,6 +158,27 @@ class LakePropertiesSpec extends SparkSpec {
             }
           }
           "readAt snapshot"
+        case 16 =>
+          if (lake.exists()) lake.buildZoneMap()
+          "buildZoneMap"
+        case 17 | 18 =>
+          // ZONE-MAP WINDOW READ against the model, through whatever
+          // map state the sequence produced (absent, fresh, append-
+          // refreshed, rewrite-refreshed, or half-dead after rewrites):
+          // pruning may vary, the ROWS never may
+          val lo = 1 + rng.nextInt(math.max(1, day))
+          val hi = lo + rng.nextInt(3)
+          val got = lake.readTimeRange(
+              java.time.Instant.ofEpochSecond(lo.toLong * 86400),
+              java.time.Instant.ofEpochSecond(hi.toLong * 86400))
+            .select("id").collect().map(_.getString(0)).toSet
+          val want = days.collect {
+            case (id, d) if d >= lo && d <= hi => id }.toSet
+          assert(got === want,
+            s"step $step: readTimeRange([$lo,$hi]) diverged from the model " +
+              s"(zone-only: ${(got -- want).take(5)}, " +
+              s"model-only: ${(want -- got).take(5)})")
+          "readTimeRange"
         case _ =>
           // replay the change feed from the last sync point over that
           // moment's model: the result must be exactly today's model —
