@@ -151,6 +151,66 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("zone map round-trips on a non-file: FS: build, pruned window read, append refresh") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 4, numHashes = 2))
+      def ts(d: Int) = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d.toLong * 86400))
+      def batch(d: Int) = (0 until 10).map(i =>
+        (s"z$d-$i", Seq(math.sin(d * 7 + i).toFloat, 1f, -i.toFloat, 0.5f),
+          s"doc $d $i", ts(d)))
+        .toDF("id", "vector", "document", "timestamp")
+      (1 to 2).foreach(d => lake.ingest(batch(d)))
+      // the _zone swap goes through rename — copy+delete on this FS
+      assert(lake.buildZoneMap() > 0L)
+      // post-build append: the refresh MOVES a part into _zone
+      // (copy+delete again) and the new files self-map
+      lake.ingest(batch(3))
+      def window(d: Int) = lake.readTimeRange(
+        java.time.Instant.ofEpochSecond(d.toLong * 86400),
+        java.time.Instant.ofEpochSecond(d.toLong * 86400))
+      (1 to 3).foreach { d =>
+        val got = window(d).select("id").as[String].collect().toSet
+        assert(got === (0 until 10).map(i => s"z$d-$i").toSet,
+          s"day $d window on bucket://")
+      }
+      val w = window(2)
+      // pruned AND every opened file addressed through the bucket scheme
+      // (zoneKey must reconcile input_file_name vs listing spellings
+      // across the non-file scheme)
+      assert(w.inputFiles.nonEmpty && w.inputFiles.forall(_.startsWith("bucket:")))
+      assert(w.inputFiles.toSet.size < lake.read().inputFiles.toSet.size,
+        "the day-2 window must prune on the remote FS")
+      lake.delete()
+    }
+  }
+
+  test("incremental-agg state round-trips on a non-file: FS: tmp+rename pointer commits, replay, vacuum") {
+    withBucketFs { root =>
+      import graft.streaming.IncrementalAgg
+      val path = s"$root/aggstate"
+      val keys = Seq("k")
+      val aggs = Seq("chars" ->
+        org.apache.spark.sql.functions.length(col("doc")).cast("double"))
+      def apply(rows: Seq[(String, Long, String)], id: Long): Boolean =
+        IncrementalAgg.applyDelta(spark, path,
+          IncrementalAgg.signedDelta(
+            rows.toDF("doc", "k", "change"), keys, aggs),
+          keys, aggs.map(_._1), id)
+      assert(apply(Seq(("aa", 1L, "insert"), ("bbb", 2L, "insert")), 0L))
+      assert(apply(Seq(("aa", 1L, "delete"), ("cccc", 1L, "insert")), 1L))
+      // replay refused through the remote FS pointer read
+      assert(!apply(Seq(("zz", 9L, "insert")), 1L))
+      val got = IncrementalAgg.readState(spark, path).collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[Long]("__rows"), r.getAs[Double]("chars")))).toMap
+      assert(got === Map(1L -> ((1L, 4.0)), 2L -> ((1L, 3.0))))
+      // vacuum sweeps the superseded dir once its pointer rotates out —
+      // here both pointers are retained, so nothing is sweepable yet
+      assert(IncrementalAgg.vacuumState(spark, path, staleMs = 0L) === 0L)
+    }
+  }
+
   test("sidecar metadata lands on the remote FS too (versioned commit files)") {
     withBucketFs { root =>
       val lake = Lake(spark, LakeConfig(s"$root/lake2", dim = 3, numHashes = 3))
