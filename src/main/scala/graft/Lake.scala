@@ -2255,24 +2255,42 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * `read().where(timestamp between ...)` ALWAYS; the map only cuts
     * files opened. */
   def readTimeRange(from: java.time.Instant, to: java.time.Instant): DataFrame = {
-    require(!from.isAfter(to), s"readTimeRange: from $from is after to $to")
+    val (base, residual) = timeWindowBase(from, to, None, "readTimeRange")
+    base.where(residual)
+  }
+
+  /** The zone-pruned scan underneath [[readTimeRange]] and
+    * [[topKInRange]]: (base frame, residual window predicate). The base
+    * is the file slice the map could not exclude — or the plain
+    * [[read]] when no map exists / the layout forces the fallback —
+    * optionally pre-cut to `dirNames` partition directories (the routed
+    * shards' escaped dir names, a second file-level cut on top of the
+    * zone cut). Callers must apply `residual` (and any shard predicate)
+    * for exactness. */
+  private def timeWindowBase(from: java.time.Instant, to: java.time.Instant,
+      dirNames: Option[Set[String]], op: String): (DataFrame, Column) = {
+    require(!from.isAfter(to), s"$op: from $from is after to $to")
     routingChecked
     val lob = lit(java.sql.Timestamp.from(from))
     val hib = lit(java.sql.Timestamp.from(to))
     val residual = col("timestamp") >= lob && col("timestamp") <= hib
     val fs = fsOfRoot
-    if (!exists() || !fs.exists(zonePath)) return read().where(residual)
+    if (!exists() || !fs.exists(zonePath)) return (read(), residual)
     val entries = listRoot(fs)
     val st = readStateFrom(fs, entries)
     if (rootLevelDataFrom(entries).nonEmpty ||
         fs.exists(new org.apache.hadoop.fs.Path(
           genPath(st.generation), "_spark_metadata")))
-      return read().where(residual)
-    val owners = fileOwners(fs, liveEntries(st), "readTimeRange")
-    // control-plane cost is O(live files) — the same order as the
-    // listing above (and as Spark's own file index): ONE pass over the
-    // map collecting (file, intersects-window). A file the map knows
-    // and marks disjoint is pruned; a mapped-and-overlapping or
+      return (read(), residual)
+    val dirs = dirNames match {
+      case Some(keep) => liveEntries(st).filter(d => keep(d._1.split("/").last))
+      case None => liveEntries(st)
+    }
+    val owners = fileOwners(fs, dirs, op)
+    // control-plane cost is O(live files in scope) — the same order as
+    // the listing above (and as Spark's own file index): ONE pass over
+    // the map collecting (file, intersects-window). A file the map
+    // knows and marks disjoint is pruned; a mapped-and-overlapping or
     // UNMAPPED file is scanned (never wrong, merely unpruned).
     val verdicts: Map[String, Boolean] =
       try readZone(fs).map(
@@ -2283,9 +2301,40 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           .toMap)
         .getOrElse(Map.empty)
       catch { case scala.util.control.NonFatal(_) => Map.empty }
-    readFileSlice(owners.filter { case (f, _) =>
-      verdicts.getOrElse(zoneKey(f), true) })
-      .where(residual)
+    (readFileSlice(owners.filter { case (f, _) =>
+      verdicts.getOrElse(zoneKey(f), true) }), residual)
+  }
+
+  /** FRESHNESS-SCOPED kNN: the k nearest rows whose ingest `timestamp`
+    * lies in [from, to] — "retrieve only from the last week's data",
+    * the recency-constrained serving shape a continuously-loaded corpus
+    * needs. TWO file-level cuts compose before any distance work: LSH
+    * routing keeps only the probed shards' directories (`nprobe` is the
+    * same recall ladder as [[topKMultiProbe]]) and the zone map drops
+    * every file outside the window — with time-correlated appends the
+    * scan is (window ∩ routed shards) files, not the lake. Exact over
+    * the scoped set: the residual time filter runs before the top-k, so
+    * recall within the window matches [[topK]]/[[topKMultiProbe]]'s
+    * contract (never the post-filter-a-short-list bug). Returns the
+    * usual (stored cols..., dist) top-k frame. */
+  def topKInRange(q: Seq[Double], k: Int,
+      from: java.time.Instant, to: java.time.Instant,
+      nprobe: Int = 1): DataFrame = {
+    require(cfg.partitionKey.isEmpty,
+      "topKInRange routes by the LSH shard column — a user-partitioned " +
+        "lake has no LSH routing; use topKFiltered with a timestamp " +
+        "predicate")
+    requireNprobe(nprobe)
+    // LSH shard values are plain ints, so the dir names need no
+    // Hive-escaping (a user-partitioned lake is refused above)
+    val probes = probeShards(q, nprobe)
+    val dirNames: Set[String] = probes.map(s => s"$partCol=$s").toSet
+    val (base, residual) = timeWindowBase(from, to, Some(dirNames), "topKInRange")
+    base
+      .where(residual && col(partCol).isin(probes: _*))
+      .withColumn("dist", V.round6z(distCol(q)))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
   }
 
   /** Shards that might hold any id in `ids`, per the skip index:

@@ -576,26 +576,36 @@ object CurationQueries {
     * oracle knows nothing about files: it filters the source rows by
     * the same id-derived window — equality proves the pruned read
     * returns exactly the window's rows. */
+  /** Shared fixture for the zone-map round-trips: three time segments
+    * of `embeddings` ingested with EXPLICIT event times (vec_id days —
+    * the backfill-keeps-source-times story), the zone map built after
+    * the FIRST segment only so the later appends must self-map through
+    * the ingest-side refresh. One definition so the two oracles can
+    * never diverge from different setups. */
+  private def timedLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Lake =
+    BuiltFixtures.once(s, dir, "timed") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "timed")
+      val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      l.delete()
+      val emb = Tables.embeddings(s, dir)
+      def seg(lo: Int, hi: Int) =
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("vector"),
+            concat(lit("doc-"), col("vec_id")).as("document"),
+            timestamp_seconds(col("vec_id") * 86400L).as("timestamp"))
+      l.ingest(seg(0, 150))
+      l.buildZoneMap() // later segments must self-map via the refresh
+      l.ingest(seg(150, 250))
+      l.ingest(seg(250, 350))
+      l
+    }
+
   val qTimeRange = Q(
     "q_time_range",
     (s, dir) => {
-      val lake = BuiltFixtures.once(s, dir, "timed") {
-        val tmp = BuiltFixtures.sessionTmp(s, dir, "timed")
-        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-        l.delete()
-        val emb = Tables.embeddings(s, dir)
-        def seg(lo: Int, hi: Int) =
-          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
-            .select(col("vec_id").cast("string").as("id"),
-              col("embedding").as("vector"),
-              concat(lit("doc-"), col("vec_id")).as("document"),
-              timestamp_seconds(col("vec_id") * 86400L).as("timestamp"))
-        l.ingest(seg(0, 150))
-        l.buildZoneMap() // later segments must self-map via the refresh
-        l.ingest(seg(150, 250))
-        l.ingest(seg(250, 350))
-        l
-      }
+      val lake = timedLake(s, dir)
       lake.readTimeRange(
           java.time.Instant.ofEpochSecond(150L * 86400),
           java.time.Instant.ofEpochSecond(249L * 86400))
@@ -608,6 +618,40 @@ object CurationQueries {
                     ${V.sqlRound6z("embedding[1]::DOUBLE")} AS v1
              FROM embeddings WHERE vec_id BETWEEN 150 AND 249
              ORDER BY id"""))
+
+  /** FRESHNESS-SCOPED kNN round-trip ([[graft.Lake.topKInRange]]):
+    * the k nearest rows whose ingest timestamp lies in the middle
+    * segment's window — "retrieve only from recent data", with BOTH
+    * file-level cuts live (LSH routing to the query's shard × zone-map
+    * window pruning) before any distance work. The oracle knows
+    * nothing about files or shards-as-directories: it recomputes the
+    * query's shard and the window per row from the source table —
+    * equality proves the doubly-pruned scan serves exactly the
+    * filtered exact answer (the filtered-ANN recall contract, scoped
+    * by time). */
+  val qKnnFresh = Q(
+    "q_knn_fresh",
+    (s, dir) => {
+      val lake = timedLake(s, dir)
+      val qv = Tables.embeddings(s, dir).where(col("vec_id") === 0)
+        .select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      lake.topKInRange(qv, 10,
+          java.time.Instant.ofEpochSecond(150L * 86400),
+          java.time.Instant.ofEpochSecond(249L * 86400))
+        .select(col("id"), col("dist"))
+        .orderBy(col("dist"), col("id"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv,
+                               ${Lsh(64, 4).sqlShardExpr("embedding")} AS qshard
+                        FROM embeddings WHERE vec_id = 0),
+                  w AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+                               ${Lsh(64, 4).sqlShardExpr("embedding")} AS shard
+                        FROM embeddings WHERE vec_id BETWEEN 150 AND 249)
+             SELECT w.id,
+                    ${V.sqlRound6z(V.sqlCosineDistCols("w.embedding", "q.qv"))} AS dist
+             FROM w JOIN q ON w.shard = q.qshard
+             ORDER BY dist, id LIMIT 10"""))
 
   /** Int8 scalar quantization audit — the 4× embedding-storage
     * compression a 100 TB lake actually applies: per-vector scale
@@ -878,6 +922,6 @@ object CurationQueries {
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix, qMetaJson,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
-    qSkipLookup, qChangeFeed, qTimeTravel, qTimeRange, qTfidf,
+    qSkipLookup, qChangeFeed, qTimeTravel, qTimeRange, qKnnFresh, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }

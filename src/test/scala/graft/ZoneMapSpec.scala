@@ -141,6 +141,39 @@ class ZoneMapSpec extends SparkSpec {
     assert(windowRows(lake, 2, 2) === fullRows(lake, 2, 2))
   }
 
+  test("topKInRange: freshness-scoped kNN equals the filtered exact answer and cuts files by BOTH window and shard") {
+    val lake = freshLake()
+    (1 to 4).foreach(d => lake.ingest(batch(d)))
+    assert(lake.buildZoneMap() > 0L)
+    val q = Seq(math.sin(25.0), math.cos(7.0), -0.5) // near day 2's rows
+    val routed = lake.lsh.shardOf(q)
+    def filteredTwin(lo: Int, hi: Int, shards: Seq[Int]) =
+      lake.topKFiltered(q, 3,
+        col("timestamp").between(ts(lo), ts(hi)) &&
+          col("shard").isin(shards: _*))
+        .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // single-probe answer == the unpruned filtered exact answer
+    val got = lake.topKInRange(q, 3, inst(2), inst(3))
+    assert(got.select("id", "dist").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      filteredTwin(2, 3, Seq(routed)).toSeq)
+    // the full Hamming<=1 ladder == the filtered multiprobe set
+    val ladder = routed +: (0 until 2).map(j => routed ^ (1 << j))
+    val gotMp = lake.topKInRange(q, 3, inst(2), inst(3), nprobe = 3)
+    assert(gotMp.select("id", "dist").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      filteredTwin(2, 3, ladder).toSeq)
+    // BOTH cuts show in files opened: fewer than the window-only read
+    // (shard cut) and fewer than the whole lake (window cut)
+    val inRangeFiles = got.inputFiles.toSet
+    assert(inRangeFiles.size < lake.readTimeRange(inst(2), inst(3))
+      .inputFiles.toSet.size, "the shard cut must drop window files")
+    assert(inRangeFiles.size < lake.read().inputFiles.toSet.size)
+    // an empty window answers empty and opens nothing
+    assert(lake.topKInRange(q, 3, inst(50), inst(60)).count() === 0L)
+    assert(lake.topKInRange(q, 3, inst(50), inst(60)).inputFiles.isEmpty)
+  }
+
   test("no map, no harm: readTimeRange without buildZoneMap is the plain filtered read") {
     val lake = freshLake()
     (1 to 2).foreach(d => lake.ingest(batch(d)))
