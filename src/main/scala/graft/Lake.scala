@@ -1471,8 +1471,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   }
 
   private def topKWhere(q: Seq[Double], k: Int, pred: Column): DataFrame =
-    read()
-      .where(pred)
+    topKOver(read().where(pred), q, k)
+
+  /** The one scoring tail every exact serve path shares (metric via
+    * `distCol`, round-6 floats, (dist, id) total order, heap top-k) —
+    * a tiebreak or rounding change here lands everywhere at once. */
+  private def topKOver(base: DataFrame, q: Seq[Double], k: Int): DataFrame =
+    base
       .withColumn("dist", V.round6z(distCol(q)))
       .orderBy(col("dist"), col("id"))
       .limit(k)
@@ -2289,17 +2294,27 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val owners = fileOwners(fs, dirs, op)
     // control-plane cost is O(live files in scope) — the same order as
     // the listing above (and as Spark's own file index): ONE pass over
-    // the map collecting (file, intersects-window). A file the map
-    // knows and marks disjoint is pruned; a mapped-and-overlapping or
-    // UNMAPPED file is scanned (never wrong, merely unpruned).
+    // the map collecting (file, intersects-window), PRE-FILTERED in
+    // the plan to the scoped directories when a shard cut is given
+    // (a serving call must not pull the whole lake's map to consult
+    // nprobe shards' verdicts; a path-spelling miss in the filter only
+    // drops a verdict → that file is scanned, never wrong). A file the
+    // map knows and marks disjoint is pruned; a mapped-and-overlapping
+    // or UNMAPPED file is scanned (never wrong, merely unpruned).
     val verdicts: Map[String, Boolean] =
-      try readZone(fs).map(
-        _.select(col("file"),
+      try readZone(fs).map { z =>
+        val scoped = dirNames match {
+          case Some(keep) =>
+            z.where(keep.toSeq.map(d => col("file").contains(s"/$d/"))
+              .reduce(_ || _))
+          case None => z
+        }
+        scoped.select(col("file"),
           (col("max_ts") >= lob && col("min_ts") <= hib).as("hit"))
           .collect()
           .map(r => zoneKey(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
-          .toMap)
-        .getOrElse(Map.empty)
+          .toMap
+      }.getOrElse(Map.empty)
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     (readFileSlice(owners.filter { case (f, _) =>
       verdicts.getOrElse(zoneKey(f), true) }), residual)
@@ -2330,11 +2345,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val probes = probeShards(q, nprobe)
     val dirNames: Set[String] = probes.map(s => s"$partCol=$s").toSet
     val (base, residual) = timeWindowBase(from, to, Some(dirNames), "topKInRange")
-    base
-      .where(residual && col(partCol).isin(probes: _*))
-      .withColumn("dist", V.round6z(distCol(q)))
-      .orderBy(col("dist"), col("id"))
-      .limit(k)
+    topKOver(base.where(residual && col(partCol).isin(probes: _*)), q, k)
   }
 
   /** Shards that might hold any id in `ids`, per the skip index:

@@ -564,18 +564,6 @@ object CurationQueries {
                     'doc-' || vec_id AS document
              FROM embeddings WHERE vec_id < 300 ORDER BY id"""))
 
-  /** TIMESTAMP ZONE MAP round-trip ([[graft.Lake.buildZoneMap]]/
-    * [[graft.Lake.readTimeRange]]): ingest three time segments with
-    * EXPLICIT event times (vec_id days — backfill ingest keeps source
-    * times), build the zone map after the FIRST segment only (the
-    * later appends must self-map through the ingest-side refresh), and
-    * read back the middle segment's window. LSH sharding scatters rows
-    * by vector, so directory pruning can never serve a time window —
-    * the per-file map is what turns "rows ingested in [t1, t2]" from a
-    * full scan into opening only the window's files at 100 TB. The
-    * oracle knows nothing about files: it filters the source rows by
-    * the same id-derived window — equality proves the pruned read
-    * returns exactly the window's rows. */
   /** Shared fixture for the zone-map round-trips: three time segments
     * of `embeddings` ingested with EXPLICIT event times (vec_id days —
     * the backfill-keeps-source-times story), the zone map built after
@@ -602,6 +590,15 @@ object CurationQueries {
       l
     }
 
+  /** TIMESTAMP ZONE MAP round-trip ([[graft.Lake.buildZoneMap]]/
+    * [[graft.Lake.readTimeRange]]) over [[timedLake]]: read back the
+    * middle segment's window. LSH sharding scatters rows by vector, so
+    * directory pruning can never serve a time window — the per-file
+    * map is what turns "rows ingested in [t1, t2]" from a full scan
+    * into opening only the window's files at 100 TB. The oracle knows
+    * nothing about files: it filters the source rows by the same
+    * id-derived window — equality proves the pruned read returns
+    * exactly the window's rows. */
   val qTimeRange = Q(
     "q_time_range",
     (s, dir) => {
