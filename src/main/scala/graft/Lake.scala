@@ -2150,14 +2150,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
   }
 
-  /** Per-file (min_ts, max_ts, cnt) of `slice`'s `timestamp` column —
-    * the zone-map rows. Map-side combinable; the shuffle carries one
+  /** Per-file (min_ts, max_ts, cnt) of `slice`'s `timestamp` column,
+    * plus a (f<i>_min, f<i>_max) double pair per mapped metadata FIELD
+    * — the zone-map rows. Map-side combinable; the shuffle carries one
     * row per file. */
-  private def zoneRows(slice: DataFrame): DataFrame =
-    slice.groupBy(input_file_name().as("file"))
-      .agg(min(col("timestamp")).as("min_ts"),
+  private def zoneRows(slice: DataFrame, fields: Seq[String]): DataFrame = {
+    val aggs =
+      Seq(min(col("timestamp")).as("min_ts"),
         max(col("timestamp")).as("max_ts"),
-        org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+        org.apache.spark.sql.functions.count(lit(1)).as("cnt")) ++
+        fields.zipWithIndex.flatMap { case (p, i) =>
+          val c = metadataField(p).cast(DoubleType)
+          Seq(min(c).as(s"f${i}_min"), max(c).as(s"f${i}_max"))
+        }
+    slice.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The metadata FIELD paths this lake's zone map carries, from the
+    * `_spec.json` the build wrote into `_zone` (empty for a
+    * timestamp-only map — including every map built before fields
+    * existed). Refreshes recompute exactly these, so appended entries
+    * always match the map's schema. */
+  private def zoneSpecFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    val spec = new org.apache.hadoop.fs.Path(zonePath, "_spec.json")
+    if (!fs.exists(spec)) return Nil
+    try """"([^"]+)"""".r.findAllMatchIn(
+        readFully(fs, spec).split(":", 2)(1)).map(_.group(1)).toSeq
+    catch { case scala.util.control.NonFatal(_) => Nil }
+  }
 
   /** Build the per-file TIMESTAMP ZONE MAP (`<root>/_zone`): (file,
     * min_ts, max_ts, cnt), one row per live data file. LSH sharding
@@ -2174,19 +2195,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * accumulated dead entries away. With time-correlated appends (the
     * 100 TB norm: loaders ingest in rough time order) a window read
     * opens only the window's files — cost tracks the window, never
-    * lake size. Returns the number of files mapped. */
-  def buildZoneMap(): Long = {
+    * lake size.
+    *
+    * `fields` extends the map beyond time: dotted paths into the
+    * nested-metadata JSON (the `metadata_json` ingest column), each
+    * mapped as a per-file (min, max) DOUBLE range and served by
+    * [[readFieldRange]]. This is pruning parquet itself cannot give —
+    * JSON-extracted fields have NO column statistics, so "docs with
+    * quality in [a, b]" opens every file without it. The spec rides in
+    * the map (`_zone/_spec.json`), so every later append/rewrite
+    * refresh recomputes the same fields. Returns the number of files
+    * mapped. */
+  def buildZoneMap(fields: Seq[String] = Nil): Long = {
+    require(fields.distinct.size == fields.size && fields.forall(_.nonEmpty),
+      s"buildZoneMap fields must be distinct non-empty paths; got $fields")
     if (!exists()) return 0L
     withWriterLock("buildZoneMap") {
       val fs = fsOfRoot
       require(rootLevelData(fs).isEmpty,
         s"refusing to zone-map ${cfg.location}: root-level (pre-v2/foreign) " +
           "data present — the map cannot govern what the manifest does not")
-      val rows = zoneRows(read()).cache()
+      val rows = zoneRows(read(), fields).cache()
       try {
         val n = rows.count()
         if (n == 0L) { fs.delete(zonePath, true); return 0L }
-        writeZone(rows)
+        writeZone(rows, fields)
         n
       } finally { rows.unpersist(); () }
     }
@@ -2194,12 +2227,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   /** Replace `_zone` via unique tmp + swap — same torn-swap contract as
     * [[writeSkipIndex]]: a failure leaves no map or a parse error, both
-    * degrading to the unpruned full scan. */
-  private def writeZone(rows: DataFrame): Unit = {
+    * degrading to the unpruned full scan. The field spec is written
+    * INTO the tmp before the rename, so the map and its spec swap
+    * together. */
+  private def writeZone(rows: DataFrame, fields: Seq[String]): Unit = {
     val fs = fsOfRoot
     val tmp = new org.apache.hadoop.fs.Path(cfg.location,
       s"_zone__tmp_${java.util.UUID.randomUUID()}")
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fields.nonEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_spec.json"), false)
+      try out.write(fields.map(f => s""""${escapeJson(f)}"""")
+        .mkString("""{"fields": [""", ", ", "]}").getBytes("UTF-8"))
+      finally out.close()
+    }
     fs.delete(zonePath, true)
     fs.rename(tmp, zonePath)
   }
@@ -2216,7 +2257,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (files.isEmpty || !fs.exists(zonePath)) return
     val tmp = new org.apache.hadoop.fs.Path(cfg.location,
       s"_zone__tmp_${java.util.UUID.randomUUID()}")
-    zoneRows(spark.read.parquet(files: _*))
+    zoneRows(spark.read.parquet(files: _*), zoneSpecFields(fs))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.listStatus(tmp)
       .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -2275,32 +2316,44 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def timeWindowBase(from: java.time.Instant, to: java.time.Instant,
       dirNames: Option[Set[String]], op: String): (DataFrame, Column) = {
     require(!from.isAfter(to), s"$op: from $from is after to $to")
-    routingChecked
     val lob = lit(java.sql.Timestamp.from(from))
     val hib = lit(java.sql.Timestamp.from(to))
-    val residual = col("timestamp") >= lob && col("timestamp") <= hib
+    (zonePrunedBase("min_ts", "max_ts", lob, hib, dirNames, op),
+      col("timestamp") >= lob && col("timestamp") <= hib)
+  }
+
+  /** The zone-pruned scan shared by every range surface: the file
+    * slice whose mapped [`minCol`, `maxCol`] can intersect [lo, hi] —
+    * or the plain [[read]] when no map exists / the layout forces the
+    * fallback — optionally pre-cut to `dirNames` partition
+    * directories. Control-plane cost is O(live files in scope), the
+    * same order as the listing itself (and as Spark's own file index):
+    * ONE pass over the map collecting (file, intersects), PRE-FILTERED
+    * in the plan to the scoped directories when a shard cut is given
+    * (a serving call must not pull the whole lake's map to consult
+    * nprobe shards' verdicts; a path-spelling miss in that filter only
+    * drops a verdict → that file is scanned, never wrong). A file the
+    * map knows and marks disjoint is pruned; a mapped-and-overlapping
+    * or UNMAPPED file is scanned — and so is everything when the map
+    * lacks `minCol` entirely (the collect throws, verdicts empty).
+    * Callers must apply their exact residual predicate. */
+  private def zonePrunedBase(minCol: String, maxCol: String,
+      lo: Column, hi: Column, dirNames: Option[Set[String]],
+      op: String): DataFrame = {
+    routingChecked
     val fs = fsOfRoot
-    if (!exists() || !fs.exists(zonePath)) return (read(), residual)
+    if (!exists() || !fs.exists(zonePath)) return read()
     val entries = listRoot(fs)
     val st = readStateFrom(fs, entries)
     if (rootLevelDataFrom(entries).nonEmpty ||
         fs.exists(new org.apache.hadoop.fs.Path(
           genPath(st.generation), "_spark_metadata")))
-      return (read(), residual)
+      return read()
     val dirs = dirNames match {
       case Some(keep) => liveEntries(st).filter(d => keep(d._1.split("/").last))
       case None => liveEntries(st)
     }
     val owners = fileOwners(fs, dirs, op)
-    // control-plane cost is O(live files in scope) — the same order as
-    // the listing above (and as Spark's own file index): ONE pass over
-    // the map collecting (file, intersects-window), PRE-FILTERED in
-    // the plan to the scoped directories when a shard cut is given
-    // (a serving call must not pull the whole lake's map to consult
-    // nprobe shards' verdicts; a path-spelling miss in the filter only
-    // drops a verdict → that file is scanned, never wrong). A file the
-    // map knows and marks disjoint is pruned; a mapped-and-overlapping
-    // or UNMAPPED file is scanned (never wrong, merely unpruned).
     val verdicts: Map[String, Boolean] =
       try readZone(fs).map { z =>
         val scoped = dirNames match {
@@ -2310,14 +2363,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           case None => z
         }
         scoped.select(col("file"),
-          (col("max_ts") >= lob && col("min_ts") <= hib).as("hit"))
+          (col(maxCol) >= lo && col(minCol) <= hi).as("hit"))
           .collect()
           .map(r => zoneKey(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
           .toMap
       }.getOrElse(Map.empty)
       catch { case scala.util.control.NonFatal(_) => Map.empty }
-    (readFileSlice(owners.filter { case (f, _) =>
-      verdicts.getOrElse(zoneKey(f), true) }), residual)
+    readFileSlice(owners.filter { case (f, _) =>
+      verdicts.getOrElse(zoneKey(f), true) })
+  }
+
+  /** Rows whose NESTED-METADATA numeric field `path` lies in [lo, hi]
+    * — the curation-side twin of [[readTimeRange]], pruned by the
+    * field's per-file (min, max) range when [[buildZoneMap]] was given
+    * the path in `fields`. This is selectivity parquet cannot provide:
+    * the field lives inside an opaque JSON string, so without the map
+    * every "quality in [a, b]" / "n_chars < n" curation pass opens
+    * every file. Unmapped paths (or no map at all) fall back to the
+    * plain filtered read — same rows, no cut. Rows whose field is
+    * absent or non-numeric never match (null semantics, both paths). */
+  def readFieldRange(path: String, lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"readFieldRange: lo $lo > hi $hi")
+    val field = metadataField(path).cast(DoubleType)
+    val residual = field >= lit(lo) && field <= lit(hi)
+    val fs = fsOfRoot
+    val i = if (!exists() || !fs.exists(zonePath)) -1
+            else zoneSpecFields(fs).indexOf(path)
+    if (i < 0) return read().where(residual)
+    zonePrunedBase(s"f${i}_min", s"f${i}_max", lit(lo), lit(hi),
+      None, "readFieldRange").where(residual)
   }
 
   /** FRESHNESS-SCOPED kNN: the k nearest rows whose ingest `timestamp`

@@ -886,24 +886,36 @@ object CurationQueries {
     * arbitrary-dict metadata (index.py:266) expressed without widening
     * the stored schema. The oracle knows nothing about the lake: it
     * recomputes the same aggregate straight from the source table. */
+  /** Shared fixture for the nested-metadata round-trips: documents
+    * joined to their embeddings, the (lang, origin.{source, n_chars})
+    * structure riding as opaque `metadata_json`, and the zone map
+    * built over the NUMERIC nested field `origin.n_chars` — the
+    * field-range pruning surface q_field_range reads back. One
+    * definition so the oracles can never diverge from different
+    * setups. */
+  private def metaJsonLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Lake =
+    BuiltFixtures.once(s, dir, "meta_json") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "metajson")
+      val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
+      l.delete()
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
+      val emb = Tables.embeddings(s, dir)
+      l.ingest(docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          col("text").as("document"),
+          to_json(struct(col("lang"),
+            struct(col("source"), col("n_chars")).as("origin")))
+            .as("metadata_json")))
+      l.buildZoneMap(fields = Seq("origin.n_chars"))
+      l
+    }
+
   val qMetaJson = Q(
     "q_meta_json",
     (s, dir) => {
-      val lake = BuiltFixtures.once(s, dir, "meta_json") {
-        val tmp = BuiltFixtures.sessionTmp(s, dir, "metajson")
-        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 4))
-        l.delete()
-        val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
-        val emb = Tables.embeddings(s, dir)
-        l.ingest(docs.join(emb, docs("doc_id") === emb("vec_id"))
-          .select(col("doc_id").cast("string").as("id"),
-            col("embedding").as("vector"),
-            col("text").as("document"),
-            to_json(struct(col("lang"),
-              struct(col("source"), col("n_chars")).as("origin")))
-              .as("metadata_json")))
-        l
-      }
+      val lake = metaJsonLake(s, dir)
       lake.read()
         .where(lake.metadataField("lang") === "en")
         .groupBy(lake.metadataField("origin.source").as("source"))
@@ -916,9 +928,34 @@ object CurationQueries {
             FROM documents WHERE doc_id < 300 AND lang = 'en'
             GROUP BY source ORDER BY source"""))
 
+  /** NESTED-FIELD RANGE round-trip ([[graft.Lake.readFieldRange]] over
+    * [[metaJsonLake]]): rows whose `origin.n_chars` — a numeric field
+    * inside the opaque metadata JSON — lies in [200, 400]. The point
+    * at 100 TB: JSON-extracted fields have NO parquet column
+    * statistics, so every "quality in [a, b]" curation pass opens
+    * every file; the field zone map restores per-file (min, max)
+    * pruning for exactly the paths the build named. The oracle filters
+    * the source table's real column — equality proves the pruned read
+    * returns exactly the range's rows. */
+  val qFieldRange = Q(
+    "q_field_range",
+    (s, dir) => {
+      val lake = metaJsonLake(s, dir)
+      lake.readFieldRange("origin.n_chars", 200.0, 400.0)
+        .select(col("id"),
+          lake.metadataField("origin.n_chars").cast("long").as("n_chars"),
+          lake.metadataField("origin.source").as("source"))
+        .orderBy("id")
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(n_chars AS BIGINT) AS n_chars, source
+            FROM documents WHERE doc_id < 300 AND n_chars BETWEEN 200 AND 400
+            ORDER BY id"""))
+
   def all: Seq[Q] = Seq(qSplitTrainTest, qSampleStratified, qDomainMix, qMetaJson,
     qBpePairs, qNormOutliers, qChunkDocs, qDecontaminate, qPackDocs,
     qVocabTop, qQuantizeInt8, qCompactStats, qCompactInc, qMaintainStats,
-    qSkipLookup, qChangeFeed, qTimeTravel, qTimeRange, qKnnFresh, qTfidf,
+    qSkipLookup, qChangeFeed, qTimeTravel, qTimeRange, qKnnFresh,
+    qFieldRange, qTfidf,
     qNtileBuckets, qSampleWeighted, qExportShards, qTrainOrder)
 }

@@ -174,6 +174,48 @@ class ZoneMapSpec extends SparkSpec {
     assert(lake.topKInRange(q, 3, inst(50), inst(60)).inputFiles.isEmpty)
   }
 
+  test("field zone map: readFieldRange prunes by a nested numeric field's per-file range; refreshes carry the spec") {
+    val dir = Files.createTempDirectory("graft_zone_field").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+    // each batch's `q` field occupies a distinct band, so per-file
+    // (min, max) ranges separate cleanly
+    def batchQ(band: Int) = (0 until 8).map { i =>
+      val q = band * 100 + i
+      (s"b$band-$i", Seq(math.sin(band * 9 + i).toFloat, 1f, -0.2f * i),
+        s"doc $band $i", s"""{"q": $q, "tag": "t$band"}""")
+    }.toDF("id", "vector", "document", "metadata_json")
+    (1 to 3).foreach(b => lake.ingest(batchQ(b)))
+    assert(lake.buildZoneMap(fields = Seq("q")) > 0L)
+    def fieldRows(lo: Double, hi: Double) =
+      lake.readFieldRange("q", lo, hi)
+        .select("id").collect().map(_.getString(0)).toSet
+    def fullRows(lo: Double, hi: Double) =
+      lake.read().where(lake.metadataField("q").cast("double").between(lo, hi))
+        .select("id").collect().map(_.getString(0)).toSet
+    // correctness across bands; pruning on a one-band window
+    Seq((100.0, 199.0), (150.0, 250.0), (0.0, 999.0)).foreach { case (lo, hi) =>
+      assert(fieldRows(lo, hi) === fullRows(lo, hi), s"field window [$lo,$hi]")
+    }
+    val band2 = lake.readFieldRange("q", 200.0, 299.0)
+    assert(band2.inputFiles.toSet.size < lake.read().inputFiles.toSet.size,
+      "a one-band field window must open fewer files")
+    // a post-build append recomputes the SPEC'd field (the refresh
+    // reads _spec.json) — band 4 is pruned-read correctly and band 1
+    // windows don't open its files
+    lake.ingest(batchQ(4))
+    assert(fieldRows(400.0, 499.0) === fullRows(400.0, 499.0))
+    assert(lake.readFieldRange("q", 400.0, 499.0).inputFiles.toSet.size <
+      lake.read().inputFiles.toSet.size,
+      "post-build appends must carry the field ranges")
+    // an UNMAPPED path falls back to the plain filtered read — same rows
+    assert(lake.readFieldRange("tag_len_never_mapped", 0, 9).count() === 0L)
+    // rows whose field is absent/non-numeric never match, both paths
+    lake.ingest(Seq(("no-q", Seq(0.5f, 0.5f, 0.5f), "d", """{"tag": "x"}"""))
+      .toDF("id", "vector", "document", "metadata_json"))
+    assert(!fieldRows(0.0, 9999.0).contains("no-q"))
+    assert(fieldRows(0.0, 9999.0) === fullRows(0.0, 9999.0))
+  }
+
   test("no map, no harm: readTimeRange without buildZoneMap is the plain filtered read") {
     val lake = freshLake()
     (1 to 2).foreach(d => lake.ingest(batch(d)))
