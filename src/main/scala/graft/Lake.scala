@@ -2147,13 +2147,23 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val parts = fs.listStatus(zonePath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
+    // mergeSchema: refresh parts written under a DIFFERENT field spec
+    // (a failed spec read, a racing rebuild) can be narrower than the
+    // build part — single-footer inference from whichever file lists
+    // first would silently drop the wide columns; merging null-fills
+    // instead, and the spec_fp gate decides which rows to trust
+    if (parts.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(parts.toSeq: _*))
   }
 
   /** Per-file (min_ts, max_ts, cnt) of `slice`'s `timestamp` column,
     * plus a (f<i>_min, f<i>_max) double pair per mapped metadata FIELD
-    * — the zone-map rows. Map-side combinable; the shuffle carries one
-    * row per file. */
+    * and the SPEC FINGERPRINT the fields were computed under — the
+    * gate that keeps a part computed under a different (or unreadable)
+    * spec from ever mispruning: a field read trusts a row's ranges
+    * only when its `spec_fp` matches the spec the reader resolved, and
+    * everything else degrades to "scan". Map-side combinable; the
+    * shuffle carries one row per file. */
   private def zoneRows(slice: DataFrame, fields: Seq[String]): DataFrame = {
     val aggs =
       Seq(min(col("timestamp")).as("min_ts"),
@@ -2165,18 +2175,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         }
     slice.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("spec_fp", lit(zoneSpecFp(fields)))
+  }
+
+  /** Order-sensitive fingerprint of a field spec — what pins a zone
+    * row's f<i> columns to the field list they were computed under. */
+  private def zoneSpecFp(fields: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fields.mkString("\u0001").getBytes("UTF-8"))
+    md.digest().take(6).map("%02x".format(_)).mkString
   }
 
   /** The metadata FIELD paths this lake's zone map carries, from the
     * `_spec.json` the build wrote into `_zone` (empty for a
     * timestamp-only map — including every map built before fields
     * existed). Refreshes recompute exactly these, so appended entries
-    * always match the map's schema. */
+    * always match the map's schema; a refresh whose spec read failed
+    * writes `spec_fp` of the EMPTY list, which field reads reject into
+    * "scan" rather than misprune. Escaped characters in paths
+    * round-trip through [[unescapeJson]]. */
   private def zoneSpecFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val spec = new org.apache.hadoop.fs.Path(zonePath, "_spec.json")
     if (!fs.exists(spec)) return Nil
-    try """"([^"]+)"""".r.findAllMatchIn(
-        readFully(fs, spec).split(":", 2)(1)).map(_.group(1)).toSeq
+    try """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(readFully(fs, spec))
+      .map(m => unescapeJson(m.group(1))).toSeq
+      .drop(1) // the first quoted string is the "fields" key itself
     catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
@@ -2336,10 +2359,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * map knows and marks disjoint is pruned; a mapped-and-overlapping
     * or UNMAPPED file is scanned — and so is everything when the map
     * lacks `minCol` entirely (the collect throws, verdicts empty).
-    * Callers must apply their exact residual predicate. */
+    * `requireFp`: FIELD reads pass the fingerprint of the spec they
+    * resolved, and a row whose `spec_fp` differs contributes NO
+    * verdict (its f<i> columns may belong to a different field list —
+    * a refresh that could not read the spec, or a rebuild racing this
+    * read with reordered fields) → that file is scanned. The timestamp
+    * columns are name-stable across every spec, so time reads pass
+    * None and trust every row. Callers must apply their exact residual
+    * predicate. */
   private def zonePrunedBase(minCol: String, maxCol: String,
       lo: Column, hi: Column, dirNames: Option[Set[String]],
-      op: String): DataFrame = {
+      op: String, requireFp: Option[String] = None): DataFrame = {
     routingChecked
     val fs = fsOfRoot
     if (!exists() || !fs.exists(zonePath)) return read()
@@ -2362,7 +2392,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
               .reduce(_ || _))
           case None => z
         }
-        scoped.select(col("file"),
+        val trusted = requireFp match {
+          case Some(fp) => scoped.where(col("spec_fp") === fp)
+          case None => scoped
+        }
+        trusted.select(col("file"),
           (col(maxCol) >= lo && col(minCol) <= hi).as("hit"))
           .collect()
           .map(r => zoneKey(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
@@ -2386,12 +2420,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(lo <= hi, s"readFieldRange: lo $lo > hi $hi")
     val field = metadataField(path).cast(DoubleType)
     val residual = field >= lit(lo) && field <= lit(hi)
-    val fs = fsOfRoot
-    val i = if (!exists() || !fs.exists(zonePath)) -1
-            else zoneSpecFields(fs).indexOf(path)
+    // zoneSpecFields' own missing-file check covers the no-map case
+    // (no separate exists probes — each is a round trip on an object
+    // store); an unmapped path falls back to the plain filtered read
+    val spec = zoneSpecFields(fsOfRoot)
+    val i = spec.indexOf(path)
     if (i < 0) return read().where(residual)
     zonePrunedBase(s"f${i}_min", s"f${i}_max", lit(lo), lit(hi),
-      None, "readFieldRange").where(residual)
+      None, "readFieldRange", requireFp = Some(zoneSpecFp(spec)))
+      .where(residual)
   }
 
   /** FRESHNESS-SCOPED kNN: the k nearest rows whose ingest `timestamp`

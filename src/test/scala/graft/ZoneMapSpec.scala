@@ -207,6 +207,19 @@ class ZoneMapSpec extends SparkSpec {
     assert(lake.readFieldRange("q", 400.0, 499.0).inputFiles.toSet.size <
       lake.read().inputFiles.toSet.size,
       "post-build appends must carry the field ranges")
+    // SABOTAGE: a refresh that cannot read the spec writes a part
+    // WITHOUT the field columns (fp of the empty list) — those files
+    // must be SCANNED by field reads, never pruned by null ranges
+    val fs2 = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = new org.apache.hadoop.fs.Path(lake.cfg.location, "_zone/_spec.json")
+    fs2.delete(spec, false)
+    lake.ingest(batchQ(5)) // refresh runs with fields = Nil
+    val out = fs2.create(spec, false)
+    out.write("""{"fields": ["q"]}""".getBytes("UTF-8")); out.close()
+    assert(fieldRows(500.0, 599.0) === fullRows(500.0, 599.0),
+      "files mapped under a failed spec read must be scanned, not pruned")
+    assert(fieldRows(100.0, 199.0) === fullRows(100.0, 199.0))
     // an UNMAPPED path falls back to the plain filtered read — same rows
     assert(lake.readFieldRange("tag_len_never_mapped", 0, 9).count() === 0L)
     // rows whose field is absent/non-numeric never match, both paths
