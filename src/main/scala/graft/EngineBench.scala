@@ -549,10 +549,14 @@ object ZoneBench {
         .select(
           concat(lit("r"), col("num")).as("id"), col("vector"),
           concat(lit("doc-"), col("num")).as("document"),
-          timestamp_seconds(lit(c * 86400L)).as("timestamp"))
+          timestamp_seconds(lit(c * 86400L)).as("timestamp"),
+          // a per-chunk quality band: the nested numeric field the
+          // FIELD zone map prunes on (q in [c*100, c*100+99])
+          to_json(struct((lit(c * 100) + col("num") % 100).as("q")))
+            .as("metadata_json"))
       val chunks = n / chunkRows.toInt
       (0L until chunks.toLong).foreach(c => lake.ingest(chunk(c)))
-      lake.buildZoneMap()
+      lake.buildZoneMap(fields = Seq("q"))
       val day0 = (java.time.Instant.ofEpochSecond(0L),
         java.time.Instant.ofEpochSecond(86399L))
       val (tWin, (rowsWin, filesWin)) = time {
@@ -565,11 +569,28 @@ object ZoneBench {
             java.sql.Timestamp.from(day0._1), java.sql.Timestamp.from(day0._2)))
         (df.count(), df.inputFiles.length)
       }
+      // the FIELD-band read: same fixed selectivity (one chunk's band)
+      // while the lake grows — files opened must stay flat, vs the
+      // full JSON-extract filter that opens everything (the field has
+      // no parquet statistics)
+      val (tField, (rowsField, filesField)) = time {
+        val df = lake.readFieldRange("q", 0.0, 99.0)
+        (df.count(), df.inputFiles.length)
+      }
+      val (tFieldFull, (rowsFieldFull, filesFieldFull)) = time {
+        val df = lake.read().where(
+          lake.metadataField("q").cast("double").between(0.0, 99.0))
+        (df.count(), df.inputFiles.length)
+      }
       println(s"""{"probe":"zone","rows":$n,"dim":$dim,"chunks":$chunks,""" +
         s""""window_rows":$rowsWin,"window_files":$filesWin,""" +
         s""""window_sec":${f"$tWin%.3f"},""" +
         s""""full_rows":$rowsFull,"full_files":$filesFull,""" +
-        s""""full_sec":${f"$tFull%.3f"}}""")
+        s""""full_sec":${f"$tFull%.3f"},""" +
+        s""""field_rows":$rowsField,"field_files":$filesField,""" +
+        s""""field_sec":${f"$tField%.3f"},""" +
+        s""""field_full_rows":$rowsFieldFull,"field_full_files":$filesFieldFull,""" +
+        s""""field_full_sec":${f"$tFieldFull%.3f"}}""")
       lake.delete()
     }
     spark.stop()

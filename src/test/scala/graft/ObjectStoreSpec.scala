@@ -158,11 +158,12 @@ class ObjectStoreSpec extends SparkSpec {
         java.time.Instant.ofEpochSecond(d.toLong * 86400))
       def batch(d: Int) = (0 until 10).map(i =>
         (s"z$d-$i", Seq(math.sin(d * 7 + i).toFloat, 1f, -i.toFloat, 0.5f),
-          s"doc $d $i", ts(d)))
-        .toDF("id", "vector", "document", "timestamp")
+          s"doc $d $i", ts(d), s"""{"q": ${d * 100 + i}}"""))
+        .toDF("id", "vector", "document", "timestamp", "metadata_json")
       (1 to 2).foreach(d => lake.ingest(batch(d)))
-      // the _zone swap goes through rename — copy+delete on this FS
-      assert(lake.buildZoneMap() > 0L)
+      // the _zone swap (dir rename + the _spec.json inside it) goes
+      // through rename — copy+delete on this FS
+      assert(lake.buildZoneMap(fields = Seq("q")) > 0L)
       // post-build append: the refresh MOVES a part into _zone
       // (copy+delete again) and the new files self-map
       lake.ingest(batch(3))
@@ -181,6 +182,15 @@ class ObjectStoreSpec extends SparkSpec {
       assert(w.inputFiles.nonEmpty && w.inputFiles.forall(_.startsWith("bucket:")))
       assert(w.inputFiles.toSet.size < lake.read().inputFiles.toSet.size,
         "the day-2 window must prune on the remote FS")
+      // the FIELD zone (spec read + fp-gated verdicts) round-trips too:
+      // band 3 came from a post-build append, so its entries were
+      // written by the refresh reading _spec.json off the remote FS
+      val f = lake.readFieldRange("q", 300.0, 399.0)
+      assert(f.select("id").as[String].collect().toSet ===
+        (0 until 10).map(i => s"z3-$i").toSet)
+      assert(f.inputFiles.nonEmpty &&
+        f.inputFiles.toSet.size < lake.read().inputFiles.toSet.size,
+        "the field band must prune on the remote FS")
       lake.delete()
     }
   }
