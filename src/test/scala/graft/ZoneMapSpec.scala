@@ -227,6 +227,22 @@ class ZoneMapSpec extends SparkSpec {
       .toDF("id", "vector", "document", "metadata_json"))
     assert(!fieldRows(0.0, 9999.0).contains("no-q"))
     assert(fieldRows(0.0, 9999.0) === fullRows(0.0, 9999.0))
+    // REWRITES: deleteWhere and a full compact re-map their new files
+    // with the SPEC'd field (refreshZoneMapShards reads _spec.json and
+    // recomputes q's ranges) — field reads stay exact, and a band
+    // outside the whole value space still opens zero files after the
+    // compact rewrote every file
+    assert(lake.deleteWhere(col("id") === "b2-0") === 1L)
+    Seq((100.0, 199.0), (200.0, 299.0), (400.0, 499.0)).foreach {
+      case (lo, hi) =>
+        assert(fieldRows(lo, hi) === fullRows(lo, hi),
+          s"field window [$lo,$hi] after deleteWhere")
+    }
+    assert(!fieldRows(200.0, 299.0).contains("b2-0"))
+    lake.compact()
+    assert(fieldRows(100.0, 999.0) === fullRows(100.0, 999.0))
+    assert(lake.readFieldRange("q", 5000.0, 6000.0).inputFiles.isEmpty,
+      "compact's rewrite must re-map the field ranges, not degrade to scan")
   }
 
   test("no map, no harm: readTimeRange without buildZoneMap is the plain filtered read") {
