@@ -2141,19 +2141,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * convention the skip index uses), and passing the dir itself trips
     * a cosmetic "all paths were ignored" warning. None = no usable
     * map. */
-  private def readZone(fs: org.apache.hadoop.fs.FileSystem)
-      : Option[DataFrame] = {
+  private def readZone(fs: org.apache.hadoop.fs.FileSystem,
+      merged: Boolean = false): Option[DataFrame] = {
     if (!fs.exists(zonePath)) return None
     val parts = fs.listStatus(zonePath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    // mergeSchema: refresh parts written under a DIFFERENT field spec
-    // (a failed spec read, a racing rebuild) can be narrower than the
-    // build part — single-footer inference from whichever file lists
-    // first would silently drop the wide columns; merging null-fills
-    // instead, and the spec_fp gate decides which rows to trust
-    if (parts.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(parts.toSeq: _*))
+    if (parts.isEmpty) return None
+    // `merged` (FIELD reads): refresh parts written under a DIFFERENT
+    // field spec (a failed spec read, a racing rebuild) can be narrower
+    // than the build part — single-footer inference from whichever file
+    // lists first would silently drop the wide columns; merging
+    // null-fills instead, and the spec_fp gate decides which rows to
+    // trust. TIME reads skip the merge: file/min_ts/max_ts/cnt are
+    // present in EVERY part ever written, and a per-serving-query
+    // footer-merge job growing with append count is exactly the
+    // control-plane cost the hot path must not pay.
+    var r = spark.read
+    if (merged) r = r.option("mergeSchema", "true")
+    Some(r.parquet(parts.toSeq: _*))
   }
 
   /** Per-file (min_ts, max_ts, cnt) of `slice`'s `timestamp` column,
@@ -2197,9 +2203,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def zoneSpecFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val spec = new org.apache.hadoop.fs.Path(zonePath, "_spec.json")
     if (!fs.exists(spec)) return Nil
-    try """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(readFully(fs, spec))
-      .map(m => unescapeJson(m.group(1))).toSeq
-      .drop(1) // the first quoted string is the "fields" key itself
+    // anchored on the "fields" array itself (not a positional token
+    // drop), so a future spec variant with extra keys parses the same
+    try """"fields"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(readFully(fs, spec))
+      .map(a => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(a.group(1))
+        .map(m => unescapeJson(m.group(1))).toSeq)
+      .getOrElse(Nil)
     catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
@@ -2227,8 +2237,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * JSON-extracted fields have NO column statistics, so "docs with
     * quality in [a, b]" opens every file without it. The spec rides in
     * the map (`_zone/_spec.json`), so every later append/rewrite
-    * refresh recomputes the same fields. Returns the number of files
-    * mapped. */
+    * refresh recomputes the same fields, and every part stamps the
+    * spec FINGERPRINT its ranges were computed under — field reads
+    * trust only fingerprint-matching rows, so parts written under a
+    * different or unreadable spec degrade those files to "scanned",
+    * never to wrong pruning. Corollary: a field map whose parts
+    * predate the fingerprint column (or any spec-format drift) serves
+    * correct rows with NO pruning until rebuilt — re-run this after
+    * upgrading a map's format. Returns the number of files mapped. */
   def buildZoneMap(fields: Seq[String] = Nil): Long = {
     require(fields.distinct.size == fields.size && fields.forall(_.nonEmpty),
       s"buildZoneMap fields must be distinct non-empty paths; got $fields")
@@ -2385,7 +2401,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }
     val owners = fileOwners(fs, dirs, op)
     val verdicts: Map[String, Boolean] =
-      try readZone(fs).map { z =>
+      try readZone(fs, merged = requireFp.isDefined).map { z =>
         val scoped = dirNames match {
           case Some(keep) =>
             z.where(keep.toSeq.map(d => col("file").contains(s"/$d/"))
