@@ -503,7 +503,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // bare number as epoch SECONDS, so the overwhelmingly common
       // epoch-millis source would silently land every row ~50,000 years
       // out — convert explicitly (timestamp_seconds/timestamp_millis)
-      // to say which unit you mean.
+      // to say which unit you mean. MALFORMED strings are refused
+      // per-row in the plan: a non-null source value whose cast comes
+      // back null (a date format Spark cannot parse) would otherwise be
+      // coalesced to now() — silently rewriting a backfill's event
+      // times to ingest time and corrupting readTimeRange/topKInRange
+      // semantics. Only absent/NULL values are defaulted.
       .withColumn("timestamp",
         if (df.columns.contains("timestamp")) {
           require(!df.schema("timestamp").dataType
@@ -512,7 +517,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
               s"numeric (${df.schema("timestamp").dataType.simpleString}) — " +
               "ambiguous epoch unit (seconds? millis?). Convert explicitly " +
               "with timestamp_seconds(...) or timestamp_millis(...).")
-          coalesce(col("timestamp").cast(TimestampType), current_timestamp())
+          // try_cast, not cast: under ANSI (Spark 4's default) a plain
+          // cast throws CAST_INVALID_INPUT with no ingest context, and
+          // under ANSI-off it nulls silently — try_cast nulls in BOTH
+          // modes, so the refusal below fires deterministically with
+          // the lake's own message regardless of the session's mode.
+          coalesce(col("timestamp").try_cast(TimestampType),
+            when(col("timestamp").isNull, current_timestamp())
+              .otherwise(raise_error(concat(
+                lit(s"ingest at ${cfg.location}: unparseable `timestamp` " +
+                  "value '"),
+                col("timestamp").cast(StringType),
+                lit("' — malformed timestamps are rejected (only " +
+                  "absent/null values default to now()); fix the source " +
+                  "format or cast explicitly before ingest")))
+                .cast(TimestampType)))
         } else current_timestamp())
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
     if (cfg.packSignBits)
@@ -2306,8 +2325,47 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         ()
       }
     fs.delete(tmp, true)
+    compactZoneParts(fs)
     ()
   } catch { case scala.util.control.NonFatal(_) => () } // unmapped = safe
+
+  /** Bound the `_zone` PART-FILE count on append-heavy lakes: each
+    * append's refresh moves ONE new part in, so without a bound both
+    * the per-query verdict pass and the many-small-files map read grow
+    * with append count until the next full [[buildZoneMap]]. Past
+    * `zonePartCap` parts, merge everything into one part via the same
+    * unique-tmp + swap as [[writeZone]], carrying `_spec.json` across.
+    * Schema-merged read (refresh parts written under a failed spec
+    * read can be narrower than the build part — null-fill, the
+    * `spec_fp` gate still decides trust per row). Concurrency is the
+    * standing refresh contract: a concurrent append's part landing
+    * inside the swap window is orphaned by the rename → its files
+    * degrade to unmapped = scanned, never wrong; a concurrent read
+    * between delete and rename sees no map → full scan. Dead entries
+    * for retired files ride along harmlessly (the read side
+    * intersects with the live listing); only [[buildZoneMap]] drops
+    * them. Amortized cost: one O(map) merge every `zonePartCap`
+    * appends — the map is one row per live file, tiny next to the
+    * append itself. */
+  private def compactZoneParts(fs: org.apache.hadoop.fs.FileSystem): Unit = try {
+    val parts = fs.listStatus(zonePath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (parts.length <= Lake.zonePartCap) return
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(parts.map(_.getPath.toString).toSeq: _*)
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_zone__tmp_${java.util.UUID.randomUUID()}")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val spec = new org.apache.hadoop.fs.Path(zonePath, "_spec.json")
+    if (fs.exists(spec)) {
+      val body = readFully(fs, spec)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_spec.json"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    fs.delete(zonePath, true)
+    fs.rename(tmp, zonePath)
+    ()
+  } catch { case scala.util.control.NonFatal(_) => () } // next refresh retries
 
   /** Post-rewrite zone refresh: a rewrite retires EVERY old file of its
     * affected shards and publishes only NEW names, so the affected
@@ -3255,6 +3313,13 @@ object Lake {
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
+
+  /** `_zone` part-file count past which an append's refresh compacts
+    * the map into one part (see `compactZoneParts`). System-property
+    * override exists for tests (compacting only past 64 real appends
+    * would make the spec ingest 64 times). */
+  private[graft] def zonePartCap: Int =
+    sys.props.get("graft.zone.partCap").map(_.toInt).getOrElse(64)
 
   /** Shared append-marker names: `_append.<uuid>.lock` under the root.
     * Appends hold one of these (any number concurrently) instead of the

@@ -362,8 +362,15 @@ object IncrementalAgg {
         now - s.getModificationTime > staleMs
       if (isVersionDir) {
         val v = n.drop(1).toLong
-        val mayBeInFlight =
-          v > newest && now - s.getModificationTime <= staleMs
+        // AGE is the sole in-flight discriminator — deliberately NOT
+        // `v > newest`: after a torn pointer commit the replaying merge
+        // writes dir v = (newest parseable + 1), which can EQUAL the
+        // corrupt file's number, and a number-gated check would let a
+        // concurrently cadenced vacuum delete that fresh in-flight dir
+        // before its pointer commits (the pointer would then reference
+        // a missing dir and readState would fail). Any unreferenced
+        // young dir survives until staleMs, referenced or not.
+        val mayBeInFlight = now - s.getModificationTime <= staleMs
         if (!referenced(v) && !mayBeInFlight && fs.delete(s.getPath, true))
           removed += 1L
       } else if (isStrandedTmp && fs.delete(s.getPath, false)) removed += 1L

@@ -142,6 +142,15 @@ class LakeChangeSource(spark: SparkSession, cfg: LakeConfig,
       "Stop the ingest stream and roll a batch generation first.")
   private val netted = opt(parameters, "netted").forall(_.toBoolean)
   private val initialSnapshot = opt(parameters, "initialSnapshot").forall(_.toBoolean)
+  /** Consecutive store-IO seal failures tolerated before the stream is
+    * FAILED instead of skipped: a transient hiccup skips like writer
+    * contention, but a permanently broken store (revoked credentials —
+    * AccessDeniedException extends IOException — wrong region, lost
+    * permissions) would otherwise run the feed forever while delivering
+    * nothing, indistinguishable from an idle lake. */
+  private val maxIoSkips = opt(parameters, "maxIoSkips").map(_.toInt).getOrElse(12)
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[LakeChangeSource])
+  @volatile private var ioSkips = 0
 
   override val schema: StructType = schemaFor(cfg)
 
@@ -176,15 +185,31 @@ class LakeChangeSource(spark: SparkSession, cfg: LakeConfig,
       // it until some later write moves the stamp again
       lastSealedStamp = lake.stampOfVersion(v)
       lastSealed = Some(v)
+      ioSkips = 0
     } catch {
       // writers win: in-flight appends or maintenance hold the gate —
       // skip the tick, the delta is picked up on the next trigger. A
-      // transient store IO failure skips identically. Anything else
-      // (e.g. seal's refusal when an ingest stream took over the
-      // current generation mid-subscription) FAILS the stream loudly:
-      // skipping would silently deliver nothing forever.
-      case _: java.util.ConcurrentModificationException => ()
-      case _: java.io.IOException => ()
+      // TRANSIENT store IO failure skips identically, but logged and
+      // BOUNDED: `maxIoSkips` consecutive IO failures mean the store is
+      // permanently broken (revoked credentials, wrong region, lost
+      // permissions) and the stream fails loudly instead of stalling
+      // silently forever. Anything else (e.g. seal's refusal when an
+      // ingest stream took over the current generation
+      // mid-subscription) FAILS the stream immediately: skipping would
+      // silently deliver nothing forever.
+      case _: java.util.ConcurrentModificationException => ioSkips = 0
+      case e: java.io.IOException =>
+        ioSkips += 1
+        log.warn(s"graft-changes at ${cfg.location}: seal skipped on " +
+          s"store IO failure ($ioSkips consecutive of $maxIoSkips " +
+          "tolerated)", e)
+        if (ioSkips >= maxIoSkips) throw new java.io.IOException(
+          s"graft-changes at ${cfg.location}: $ioSkips consecutive " +
+            "store IO failures taking seal sync points — the store " +
+            "looks permanently broken (credentials/region/permissions)" +
+            ", failing the stream instead of stalling silently. Fix " +
+            "the store and restart; the checkpoint resumes from the " +
+            "last committed offset.", e)
     }
     lastSealed.map(LongOffset(_))
   }

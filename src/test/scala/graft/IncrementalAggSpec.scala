@@ -99,24 +99,33 @@ class IncrementalAggSpec extends SparkSpec {
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a FRESH dir above the newest pointer looks like an in-flight
-    // merge and must survive; once AGED past staleMs it is a crash
-    // orphan and is swept
+    // ANY fresh unreferenced dir may be an in-flight merge and must
+    // survive — regardless of its number: after a torn pointer commit
+    // the replaying merge writes dir v = (newest parseable + 1), which
+    // can sit BELOW a corrupt pointer's number, so age (not number) is
+    // the sole in-flight discriminator. v99 (above newest) and the
+    // just-written v0 (below newest, unreferenced once its pointer
+    // rotated out) both survive young, both sweep once aged.
     fs.mkdirs(new org.apache.hadoop.fs.Path(path, "v99"))
     val before = stateMap(path)
-    assert(IncrementalAgg.vacuumState(spark, path) === 1L,
-      "exactly v0 (unreferenced by every retained pointer) is sweepable; " +
-        "fresh v99 may be an in-flight merge")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v0")))
+    assert(IncrementalAgg.vacuumState(spark, path) === 0L,
+      "fresh dirs may be in-flight merges whatever their number — " +
+        "nothing young is sweepable")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v0")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v99")))
     (1 to 4).foreach(i => assert(
       fs.exists(new org.apache.hadoop.fs.Path(path, s"v$i")),
       s"v$i is referenced by a retained pointer and must survive"))
-    fs.setTimes(new org.apache.hadoop.fs.Path(path, "v99"),
-      System.currentTimeMillis() - 3600000L, -1L)
-    assert(IncrementalAgg.vacuumState(spark, path) === 1L,
-      "the aged v99 orphan is provably dead")
+    val aged = System.currentTimeMillis() - 3600000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(path, "v99"), aged, -1L)
+    fs.setTimes(new org.apache.hadoop.fs.Path(path, "v0"), aged, -1L)
+    assert(IncrementalAgg.vacuumState(spark, path) === 2L,
+      "the aged v99 orphan and the aged unreferenced v0 are provably dead")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v99")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "v0")))
+    (1 to 4).foreach(i => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, s"v$i")),
+      s"aged-but-referenced v$i must still survive"))
     assert(stateMap(path) === before, "vacuum must not change the state")
   }
 

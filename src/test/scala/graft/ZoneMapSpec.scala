@@ -245,6 +245,82 @@ class ZoneMapSpec extends SparkSpec {
       "compact's rewrite must re-map the field ranges, not degrade to scan")
   }
 
+  test("a MALFORMED string timestamp fails the ingest loudly; parseable strings and nulls still work") {
+    val lake = freshLake()
+    // parseable string → stored as its event time (the survival contract)
+    lake.ingest(Seq(("s-row", Seq(1f, 0f, 0f), "d", "1970-01-06 00:00:00"))
+      .toDF("id", "vector", "document", "timestamp"))
+    assert(lake.read().where(col("id") === "s-row")
+      .select("timestamp").head().getTimestamp(0) === ts(5))
+    // NULL value → defaults to now() (only absent/null are defaulted)
+    lake.ingest(Seq(("n-row", Seq(0f, 1f, 0f), "d", null: String))
+      .toDF("id", "vector", "document", "timestamp"))
+    val auto = lake.read().where(col("id") === "n-row")
+      .select("timestamp").head().getTimestamp(0)
+    assert(math.abs(auto.getTime - System.currentTimeMillis()) < 600000L)
+    // malformed → LOUD per-row refusal, never a silent rewrite of the
+    // event time to ingest time (which would corrupt readTimeRange
+    // semantics for backfills)
+    val before = lake.read().count()
+    val e = intercept[Throwable](lake.ingest(
+      Seq(("bad-row", Seq(0f, 0f, 1f), "d", "06/01/1970 about noonish"))
+        .toDF("id", "vector", "document", "timestamp")))
+    var c: Throwable = e; var found = false
+    while (c != null && !found) {
+      found = Option(c.getMessage).exists(_.contains("unparseable `timestamp`"))
+      c = c.getCause
+    }
+    assert(found, s"expected the unparseable-timestamp refusal, got: $e")
+    assert(lake.read().count() === before,
+      "a refused ingest must publish nothing (staged write)")
+  }
+
+  test("append-heavy lakes keep a BOUNDED _zone part count: refreshes auto-compact past the cap") {
+    val prev = sys.props.get("graft.zone.partCap")
+    sys.props("graft.zone.partCap") = "2"
+    try {
+      val dir = Files.createTempDirectory("graft_zone_cap").toString
+      val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+      def batchQ(band: Int) = (0 until 8).map { i =>
+        (s"b$band-$i", Seq(math.sin(band * 9 + i).toFloat, 1f, -0.2f * i),
+          s"doc $band $i", ts(band), s"""{"q": ${band * 100 + i}}""")
+      }.toDF("id", "vector", "document", "timestamp", "metadata_json")
+      lake.ingest(batchQ(1))
+      assert(lake.buildZoneMap(fields = Seq("q")) > 0L)
+      (2 to 7).foreach(b => lake.ingest(batchQ(b)))
+      val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(
+        new org.apache.hadoop.fs.Path(lake.cfg.location, "_zone"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      assert(parts.length <= 3,
+        s"7 appends at cap 2 must leave a compacted map, got ${parts.length} parts")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        lake.cfg.location, "_zone/_spec.json")),
+        "compaction must carry the field spec across the swap")
+      // exactness and pruning both survive compaction — time AND field
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("id").collect().map(_.getString(0)).toSet
+      Seq((1, 2), (4, 4), (1, 7)).foreach { case (lo, hi) =>
+        assert(ids(lake.readTimeRange(inst(lo), inst(hi))) ===
+          ids(lake.read().where(col("timestamp").between(ts(lo), ts(hi)))),
+          s"time window [$lo,$hi] after compaction")
+      }
+      assert(lake.readTimeRange(inst(4), inst(4)).inputFiles.toSet.size <
+        lake.read().inputFiles.toSet.size, "time pruning survives compaction")
+      assert(ids(lake.readFieldRange("q", 300.0, 399.0)) ===
+        ids(lake.read().where(
+          lake.metadataField("q").cast("double").between(300.0, 399.0))))
+      assert(lake.readFieldRange("q", 300.0, 399.0).inputFiles.toSet.size <
+        lake.read().inputFiles.toSet.size, "field pruning survives compaction")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.zone.partCap") = v
+        case None => sys.props.remove("graft.zone.partCap"); ()
+      }
+    }
+  }
+
   test("no map, no harm: readTimeRange without buildZoneMap is the plain filtered read") {
     val lake = freshLake()
     (1 to 2).foreach(d => lake.ingest(batch(d)))
