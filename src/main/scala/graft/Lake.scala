@@ -109,6 +109,62 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       (if (cfg.packSignBits) Seq(StructField("packed", LongType)) else Nil) ++
       (if (cfg.pqCodebooks.isDefined) Seq(StructField("pq_code", LongType)) else Nil)
 
+  /** Registered EXTRA columns ([[evolve]]'s schema widening) of a
+    * state, resolved from sidecar (name, catalog-DDL) pairs. */
+  private def extraFieldsOf(st: LakeState): Seq[StructField] =
+    st.extraCols.map { case (n, t) => StructField(n, DataType.fromDDL(t)) }
+
+  /** The CURRENT extras, from the newest sidecar — for surfaces that
+    * have no state in hand (feed schemas, the DSv2 format). */
+  private[graft] def currentExtraFields: Seq[StructField] =
+    extraFieldsOf(readState())
+
+  private def storedColsOf(st: LakeState): Seq[String] =
+    storedCols ++ st.extraCols.map(_._1)
+  private def storedFieldsOf(st: LakeState): Seq[StructField] =
+    storedFields ++ extraFieldsOf(st)
+  private def storedColsNow: Seq[String] = storedColsOf(readState())
+
+  /** SCHEMA EVOLUTION: widen the stored schema with `add` — at 100 TB
+    * "add a column" must be a SIDECAR COMMIT, never a reload. The
+    * registration rides every later sidecar (states are re-read before
+    * each commit), so from this moment: [[ingest]] carries the columns
+    * (supplied values cast to the registered type, absent → typed
+    * null), every read pads pre-evolve files with nulls (parquet
+    * null-fills a requested-but-absent column for post-evolve files
+    * written by a stale session the same way), and every rewrite
+    * ([[deleteWhere]]/[[upsert]]/[[compact]]) preserves them. Types
+    * are stored as catalog DDL (`string`, `double`, `array<int>`, …).
+    * Name collisions with stored/partition/registered columns are
+    * refused — this is WIDENING only; drops or type changes would need
+    * a rewrite and are deliberately not offered. [[validate]] reports
+    * `pre_evolve_rows` (rows all-null across every registered extra) so
+    * operators can see how much of the lake predates the evolution.
+    * The reference pins its frame schema for the index's life
+    * (index.py:249-250); evolution is an engine extension. */
+  def evolve(add: StructType): Unit = {
+    require(add.fields.nonEmpty, "evolve: no columns given")
+    val dup = add.fields.map(_.name).groupBy(identity)
+      .collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty, s"evolve: duplicate column name(s) ${dup.mkString(", ")}")
+    withWriterLock("evolve") {
+      val st = readState()
+      val taken = (storedColsOf(st) :+ partCol).toSet
+      add.fields.foreach { f =>
+        require(!taken(f.name),
+          s"evolve at ${cfg.location}: column `${f.name}` already exists")
+        require(!f.name.contains("\u0001"),
+          s"evolve: column name `${f.name}` contains the reserved \\u0001")
+        // the DDL must round-trip: an unparseable registration would
+        // poison every later read
+        DataType.fromDDL(f.dataType.catalogString)
+      }
+      writeState(st.copy(extraCols =
+        st.extraCols ++ add.fields.map(f => f.name -> f.dataType.catalogString)))
+      ()
+    }
+  }
+
   /** Ingest rows with at least a `vector` column; `metadata`, `document`
     * optional. Adds `id` (uuid), `timestamp`, routes `shard`, coerces
     * empty metadata to {"id": "1"} (the reference's quirk,
@@ -553,7 +609,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       case "timestamp" => col("timestamp").as("timestamp", footerStamp)
       case c           => col(c)
     }
-    df.select((stamped :+ col(partCol)): _*)
+    // schema-evolution extras ride along: a supplied column is cast to
+    // its REGISTERED type (the sidecar's), an absent one is typed null
+    // — every file written after an evolve() carries the full current
+    // schema, so null-filling pre-evolve files is the only merge reads
+    // ever need. Unregistered input columns are dropped (the documented
+    // ingest contract): evolve() first, then ingest.
+    val extras = extraFieldsOf(readState()).map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }
+    df.select((stamped ++ extras :+ col(partCol)): _*)
   }
 
   /** Per-write footer attrs, stamped at plan-construction time (once per
@@ -617,7 +683,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // the checkpointed sink log continues where it left off.
       val sinkSt =
         if (!metaExisted && treeHasData(fs, cur)) {
-          val rolled = LakeState(nextGen(st), liveEntries(st))
+          val rolled = LakeState(nextGen(st), liveEntries(st), extraCols = st.extraCols)
           writeState(rolled)
           rolled
         } else { writeState(st); st }
@@ -722,15 +788,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     routingChecked
     val fs = fsOfRoot
     val entries = listRoot(fs)
+    readFrom(vacuumCheckedStateAt(version, fs, entries), entries)
+  }
+
+  /** [[stateAt]] plus the vacuumed-snapshot detectors [[readAt]] and
+    * the `graft` DSv2 format's [[scanRoots]] share — a retired
+    * snapshot must fail loudly, never read back partial or empty.
+    * Two detectors, both needed: (a) the commit recorded whether its
+    * OWN generation tree held data, so that tree being gone is
+    * detectably retired; (b) SEALED commits always record
+    * gen_has_data=false (seal rolls to a fresh empty generation), so
+    * for them the signal is a MANIFEST-NAMED generation missing from
+    * the root listing — vacuum only ever sweeps whole generation
+    * trees, and the listing is already in hand, so this costs
+    * nothing. */
+  private def vacuumCheckedStateAt(version: Long,
+      fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): LakeState = {
     val st = stateAt(version, fs, entries)
-    // a vacuumed snapshot must fail loudly, never read back partial or
-    // empty — two detectors, both needed: (a) the commit recorded
-    // whether its OWN generation tree held data, so that tree being
-    // gone is detectably retired; (b) SEALED commits always record
-    // gen_has_data=false (seal rolls to a fresh empty generation), so
-    // for them the signal is a MANIFEST-NAMED generation missing from
-    // the root listing — vacuum only ever sweeps whole generation
-    // trees, and the listing is already in hand, so this costs nothing
     if (st.genHasData.contains(true) &&
         !treeHasData(fs, genPath(st.generation)))
       throw new IllegalStateException(
@@ -746,7 +821,57 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         s"snapshot $version at ${cfg.location} has been vacuumed: " +
           s"generation(s) ${swept.mkString(", ")} no longer on disk " +
           "(see vacuum(retainMs) for the consumer window)")
-    readFrom(st, entries)
+    st
+  }
+
+  /** The canonical stored schema + partition column — what an empty
+    * lake's scan serves (and what [[readFrom]] validates a non-empty
+    * read against). */
+  private[graft] def canonicalSchema: StructType =
+    StructType(storedFieldsOf(readState()) :+ StructField(partCol,
+      if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType))
+
+  /** DIRECTORY-level scan roots of the current (`asOf = None`) or a
+    * past snapshot — the `graft` DSv2 format's live-set resolution:
+    * exactly the directories [[read]]/[[readAt]] would open (the live
+    * manifest's (dir, generation) entries, the whole current
+    * generation tree by rule, plus any pre-v2/root-level legacy
+    * data), resolved from ONE sidecar read + the root listing. Each
+    * entry pairs the directory path with its ESCAPED `key=value`
+    * partition-dir name (None for unpartitioned root-level legacy
+    * files), from which the format constructs the partition spec
+    * directly — partition INFERENCE cannot work on this layout (each
+    * generation strips to a different base and Spark refuses the
+    * "conflicting directory structures"), and the manifest already
+    * knows every value. Dead generations are never listed; a vacuumed
+    * `asOf` fails loudly via [[vacuumCheckedStateAt]]. A stream-owned
+    * current generation is REFUSED: its `_spark_metadata` manifest
+    * governs file visibility, and a raw listing would serve
+    * uncommitted in-flight files — read through [[read]] (which
+    * consults the manifest) or stop the ingest stream first. */
+  private[graft] def scanRoots(asOf: Option[Long]): Seq[(String, Option[String])] = {
+    routingChecked
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = asOf match {
+      case Some(v) => vacuumCheckedStateAt(v, fs, entries)
+      case None => readStateFrom(fs, entries)
+    }
+    if (!st.isSealed && fs.exists(
+        new org.apache.hadoop.fs.Path(genPath(st.generation), "_spark_metadata")))
+      throw new IllegalStateException(
+        s"graft format at ${cfg.location}: the current generation is an " +
+          "active streaming-sink tree (its _spark_metadata manifest " +
+          "governs file visibility; a raw listing would serve " +
+          "uncommitted files) — read through Lake.read() or stop the " +
+          "ingest stream and roll a batch generation first.")
+    val dirs = liveEntries(st).map { case (d, g) =>
+      new org.apache.hadoop.fs.Path(genPath(g), d).toString -> Some(d) }
+    val legacy = rootLevelDataFrom(entries).map { p =>
+      if (p.getName.contains("=")) p.toString -> Some(p.getName)
+      else cfg.location -> None // bare root-level parquet: no partition
+    }.distinct
+    dirs ++ legacy
   }
 
   /** The commit log as a frame: one row per sidecar version still on
@@ -849,8 +974,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "present — the manifest does not govern it, so a sealed snapshot " +
         "could not name it; re-ingest into the generation layout first")
     if (treeHasData(fs, genPath(st.generation)))
-      writeState(LakeState(nextGen(st), liveEntries(st)), sealedCommit = true)
-    else writeState(LakeState(st.generation, st.live), sealedCommit = true)
+      writeState(LakeState(nextGen(st), liveEntries(st), extraCols = st.extraCols), sealedCommit = true)
+    else writeState(LakeState(st.generation, st.live, extraCols = st.extraCols), sealedCommit = true)
   }
 
   /** CHANGE FEED — every row the lake gained or lost since the sealed
@@ -898,7 +1023,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     changeFrame(
       fileOwners(fs, stOld.live, s"changesSince($version)"),
       fileOwners(fs, liveEntries(stNew), "changesSince: current state"),
-      netted)
+      netted, extraFieldsOf(stNew))
   }
 
   /** [[changesSince]] between TWO sealed sync points — both sides
@@ -926,7 +1051,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     changeFrame(
       fileOwners(fs, stFrom.live, s"changesBetween($fromVersion, _)"),
       fileOwners(fs, stTo.live, s"changesBetween(_, $toVersion)"),
-      netted)
+      netted,
+      // CURRENT extras (not either endpoint's): a replayed pre-evolve
+      // batch then null-fills the new columns instead of changing shape
+      extraFieldsOf(readStateFrom(fs, entries)))
   }
 
   /** State at a specific sidecar version, from an already-taken root
@@ -948,6 +1076,34 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "its generation tree could receive appends after the commit, so a " +
         "file diff against it cannot attribute them; take change-feed sync " +
         "points with seal()")
+
+  /** (path, length, escaped-dir-name) of every data file of a SEALED
+    * sync point — the DSv2 change stream's file-level resolution:
+    * lengths drive its input-partition packing, dir names carry the
+    * shard partition value each file's rows serve. Same bounded-pool
+    * listing and loud-on-vacuumed contract as [[fileOwners]]. */
+  private[graft] def sealedFileStatuses(version: Long): Seq[(String, Long, String)] = {
+    routingChecked
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    require(rootLevelDataFrom(entries).isEmpty,
+      s"change stream at ${cfg.location} refused: root-level (pre-v2/" +
+        "foreign) data present — the manifest does not govern it")
+    val st = stateAt(version, fs, entries)
+    requireSealedSync(version, st)
+    mapDirsPooled(st.live.distinct) { (d, g) =>
+      val p = new org.apache.hadoop.fs.Path(genPath(g), d)
+      try dataFilesIn(fs, p).map(s => (s.getPath.toString, s.getLen, d))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"change stream at ${cfg.location}: live directory $p of " +
+              s"version $version is no longer on disk — vacuum has swept " +
+              "past this sync point (see vacuum(retainMs) for the " +
+              "consumer window)")
+      }
+    }.flatten
+  }
 
   /** Every data file of the given live (escaped-dir, generation)
     * entries, as file-path → owning generation. One LIST per directory
@@ -972,13 +1128,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * per owning generation so partition values resolve against the
     * right basePath. Only these files are opened — the change feed's
     * cost contract. */
-  private def readFileSlice(files: Map[String, Long]): DataFrame = {
+  private def readFileSlice(files: Map[String, Long],
+      extras: Seq[StructField] = Nil): DataFrame = {
     val partType =
       if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
-    val full = StructType(storedFields :+ StructField(partCol, partType))
+    val full = StructType(
+      (storedFields ++ extras) :+ StructField(partCol, partType))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    // pinned schema: parquet null-fills a requested column absent from
+    // a pre-evolve file, so both change-feed sides share one shape
     files.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, fm) =>
       spark.read.option("basePath", genPath(g).toString).schema(full)
         .parquet(fm.keys.toSeq.sorted: _*)
@@ -991,9 +1151,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * byte-identical rows across the two (metadata compared as sorted
     * entries — maps are not join keys). */
   private def changeFrame(oldFiles: Map[String, Long],
-      newFiles: Map[String, Long], netted: Boolean): DataFrame = {
-    val ins = readFileSlice(newFiles -- oldFiles.keySet)
-    val del = readFileSlice(oldFiles -- newFiles.keySet)
+      newFiles: Map[String, Long], netted: Boolean,
+      extras: Seq[StructField] = Nil): DataFrame = {
+    val ins = readFileSlice(newFiles -- oldFiles.keySet, extras)
+    val del = readFileSlice(oldFiles -- newFiles.keySet, extras)
+    // the slice's own column order IS the output shape (stored cols,
+    // extras, partition col) — netting keys derive from it so an
+    // evolved column participates in row identity (an upsert changing
+    // only an extra must NOT cancel)
+    val sliceCols = ins.columns.toSeq
     val out =
       if (!netted)
         ins.withColumn("change", lit("insert"))
@@ -1002,13 +1168,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         def prep(df: DataFrame): DataFrame =
           df.withColumn("_mcmp", array_sort(map_entries(col("metadata"))))
         val li = prep(ins); val rd = prep(del)
-        val keys = (storedCols.filterNot(_ == "metadata") :+ partCol) :+ "_mcmp"
+        val keys = sliceCols.filterNot(_ == "metadata") :+ "_mcmp"
         val cond = keys.map(k => li(k) <=> rd(k)).reduce(_ && _)
         li.join(rd, cond, "left_anti").withColumn("change", lit("insert"))
           .unionByName(
             rd.join(li, cond, "left_anti").withColumn("change", lit("delete")))
       }
-    out.select((storedCols.map(col) :+ col(partCol) :+ col("change")): _*)
+    out.select((sliceCols.map(col) :+ col("change")): _*)
   }
 
   private def readFrom(st: LakeState,
@@ -1063,7 +1229,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         Seq(
           if (curSinkOwned)
             spark.read
-              .schema(StructType(storedFields :+ StructField(partCol, partType)))
+              .schema(StructType(storedFieldsOf(st) :+ StructField(partCol, partType)))
               .parquet(cur.toString)
           else branch(None, Seq(cur.toString)))
       else Nil
@@ -1080,14 +1246,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val legacyBranch =
       if (rootData.isEmpty) Nil
       else Seq(branch(Some(cfg.location), rootData.map(_.toString)))
-    val branches = curBranch ++ oldBranches ++ legacyBranch
+    // SCHEMA EVOLUTION null-fill: a branch whose generations predate an
+    // evolve() lacks the registered extras — pad with typed nulls so
+    // the union holds one shape. Only REGISTERED columns are padded;
+    // a foreign column still fails the validation below.
+    def pad(df: DataFrame): DataFrame =
+      extraFieldsOf(st).filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val branches = (curBranch ++ oldBranches ++ legacyBranch).map(pad)
     if (branches.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(storedFields :+ StructField(partCol, partType)))
+        StructType(storedFieldsOf(st) :+ StructField(partCol, partType)))
     val df = branches.reduce(_ unionByName _)
     val got = df.columns.toSet
-    val want = storedCols.toSet + partCol
+    val want = storedColsOf(st).toSet + partCol
     require(got == want, s"schema mismatch: got $got want $want")
     df
   }
@@ -1501,6 +1674,139 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .orderBy(col("dist"), col("id"))
       .limit(k)
 
+  // ---- recall-targeted dial selection --------------------------------
+
+  private def recallPath: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(cfg.location, "_recall")
+
+  @volatile private var recallCalibCache: Option[Seq[Double]] = None
+
+  /** CALIBRATE the multiprobe recall ladder so [[topKAtRecall]] can
+    * pick `nprobe` for a TARGET instead of the user guessing blind.
+    * One distributed pass: a deterministic sample of the lake's own
+    * vectors (smallest `xxhash64(id)` — stable across sessions) is
+    * broadcast as queries, the EXACT top-k per query is computed with
+    * the bounded-heap aggregate carrying each hit's stored shard, and
+    * recall at every nprobe level falls out of shard membership alone
+    * — a hit in the first n probe shards IS returned by the n-probe
+    * search (it outranks everything there by definition), so no pruned
+    * query ever needs to run. Cost: ONE exact batch scan for ALL
+    * ladder levels. Self-hit bias: each sampled query's own row hits
+    * at nprobe 1, inflating measured recall by ≤ 1/k — calibrate with
+    * the k you will serve. The result is persisted like the IVF/PQ
+    * models (root sibling `_recall/calib.json`, tmp+rename swap,
+    * stamped with the routing fingerprint and the lake's
+    * `last_update`), so one calibration serves every later session;
+    * data drift since the stamp shifts true recall — re-run on
+    * maintenance cadence. Returns recall per nprobe (index 0 =
+    * nprobe 1). */
+  def calibrateRecall(k: Int = 20, sampleQueries: Int = 32): Seq[Double] = {
+    require(cfg.partitionKey.isEmpty,
+      "calibrateRecall needs LSH routing (user-keyed lakes have no probe ladder)")
+    require(k >= 1 && sampleQueries >= 1, "calibrateRecall: k, sampleQueries >= 1")
+    import spark.implicits._
+    val base = read().select(col("id"), col("vector"), col(partCol))
+    val sampled = base
+      .select(col("id"), V.asDouble(col("vector")).as("qv"))
+      .orderBy(abs(xxhash64(col("id"))), col("id"))
+      .limit(sampleQueries)
+      .collect() // bounded: sampleQueries rows
+      .map(r => r.getAs[scala.collection.Seq[Double]]("qv").toSeq)
+    require(sampled.nonEmpty, s"calibrateRecall at ${cfg.location}: empty lake")
+    val qdf = broadcast(sampled.toSeq.zipWithIndex
+      .map { case (qv, i) => (i.toLong, qv) }.toDF("qid", "qvec")
+      .select(col("qid"), col("qvec"), V.l2Norm(col("qvec")).as("qnrm")))
+    // exact per-query top-k, each hit tagged "shard:id" (the heap pair's
+    // id slot is a string — carry the shard through it)
+    val hits = base
+      .select(col("id"), col(partCol),
+        V.asDouble(col("vector")).as("vec"), V.l2Norm(col("vector")).as("nrm"))
+      .crossJoin(qdf)
+      .select(col("qid"), V.round6z(pairDist).as("dist"),
+        concat_ws(":", col(partCol), col("id")).as("tag"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.topK(struct(col("dist"), col("tag")), k).as("top"))
+      .select(col("qid"), col("top"))
+      .collect() // bounded: sampleQueries rows of <= k pairs
+      .map(r => r.getLong(0).toInt ->
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+          .map(_.getString(1).split(":", 2)(0).toInt).toSeq)
+      .toMap
+    val maxN = 1 + cfg.numHashes
+    val recalls = (1 to maxN).map { n =>
+      val per = sampled.indices.flatMap { i =>
+        hits.get(i).filter(_.nonEmpty).map { shards =>
+          val probes = probeShards(sampled(i), n).toSet
+          shards.count(probes).toDouble / shards.size
+        }
+      }
+      per.sum / per.size
+    }
+    // persist like the IVF/PQ models: tmp + rename swap of a one-file
+    // sidecar dir, fingerprinted against the routing config
+    val fs = fsOfRoot
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_recall__tmp_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "calib.json"), false)
+    try out.write(
+      (s"""{"dim": ${cfg.dim}, "num_hashes": ${cfg.numHashes}, """ +
+        s""""lsh_seed": ${cfg.seed}, "metric": "${cfg.metric}", """ +
+        s""""k": $k, "sample": ${sampled.size}, """ +
+        s""""stamp": "${lastUpdate().getOrElse("")}", """ +
+        s""""recalls": [${recalls.mkString(", ")}]}""").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(recallPath, true)
+    fs.rename(tmp, recallPath)
+    recallCalibCache = Some(recalls)
+    recalls
+  }
+
+  /** The persisted calibration, refused loudly when its routing
+    * fingerprint differs from this session's config (a ladder measured
+    * under foreign hyperplanes says nothing about ours). */
+  private def loadRecallCalib(): Option[Seq[Double]] = {
+    if (recallCalibCache.isDefined) return recallCalibCache
+    val fs = fsOfRoot
+    val p = new org.apache.hadoop.fs.Path(recallPath, "calib.json")
+    if (!fs.exists(p)) return None
+    val json = readFully(fs, p)
+    def num(name: String): Option[Double] =
+      (s""""$name"\\s*:\\s*(-?[\\d.eE+-]+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble)
+    Seq(("dim", cfg.dim.toDouble), ("num_hashes", cfg.numHashes.toDouble),
+      ("lsh_seed", cfg.seed.toDouble)).foreach { case (n, want) =>
+      num(n).foreach(got => require(got == want,
+        s"recall calibration at ${cfg.location} was measured under $n=" +
+          s"${got.toLong} but this session uses ${want.toLong} — " +
+          "re-run calibrateRecall() under the writer's config"))
+    }
+    val rs = """"recalls"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1).split(",").map(_.trim.toDouble).toSeq)
+    recallCalibCache = rs
+    rs
+  }
+
+  /** RECALL-TARGETED kNN: serve `q` at the cheapest `nprobe` whose
+    * CALIBRATED recall meets `targetRecall` — the dial-picking layer
+    * over [[topK]]/[[topKMultiProbe]] (SURVEY §2.3's dials exist; this
+    * chooses one). Needs one prior [[calibrateRecall]] (persisted —
+    * any session after it just loads). A target the full Hamming-1
+    * ladder cannot reach falls back to the EXACT scan — recall 1.0 by
+    * construction, never a silent miss of the promise. Returns the
+    * usual (row..., dist) top-k frame. */
+  def topKAtRecall(q: Seq[Double], k: Int, targetRecall: Double): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]; got $targetRecall")
+    val recalls = loadRecallCalib().getOrElse(throw new IllegalStateException(
+      s"topKAtRecall at ${cfg.location}: no calibration found — run " +
+        "calibrateRecall() once (it persists in _recall/ for every " +
+        "later session)"))
+    val idx = recalls.indexWhere(_ >= targetRecall)
+    if (idx < 0) topKExact(q, k)
+    else topKWhere(q, k, col(partCol).isin(probeShards(q, idx + 1): _*))
+  }
+
   /** Metadata/attribute-filtered exact kNN — the vector-DB "filtered
     * search" surface (`topKFiltered(q, k, col("metadata")("name") ===
     * "x")`): the predicate is pushed into the scan like any Catalyst
@@ -1733,7 +2039,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       if (dirty.isEmpty) return 0L
       val slice = read().where(affectedPartPred(dirty))
       val expected = slice.count()
-      val content = slice.select((storedCols.map(col) :+ col(partCol)): _*)
+      val content = slice.select((storedColsOf(st).map(col) :+ col(partCol)): _*)
       rewritePartitions(dirty, content, expected, "compactIncremental",
         slices = stats.collect { case (v, (_, bytes)) if dirty.contains(v) =>
           v -> math.max(1L, (bytes + targetBytes - 1) / targetBytes) }.toMap,
@@ -1792,7 +2098,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
       .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
       .repartition(totalSlices, col(partCol), col("_slice"))
-      .select((storedCols.map(col) :+ col(partCol)): _*)
+      .select((storedColsOf(st).map(col) :+ col(partCol)): _*)
     // partCol leads the sort: the dynamic-partition writer requires rows
     // ordered by the partition column and ADDS ITS OWN (non-stable) sort
     // when the incoming order doesn't satisfy that — which would undo
@@ -1816,7 +2122,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
     // COMMIT: one sidecar create names the new generation as the whole
     // live set; every older generation is dead-in-place (vacuum sweeps)
-    writeState(LakeState(newGen, Nil))
+    writeState(LakeState(newGen, Nil, extraCols = st.extraCols))
     refreshSkipIndex(shardBytes.keySet) // full compact rewrote every shard
     refreshZoneMapShards(shardBytes.keySet)
 
@@ -1889,7 +2195,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val slice = read().where(affectedPartPred(affected))
     val total = slice.count()
     val kept = slice.where(!coalesce(pred, lit(false)))
-      .select((storedCols.map(col) :+ col(partCol)): _*)
+      .select((storedColsNow.map(col) :+ col(partCol)): _*)
     val keptCount = kept.count()
     val deleted = total - keptCount
     if (deleted == 0L) return 0L
@@ -1952,12 +2258,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .map(r => Option(r.get(0)).map(_.toString)).toSet
     val slice = read().where(affectedPartPred(affected))
     val sliceCount = slice.count()
+    val colsNow = storedColsNow
     val keptOld = slice
       .join(newIds, col("id") === col("__new_id"), "left_anti")
-      .select((storedCols.map(col) :+ col(partCol)): _*)
+      .select((colsNow.map(col) :+ col(partCol)): _*)
     val keptCount = keptOld.count()
     rewritePartitions(affected,
-      keptOld.unionByName(newDerived.select((storedCols.map(col) :+ col(partCol)): _*)),
+      keptOld.unionByName(newDerived.select((colsNow.map(col) :+ col(partCol)): _*)),
       keptCount + newCount, "upsert")
     sliceCount - keptCount
   }
@@ -2478,7 +2785,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       }.getOrElse(Map.empty)
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     readFileSlice(owners.filter { case (f, _) =>
-      verdicts.getOrElse(zoneKey(f), true) })
+      verdicts.getOrElse(zoneKey(f), true) }, extraFieldsOf(st))
   }
 
   /** Rows whose NESTED-METADATA numeric field `path` lies in [lo, hi]
@@ -2697,6 +3004,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       clusterBy: Seq[Column] = Nil): Unit = {
     val fs = fsOfRoot
     val st = readState()
+    // the caller's content shape (stored cols + extras + partCol) is
+    // what the slice-join below must re-project back to
+    val outCols = content.columns.toSeq
     require(!fs.exists(
       new org.apache.hadoop.fs.Path(genPath(st.generation), "_spark_metadata")),
       "refusing to rewrite a streaming-sink lake: _spark_metadata manifest present")
@@ -2723,7 +3033,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
             .withColumn("_slice",
               pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
             .repartition(total, col(partCol), col("_slice"))
-            .select((storedCols.map(col) :+ col(partCol)): _*)
+            .select(outCols.map(col): _*)
         }
       (if (clusterBy.isEmpty) shaped
        else shaped.sortWithinPartitions((col(partCol) +: clusterBy): _*))
@@ -2750,7 +3060,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val survivors = liveEntries(st).filter { case (d, _) =>
       !affected.contains(unescapePartitionValue(d.split("=", 2)(1)))
     }
-    writeState(LakeState(newGen, survivors))
+    writeState(LakeState(newGen, survivors, extraCols = st.extraCols))
     refreshSkipIndex(affected)
     refreshZoneMapShards(affected)
   }
@@ -3003,6 +3313,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     } catch { case scala.util.control.NonFatal(_) => -1L }
     // functions.count is shadowed by Lake.count() inside this class
     val rowsAgg = org.apache.spark.sql.functions.count(lit(1))
+    // schema-evolution drift visibility: rows all-null across every
+    // registered extra column predate the evolution (or lost their
+    // values); -1 = no extras registered
+    val preEvolve: Column = currentExtraFields match {
+      case Nil => unconfigured
+      case ex => violations(ex.map(f => col(f.name).isNull).reduce(_ && _))
+    }
     df.agg(
       rowsAgg.as("rows"),
       misrouted.as("misrouted"),
@@ -3010,7 +3327,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       badPacked.as("bad_packed"),
       badPq.as("bad_pq"),
       violations(coalesce(size(col("vector")), lit(-1)) =!= cfg.dim)
-        .as("bad_dim"))
+        .as("bad_dim"),
+      preEvolve.as("pre_evolve_rows"))
       .withColumn("skip_stale", lit(skipStale))
   }
 
@@ -3130,7 +3448,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val genHasData = """"gen_has_data"\s*:\s*(true|false)""".r
       .findFirstMatchIn(json).map(_.group(1) == "true")
     val isSealed = """"sealed"\s*:\s*true""".r.findFirstIn(json).isDefined
-    LakeState(gen, live, genHasData, isSealed)
+    // schema-evolution extras: each entry is one escaped
+    // "name<U+0001>catalog-ddl" string (the \u0001 separator survives
+    // escapeJson/unescapeJson and cannot appear in either part)
+    val extraCols = """"extra_cols"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(json)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1)).split("\u0001", 2))
+        .collect { case Array(n, t) => n -> t }.toSeq)
+      .getOrElse(Nil)
+    LakeState(gen, live, genHasData, isSealed, extraCols)
   }
 
   /** Best-effort `last_update` stamp for the streaming path. The
@@ -3178,7 +3505,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // "snapshot of an empty/manifest-only lake" apart from "snapshot
     // whose own generation was vacuumed"
     val genHasData = treeHasData(fs, genPath(st.generation))
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$sealedField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    // schema-evolution extras ride EVERY commit (states are re-read
+    // before each writeState, so append stamps / seals / rewrites all
+    // carry them forward); absent field = no extras, full back-compat
+    val extraField =
+      if (st.extraCols.isEmpty) ""
+      else st.extraCols
+        .map { case (n, t) => s""""${escapeJson(n + "\u0001" + t)}"""" }
+        .mkString(""", "extra_cols": [""", ", ", "]")
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$sealedField$extraField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     var v = latest + 1
     var done = false
     while (!done) {
@@ -3348,7 +3683,8 @@ object Lake {
   private[graft] final case class LakeState(
       generation: Long, live: Seq[(String, Long)],
       genHasData: Option[Boolean] = None,
-      isSealed: Boolean = false)
+      isSealed: Boolean = false,
+      extraCols: Seq[(String, String)] = Nil)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

@@ -445,22 +445,28 @@ object CoreQueries {
     * small-files antipattern this engine is built to avoid). The
     * hyperplane matrix is prefix-stable, so 6-hash routing is the
     * 8-hash routing masked to 6 bits on both engines. */
+  /** The (session, sfDir)-scoped fixture lake the read-back queries
+    * share — built once (BuiltFixtures scaladoc), so q_shard_stats and
+    * the DSv2-format twin q_sql_scan measure the SERVE path. */
+  private def shardStatsLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "shard_stats") {
+      // session-scoped (q_export_shards posture): a read-back round-trip
+      // must not share its tree with a concurrent session on the same sfDir
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "lake")
+      val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
+      l.delete()
+      l.ingest(Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      l
+    }
+
   val qShardStats = Q(
     "q_shard_stats",
     (s, dir) => {
       // built once per (session, sfDir) — BuiltFixtures scaladoc; the
       // measured surface is the partitioned-lake read-back profile
-      val lake = BuiltFixtures.once(s, dir, "shard_stats") {
-        // session-scoped (q_export_shards posture): a read-back round-trip
-        // must not share its tree with a concurrent session on the same sfDir
-        val tmp = BuiltFixtures.sessionTmp(s, dir, "lake")
-        val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
-        l.delete()
-        l.ingest(Tables.embeddings(s, dir)
-          .select(col("embedding").as("vector"),
-            concat(lit("doc-"), col("vec_id")).as("document")))
-        l
-      }
+      val lake = shardStatsLake(s, dir)
       lake.read()
         .groupBy("shard")
         .agg(count(lit(1)).as("cnt"),
@@ -470,6 +476,36 @@ object CoreQueries {
     Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
                     CAST(count(*) AS BIGINT) AS cnt,
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
+  /** The fixture lake read back through the `graft` DSv2 FORMAT and
+    * aggregated in PURE SQL over a temp view — the SQL-only user's
+    * whole path (`spark.read.format("graft")` / `CREATE TABLE ...
+    * USING graft`), proving the format's manifest-driven partition
+    * spec serves the identical generation-aware live set as the Scala
+    * [[graft.Lake.read]]. Distinct aggregation from [[qShardStats]]
+    * (count + norm extremes, not the mean) so the two surfaces cannot
+    * mask each other's bugs. Scale shape: one partitioned scan, hash
+    * agg on the partition column — the format adds zero data-plane
+    * cost over the native read (same parquet scan, same pruning). */
+  val qSqlScan = Q(
+    "q_sql_scan",
+    (s, dir) => {
+      val lake = shardStatsLake(s, dir)
+      val view = "graft_sql_scan_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
+      s.read.format("graft").load(lake.cfg.location)
+        .select(col("shard"), V.l2Norm(col("vector")).as("norm"))
+        .createOrReplaceTempView(view)
+      s.sql(s"""SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                       round(min(norm), 6) AS min_norm,
+                       round(max(norm), 6) AS max_norm
+                FROM $view GROUP BY shard ORDER BY shard""")
+    },
+    Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+                    round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
   /** Pairwise cosine similarity between label centroids — the
@@ -633,5 +669,5 @@ object CoreQueries {
     qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats, qHybridRrf, qMaxSim)
+    qShardStats, qSqlScan, qHybridRrf, qMaxSim)
 }

@@ -1,0 +1,265 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.{Lake, LakeConfig}
+
+/** The lake as a BATCH Spark SQL data source — the surface the most
+  * common Spark consumer (a SQL-only user) actually has:
+  *
+  * {{{
+  *   spark.read.format("graft").load("/lakes/corpus")       // current
+  *   spark.read.format("graft").option("asOf", 7).load(p)   // time travel
+  *   CREATE TABLE corpus USING graft LOCATION '/lakes/corpus'
+  * }}}
+  *
+  * Both land on the SAME generation-aware scan as [[graft.Lake.read]]:
+  * the table resolves the live directory set from one sidecar read
+  * ([[graft.Lake.scanRoots]] — manifest entries across generations,
+  * the whole current generation by rule, legacy root data), then
+  * DELEGATES scanning to Spark's own DSv2 parquet table over exactly
+  * those directories. Delegation, not reimplementation, is the point:
+  * partition pruning on the `shard` directories, filter pushdown to
+  * parquet row groups, column pruning, and the vectorized reader all
+  * come from the battle-tested parquet path — this source only decides
+  * WHICH directories exist (and what partition value each carries),
+  * which is the one thing plain `spark.read.parquet(root)` gets wrong
+  * on this layout (it would read dead generations and retired files,
+  * and its partition INFERENCE refuses the multi-generation tree as
+  * "conflicting directory structures"). The partition spec is built
+  * from the manifest, not inferred — the manifest already knows every
+  * `(directory, shard)` pair, so the one partition column spans every
+  * generation by construction.
+  *
+  * Config is self-describing: `dim`/`metric`/`numHashes`/`seed` are
+  * recovered from the lake's own `_meta.<v>.json` sidecar, so
+  * `.load(path)` needs zero options (explicit options override, same
+  * names as `graft-changes`). `asOf` takes any sidecar version from
+  * [[graft.Lake.history]]; a vacuumed version fails loudly.
+  *
+  * Writes are REFUSED by capability: an INSERT landing raw parquet
+  * under the root would bypass shard routing, id/timestamp derivation,
+  * the staged publish, and the manifest — use [[graft.Lake.ingest]].
+  * Streaming reads go through the registered `graft-changes` source.
+  *
+  * 100 TB posture: table resolution is one sidecar read + one root
+  * listing + O(live dirs) path construction — the same control-plane
+  * cost as [[graft.Lake.read]] — and the data plane is the stock
+  * parquet scan (per-file tasks, no driver materialization).
+  *
+  * Reference: the engine's SQL face; the reference has no SQL surface
+  * at all (vector_lake exposes only the Python API, index.py).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  import GraftDataSource._
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the lake itself (sidecar + footers), never from
+  // CREATE TABLE column lists — a user-declared schema drifting from
+  // the stored one would null-fill or misread silently
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    makeTable(options).schema
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    makeTable(options).partitioning()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    makeTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftDataSource {
+  private def opt(o: CaseInsensitiveStringMap, key: String): Option[String] =
+    Option(o.get(key)).filter(_.nonEmpty)
+
+  /** Newest `_meta.<v>.json` (or the pre-v2 `_meta.json`) body at
+    * `location`, read directly — the provider cannot construct a Lake
+    * before it knows `dim`, and the sidecar is where `dim` lives. */
+  private def sidecarJson(spark: SparkSession, location: String): Option[String] = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val versioned = """_meta\.(\d+)\.json""".r
+    val entries = fs.listStatus(root).filter(_.isFile)
+    val p = entries.flatMap(s => s.getPath.getName match {
+      case versioned(v) => Some(v.toLong -> s.getPath)
+      case _ => None
+    }).sortBy(_._1).lastOption.map(_._2)
+      .orElse(entries.find(_.getPath.getName == "_meta.json").map(_.getPath))
+    p.map { path =>
+      val in = fs.open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+  }
+
+  private def longField(json: String, name: String): Option[Long] =
+    (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+  private def strField(json: String, name: String): Option[String] =
+    (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(json)
+      .map(_.group(1))
+
+  /** Hive-style partition-path unescape (`%2F` → `/`): Spark's writer
+    * escapes special characters in partition values when naming
+    * directories, so the manifest's dir names round-trip through this
+    * before becoming partition VALUES. */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One escaped `key=value` dir name (or None for unpartitioned
+    * legacy files) → the partition column's INTERNAL value. */
+  private[graft] def partValue(dirName: Option[String], dt: DataType): Any =
+    dirName.map(_.split("=", 2)) match {
+      case None => null
+      case Some(Array(_, enc)) =>
+        val v = unescapePathName(enc)
+        if (v == "__HIVE_DEFAULT_PARTITION__") null
+        else dt match {
+          case IntegerType => java.lang.Integer.valueOf(v.toInt)
+          case LongType => java.lang.Long.valueOf(v.toLong)
+          case ShortType => java.lang.Short.valueOf(v.toShort)
+          case StringType => UTF8String.fromString(v)
+          case other => throw new IllegalArgumentException(
+            s"graft format: unsupported partition key type ${other.simpleString}" +
+              " — supported: int, bigint, smallint, string")
+        }
+      case Some(_) => null
+    }
+
+  /** Resolve options + sidecar into the lake and its scan roots, and
+    * wrap the stock DSv2 parquet table over them. Called once per
+    * query resolution, so every SELECT sees the CURRENT live set (or
+    * the pinned `asOf` snapshot). */
+  private def makeTable(options: CaseInsensitiveStringMap): GraftTable = {
+    val spark = SparkSession.active
+    val location = opt(options, "path").orElse(opt(options, "location"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft format needs a path: spark.read.format(\"graft\").load(path) " +
+          "or CREATE TABLE ... USING graft LOCATION '...'"))
+    val json = sidecarJson(spark, location)
+    val dim = opt(options, "dim").map(_.toInt)
+      .orElse(json.flatMap(longField(_, "dim")).map(_.toInt))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft format at $location: no lake sidecar found and no 'dim' " +
+          "option given — is this a graft lake location?"))
+    // num_shards = 1 << numHashes for LSH-routed lakes; -1 marks a
+    // user-keyed lake (partition key name not in the sidecar — pass
+    // option 'partitionKey' if the lake is empty and the name matters)
+    val sidecarShards = json.flatMap(longField(_, "num_shards"))
+    val userKeyed = sidecarShards.contains(-1L)
+    val numHashes = opt(options, "numHashes").map(_.toInt)
+      .orElse(sidecarShards.filter(_ > 0)
+        .map(ns => java.lang.Long.numberOfTrailingZeros(ns)))
+      .getOrElse(8)
+    val cfg = LakeConfig(
+      location = location,
+      dim = dim,
+      numHashes = numHashes,
+      metric = opt(options, "metric")
+        .orElse(json.flatMap(strField(_, "metric"))).getOrElse("cosine"),
+      seed = opt(options, "seed").map(_.toLong)
+        .orElse(json.flatMap(longField(_, "lsh_seed"))).getOrElse(42L),
+      partitionKey = opt(options, "partitionKey")
+        .orElse(if (userKeyed) Some("key") else None),
+      packSignBits = opt(options, "packSignBits").exists(_.toBoolean))
+    val lake = Lake(spark, cfg)
+    val asOf = opt(options, "asOf").map(_.toLong)
+    val roots = lake.scanRoots(asOf)
+    val canonical = lake.canonicalSchema
+    val partField = canonical.fields.last
+    val scanOpts = new CaseInsensitiveStringMap((options.asScala.toMap ++
+      // union every footer so added-column drift in ANY file surfaces
+      // (readFrom's posture), unless the caller overrides
+      (if (options.containsKey("mergeSchema")) Map.empty[String, String]
+       else Map("mergeSchema" -> "true"))).asJava)
+    new GraftTable(
+      s"graft:$location" + asOf.map(v => s"@$v").getOrElse(""),
+      spark, scanOpts, roots, partField,
+      // an EMPTY lake has no footers to infer from — pin the canonical
+      // schema so `SELECT *` on a just-bootstrapped table resolves
+      if (roots.isEmpty) Some(canonical) else None)
+  }
+}
+
+/** The resolved table: the stock DSv2 parquet table over the live
+  * directory set, with the partition spec built FROM THE MANIFEST
+  * (one `PartitionPath` per live directory) instead of inferred from
+  * paths — inference refuses the multi-generation tree, and the
+  * manifest already knows every value. Read-only by capability. */
+final class GraftTable(
+    name0: String,
+    spark: SparkSession,
+    scanOpts: CaseInsensitiveStringMap,
+    roots: Seq[(String, Option[String])],
+    partField: StructField,
+    emptySchema: Option[StructType])
+  extends ParquetTable(name0, spark, scanOpts, roots.map(_._1).distinct,
+    emptySchema, classOf[ParquetFileFormat]) {
+
+  override lazy val fileIndex: PartitioningAwareFileIndex = {
+    // FULLY QUALIFIED paths (scheme + authority): the index keys its
+    // leaf-dir map by qualified path, so a raw `/tmp/...` partition
+    // path would look up nothing and the scan would silently be empty
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def qualify(s: String): Path = {
+      val p = new Path(s)
+      p.getFileSystem(hadoopConf).makeQualified(p)
+    }
+    val qualified = roots.map { case (p, d) => qualify(p) -> d }
+    val spec = PartitionSpec(
+      StructType(Seq(partField)),
+      qualified.map { case (p, d) =>
+        PartitionPath(
+          InternalRow(GraftDataSource.partValue(d, partField.dataType)), p)
+      })
+    new InMemoryFileIndex(spark, qualified.map(_._1).distinct,
+      scanOpts.asScala.toMap, emptySchema,
+      FileStatusCache.getOrCreate(spark), Some(spec), None)
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"graft table $name0 does not support writes: raw parquet landed " +
+        "under the lake root would bypass shard routing, id/timestamp " +
+        "derivation, the staged publish, and the manifest — write " +
+        "through Lake.ingest / upsert / deleteWhere.")
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The `graft` batch DSv2 format: `spark.read.format("graft")` and
+  * `CREATE TABLE ... USING graft` land on the same generation-aware
+  * live set as `Lake.read()`, with partition pruning and parquet
+  * pushdown working THROUGH the format, `asOf` time travel, and
+  * writes refused. */
+class GraftFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int, tag: String) =
+    (0 until n).map { i =>
+      (s"$tag-$i", Seq(math.sin(i * 3 + tag.length).toFloat,
+        math.cos(i * 7).toFloat, (i % 5 - 2).toFloat / 3), s"doc $tag $i")
+    }.toDF("id", "vector", "document")
+
+  private def freshLake(): Lake = {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 2))
+  }
+
+  private def ids(df: DataFrame): Set[String] =
+    df.select("id").collect().map(_.getString(0)).toSet
+
+  private def fmt(lake: Lake): DataFrame =
+    spark.read.format("graft").load(lake.cfg.location)
+
+  private def scanExecs(df: DataFrame): Seq[BatchScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+      }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("format reads the SAME live set as Lake.read across churn: appends, deleteWhere, compact") {
+    val lake = freshLake()
+    lake.ingest(rows(40, "a"))
+    assert(ids(fmt(lake)) === ids(lake.read()))
+    // a second generation: row-level delete rewrites affected shards
+    assert(lake.deleteWhere(col("id") === "a-3") === 1L)
+    assert(ids(fmt(lake)) === ids(lake.read()))
+    assert(!ids(fmt(lake)).contains("a-3"),
+      "the format must not read retired files of rewritten shards")
+    // post-rewrite append lands in the current generation
+    lake.ingest(rows(10, "bb"))
+    assert(ids(fmt(lake)) === ids(lake.read()))
+    // compact collapses to one fresh generation; dead gens must not be read
+    lake.compact()
+    assert(ids(fmt(lake)) === ids(lake.read()))
+    assert(fmt(lake).count() === 49L)
+    // schema: stored columns + shard partition column
+    val cols = fmt(lake).columns.toSet
+    assert(Set("id", "vector", "document", "timestamp", "shard").subsetOf(cols), cols)
+  }
+
+  test("partition pruning and parquet pushdown work THROUGH the format") {
+    val lake = freshLake()
+    lake.ingest(rows(60, "p"))
+    val df = fmt(lake)
+    val shards = df.select("shard").distinct().as[Int].collect().sorted
+    assert(shards.length > 1, "fixture must spread over multiple shards")
+    val one = df.where(col("shard") === shards.head)
+    assert(ids(one) === ids(lake.read().where(col("shard") === shards.head)))
+    // partition pruning: the scan's file slice is the one directory
+    val scans = scanExecs(one)
+    assert(scans.nonEmpty, one.queryExecution.executedPlan.toString.take(1500))
+    val files = scans.flatMap(_.scan match {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files).map(_.getPath.toString)
+    })
+    assert(files.nonEmpty && files.forall(_.contains(s"shard=${shards.head}")),
+      s"expected only shard=${shards.head} files, got: $files")
+    // data filter pushdown reaches the parquet scan
+    val plan = df.where(col("document") === "doc p 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc p 7"),
+      plan.take(1500))
+    // column pruning: a 2-column projection reads 2 columns
+    val proj = df.select("id", "shard").queryExecution.executedPlan.toString
+    assert(!proj.contains("vector"), proj.take(1500))
+  }
+
+  test("asOf reads a past snapshot; a vacuumed version fails loudly") {
+    val lake = freshLake()
+    lake.ingest(rows(20, "v"))
+    val v1 = lake.seal()
+    lake.ingest(rows(5, "w"))
+    val v2 = lake.seal()
+    def at(v: Long) = spark.read.format("graft")
+      .option("asOf", v).load(lake.cfg.location)
+    assert(ids(at(v1)) === ids(lake.readAt(v1)))
+    assert(ids(at(v1)).size === 20)
+    assert(ids(at(v2)).size === 25)
+    assert(ids(fmt(lake)) === ids(at(v2)))
+    val e = intercept[IllegalArgumentException](at(99999L).collect())
+    assert(e.getMessage.contains("no sidecar version"))
+  }
+
+  test("SQL surface: CREATE TABLE ... USING graft LOCATION serves the generation-aware scan") {
+    val lake = freshLake()
+    lake.ingest(rows(30, "sql"))
+    spark.sql("DROP TABLE IF EXISTS graft_fmt_spec")
+    spark.sql(s"CREATE TABLE graft_fmt_spec USING graft " +
+      s"LOCATION '${lake.cfg.location}'")
+    try {
+      assert(spark.sql("SELECT count(*) AS c FROM graft_fmt_spec")
+        .head().getLong(0) === 30L)
+      // the table tracks maintenance: a delete + compact later, SELECT
+      // must resolve the CURRENT live set, not the create-time one
+      assert(lake.deleteWhere(col("id") === "sql-0") === 1L)
+      lake.compact()
+      assert(spark.sql("SELECT count(*) AS c FROM graft_fmt_spec")
+        .head().getLong(0) === 29L)
+      assert(spark.sql(
+        "SELECT count(DISTINCT shard) AS s FROM graft_fmt_spec")
+        .head().getLong(0) >= 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_fmt_spec"); ()
+    }
+  }
+
+  test("writes through the format are refused; ingest stays the one write path") {
+    val lake = freshLake()
+    lake.ingest(rows(8, "w"))
+    val e = intercept[Throwable] {
+      rows(2, "x").write.format("graft").mode("append")
+        .save(lake.cfg.location)
+    }
+    val msg = e.toString + Option(e.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("does not support") ||
+      msg.toLowerCase.contains("unsupported") ||
+      msg.toLowerCase.contains("does not allow") ||
+      msg.toLowerCase.contains("append in batch mode"), msg)
+    assert(ids(fmt(lake)).size === 8, "a refused write must land nothing")
+  }
+
+  test("an empty bootstrapped lake serves an empty frame with the canonical schema (dim option)") {
+    val dir = Files.createTempDirectory("graft_fmt_empty").toString
+    val df = spark.read.format("graft").option("dim", 3)
+      .load(s"$dir/lake")
+    assert(df.count() === 0L)
+    assert(df.columns.toSet ===
+      Set("id", "vector", "metadata", "document", "timestamp", "shard"))
+  }
+
+  test("sidecar self-description: no options needed, and a dim override mismatch fails loudly") {
+    val lake = freshLake()
+    lake.ingest(rows(6, "s"))
+    // zero options: dim/metric/seed recovered from the sidecar
+    assert(fmt(lake).count() === 6L)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("dim", 64)
+        .load(lake.cfg.location).collect())
+    assert(e.getMessage.contains("dim") ||
+      e.getMessage.contains("3-dim"), e.getMessage)
+  }
+}

@@ -50,31 +50,62 @@ class LakePropertiesSpec extends SparkSpec {
     def ts(d: Int) = java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(d.toLong * 86400))
     var nextId = 0
+    // SCHEMA EVOLUTION in the fuzz: registered extra column names (all
+    // string-typed here), and per-id expected values — a row carries
+    // "id:col" for every column registered AT ITS WRITE TIME, null for
+    // columns evolved later (the null-fill contract under arbitrary
+    // rewrite interleavings)
+    var extraNames = Vector.empty[String]
+    var extraVals = Map.empty[String, Map[String, String]]
+    def withExtras(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      extraNames.foldLeft(df)((d, n) => d.withColumn(n,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.lit(":" + n))))
+    def stampExtras(ids: Seq[String]): Unit =
+      extraVals ++= ids.map(id => id -> extraNames.map(n => n -> s"$id:$n").toMap)
     def freshRows(n: Int): Seq[(String, Seq[Float], String)] =
       (0 until n).map { _ =>
         val id = s"f$nextId"; nextId += 1
         (id, Seq.fill(dim)(rng.nextGaussian().toFloat), s"doc $id")
       }
     def check(op: String): Unit = {
-      val got = lake.read().select("id", "vector", "document").collect()
+      val frame = lake.read()
+      val got = frame.select("id", "vector", "document").collect()
         .map(r => r.getString(0) ->
           ((r.getAs[scala.collection.Seq[Float]]("vector").toSeq, r.getString(2))))
         .toMap
       assert(got === model, s"after $op: lake diverged from model " +
         s"(lake-only: ${(got.keySet -- model.keySet).take(5)}, " +
         s"model-only: ${(model.keySet -- got.keySet).take(5)})")
+      // evolved columns: the read serves exactly the registered set,
+      // and every row holds its write-time values (null pre-evolve)
+      assert(frame.columns.toSet ===
+        (Set("id", "vector", "metadata", "document", "timestamp", "shard")
+          ++ extraNames), s"after $op: column set")
+      if (extraNames.nonEmpty) {
+        val gotEx = frame
+          .select("id", extraNames: _*).collect()
+          .map(r => r.getString(0) -> extraNames.zipWithIndex.map {
+            case (n, i) => n -> Option(r.getString(i + 1)) }.toMap)
+          .toMap
+        val wantEx = model.keySet.map(id => id -> extraNames.map(n =>
+          n -> extraVals.get(id).flatMap(_.get(n))).toMap).toMap
+        assert(gotEx === wantEx, s"after $op: evolved-column values diverged")
+      }
     }
     // change-feed sync point taken mid-sequence: (version, model at seal)
     var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(19) match {
+      val op = rng.nextInt(21) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           day += 1
-          lake.ingest(rows.map(r => (r._1, r._2, r._3, ts(day)))
-            .toDF("id", "vector", "document", "timestamp"))
+          lake.ingest(withExtras(rows.map(r => (r._1, r._2, r._3, ts(day)))
+            .toDF("id", "vector", "document", "timestamp")))
           model ++= rows.map(r => r._1 -> ((r._2, r._3)))
           days ++= rows.map(r => r._1 -> day)
+          stampExtras(rows.map(_._1))
           "ingest"
         case 3 | 4 =>
           // delete a random contiguous id band (may be empty)
@@ -87,7 +118,7 @@ class LakePropertiesSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("id")
               .isin((lo until hi).map("f" + _): _*))
           assert(deleted === victims.size.toLong, s"step $step deleteWhere count")
-          model --= victims; days --= victims
+          model --= victims; days --= victims; extraVals --= victims
           "deleteWhere"
         case 5 | 6 =>
           // upsert: replace up to 3 existing (new vector moves shards) + 2 new
@@ -97,11 +128,12 @@ class LakePropertiesSpec extends SparkSpec {
           val batch = existing ++ fresh
           day += 1
           val replaced = lake.upsert(
-            batch.map(r => (r._1, r._2, r._3, ts(day)))
-              .toDF("id", "vector", "document", "timestamp"))
+            withExtras(batch.map(r => (r._1, r._2, r._3, ts(day)))
+              .toDF("id", "vector", "document", "timestamp")))
           assert(replaced === existing.size.toLong, s"step $step upsert count")
           model ++= batch.map(r => r._1 -> ((r._2, r._3)))
           days ++= batch.map(r => r._1 -> day)
+          stampExtras(batch.map(_._1))
           "upsert"
         case 7 => lake.compact(); "compact"
         case 8 => lake.compactIncremental(maxFilesPerShard = 2); "compactIncremental"
@@ -116,7 +148,7 @@ class LakePropertiesSpec extends SparkSpec {
           val sample = rng.shuffle(model.keySet.toList).take(rng.nextInt(4))
           val deleted = lake.deleteIds(sample :+ "no-such-id")
           assert(deleted === sample.size.toLong, s"step $step deleteIds count")
-          model --= sample; days --= sample
+          model --= sample; days --= sample; extraVals --= sample
           "deleteIds"
         case 12 =>
           // lookup through whatever index state the sequence produced,
@@ -161,6 +193,15 @@ class LakePropertiesSpec extends SparkSpec {
         case 16 =>
           if (lake.exists()) lake.buildZoneMap()
           "buildZoneMap"
+        case 19 =>
+          // EVOLVE mid-sequence: later writes carry the column, every
+          // earlier row must null-fill — under whatever rewrites follow
+          val name = s"ec${extraNames.size}"
+          lake.evolve(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.StringType))))
+          extraNames :+= name
+          "evolve"
         case 17 | 18 =>
           // ZONE-MAP WINDOW READ against the model, through whatever
           // map state the sequence produced (absent, fresh, append-

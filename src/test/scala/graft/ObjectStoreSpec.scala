@@ -221,6 +221,31 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution round-trips on a non-file: FS: evolve, null-fill, rewrite-preserve") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 5, numHashes = 4))
+      lake.ingest(Seq(
+        (Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f), "old doc", "r-0"),
+        (Seq(-0.5f, 0.4f, -0.3f, 0.2f, -0.1f), "old doc 2", "r-1"))
+        .toDF("vector", "document", "id"))
+      lake.evolve(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+      lake.ingest(Seq((Seq(0.2f, 0.2f, 0.2f, 0.2f, 0.2f), "new doc", "r-2", "en"))
+        .toDF("vector", "document", "id", "lang"))
+      val got = lake.read().select("id", "lang").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got === Map("r-0" -> None, "r-1" -> None, "r-2" -> Some("en")))
+      // a rewrite on the remote FS (copy+delete rename commit) keeps it
+      assert(lake.deleteWhere(
+        org.apache.spark.sql.functions.col("id") === "r-0") === 1L)
+      lake.compact()
+      val after = lake.read().select("id", "lang").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(after === Map("r-1" -> None, "r-2" -> Some("en")))
+    }
+  }
+
   test("sidecar metadata lands on the remote FS too (versioned commit files)") {
     withBucketFs { root =>
       val lake = Lake(spark, LakeConfig(s"$root/lake2", dim = 3, numHashes = 3))

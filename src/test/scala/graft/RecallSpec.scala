@@ -50,4 +50,49 @@ class RecallSpec extends SparkSpec {
     assert(recall(ivf) >= 0.5)
     assert(topIds(emb) === exact) // exact is self-consistent
   }
+
+  test("topKAtRecall: one-scan calibration is monotone and persisted; targets map to the promised plans") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    val cfgL = LakeConfig(s"$tmp/lake", dim = 64, numHashes = 4)
+    val lake = Lake(spark, cfgL)
+    lake.ingest(Tables.embeddings(spark, dir)
+      .select(col("embedding").as("vector"),
+        col("vec_id").cast("string").as("id")))
+    // no calibration yet → loud, with the fix named
+    val e = intercept[IllegalStateException](
+      lake.topKAtRecall(Fixtures.queryVec, k, 0.5))
+    assert(e.getMessage.contains("calibrateRecall"))
+    val recalls = lake.calibrateRecall(k = k, sampleQueries = 16)
+    info(s"calibrated ladder: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+    assert(recalls.size === 1 + cfgL.numHashes)
+    // growing the probe set can only add exact hits → monotone exactly
+    recalls.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => () }
+    assert(recalls.head > 0.0 && recalls.last <= 1.0)
+    // a FRESH session loads the persisted calibration (no re-measure)
+    val lake2 = Lake(spark, cfgL)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getString(0)).toSet
+    // target == the single-probe measured recall → the single-probe plan
+    assert(ids(lake2.topKAtRecall(Fixtures.queryVec, k, recalls.head)) ===
+      ids(lake2.topK(Fixtures.queryVec, k)))
+    // the full ladder's own recall is reachable by construction — the
+    // pruned plan (never the exact fallback) serves a full k answer
+    assert(ids(lake2.topKAtRecall(Fixtures.queryVec, k, recalls.last)).size === k)
+    // an unreachable target falls back to the EXACT scan — the promise
+    // is never silently missed
+    if (recalls.last < 1.0)
+      assert(ids(lake2.topKAtRecall(Fixtures.queryVec, k, 1.0)) ===
+        ids(lake2.topKExact(Fixtures.queryVec, k)))
+    // achieved recall on HELD-OUT queries meets the target (within the
+    // calibration's sampling tolerance): measure against exact
+    val target = recalls(1) // nprobe-2 level: a real intermediate dial
+    val achieved = Seq(Fixtures.queryVec, Fixtures.queryVec2).map { q =>
+      val ex = ids(lake2.topKExact(q, k))
+      (ids(lake2.topKAtRecall(q, k, target)) & ex).size.toDouble / k
+    }
+    info(f"target=$target%.2f achieved=${achieved.map(a => f"$a%.2f").mkString(", ")}")
+    assert(achieved.sum / achieved.size >= target - 0.25,
+      s"held-out achieved ${achieved} vs target $target")
+  }
 }
