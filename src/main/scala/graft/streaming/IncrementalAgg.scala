@@ -18,10 +18,21 @@ import org.apache.spark.sql.Row
   * of the form Σ f(row) over the live rows (counts via f = 1, sums,
   * and through them means/rates at read time). The netted change feed
   * emits each mutation as insert/delete rows, so the maintained value
-  * is exact: value += f(inserted) − f(deleted). Non-decomposable
-  * aggregates (min/max under deletes, exact distinct) need a different
-  * structure and are refused by construction here — nothing silently
-  * degrades.
+  * is exact: value += f(inserted) − f(deleted).
+  *
+  * MIN/MAX under deletes are not sum-decomposable — a delete of the
+  * current extreme invalidates the stored value. [[maintainWithExtremes]]
+  * keeps them exact anyway with BOUNDED per-key recompute: inserts
+  * tighten the stored extreme for free (`least`/`greatest`), and only
+  * a key whose DELETED rows touched its stored extreme (deleted value
+  * ≤ stored min / ≥ stored max) re-reads that key's live rows from the
+  * supplied corpus — a semi-join on the dirty-key set, pushdown-
+  * bounded, never a full recompute. Keys that never lose their extreme
+  * row cost nothing. The recompute reads the corpus's CURRENT live
+  * rows, so if the feed lags the lake an extreme can briefly reflect
+  * newer corpus state than the sums — it converges exactly once the
+  * feed drains. Exact distinct stays refused by construction (nothing
+  * silently degrades); use the KMV sketch surfaces for that.
   *
   * State layout — the lake's own generation-pointer idea, reapplied:
   *
@@ -88,17 +99,53 @@ object IncrementalAgg {
   /** The configured writer (callers add trigger/queryName). */
   def writer(feed: DataFrame, keys: Seq[String],
       aggs: Seq[(String, Column)], statePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    writerWithExtremes(feed, keys, aggs, Nil, Nil, null, statePath, checkpoint)
+
+  /** One per-key MIN or MAX to maintain: state column `name` = extreme
+    * of `expr` over the key's live rows. `expr` must reference only
+    * stored columns (it is re-evaluated on the corpus when a key's
+    * extreme row is deleted). */
+  final case class ExtremeSpec(name: String, expr: Column, isMin: Boolean)
+
+  /** [[maintain]] plus exact MIN/MAX columns (see object scaladoc for
+    * the bounded-recompute contract). `corpus` supplies the live rows
+    * to re-read a dirty key from — typically `() => lake.read()`. */
+  def maintainWithExtremes(feed: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, Column)],
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+      corpus: () => DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    writerWithExtremes(feed, keys, aggs, mins, maxs, corpus,
+      statePath, checkpoint).start()
+
+  def writerWithExtremes(feed: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, Column)],
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+      corpus: () => DataFrame, statePath: String,
       checkpoint: String): DataStreamWriter[Row] = {
     require(keys.nonEmpty, "IncrementalAgg needs at least one key column")
-    require(aggs.nonEmpty, "IncrementalAgg needs at least one aggregate")
+    require(aggs.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "IncrementalAgg needs at least one aggregate")
+    val extremes = mins.map(m => ExtremeSpec(m._1, m._2, isMin = true)) ++
+      maxs.map(m => ExtremeSpec(m._1, m._2, isMin = false))
+    require(extremes.isEmpty || corpus != null,
+      "min/max maintenance needs a corpus supplier (() => lake.read()): " +
+        "a deleted extreme row forces a bounded per-key re-read")
+    val names = aggs.map(_._1) ++ extremes.map(_.name) ++ keys
+    require(names.distinct.size == names.size,
+      s"duplicate state column names in $names")
     val reserved = Set("__rows", "__bucket", "__sign")
-    require(aggs.forall(a => !reserved(a._1)) && keys.forall(!reserved(_)),
-      s"names ${reserved.mkString(", ")} are reserved")
+    require(names.forall(n => !reserved(n) && !n.contains("__ins") &&
+      !n.contains("__del") && !n.contains("__dirty") && !n.contains("__rec")),
+      s"names ${reserved.mkString(", ")} and __ins/__del/__dirty/__rec " +
+        "suffixes are reserved")
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDelta(batch.sparkSession, statePath,
-          signedDelta(batch, keys, aggs), keys, aggs.map(_._1), batchId)
+          signedDelta(batch, keys, aggs, extremes = extremes), keys,
+          aggs.map(_._1), batchId, extremes, Option(corpus))
         ()
       }
   }
@@ -107,15 +154,26 @@ object IncrementalAgg {
     * column as Σ f·sign, plus `__rows` (signed live-row count — the
     * key-liveness tracker) and `__bucket`. Pure plan, no action. */
   private[graft] def signedDelta(batch: DataFrame, keys: Seq[String],
-      aggs: Seq[(String, Column)], buckets: Int = defaultBuckets): DataFrame = {
+      aggs: Seq[(String, Column)], buckets: Int = defaultBuckets,
+      extremes: Seq[ExtremeSpec] = Nil): DataFrame = {
     val sign = when(col("change") === "insert", lit(1)).otherwise(lit(-1))
+    val ins = col("change") === "insert"
+    // per extreme: the batch's tightest INSERTED value (tightens the
+    // stored extreme for free) and its tightest DELETED value (the
+    // dirty-key detector — a deleted value touching the stored extreme
+    // forces that key's bounded recompute)
+    val extAggs = extremes.flatMap { x =>
+      def side(p: Column) =
+        if (x.isMin) min(when(p, x.expr)) else max(when(p, x.expr))
+      Seq(side(ins).as(x.name + "__ins"), side(!ins).as(x.name + "__del"))
+    }
     batch
       .withColumn("__sign", sign)
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("__sign").cast("long")).as("__rows"),
-        aggs.map { case (n, e) =>
-          sum(e.cast("double") * col("__sign")).as(n) }: _*)
+        (aggs.map { case (n, e) =>
+          sum(e.cast("double") * col("__sign")).as(n) } ++ extAggs): _*)
       .withColumn("__bucket",
         pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
   }
@@ -134,7 +192,8 @@ object IncrementalAgg {
     * affected buckets' partitions. */
   private[graft] def applyDelta(spark: SparkSession, statePath: String,
       delta: DataFrame, keys: Seq[String], aggNames: Seq[String],
-      batchId: Long): Boolean = {
+      batchId: Long, extremes: Seq[ExtremeSpec] = Nil,
+      corpus: Option[() => DataFrame] = None): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(statePath)
@@ -153,8 +212,9 @@ object IncrementalAgg {
       }
       val ownedAffected = owners.filter { case (b, _) => affected(b) }
       val merged = (
-        if (ownedAffected.isEmpty) d.where(col("__rows") =!= 0L) // fresh buckets only
-        else merge(readBuckets(spark, statePath, ownedAffected), d, keys, aggNames)
+        if (ownedAffected.isEmpty) freshState(d, extremes)
+        else merge(readBuckets(spark, statePath, ownedAffected), d, keys,
+          aggNames, extremes)
       ).cache()
       try {
         // buckets whose merged content is EMPTY (every key deleted) must
@@ -163,11 +223,12 @@ object IncrementalAgg {
         val survivors = merged.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSet
         val newV = ptr.map(_._1 + 1).getOrElse(0L)
+        val resolved = resolveDirtyExtremes(merged, keys, extremes, corpus)
         // cluster by bucket before the partitioned write: each task then
         // writes whole bucket files (ONE file per bucket) instead of
         // every shuffle task spraying a sliver into every bucket dir —
         // the same small-files rule the lake's own writeAppend applies
-        merged.repartition(col("__bucket"))
+        resolved.repartition(col("__bucket"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("__bucket")
           .parquet(new org.apache.hadoop.fs.Path(root, s"v$newV").toString)
@@ -178,19 +239,87 @@ object IncrementalAgg {
     } finally { d.unpersist(); () }
   }
 
+  /** First-ever state for a bucket set: delta-only, extremes taken
+    * from the INSERT side; any delete in the same batch may have
+    * removed information the state never held → dirty. */
+  private def freshState(d: DataFrame, extremes: Seq[ExtremeSpec]): DataFrame = {
+    val base = d.where(col("__rows") =!= 0L)
+    extremes.foldLeft(base) { (df, x) =>
+      df.withColumn(x.name, col(x.name + "__ins"))
+        .withColumn(x.name + "__dirty", col(x.name + "__del").isNotNull)
+        .drop(x.name + "__ins", x.name + "__del")
+    }
+  }
+
   /** Full-outer merge of current bucket state with the signed delta;
-    * keys whose merged `__rows` is 0 leave the state. */
+    * keys whose merged `__rows` is 0 leave the state. Extremes tighten
+    * for free on the insert side (`least`/`greatest`); a delete that
+    * touched the stored extreme marks the key `<name>__dirty` for the
+    * bounded recompute in [[resolveDirtyExtremes]]. */
   private def merge(current: DataFrame, delta: DataFrame,
-      keys: Seq[String], aggNames: Seq[String]): DataFrame = {
+      keys: Seq[String], aggNames: Seq[String],
+      extremes: Seq[ExtremeSpec] = Nil): DataFrame = {
     val cur = current.withColumnRenamed("__bucket", "__bucket_c")
     val sumCols = ("__rows" +: aggNames).map { n =>
       (coalesce(cur(n), lit(0)) + coalesce(delta(n), lit(0))).as(n) }
+    val extCols = extremes.flatMap { x =>
+      val provisional =
+        if (x.isMin) least(cur(x.name), delta(x.name + "__ins"))
+        else greatest(cur(x.name), delta(x.name + "__ins"))
+      val touched =
+        if (x.isMin) delta(x.name + "__del") <= cur(x.name)
+        else delta(x.name + "__del") >= cur(x.name)
+      val dirty = delta(x.name + "__del").isNotNull &&
+        (cur(x.name).isNull || coalesce(touched, lit(true)))
+      Seq(provisional.as(x.name), dirty.as(x.name + "__dirty"))
+    }
     cur.join(delta, keys.map(k => cur(k) <=> delta(k)).reduce(_ && _), "full_outer")
       .select(
         keys.map(k => coalesce(delta(k), cur(k)).as(k)) ++
-          sumCols :+
+          sumCols ++ extCols :+
           coalesce(delta("__bucket"), cur("__bucket_c")).as("__bucket"): _*)
       .where(col("__rows") =!= 0L)
+  }
+
+  /** The BOUNDED per-key recompute closing the min/max gap: keys
+    * flagged dirty (their deleted rows touched the stored extreme)
+    * re-read their live rows from the corpus via a broadcast semi-join
+    * on the dirty-key set — cost tracks dirty keys' corpus slice,
+    * never total state or corpus size; a batch with no dirty keys
+    * costs one cheap emptiness probe. Drops every helper column. */
+  private def resolveDirtyExtremes(merged: DataFrame, keys: Seq[String],
+      extremes: Seq[ExtremeSpec], corpus: Option[() => DataFrame]): DataFrame = {
+    if (extremes.isEmpty) return merged
+    val dirtyCond = extremes.map(x => coalesce(col(x.name + "__dirty"), lit(false)))
+      .reduce(_ || _)
+    val dirtyKeys = merged.where(dirtyCond).select(keys.map(col): _*).distinct()
+    val cleaned =
+      if (dirtyKeys.limit(1).count() == 0L) merged
+      else {
+        val corpusDf = corpus.getOrElse(throw new IllegalStateException(
+          "min/max state has dirty keys but no corpus supplier — use " +
+            "maintainWithExtremes")).apply()
+        val rec = corpusDf
+          .join(broadcast(dirtyKeys), keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(
+            (if (extremes.head.isMin) min(extremes.head.expr)
+             else max(extremes.head.expr)).as(extremes.head.name + "__rec"),
+            extremes.tail.map(x =>
+              (if (x.isMin) min(x.expr) else max(x.expr)).as(x.name + "__rec")): _*)
+        val m = merged.alias("m"); val r = rec.alias("r")
+        m.join(r, keys.map(k => m(k) <=> r(k)).reduce(_ && _), "left")
+          .select(
+            keys.map(k => m(k).as(k)) ++
+              merged.columns.filterNot(c => keys.contains(c) ||
+                c.endsWith("__dirty")).map(c =>
+                extremes.find(_.name == c) match {
+                  case Some(x) => when(coalesce(m(x.name + "__dirty"), lit(false)),
+                    r(x.name + "__rec")).otherwise(m(c)).as(c)
+                  case None => m(c).as(c)
+                }): _*)
+      }
+    cleaned.drop(extremes.map(_.name + "__dirty"): _*)
   }
 
   /** The maintained aggregate table: key columns, each named aggregate,

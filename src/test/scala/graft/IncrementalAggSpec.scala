@@ -208,6 +208,95 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("min/max stay exact under delete churn: inserts tighten free, deleted extremes trigger the bounded per-key recompute") {
+    val path = Files.createTempDirectory("graft_incragg_mm").toString + "/state"
+    // the live corpus the recompute reads — maintained alongside the
+    // batches exactly as a lake would be
+    var live = Vector.empty[(String, String, Long)] // (id, document, shard)
+    def corpusDf = live.toDF("id", "document", "shard")
+    val extremes = Seq(
+      IncrementalAgg.ExtremeSpec("min_len", length(col("document")).cast("double"), isMin = true),
+      IncrementalAgg.ExtremeSpec("max_len", length(col("document")).cast("double"), isMin = false))
+    def applyExt(rows: Seq[(String, String, Long, String)], id: Long): Boolean =
+      IncrementalAgg.applyDelta(spark, path,
+        IncrementalAgg.signedDelta(changeBatch(rows), keys, aggs, extremes = extremes),
+        keys, aggs.map(_._1), id, extremes, Some(() => corpusDf))
+    def stateMM(): Map[Long, (Long, Double, Double)] =
+      IncrementalAgg.readState(spark, path).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("__rows"), r.getAs[Double]("min_len"),
+            r.getAs[Double]("max_len")))).toMap
+    def recomputeMM(): Map[Long, (Long, Double, Double)] =
+      live.groupBy(_._3).map { case (k, rs) =>
+        k -> ((rs.size.toLong, rs.map(_._2.length).min.toDouble,
+          rs.map(_._2.length).max.toDouble)) }
+    def step(id: Long, ins: Seq[(String, String, Long)],
+        del: Seq[(String, String, Long)]): Unit = {
+      val batch = ins.map(r => (r._1, r._2, r._3, "insert")) ++
+        del.map(r => (r._1, r._2, r._3, "delete"))
+      live = live.filterNot(del.contains) ++ ins
+      assert(applyExt(batch, id))
+      assert(stateMM() === recomputeMM(), s"batch $id")
+    }
+    // seed two shards
+    step(0L, Seq(("a", "aaaa", 1L), ("b", "bb", 1L), ("c", "cccccc", 2L)), Nil)
+    // insert a new minimum: tightens with NO recompute path involved
+    step(1L, Seq(("d", "x", 1L)), Nil)
+    // delete a NON-extreme row: provisional extremes stand
+    step(2L, Nil, Seq(("a", "aaaa", 1L)))
+    // delete the MIN row: the stored min is stale → per-key recompute
+    step(3L, Nil, Seq(("d", "x", 1L)))
+    // delete the MAX row of shard 2 while inserting a smaller one
+    step(4L, Seq(("e", "ee", 2L)), Seq(("c", "cccccc", 2L)))
+    // upsert shape: delete+insert of one id in one batch
+    step(5L, Seq(("b", "bbbbbbbbb", 1L)), Seq(("b", "bb", 1L)))
+    // empty a shard entirely — it leaves the state
+    step(6L, Nil, Seq(("e", "ee", 2L)))
+    assert(!stateMM().contains(2L))
+    // a replayed extreme batch is still a no-op
+    assert(!applyExt(Seq(("z", "zz", 1L, "insert")), 6L))
+    assert(stateMM() === recomputeMM())
+  }
+
+  test("property: random delta sequences keep min/max equal to a from-scratch recompute") {
+    val rng = new scala.util.Random(20260815L)
+    val path = Files.createTempDirectory("graft_incragg_mmfuzz").toString + "/state"
+    var rows = Vector.empty[(Long, String)]
+    def corpusDf = rows.map { case (k, d) => ("i", d, k) }
+      .toDF("id", "document", "shard")
+    val extremes = Seq(
+      IncrementalAgg.ExtremeSpec("min_len", length(col("document")).cast("double"), isMin = true),
+      IncrementalAgg.ExtremeSpec("max_len", length(col("document")).cast("double"), isMin = false))
+    def applyExt(rows0: Seq[(String, String, Long, String)], id: Long): Boolean =
+      IncrementalAgg.applyDelta(spark, path,
+        IncrementalAgg.signedDelta(changeBatch(rows0), keys, aggs, extremes = extremes),
+        keys, aggs.map(_._1), id, extremes, Some(() => corpusDf))
+    var nextDoc = 0
+    var batchId = 0L
+    (0 until 15).foreach { step =>
+      val ins = (0 until rng.nextInt(4)).map { _ =>
+        val k = 1L + rng.nextInt(4)
+        val doc = s"d$nextDoc${"x" * rng.nextInt(6)}"; nextDoc += 1
+        (k, doc)
+      }
+      val nDel = if (rows.isEmpty) 0 else rng.nextInt(math.min(3, rows.size + 1))
+      val delIdx = rng.shuffle(rows.indices.toList).take(nDel).toSet
+      val dels = delIdx.toSeq.map(rows)
+      val batch = ins.map { case (k, d) => ("i", d, k, "insert") } ++
+        dels.map { case (k, d) => ("d", d, k, "delete") }
+      rows = rows.zipWithIndex.collect { case (r, i) if !delIdx(i) => r } ++ ins
+      assert(applyExt(batch, batchId), s"step $step"); batchId += 1
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> ((rs.size.toLong, rs.map(_._2.length).sum.toDouble,
+          rs.map(_._2.length).min.toDouble, rs.map(_._2.length).max.toDouble)) }
+      val got = IncrementalAgg.readState(spark, path).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("__rows"), r.getAs[Double]("doc_chars"),
+            r.getAs[Double]("min_len"), r.getAs[Double]("max_len")))).toMap
+      assert(got === want, s"step $step: min/max state diverged")
+    }
+  }
+
   test("end-to-end: a graft-changes subscriber maintains per-shard stats equal to recomputing over the lake") {
     val dir = Files.createTempDirectory("graft_incragg_e2e")
     val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)
@@ -247,6 +336,49 @@ class IncrementalAggSpec extends SparkSpec {
       q.processAllAvailable()
       assert(state() === recompute(),
         "after delete+upsert+append the maintained state must equal a full recompute")
+    } finally q.stop()
+  }
+
+  test("end-to-end extremes: a subscriber maintains per-shard min/max doc length, exact through deletes") {
+    val dir = Files.createTempDirectory("graft_incragg_e2emm")
+    val cfg = LakeConfig(s"$dir/lake", dim = 3, numHashes = 2)
+    val lake = Lake(spark, cfg)
+    lake.ingest(Seq(
+      ("a", Seq(1f, 0f, 0f), "alpha doc longer"), ("b", Seq(0f, 1f, 0f), "beta"),
+      ("c", Seq(0.9f, 0.1f, 0f), "gamma gamma"), ("d", Seq(-1f, 0f, 0f), "x"))
+      .toDF("id", "vector", "document"))
+    val feed = spark.readStream.format("graft-changes")
+      .option("location", cfg.location)
+      .option("dim", 3).option("numHashes", 2)
+      .load()
+    val statePath = s"$dir/state"
+    val q = IncrementalAgg.maintainWithExtremes(feed, Seq("shard"),
+      Seq("doc_chars" -> length(col("document")).cast("double")),
+      mins = Seq("min_len" -> length(col("document")).cast("double")),
+      maxs = Seq("max_len" -> length(col("document")).cast("double")),
+      corpus = () => lake.read(),
+      statePath, s"$dir/ckpt")
+    def recompute(): Map[Int, (Double, Double)] =
+      lake.read().groupBy("shard")
+        .agg(min(length(col("document")).cast("double")).as("mn"),
+          max(length(col("document")).cast("double")).as("mx"))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def state(): Map[Int, (Double, Double)] =
+      IncrementalAgg.readState(spark, statePath).collect()
+        .map(r => r.getAs[Int]("shard") ->
+          ((r.getAs[Double]("min_len"), r.getAs[Double]("max_len")))).toMap
+    def retry[T](f: => T): T =
+      Retry.onContention(maxAttempts = 100, maxDelayMs = 300)(f)
+    try {
+      q.processAllAvailable()
+      assert(state() === recompute(), "snapshot seeds the extremes")
+      // delete rows INCLUDING a shard's extreme; append a new extreme
+      retry(lake.deleteWhere(col("id") === "d")) // "x" was a min somewhere
+      retry(lake.ingest(Seq(("e", Seq(0f, 0f, 1f), "epsilon epsilon epsilon"))
+        .toDF("id", "vector", "document")))
+      q.processAllAvailable()
+      assert(state() === recompute(),
+        "after deleting an extreme row the maintained min/max must equal a full recompute")
     } finally q.stop()
   }
 }
