@@ -3276,6 +3276,73 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * this costs exactly one full scan, the floor for any audit that
     * reads every row. Zero everywhere (and -1 for unconfigured
     * columns) = healthy. */
+  /** Shards whose skip-index fingerprint no longer matches the live
+    * file set; -1 = no index present (shared by [[validate]] and
+    * [[maintain]]). Driver-side metadata only. */
+  private def skipStaleCount(): Long = try {
+    val fs = fsOfRoot
+    readSkipIndex(fs) match {
+      case None => -1L
+      case Some(idx) =>
+        liveShardFiles(fs, readState()).count { case (v, fl) =>
+          !idx.get(v).exists(
+            _._1 == graft.operators.SkipIndex.fingerprint(fl))
+        }.toLong
+    }
+  } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Whether the `_zone` map has degraded enough that a rebuild is
+    * justified: part-file bloat past the refresh auto-compact cap, or
+    * dead-entry bloat (map rows from retired files at 2x the live
+    * file count — rewrites leave old entries behind; only a rebuild
+    * drops them). False when no map exists: [[maintain]] refreshes
+    * what the operator built, it never builds new indexes. */
+  private def zoneNeedsRebuild(): Boolean = try {
+    val fs = fsOfRoot
+    if (!fs.exists(zonePath)) return false
+    val parts = fs.listStatus(zonePath)
+      .count(p => p.isFile && p.getPath.getName.endsWith(".parquet"))
+    if (parts > Lake.zonePartCap) return true
+    val liveFiles = liveShardFiles(fs, readState()).values.map(_.size.toLong).sum
+    val mapRows = readZone(fs).map(_.count()).getOrElse(0L)
+    mapRows > 2L * math.max(1L, liveFiles)
+  } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** ONE-CALL MAINTENANCE POLICY — what a platform team crons. Reads
+    * the lake's own health signals and runs ONLY the work they
+    * justify, so repeated calls on a converged lake are cheap no-ops
+    * and a churned lake converges in one or two calls:
+    *
+    *  1. [[compactIncremental]] — rewrites only shards whose file
+    *     count exceeds what their bytes justify (clean shards stay
+    *     bit-identical);
+    *  2. [[buildSkipIndex]] — only when [[skipStaleCount]] shows
+    *     shards whose sketches no longer match their live files, and
+    *     only if an index exists (maintain refreshes, never installs);
+    *  3. [[buildZoneMap]] (with the map's own recorded field spec) —
+    *     only on part-file or dead-entry bloat ([[zoneNeedsRebuild]]);
+    *  4. [[vacuum]]`(retainMs)` — sweeps dead generations and
+    *     superseded sidecars older than the consumer window.
+    *
+    * Each step takes the exclusive writer lock itself; a collision
+    * with in-flight appends throws `ConcurrentModificationException`
+    * like any maintenance op — retry on the next cadence tick. Work
+    * per call is bounded by what actually churned: O(dirty shards)
+    * rewrite + O(map)/O(shards) index refreshes + O(dead dirs) sweep.
+    * Returns what ran. */
+  def maintain(targetBytes: Long = 128L * 1024L * 1024L,
+      maxFilesPerShard: Int = 4,
+      retainMs: Long = 7L * 24 * 3600 * 1000): Lake.MaintenanceReport = {
+    if (!exists()) return Lake.MaintenanceReport(0L, false, false, 0L)
+    val compacted = compactIncremental(targetBytes,
+      maxFilesPerShard = maxFilesPerShard)
+    val skip = skipStaleCount() > 0L && { buildSkipIndex(); true }
+    val zone = zoneNeedsRebuild() && {
+      buildZoneMap(zoneSpecFields(fsOfRoot)); true }
+    val swept = vacuum(retainMs = retainMs)
+    Lake.MaintenanceReport(compacted, skip, zone, swept)
+  }
+
   def validate(): DataFrame = {
     val df = read()
     // every branch must be an AGGREGATE expression (a bare literal is
@@ -3300,17 +3367,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // skip-index health, computed driver-side from listings (it is
     // metadata, not rows): shards whose recorded fingerprint no longer
     // matches the live file set; -1 = no index present
-    val skipStale: Long = try {
-      val fs = fsOfRoot
-      readSkipIndex(fs) match {
-        case None => -1L
-        case Some(idx) =>
-          liveShardFiles(fs, readState()).count { case (v, fl) =>
-            !idx.get(v).exists(
-              _._1 == graft.operators.SkipIndex.fingerprint(fl))
-          }.toLong
-      }
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+    val skipStale: Long = skipStaleCount()
     // functions.count is shadowed by Lake.count() inside this class
     val rowsAgg = org.apache.spark.sql.functions.count(lit(1))
     // schema-evolution drift visibility: rows all-null across every
@@ -3648,6 +3705,12 @@ object Lake {
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
+
+  /** What one [[Lake.maintain]] call actually ran — all-zero/false on
+    * a converged lake. */
+  final case class MaintenanceReport(
+      compactedShards: Long, skipRefreshed: Boolean,
+      zoneRebuilt: Boolean, vacuumSwept: Long)
 
   /** `_zone` part-file count past which an append's refresh compacts
     * the map into one part (see `compactZoneParts`). System-property

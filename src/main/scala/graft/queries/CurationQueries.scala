@@ -367,6 +367,11 @@ object CurationQueries {
             col("embedding").as("vector"),
             concat(lit("new-"), col("vec_id")).as("document"))
         l.upsert(replace.unionByName(fresh))
+        // the one-call maintenance policy over the churned tree:
+        // compacts the delete/upsert file bloat, sweeps dead
+        // generations — the oracle equality below proves it preserved
+        // every surviving row, byte-for-byte
+        l.maintain(retainMs = 0L)
         l
       }
       lake.read()
