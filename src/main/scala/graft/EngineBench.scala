@@ -596,3 +596,257 @@ object ZoneBench {
     spark.stop()
   }
 }
+
+/** Convergence slope for [[Lake.maintain]] — the one-call policy loop a
+  * platform team crons. Churns a lake (tiny appends, rewrites, deletes),
+  * then runs maintain() repeatedly: call #1 must do the justified work,
+  * call #2+ must no-op in bounded time (the policy reads health signals,
+  * it never blindly rewrites). Two lake sizes show the no-op cost does
+  * not grow with the lake. Args: [dim] [sizes...]. */
+object MaintainBench {
+  def main(args: Array[String]): Unit = {
+    val dim = if (args.length > 0) args(0).toInt else 16
+    val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(20000, 200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val chunkRows = 5000L
+    sizes.foreach { n =>
+      val lake = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_maintain_bench_$n", dim = dim,
+        numHashes = 4))
+      lake.delete()
+      def chunk(c: Long) = spark.range(c * chunkRows, (c + 1) * chunkRows)
+        .select(col("id").as("num"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => sin(col("id") * 7919 + i * 104729) * 0.15)
+            .cast("array<float>").as("vector"))
+        .select(concat(lit("r"), col("num")).as("id"), col("vector"),
+          concat(lit("doc-"), col("num")).as("document"),
+          timestamp_seconds(lit(c * 86400L)).as("timestamp"))
+      val chunks = n / chunkRows.toInt
+      (0L until chunks.toLong).foreach(c => lake.ingest(chunk(c)))
+      lake.buildSkipIndex(); lake.buildZoneMap()
+      // churn: a rewrite (dead generation + stale sketches) + more appends
+      lake.deleteWhere(col("id") === "r0")
+      (0L until 4L).foreach(c => lake.ingest(chunk(chunks + c)))
+      val filesBefore = lake.read().inputFiles.length
+      val (t1, r1) = time(lake.maintain(
+        targetBytes = 64L * 1024 * 1024, maxFilesPerShard = 2, retainMs = 0L))
+      val filesAfter1 = lake.read().inputFiles.length
+      val (t2, r2) = time(lake.maintain(
+        targetBytes = 64L * 1024 * 1024, maxFilesPerShard = 2, retainMs = 0L))
+      val (t3, r3) = time(lake.maintain(
+        targetBytes = 64L * 1024 * 1024, maxFilesPerShard = 2, retainMs = 0L))
+      val stale = lake.validate().select("skip_stale").head().getLong(0)
+      println(s"""{"probe":"maintain","rows":${n + 4 * chunkRows},"dim":$dim,""" +
+        s""""files_before":$filesBefore,"files_after":$filesAfter1,""" +
+        s""""call1_sec":${f"$t1%.2f"},"call1_compacted":${r1.compactedShards},""" +
+        s""""call1_swept":${r1.vacuumSwept},"call1_skip":${r1.skipRefreshed},""" +
+        s""""call1_zone":${r1.zoneRebuilt},""" +
+        s""""call2_sec":${f"$t2%.2f"},"call2_compacted":${r2.compactedShards},""" +
+        s""""call2_swept":${r2.vacuumSwept},""" +
+        s""""call3_sec":${f"$t3%.2f"},"call3_compacted":${r3.compactedShards},""" +
+        s""""skip_stale_after":$stale}""")
+      lake.delete()
+    }
+    spark.stop()
+  }
+}
+
+/** Cost curve for [[Lake.topKAtRecall]] — what each recall target
+  * actually costs once [[Lake.calibrateRecall]] has measured the
+  * multiprobe ladder. Builds a lake, calibrates, then serves held-out
+  * queries at rising targets, reporting the files each target's chosen
+  * dial opens, the median seconds, and the ACHIEVED recall against the
+  * exact scan. Args: [n] [dim] [numHashes]. */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 200000
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val numHashes = if (args.length > 2) args(2).toInt else 5
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    // TWO corpus regimes bracket real embedding data:
+    //  - "clustered": a gaussian mixture — neighbors share the query's
+    //    LSH cell, the ladder saturates at nprobe 1, and the dial
+    //    serves ANY target from one shard (the routing cut in full);
+    //  - "uniform": structureless vectors — neighbors scatter across
+    //    every shard, no nprobe short of all-shards reaches a high
+    //    target, and topKAtRecall falls back to the EXACT scan rather
+    //    than silently missing the promise (the contract's other half).
+    // files RESOLVED BY a scan after partition pruning (Dataset
+    // .inputFiles ignores partition filters, so it cannot tell a
+    // pruned probe from a full scan); recurses through AQE
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+        }.flatten
+      scans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length.toLong).sum
+    }
+    // deterministic high-dim pseudorandom component in [-0.5, 0.5]:
+    // xxhash64 per (row, dimension, salt) — NOT a phase-shifted
+    // sinusoid, which would collapse every vector into one 2-D plane
+    // and make any routing measurement degenerate
+    def h(row: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
+        salt: String): org.apache.spark.sql.Column =
+      pmod(xxhash64(row, i, lit(salt)), lit(1000003L)).cast("double") /
+        1000003.0 - 0.5
+    // TWO corpus regimes bracket real embedding data:
+    //  - "clustered": a mixture around 64 well-separated centers —
+    //    neighbors mostly share the query's LSH cell, the ladder opens
+    //    high and saturates fast, and a cheap nprobe serves every
+    //    target (the routing cut in full);
+    //  - "uniform": structureless vectors — neighbors scatter across
+    //    shards, the ladder stays low, and topKAtRecall falls back to
+    //    the EXACT scan for unreachable targets rather than silently
+    //    missing the promise (the contract's other half).
+    Seq("clustered", "uniform").foreach { regime =>
+      val clusters = 64
+      val lake = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_recall_bench_$regime",
+        dim = dim, numHashes = numHashes))
+      lake.delete()
+      def vecFor(rows: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = rows
+        .select(col("id").as("num"),
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (if (regime == "clustered") h(col("id") % clusters, i, "ctr")
+             else lit(0.0)) + h(col("id"), i, "nz") * 0.35)
+            .cast("array<float>").as("vector"))
+        .select(concat(lit("r"), col("num")).as("id"), col("vector"),
+          concat(lit("doc-"), col("num")).as("document"))
+      lake.ingest(vecFor(spark.range(n.toLong).toDF("id")))
+      val (tCal, ladder) = time(lake.calibrateRecall(k = k, sampleQueries = 32))
+      println(s"""{"probe":"recall_ladder","regime":"$regime","rows":$n,""" +
+        s""""num_hashes":$numHashes,"calib_sec":${f"$tCal%.1f"},""" +
+        s""""ladder":[${ladder.map(r => f"$r%.3f").mkString(",")}]}""")
+      // held-out queries: generated by the same corpus process from
+      // ids OUTSIDE the ingested range — near the corpus, not in it
+      val heldOut = vecFor(
+        spark.range(n.toLong + 1000L, n.toLong + 1016L).toDF("id"))
+        .select(graft.functions.VectorFunctions.asDouble(col("vector")))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Double]](0).toSeq).toSeq
+      val exactTimes = Array.newBuilder[Double]
+      var exactFiles = 0L
+      val exact = heldOut.map { q =>
+        val (t, ids) = time {
+          val df = lake.topKExact(q, k)
+          val ids = df.select("id").collect().map(_.getString(0)).toSet
+          exactFiles += scannedFiles(df)
+          ids
+        }
+        exactTimes += t; ids
+      }
+      val ets = exactTimes.result().sorted
+      println(s"""{"probe":"recall_exact","regime":"$regime",""" +
+        s""""files_per_query":${exactFiles / heldOut.size},""" +
+        s""""median_sec":${f"${ets(ets.length / 2)}%.3f"}}""")
+      Seq(0.5, 0.8, 0.9, 0.95, 1.0).foreach { target =>
+        val times = Array.newBuilder[Double]
+        var files = 0L
+        val got = heldOut.map { q =>
+          val (t, ids) = time {
+            val df = lake.topKAtRecall(q, k, target)
+            val ids = df.select("id").collect().map(_.getString(0)).toSet
+            files += scannedFiles(df)
+            ids
+          }
+          times += t; ids
+        }
+        val achieved = exact.zip(got)
+          .map { case (e, g) => e.intersect(g).size.toDouble / e.size }
+        val ts = times.result().sorted
+        println(s"""{"probe":"recall_cost","regime":"$regime",""" +
+          s""""target":$target,""" +
+          s""""achieved":${f"${achieved.sum / achieved.size}%.3f"},""" +
+          s""""files_per_query":${files / heldOut.size},""" +
+          s""""median_sec":${f"${ts(ts.length / 2)}%.3f"}}""")
+      }
+      lake.delete()
+    }
+    spark.stop()
+  }
+}
+
+/** Streaming-sink overhead probe: the exactly-once ledger
+  * ([[Lake.ingestExactlyOnce]]) vs the plain append it wraps, same
+  * batches — the delta is the protocol cost a `writeStream.format
+  * ("graft")` user pays per micro-batch (two tiny root-file writes).
+  * Args: [batches] [rowsPerBatch] [dim]. */
+object SinkBench {
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.length > 0) args(0).toInt else 20
+    val rowsPer = if (args.length > 1) args(1).toLong else 5000L
+    val dim = if (args.length > 2) args(2).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    def chunk(c: Long) = spark.range(c * rowsPer, (c + 1) * rowsPer)
+      .select(col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(concat(lit("r"), col("num")).as("id"), col("vector"),
+        concat(lit("doc-"), col("num")).as("document"))
+    def run(mode: String, tag: String, report: Boolean): Unit = {
+      val lake = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_sink_bench_$tag", dim = dim,
+        numHashes = 4))
+      lake.delete()
+      val (t, _) = time {
+        (0L until batches.toLong).foreach { b =>
+          if (mode == "plain") lake.ingest(chunk(b))
+          else lake.ingestExactlyOnce(chunk(b), "bench-sink", b)
+        }
+      }
+      if (report)
+        println(s"""{"probe":"sink_$mode","batches":$batches,""" +
+          s""""rows_per_batch":$rowsPer,"total_sec":${f"$t%.2f"},""" +
+          s""""sec_per_batch":${f"${t / batches}%.3f"},""" +
+          s""""rows":${lake.read().count()}}""")
+      lake.delete()
+    }
+    // warm-up pass per mode first: the first lake-write path through a
+    // fresh JVM pays codegen/classload that would otherwise be billed
+    // to whichever mode runs first
+    run("plain", "warm_p", report = false)
+    run("sink", "warm_s", report = false)
+    run("plain", "p", report = true)
+    run("sink", "s", report = true)
+    spark.stop()
+  }
+}

@@ -186,6 +186,132 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     refreshZoneMap(out.files)
   }
 
+  /** EXACTLY-ONCE ingest for the registered streaming SINK
+    * (`df.writeStream.format("graft")`, [[graft.sources.GraftSink]]):
+    * [[ingest]] semantics plus idempotent micro-batch replay. Returns
+    * false when the batch was already committed (the replay no-op).
+    *
+    * Structured Streaming guarantees a replayed micro-batch carries
+    * the SAME `batchId` with the SAME data, so exactly-once reduces to
+    * idempotent commit. The protocol, all under the shared append gate:
+    *
+    *  1. LEDGER CHECK — `_sink.<id>.<batch>.json` versions at the root
+    *     record the newest committed batch per sink identity (atomic
+    *     CREATE per commit, reader takes the max — the sidecar
+    *     pattern). `batchId` at or below it: already committed, skip.
+    *  2. TORN-ATTEMPT SWEEP — a pend marker left by a crashed attempt
+    *     of THIS batch means some of its files may already sit in the
+    *     live tree; they are identifiable BY NAME (every published
+    *     file of a sink batch is prefixed `sink-<id>-<batchHex>-`,
+    *     [[writeAppend]]'s `fileTag`) and are deleted before the
+    *     rewrite, so replay converges instead of duplicating.
+    *  3. PEND MARKER — `_append.<id>-<batchHex>.lock` is created
+    *     before any file lands and deleted only AFTER the ledger
+    *     commit. It matches the shared append-marker pattern, so a
+    *     crash mid-batch BLOCKS maintenance (exactly like a crashed
+    *     plain append) until the sink restarts and self-heals — a
+    *     compact running between crash and replay would merge the torn
+    *     files beyond the sweep's reach. Force-clearing the marker
+    *     (`repair()`/`vacuum(force)`) and then compacting before the
+    *     sink restarts is the one documented way to defeat the sweep;
+    *     the marker's json names the sink and batch for exactly that
+    *     inspection.
+    *  4. WRITE + LEDGER — the tagged append, the skip/zone refreshes
+    *     (idempotent recomputes), then the ledger version create. A
+    *     crash after the ledger but before the pend delete is healed
+    *     by the replay's skip branch, which clears the stale marker.
+    *
+    * 100 TB posture: the happy path adds two tiny root files per batch
+    * (marker + ledger version, older versions swept inline) on top of
+    * [[ingest]]'s cost; the tree-wide sweep LIST runs only on the
+    * torn-replay path. Delta's streaming sink records the same
+    * (queryId, batchId) watermark in its transaction log — here the
+    * layout has no atomic multi-file commit, so the name-tagged sweep
+    * stands in for log atomicity. */
+  private[graft] def ingestExactlyOnce(rows: DataFrame, sinkId: String,
+      batchId: Long): Boolean = withAppendLock("sink-batch") {
+    val fs = fsOfRoot
+    val idHex = Lake.sinkIdHex(sinkId)
+    val pend = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_append.$idHex-${java.lang.Long.toHexString(batchId)}.lock")
+    if (sinkLedger(fs, idHex).exists(_ >= batchId)) {
+      // already committed: the crash (if any) fell in the narrow
+      // ledger→marker-delete window — clear the stale marker so
+      // maintenance stops being blocked, and skip the batch
+      try { fs.delete(pend, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      false
+    } else {
+      requirePqModelMatch()
+      val tag = s"$idHex-${java.lang.Long.toHexString(batchId)}"
+      if (fs.exists(pend)) sweepSinkFiles(fs, tag)
+      val out0 = fs.create(pend, true)
+      try out0.write(
+        (s"""{"op": "sink-batch", "sink": "$idHex", "batch": $batchId, """ +
+          s""""taken_at": "${java.time.Instant.now()}"}""").getBytes("UTF-8"))
+      finally out0.close()
+      val out = writeAppend(withDerived(rows), fileTag = Some(tag))
+      refreshSkipIndex(out.shards)
+      refreshZoneMap(out.files)
+      writeSinkLedger(fs, idHex, batchId)
+      fs.delete(pend, false)
+      true
+    }
+  }
+
+  /** Newest committed batch id for sink `idHex`, from the root's
+    * `_sink.<id>.<batch>.json` ledger versions. */
+  private def sinkLedger(fs: org.apache.hadoop.fs.FileSystem,
+      idHex: String): Option[Long] = {
+    val re = ("_sink\\." + java.util.regex.Pattern.quote(idHex) +
+      "\\.(\\d+)\\.json").r
+    listRoot(fs).flatMap(s => s.getPath.getName match {
+      case re(b) if s.isFile => Some(b.toLong)
+      case _ => None
+    }).sorted.lastOption
+  }
+
+  /** Atomic-create ledger version for (sink, batch); sweeps all but the
+    * newest two versions of this sink best-effort (same rotation
+    * posture as the `_meta` sidecar). */
+  private def writeSinkLedger(fs: org.apache.hadoop.fs.FileSystem,
+      idHex: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_sink.$idHex.$batchId.json")
+    val out = fs.create(p, false) // replays are gate-serialized; a name
+    try out.write(                // collision here is a protocol bug
+      s"""{"sink": "$idHex", "batch": $batchId, "committed_at": "${java.time.Instant.now()}"}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    try {
+      val re = ("_sink\\." + java.util.regex.Pattern.quote(idHex) +
+        "\\.(\\d+)\\.json").r
+      listRoot(fs).flatMap(s => s.getPath.getName match {
+        case re(b) if s.isFile => Some(b.toLong -> s.getPath)
+        case _ => None
+      }).sortBy(_._1).dropRight(2).foreach(v => fs.delete(v._2, false))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Delete every live-tree file a torn attempt of this sink batch
+    * published (identified by the `sink-<tag>-` name prefix). Runs only
+    * on the torn-replay path; cost is one current-generation tree LIST.
+    * The torn files all sit in the CURRENT generation: appends only
+    * land there, and the pend marker has blocked every maintenance op
+    * (nothing can have moved them) since the torn attempt. */
+  private def sweepSinkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      tag: String): Unit = {
+    val gen = genPath(readState().generation)
+    if (!fs.exists(gen)) return
+    fs.listStatus(gen)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(s"sink-$tag-"))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+  }
+
   /** Fail-fast EXCLUSIVE gate for the structure-mutating ops
     * ([[deleteWhere]], [[upsert]], [[compact]], [[vacuum]], [[seal]],
     * stream-start): a marker-file create (`FileSystem.create` with
@@ -449,8 +575,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * Caller holds the shared OR exclusive gate, so the generation
     * pointer cannot move between the state read and the move, and the
     * closing stamp republishes a state no maintenance commit can be
-    * concurrently replacing. */
-  private def writeAppend(derived: DataFrame): Lake.Appended = {
+    * concurrently replacing.
+    *
+    * `fileTag` (the streaming-sink path, [[ingestExactlyOnce]])
+    * prefixes every published filename with `sink-<tag>-` so a torn
+    * batch's files are IDENTIFIABLE by name on replay — the sweep that
+    * makes the sink's replay idempotent. Plain appends stay untagged. */
+  private def writeAppend(derived: DataFrame,
+      fileTag: Option[String] = None): Lake.Appended = {
     routingChecked // never append rows routed under foreign hyperplanes
     val fs = fsOfRoot
     val st = readState()
@@ -484,7 +616,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       val tgt = new org.apache.hadoop.fs.Path(gen, d.getPath.getName)
       fs.mkdirs(tgt)
       dataFilesIn(fs, d.getPath).foreach { f =>
-        val dst = new org.apache.hadoop.fs.Path(tgt, f.getPath.getName)
+        val dstName = fileTag match {
+          case Some(t) => s"sink-$t-${f.getPath.getName}"
+          case None    => f.getPath.getName
+        }
+        val dst = new org.apache.hadoop.fs.Path(tgt, dstName)
         if (!fs.rename(f.getPath, dst))
           throw new java.io.IOException(
             s"append publish failed: could not move ${f.getPath} to $dst")
@@ -3723,6 +3859,15 @@ object Lake {
     * Appends hold one of these (any number concurrently) instead of the
     * exclusive `_lock`; maintenance refuses while any is present. */
   private[graft] val appendMarkerRe = "_append\\.[0-9a-f-]+\\.lock".r
+
+  /** Stable 12-hex sink identity from the user-visible sink id (the
+    * query's checkpoint location): what names the sink's ledger files,
+    * pend markers, and file-name tags. SHA-256-based so two checkpoints
+    * differing anywhere get distinct identities. */
+  private[graft] def sinkIdHex(sinkId: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sinkId.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
 
   /** What one staged append published: the partition values it landed
     * files in (skip-index refresh scope) and the published data-file

@@ -5,7 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.StreamSinkProvider
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -53,10 +56,17 @@ import graft.{Lake, LakeConfig}
   * names as `graft-changes`). `asOf` takes any sidecar version from
   * [[graft.Lake.history]]; a vacuumed version fails loudly.
   *
-  * Writes are REFUSED by capability: an INSERT landing raw parquet
-  * under the root would bypass shard routing, id/timestamp derivation,
-  * the staged publish, and the manifest — use [[graft.Lake.ingest]].
-  * Streaming reads go through the registered `graft-changes` source.
+  * BATCH writes are REFUSED by capability: an INSERT landing raw
+  * parquet under the root would bypass shard routing, id/timestamp
+  * derivation, the staged publish, and the manifest — use
+  * [[graft.Lake.ingest]]. STREAMING writes are supported
+  * (`df.writeStream.format("graft")` → [[GraftSink]], exactly-once
+  * via [[graft.Lake.ingestExactlyOnce]]'s batch ledger), because a
+  * streaming write IS routed ingest — the sink runs the same derive +
+  * staged-publish path as the Scala API. Streaming reads go through
+  * the registered `graft-changes` source; together the three close
+  * the loop `readStream(graft-changes) → transform →
+  * writeStream(graft)` without a line of Scala.
   *
   * 100 TB posture: table resolution is one sidecar read + one root
   * listing + O(live dirs) path construction — the same control-plane
@@ -66,10 +76,44 @@ import graft.{Lake, LakeConfig}
   * Reference: the engine's SQL face; the reference has no SQL surface
   * at all (vector_lake exposes only the Python API, index.py).
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   import GraftDataSource._
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the v1 sink hook.
+    * `DataStreamWriter` reaches it by fallback: [[GraftTable]] does not
+    * declare STREAMING_WRITE, so the v2 path yields to `createV1Sink`
+    * (the same route Delta's streaming sink takes, and for the same
+    * reason — a lake commit is a driver-coordinated transaction, not
+    * per-partition writer commits). Append mode only: a lake is
+    * append-only through this surface (updates are [[graft.Lake.upsert]],
+    * an explicit keyed API, not a silent stream semantics switch), and
+    * partitioning is the lake's own shard routing, never the query's. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode — " +
+        "aggregating streams should write through " +
+        "foreachBatch + Lake.upsert, which makes the update keys explicit")
+    require(partitionColumns.isEmpty,
+      "graft sink refuses partitionBy: the lake routes its own shard " +
+        "partitioning (LSH or the configured partitionKey)")
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val cfg = resolveConfig(sqlContext.sparkSession, opts)
+    // sink identity = the query's checkpoint location (stable across
+    // restarts, distinct across queries — the property the exactly-once
+    // ledger needs); an explicit sinkId option overrides
+    val sinkId = opt(opts, "sinkId")
+      .orElse(opt(opts, "checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs .option(\"checkpointLocation\", ...) (or an " +
+          "explicit .option(\"sinkId\", ...)): the exactly-once batch " +
+          "ledger is keyed by it"))
+    new GraftSink(sqlContext.sparkSession, cfg, sinkId)
+  }
 
   // schema comes from the lake itself (sidecar + footers), never from
   // CREATE TABLE column lists — a user-declared schema drifting from
@@ -162,12 +206,14 @@ object GraftDataSource {
       case Some(_) => null
     }
 
-  /** Resolve options + sidecar into the lake and its scan roots, and
-    * wrap the stock DSv2 parquet table over them. Called once per
-    * query resolution, so every SELECT sees the CURRENT live set (or
-    * the pinned `asOf` snapshot). */
-  private def makeTable(options: CaseInsensitiveStringMap): GraftTable = {
-    val spark = SparkSession.active
+  /** Options + sidecar → the lake config, shared by the batch READ
+    * path ([[makeTable]]) and the streaming SINK ([[GraftSink]]) so
+    * the two surfaces can never resolve one lake differently. The
+    * sidecar is authoritative for an existing lake; explicit options
+    * override (and are REQUIRED — `dim` at least — to bootstrap a
+    * brand-new lake through the sink). */
+  private[graft] def resolveConfig(spark: SparkSession,
+      options: CaseInsensitiveStringMap): LakeConfig = {
     val location = opt(options, "path").orElse(opt(options, "location"))
       .getOrElse(throw new IllegalArgumentException(
         "graft format needs a path: spark.read.format(\"graft\").load(path) " +
@@ -187,7 +233,7 @@ object GraftDataSource {
       .orElse(sidecarShards.filter(_ > 0)
         .map(ns => java.lang.Long.numberOfTrailingZeros(ns)))
       .getOrElse(8)
-    val cfg = LakeConfig(
+    LakeConfig(
       location = location,
       dim = dim,
       numHashes = numHashes,
@@ -198,6 +244,16 @@ object GraftDataSource {
       partitionKey = opt(options, "partitionKey")
         .orElse(if (userKeyed) Some("key") else None),
       packSignBits = opt(options, "packSignBits").exists(_.toBoolean))
+  }
+
+  /** Resolve options + sidecar into the lake and its scan roots, and
+    * wrap the stock DSv2 parquet table over them. Called once per
+    * query resolution, so every SELECT sees the CURRENT live set (or
+    * the pinned `asOf` snapshot). */
+  private def makeTable(options: CaseInsensitiveStringMap): GraftTable = {
+    val spark = SparkSession.active
+    val cfg = resolveConfig(spark, options)
+    val location = cfg.location
     val lake = Lake(spark, cfg)
     val asOf = opt(options, "asOf").map(_.toLong)
     val roots = lake.scanRoots(asOf)
@@ -262,4 +318,32 @@ final class GraftTable(
         "under the lake root would bypass shard routing, id/timestamp " +
         "derivation, the staged publish, and the manifest — write " +
         "through Lake.ingest / upsert / deleteWhere.")
+}
+
+/** The registered streaming SINK behind `writeStream.format("graft")`:
+  * each micro-batch is one routed, staged-publish lake append, made
+  * exactly-once by [[graft.Lake.ingestExactlyOnce]]'s batch ledger
+  * (protocol scaladoc there). The batch frame is pinned to its planned
+  * row RDD before ingest ([[org.apache.spark.sql.GraftShims.asBatchFrame]])
+  * — the v1 addBatch contract — and then flows through the IDENTICAL
+  * derive + publish path as [[graft.Lake.ingest]], so batch and
+  * streaming writers can never diverge on routing, metadata coercion,
+  * or schema evolution extras. Fully distributed: the sink adds no
+  * collect and no driver-side rows; its per-batch overhead over a plain
+  * append is two tiny root-file writes.
+  *
+  * Reference: the reference has no streaming surface at all (SURVEY.md
+  * §2.10); this is the engine's continuous-ingest face for SQL/PySpark
+  * users, the write-side twin of the `graft-changes` source. */
+final class GraftSink(spark: SparkSession, cfg: LakeConfig, sinkId: String)
+  extends Sink {
+  private val lake = Lake(spark, cfg)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    lake.ingestExactlyOnce(
+      org.apache.spark.sql.GraftShims.asBatchFrame(data), sinkId, batchId)
+    ()
+  }
+
+  override def toString: String = s"GraftSink[${cfg.location}]"
 }

@@ -26,6 +26,20 @@ object GraftShims {
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The INVERSE of [[asStreamingFrame]], for the v1 `Sink.addBatch`
+    * contract: pin the micro-batch DataFrame a sink receives to its
+    * already-planned row RDD and re-expose it as a PLAIN batch frame.
+    * Transformations on the frame addBatch hands over re-enter the
+    * incremental planner; the pinned wrap plans like any batch source
+    * (DeltaSink does the identical wrap through this same
+    * `private[sql]` door). Still fully distributed — `toRdd` is the
+    * lazy physical plan, not collected rows. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Driver-side twin of the `xxhash64(string)` SQL function (seed 42) —
     * what `BloomFilterAggregate` stored via [[graft.operators.BloomJoin]],
     * so a handful of ids can be tested against collected sketches

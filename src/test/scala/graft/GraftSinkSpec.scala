@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.GraftDataSource
+
+/** The registered streaming SINK (`writeStream.format("graft")`):
+  * end-to-end micro-batch ingest, restart continuation, the
+  * exactly-once ledger (replay skip + torn-attempt sweep), the
+  * read-loop with the `graft-changes` source, and the surface
+  * refusals (output mode, partitionBy, missing checkpoint). */
+class GraftSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink_spec").toString
+
+  private def fsOf(loc: String) =
+    new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("writeStream format(graft): micro-batches land as routed lake appends; restart continues without dupes") {
+    implicit val sqlCtx = spark.sqlContext
+    val loc = tmp() + "/lake"
+    val cp = tmp() + "/cp"
+    val stream = MemoryStream[(Seq[Float], String)]
+    def start() = stream.toDF().toDF("vector", "document")
+      .writeStream.format("graft")
+      .option("path", loc)
+      .option("checkpointLocation", cp)
+      .option("dim", "4").option("numHashes", "2")
+      .start()
+
+    val q1 = start()
+    try {
+      stream.addData(Seq(1f, 0f, 0f, 0f) -> "a", Seq(0f, 1f, 0f, 0f) -> "b")
+      q1.processAllAvailable()
+      stream.addData(Seq(0f, 0f, 1f, 0f) -> "c")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val afterFirst = lake.read()
+    assert(afterFirst.count() === 3)
+    // full derive path ran: uuid ids, default metadata, shard routing
+    assert(afterFirst.select("id").as[String].collect().forall(_.nonEmpty))
+    assert(afterFirst.select("shard").distinct().count() >= 1)
+
+    // restart from the same checkpoint: committed batches replay as
+    // no-ops (ledger), new data appends
+    val q2 = start()
+    try {
+      stream.addData(Seq(0f, 0f, 0f, 1f) -> "d")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(lake.read().count() === 4)
+    assert(lake.read().select("document").as[String].collect().toSet ===
+      Set("a", "b", "c", "d"))
+  }
+
+  test("ingestExactlyOnce: a replayed batchId is skipped, out-of-order old batches refused by the ledger") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val rows = Seq((Seq(1f, 0f, 0f, 0f), "x")).toDF("vector", "document")
+    assert(lake.ingestExactlyOnce(rows, "sink-a", 0L))
+    assert(!lake.ingestExactlyOnce(rows, "sink-a", 0L)) // exact replay
+    assert(lake.read().count() === 1)
+    assert(lake.ingestExactlyOnce(rows, "sink-a", 1L))
+    assert(!lake.ingestExactlyOnce(rows, "sink-a", 0L)) // stale replay
+    assert(lake.read().count() === 2)
+    // a DIFFERENT sink identity has its own ledger
+    assert(lake.ingestExactlyOnce(rows, "sink-b", 0L))
+    assert(lake.read().count() === 3)
+  }
+
+  test("torn-attempt sweep: a crashed batch's published files are replaced, not duplicated, on replay") {
+    val loc = tmp() + "/lake"
+    val fs = fsOf(loc)
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val batch = Seq(
+      (Seq(1f, 0f, 0f, 0f), "p"), (Seq(0f, 1f, 0f, 0f), "q"),
+      (Seq(0f, 0f, 1f, 0f), "r")).toDF("vector", "document")
+    assert(lake.ingestExactlyOnce(batch, "sink-t", 7L))
+    assert(lake.read().count() === 3)
+
+    // simulate the crash window: files published (and even the skip/
+    // zone refreshes run) but the ledger commit never happened — delete
+    // the ledger version and restore the pend marker
+    val idHex = Lake.sinkIdHex("sink-t")
+    val ledger = new Path(loc, s"_sink.$idHex.7.json")
+    assert(fs.exists(ledger), "ledger version should exist after commit")
+    fs.delete(ledger, false)
+    val pend = new Path(loc, s"_append.$idHex-7.lock")
+    fs.create(pend, true).close()
+
+    // replay of the same batch: the sweep removes the torn files first,
+    // so the lake converges to exactly one copy
+    assert(lake.ingestExactlyOnce(batch, "sink-t", 7L))
+    assert(lake.read().count() === 3)
+    assert(lake.read().select("document").as[String].collect().sorted ===
+      Array("p", "q", "r"))
+    assert(!fs.exists(pend), "pend marker cleared after healed commit")
+  }
+
+  test("a stranded pend marker blocks maintenance (crashed sink batch = crashed append)") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "x")).toDF("vector", "document"))
+    val pend = new Path(loc, s"_append.${Lake.sinkIdHex("s")}-0.lock")
+    fsOf(loc).create(pend, true).close()
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](lake.compact())
+      assert(e.getMessage.contains("append"))
+    } finally fsOf(loc).delete(pend, false)
+    lake.compact() // and clears once the marker is gone
+  }
+
+  test("createSink refusals: output mode, partitionBy, missing checkpoint") {
+    val loc = tmp() + "/lake"
+    val ds = new GraftDataSource
+    val params = Map("path" -> loc, "dim" -> "4", "checkpointLocation" -> (tmp() + "/cp"))
+    intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, params, Nil, OutputMode.Update()))
+    intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, params, Seq("shard"), OutputMode.Append()))
+    intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, Map("path" -> loc, "dim" -> "4"),
+        Nil, OutputMode.Append()))
+    // and the happy path constructs
+    ds.createSink(spark.sqlContext, params, Nil, OutputMode.Append())
+  }
+
+  test("the full SQL-surface loop: readStream(graft-changes) -> writeStream(graft) replicates a lake") {
+    val srcLoc = tmp() + "/src"
+    val dstLoc = tmp() + "/dst"
+    val cp = tmp() + "/cp"
+    val src = Lake(spark, LakeConfig(srcLoc, dim = 4, numHashes = 2))
+    src.ingest(Seq(
+      (Seq(1f, 0f, 0f, 0f), "a"), (Seq(0f, 1f, 0f, 0f), "b"),
+      (Seq(0f, 0f, 1f, 0f), "c")).toDF("vector", "document"))
+
+    val q = spark.readStream.format("graft-changes")
+      .option("location", srcLoc).option("dim", "4").option("numHashes", "2")
+      .load()
+      .where($"change" === "insert")
+      .select("vector", "document", "metadata", "timestamp")
+      .writeStream.format("graft")
+      .option("path", dstLoc)
+      .option("checkpointLocation", cp)
+      .option("dim", "4").option("numHashes", "2")
+      .start()
+    try {
+      q.processAllAvailable()
+      src.ingest(Seq((Seq(0f, 0f, 0f, 1f), "d")).toDF("vector", "document"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dst = Lake(spark, LakeConfig(dstLoc, dim = 4, numHashes = 2))
+    assert(dst.read().select("document").as[String].collect().toSet ===
+      Set("a", "b", "c", "d"))
+    // routing matches the source lake's (same planes, same dims)
+    val bySrc = src.read().select("document", "shard")
+      .as[(String, Int)].collect().toMap
+    val byDst = dst.read().select("document", "shard")
+      .as[(String, Int)].collect().toMap
+    assert(bySrc === byDst)
+  }
+}
