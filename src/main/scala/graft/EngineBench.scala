@@ -850,3 +850,74 @@ object SinkBench {
     spark.stop()
   }
 }
+
+/** Zone-selectivity-preserving compaction probe: time-correlated
+  * ingest leaves naturally banded files; a hash-sliced compaction
+  * merges every band into every file and readTimeRange is back to
+  * opening the whole lake, while `compact(clusterBy = timestamp)`
+  * range-slices so each file keeps one contiguous band. Reports the
+  * fixed-window file count after each strategy at two lake sizes.
+  * Args: [dim] [sizes...]. */
+object BandCompactBench {
+  def main(args: Array[String]): Unit = {
+    val dim = if (args.length > 0) args(0).toInt else 16
+    val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(20000, 200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val chunkRows = 10000L
+    sizes.foreach { n =>
+      def build(tag: String): Lake = {
+        val lake = Lake(spark, LakeConfig(
+          s"${sys.props("java.io.tmpdir")}/graft_band_bench_${tag}_$n",
+          dim = dim, numHashes = 2))
+        lake.delete()
+        def chunk(c: Long) = spark.range(c * chunkRows, (c + 1) * chunkRows)
+          .select(col("id").as("num"),
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              pmod(xxhash64(col("id"), i), lit(1000003L)).cast("double") /
+                1000003.0 - 0.5)
+            .cast("array<float>").as("vector"))
+          .select(concat(lit("r"), col("num")).as("id"), col("vector"),
+            concat(lit("doc-"), col("num")).as("document"),
+            timestamp_seconds(lit(c * 86400L) + col("num") % 86400L)
+              .as("timestamp"))
+        (0L until (n / chunkRows)).foreach(c => lake.ingest(chunk(c)))
+        lake
+      }
+      def windowFiles(lake: Lake): (Long, Long, Long) = {
+        lake.buildZoneMap()
+        val df = lake.readTimeRange(java.time.Instant.ofEpochSecond(0L),
+          java.time.Instant.ofEpochSecond(86399L))
+        (df.count(), df.inputFiles.length.toLong,
+          lake.read().inputFiles.length.toLong)
+      }
+      // hash-sliced compaction (the default): bands destroyed
+      val hashed = build("hash")
+      val (tHash, filesHash) = time(hashed.compact(targetBytes = 512L * 1024))
+      val (rowsH, winH, totH) = windowFiles(hashed)
+      hashed.delete()
+      // range-sliced compaction: bands preserved
+      val banded = build("range")
+      val (tBand, filesBand) = time(banded.compact(
+        targetBytes = 512L * 1024, clusterBy = Seq(col("timestamp"))))
+      val (rowsB, winB, totB) = windowFiles(banded)
+      banded.delete()
+      println(s"""{"probe":"band_compact","rows":$n,""" +
+        s""""hash_sec":${f"$tHash%.2f"},"hash_files":$filesHash,""" +
+        s""""hash_window_files":$winH,"hash_total_files":$totH,"hash_window_rows":$rowsH,""" +
+        s""""range_sec":${f"$tBand%.2f"},"range_files":$filesBand,""" +
+        s""""range_window_files":$winB,"range_total_files":$totB,"range_window_rows":$rowsB}""")
+    }
+    spark.stop()
+  }
+}

@@ -2128,13 +2128,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * generations stay on disk until an operator-invoked [[vacuum]] —
     * the same retention posture as any log-structured table format.
     *
-    * @param clusterBy optional within-file clustering expressions: each
-    *        rewritten file is locally sorted by these (e.g. a
-    *        [[graft.operators.ZOrder]] interleave over metadata
-    *        columns) — the OPTIMIZE-ZORDER analog. Pure layout change:
-    *        rows, routing, and file sizing are untouched; what changes
-    *        is min/max-stats tightness, so post-compaction scans with
-    *        predicates on the clustered columns skip more row groups.
+    * @param clusterBy optional clustering expressions (e.g. a timestamp,
+    *        or a [[graft.operators.ZOrder]] interleave over metadata
+    *        columns) — the OPTIMIZE-ZORDER analog, at two granularities:
+    *        files are RANGE-SLICED over (shard, clusterBy) so each
+    *        rewritten file covers one contiguous key band (the per-file
+    *        `_zone` map keeps pruning after the rewrite — hash slicing
+    *        would hand every file the shard's whole key range and undo
+    *        time-correlated ingest's natural banding), and rows inside
+    *        each file are locally sorted (parquet row-group stats
+    *        tighten). Pure layout change: rows and routing untouched;
+    *        file sizing still tracks `targetBytes` through the range
+    *        sampler's row balancing.
     * @return number of data files after compaction */
   def compact(targetBytes: Long = 128L * 1024L * 1024L,
       clusterBy: Seq[Column] = Nil): Long = {
@@ -2230,16 +2235,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // the commit below
     val src = read()
     val srcRows = src.count()
-    val sliced = src
-      .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
-      .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
-      .repartition(totalSlices, col(partCol), col("_slice"))
-      .select((storedColsOf(st).map(col) :+ col(partCol)): _*)
-    // partCol leads the sort: the dynamic-partition writer requires rows
-    // ordered by the partition column and ADDS ITS OWN (non-stable) sort
-    // when the incoming order doesn't satisfy that — which would undo
-    // the clustering. Leading with partCol satisfies the requirement, so
-    // the writer keeps this exact order.
+    // Slice assignment decides what a compacted FILE spans, and that is
+    // a zone-map question: hash slices give byte-balanced files where
+    // every file spans the shard's ENTIRE key range — one compaction after
+    // time-correlated ingest and readTimeRange is back to opening every
+    // file. With clusterBy, slices are RANGE-assigned over
+    // (shard, clusterBy): repartitionByRange samples the key
+    // distribution and hands each task one contiguous band, so each
+    // output file carries a TIGHT (min, max) for the clustering key and
+    // the per-file zone map keeps pruning after the rewrite (files per
+    // shard still tracks bytes — the sampler balances rows per slice).
+    // partCol leads the sort below either way: the dynamic-partition
+    // writer requires rows ordered by the partition column and ADDS ITS
+    // OWN (non-stable) sort when the incoming order doesn't satisfy
+    // that — which would undo the clustering.
+    val sliced =
+      if (clusterBy.isEmpty)
+        src
+          .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
+          .withColumn("_slice", pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
+          .repartition(totalSlices, col(partCol), col("_slice"))
+          .select((storedColsOf(st).map(col) :+ col(partCol)): _*)
+      else
+        src
+          .repartitionByRange(totalSlices, (col(partCol) +: clusterBy): _*)
+          .select((storedColsOf(st).map(col) :+ col(partCol)): _*)
     (if (clusterBy.isEmpty) sliced
      else sliced.sortWithinPartitions((col(partCol) +: clusterBy): _*))
       .write.mode(SaveMode.Overwrite)
@@ -3164,12 +3184,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
                 if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType)))
           val total = math.max(1,
             math.min(slices.values.sum, Int.MaxValue).toInt)
-          content
-            .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
-            .withColumn("_slice",
-              pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
-            .repartition(total, col(partCol), col("_slice"))
-            .select(outCols.map(col): _*)
+          // range slices under clusterBy (tight per-file key bands that
+          // keep the zone map pruning after the rewrite — compactImpl
+          // scaladoc), hash slices otherwise
+          if (clusterBy.isEmpty)
+            content
+              .join(sliceDf, col(partCol) <=> col(partCol + "_s"), "left")
+              .withColumn("_slice",
+                pmod(abs(hash(col("id"))), coalesce(col("n_slices"), lit(1L))))
+              .repartition(total, col(partCol), col("_slice"))
+              .select(outCols.map(col): _*)
+          else
+            content
+              .repartitionByRange(total, (col(partCol) +: clusterBy): _*)
+              .select(outCols.map(col): _*)
         }
       (if (clusterBy.isEmpty) shaped
        else shaped.sortWithinPartitions((col(partCol) +: clusterBy): _*))
@@ -3468,10 +3496,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * Returns what ran. */
   def maintain(targetBytes: Long = 128L * 1024L * 1024L,
       maxFilesPerShard: Int = 4,
-      retainMs: Long = 7L * 24 * 3600 * 1000): Lake.MaintenanceReport = {
+      retainMs: Long = 7L * 24 * 3600 * 1000,
+      clusterBy: Seq[Column] = Nil): Lake.MaintenanceReport = {
     if (!exists()) return Lake.MaintenanceReport(0L, false, false, 0L)
     val compacted = compactIncremental(targetBytes,
-      maxFilesPerShard = maxFilesPerShard)
+      clusterBy = clusterBy, maxFilesPerShard = maxFilesPerShard)
     val skip = skipStaleCount() > 0L && { buildSkipIndex(); true }
     val zone = zoneNeedsRebuild() && {
       buildZoneMap(zoneSpecFields(fsOfRoot)); true }

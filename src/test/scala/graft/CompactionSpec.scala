@@ -108,6 +108,55 @@ class CompactionSpec extends SparkSpec {
     perFile.foreach(docs => assert(docs === docs.sorted, "file not clustered"))
   }
 
+  test("compact(clusterBy=timestamp) range-bands files: the zone map still prunes after the rewrite") {
+    // time-correlated ingest gives naturally banded files; a HASH-sliced
+    // compaction merges every band into every file (each file spans the
+    // whole time range — zone pruning dead), while clusterBy slices by
+    // RANGE so each file covers one contiguous band and the window read
+    // keeps opening O(window) files
+    def build(tag: String): Lake = {
+      val dir = Files.createTempDirectory(s"graft_compact_band_$tag").toString
+      val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 4,
+        partitionKey = Some("bucket"),
+        partitionKeyType = org.apache.spark.sql.types.IntegerType))
+      val rnd = new scala.util.Random(11)
+      (0 until 8).foreach { day =>
+        lake.ingest((0 until 500).map { i =>
+          (Seq.fill(4)(rnd.nextGaussian().toFloat), s"d$day-$i", 1,
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(day.toLong * 86400 + i)))
+        }.toDF("vector", "document", "bucket", "timestamp"))
+      }
+      lake
+    }
+    def windowFiles(lake: Lake): (Long, Long) = {
+      lake.buildZoneMap()
+      val df = lake.readTimeRange(java.time.Instant.ofEpochSecond(0L),
+        java.time.Instant.ofEpochSecond(86399L))
+      (df.inputFiles.length.toLong, fileCount(lake))
+    }
+
+    val hashed = build("hash")
+    assert(hashed.compact(targetBytes = 24L * 1024) > 2L,
+      "target must force a multi-file split for the contrast to exist")
+    val (hashWin, hashTotal) = windowFiles(hashed)
+    assert(hashWin === hashTotal,
+      s"hash slicing spans every file across every band ($hashWin of $hashTotal)")
+
+    val banded = build("range")
+    assert(banded.compact(targetBytes = 24L * 1024,
+      clusterBy = Seq(col("timestamp"))) > 2L)
+    val (bandWin, bandTotal) = windowFiles(banded)
+    assert(bandWin < bandTotal,
+      s"range slicing must keep the window pruned ($bandWin of $bandTotal)")
+    assert(bandWin * 2 <= bandTotal,
+      s"expected a material cut, got $bandWin of $bandTotal")
+    // identical rows either way
+    assert(banded.count() === hashed.count())
+    assert(banded.readTimeRange(java.time.Instant.ofEpochSecond(0L),
+      java.time.Instant.ofEpochSecond(86399L)).count() === 500L)
+  }
+
   test("unescapePartitionValue: foreign signed-hex forms pass through literally") {
     val dir = Files.createTempDirectory("graft_unesc").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 2))
