@@ -234,10 +234,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val idHex = Lake.sinkIdHex(sinkId)
     val pend = new org.apache.hadoop.fs.Path(cfg.location,
       s"_append.$idHex-${java.lang.Long.toHexString(batchId)}.lock")
-    if (sinkLedger(fs, idHex).exists(_ >= batchId)) {
-      // already committed: the crash (if any) fell in the narrow
-      // ledger→marker-delete window — clear the stale marker so
-      // maintenance stops being blocked, and skip the batch
+    val committed = sinkLedger(fs, idHex)
+    // a LEGITIMATE replay only ever re-delivers the ledger head (the
+    // micro-batch commit log lags addBatch by at most one batch). A
+    // batch id BELOW the head means the query's checkpoint restarted
+    // from scratch against a ledger that remembers more — the classic
+    // wiped-checkpoint-same-location accident — and skipping would
+    // silently drop every batch until the count catches up: refuse.
+    require(!committed.exists(batchId < _),
+      s"graft sink at ${cfg.location}: ledger for sink '$sinkId' has " +
+        s"committed batch ${committed.get} but the query delivered batch " +
+        s"$batchId — a reset/wiped checkpoint is reusing this sink " +
+        "identity. Restore the original checkpoint, or pass a fresh " +
+        s".option(\"sinkId\", ...) to ingest as a new sink, or delete " +
+        s"the _sink.$idHex.*.json ledger files to deliberately re-ingest " +
+        "from scratch.")
+    if (committed.exists(_ == batchId)) {
+      // the replay of the already-committed head: the crash (if any)
+      // fell in the narrow ledger→marker-delete window — clear the
+      // stale marker so maintenance stops being blocked, skip the batch
       try { fs.delete(pend, false); () }
       catch { case scala.util.control.NonFatal(_) => () }
       false

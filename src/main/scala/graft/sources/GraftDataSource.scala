@@ -120,15 +120,36 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // the stored one would null-fill or misread silently
   override def supportsExternalMetadata(): Boolean = false
 
+  // One resolution constructs the table up to THREE times through this
+  // provider instance (inferSchema → inferPartitioning → getTable, same
+  // options each time), and each construction pays the sidecar read +
+  // root listing + footer-merge schema inference. The instance is
+  // per-load (DataSource.lookupDataSource constructs a fresh provider),
+  // so memoizing on the exact options map collapses the cost to one
+  // resolution WITHOUT caching across queries — every new SELECT still
+  // re-resolves the live set.
+  @volatile private var memo: (Map[String, String], GraftTable) = null
+
+  private def tableFor(options: CaseInsensitiveStringMap): GraftTable = {
+    val key = options.asCaseSensitiveMap().asScala.toMap
+    val m = memo
+    if (m != null && m._1 == key) m._2
+    else {
+      val t = makeTable(options)
+      memo = (key, t)
+      t
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    makeTable(options).schema
+    tableFor(options).schema
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
-    makeTable(options).partitioning()
+    tableFor(options).partitioning()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    makeTable(new CaseInsensitiveStringMap(properties))
+    tableFor(new CaseInsensitiveStringMap(properties))
 }
 
 object GraftDataSource {

@@ -62,15 +62,21 @@ class GraftSinkSpec extends SparkSpec {
       Set("a", "b", "c", "d"))
   }
 
-  test("ingestExactlyOnce: a replayed batchId is skipped, out-of-order old batches refused by the ledger") {
+  test("ingestExactlyOnce: head replay skipped; a batch BELOW the ledger head refuses loudly") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
     val rows = Seq((Seq(1f, 0f, 0f, 0f), "x")).toDF("vector", "document")
     assert(lake.ingestExactlyOnce(rows, "sink-a", 0L))
-    assert(!lake.ingestExactlyOnce(rows, "sink-a", 0L)) // exact replay
+    assert(!lake.ingestExactlyOnce(rows, "sink-a", 0L)) // head replay
     assert(lake.read().count() === 1)
     assert(lake.ingestExactlyOnce(rows, "sink-a", 1L))
-    assert(!lake.ingestExactlyOnce(rows, "sink-a", 0L)) // stale replay
+    // batch 0 arriving when the ledger head is 1 is NOT a replay Spark
+    // can produce (the commit log lags by at most one): it means a
+    // wiped checkpoint is reusing this sink identity, and skipping
+    // would silently drop batches until the count caught up — refuse
+    val e = intercept[IllegalArgumentException](
+      lake.ingestExactlyOnce(rows, "sink-a", 0L))
+    assert(e.getMessage.contains("wiped checkpoint"))
     assert(lake.read().count() === 2)
     // a DIFFERENT sink identity has its own ledger
     assert(lake.ingestExactlyOnce(rows, "sink-b", 0L))
@@ -132,6 +138,21 @@ class GraftSinkSpec extends SparkSpec {
         Nil, OutputMode.Append()))
     // and the happy path constructs
     ds.createSink(spark.sqlContext, params, Nil, OutputMode.Append())
+  }
+
+  test("sink batches flow through the shared derive path: evolved columns land, pre-evolve rows null-fill") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "a")).toDF("vector", "document"))
+    lake.evolve(StructType(Seq(StructField("quality", DoubleType))))
+    assert(lake.ingestExactlyOnce(
+      Seq((Seq(0f, 1f, 0f, 0f), "b", 0.9)).toDF("vector", "document", "quality"),
+      "sink-e", 0L))
+    val got = lake.read().select("document", "quality").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map("a" -> None, "b" -> Some(0.9)))
   }
 
   test("the full SQL-surface loop: readStream(graft-changes) -> writeStream(graft) replicates a lake") {
