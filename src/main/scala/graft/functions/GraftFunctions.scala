@@ -25,9 +25,23 @@ object GraftFunctions {
     "vector_dot" -> (exprs => DotProductExpr(d(exprs(0)), d(exprs(1)))),
     "vector_sq_l2" -> (exprs => SquaredL2Expr(d(exprs(0)), d(exprs(1)))),
     "sign_pack" -> (exprs => graft.expressions.SignPackExpr(d(exprs(0)))),
-    // default 64-dim seed-42 router as a SQL function (the planes are
-    // baked into the expression tree as literals)
-    "lsh_shard" -> (exprs => Lsh.default.catalystShardExpr(exprs.head)),
+    // the shard router as a SQL function (planes baked into the
+    // expression tree as literals). One arg: the default 64-dim seed-42
+    // router. Four args — lsh_shard(vec, dim, numHashes, seed), all but
+    // the vector int literals — routes for ANY lake config, and over a
+    // LITERAL query vector the whole expression CONSTANT-FOLDS to the
+    // shard id, so `WHERE shard = lsh_shard(array(...), d, h, s)` on a
+    // `USING graft` table prunes to one directory: routed kNN in pure
+    // SQL, no Scala API (GraftFormatSpec pins the pruned plan).
+    "lsh_shard" -> (exprs =>
+      if (exprs.size <= 1) Lsh.default.catalystShardExpr(exprs.head)
+      else {
+        require(exprs.size == 4,
+          "lsh_shard takes (vector) or (vector, dim, numHashes, seed)")
+        Lsh(litInt(exprs(1), "dim"), litInt(exprs(2), "numHashes"),
+          litInt(exprs(3), "seed").toLong)
+          .catalystShardExpr(exprs(0))
+      }),
     // text-hash kernels (round 2): the SQL names of the dedup family
     "hashes31" -> (exprs => Hashes31Expr(exprs.head)),
     "shingle_hash31" ->

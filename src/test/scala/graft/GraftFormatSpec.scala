@@ -90,6 +90,41 @@ class GraftFormatSpec extends SparkSpec {
     assert(!proj.contains("vector"), proj.take(1500))
   }
 
+  test("pure-SQL routed kNN: lsh_shard over a literal query constant-folds and prunes the format scan") {
+    val lake = freshLake() // dim 3, numHashes 2, seed 42
+    lake.ingest(rows(60, "s"))
+    graft.functions.GraftFunctions.register(spark)
+    val view = "fmt_knn_" + java.lang.Integer.toHexString(
+      System.identityHashCode(this))
+    fmt(lake).createOrReplaceTempView(view)
+    val q = Seq(0.9, 0.1, -0.2)
+    val qSql = q.mkString("array(", "D, ", "D)")
+    // the whole SQL a Scala-free user writes: route + rank + limit
+    val sql = s"""
+      SELECT id, round(1.0 - vector_dot($qSql, CAST(vector AS ARRAY<DOUBLE>))
+        / (sqrt(vector_dot($qSql, $qSql)) *
+           sqrt(vector_dot(CAST(vector AS ARRAY<DOUBLE>),
+                           CAST(vector AS ARRAY<DOUBLE>)))), 6) AS dist
+      FROM $view
+      WHERE shard = lsh_shard($qSql, 3, 2, 42)
+      ORDER BY dist, id LIMIT 5"""
+    val df = spark.sql(sql)
+    val got = df.collect().map(_.getString(0)).toSeq
+    // same answers as the Scala routed topK
+    val want = lake.topK(q, 5).select("id").collect().map(_.getString(0)).toSeq
+    assert(got === want)
+    // and the scan was PRUNED: lsh_shard folded to a literal, so only
+    // the routed shard's directory is in the file slice
+    val routed = lake.lsh.shardOf(q)
+    val files = scanExecs(df).flatMap(_.scan match {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files).map(_.getPath.toString)
+    })
+    assert(files.nonEmpty && files.forall(_.contains(s"shard=$routed")),
+      s"expected only shard=$routed files, got: $files")
+  }
+
   test("asOf reads a past snapshot; a vacuumed version fails loudly") {
     val lake = freshLake()
     lake.ingest(rows(20, "v"))

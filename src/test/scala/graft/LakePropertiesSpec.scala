@@ -96,8 +96,10 @@ class LakePropertiesSpec extends SparkSpec {
     }
     // change-feed sync point taken mid-sequence: (version, model at seal)
     var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
+    // streaming-sink batch counter (the exactly-once ledger's clock)
+    var sinkBatch = 0L
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(21) match {
+      val op = rng.nextInt(24) match {
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           day += 1
@@ -220,6 +222,37 @@ class LakePropertiesSpec extends SparkSpec {
               s"(zone-only: ${(got -- want).take(5)}, " +
               s"model-only: ${(want -- got).take(5)})")
           "readTimeRange"
+        case 21 | 22 =>
+          // STREAMING-SINK batch (ingestExactlyOnce) interleaved with
+          // every maintenance op the sequence produces: commit, then an
+          // immediate replay (must no-op), and sometimes a simulated
+          // torn commit (ledger dropped, pend marker restored) whose
+          // replay must sweep-and-rewrite to the same model
+          val rows = freshRows(1 + rng.nextInt(5))
+          day += 1
+          def df = withExtras(rows.map(r => (r._1, r._2, r._3, ts(day)))
+            .toDF("id", "vector", "document", "timestamp"))
+          assert(lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),
+            s"step $step: sink batch $sinkBatch not committed")
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          days ++= rows.map(r => r._1 -> day)
+          stampExtras(rows.map(_._1))
+          assert(!lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),
+            s"step $step: replay of sink batch $sinkBatch not skipped")
+          if (rng.nextInt(3) == 0) {
+            val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val idHex = Lake.sinkIdHex("fuzz-sink")
+            fs.delete(new org.apache.hadoop.fs.Path(lake.cfg.location,
+              s"_sink.$idHex.$sinkBatch.json"), false)
+            val pend = new org.apache.hadoop.fs.Path(lake.cfg.location,
+              s"_append.$idHex-${java.lang.Long.toHexString(sinkBatch)}.lock")
+            fs.create(pend, true).close()
+            assert(lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),
+              s"step $step: torn replay of sink batch $sinkBatch not healed")
+          }
+          sinkBatch += 1
+          "sink batch"
         case _ =>
           // replay the change feed from the last sync point over that
           // moment's model: the result must be exactly today's model —
