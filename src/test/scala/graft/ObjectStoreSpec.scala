@@ -416,4 +416,36 @@ class ObjectStoreSpec extends SparkSpec {
       assert(leftovers.isEmpty, s"scratch left behind: ${leftovers.mkString(", ")}")
     }
   }
+
+  test("streaming-sink exactly-once protocol round-trips on a non-file: FS (ledger, replay, torn sweep)") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 3, numHashes = 2))
+      val batch = Seq(
+        (Seq(1f, 0f, 0f), "s0"), (Seq(0f, 1f, 0f), "s1"))
+        .toDF("vector", "document")
+      assert(lake.ingestExactlyOnce(batch, "bucket-sink", 0L))
+      assert(!lake.ingestExactlyOnce(batch, "bucket-sink", 0L)) // replay skips
+      assert(lake.count() === 2L)
+      // the ledger version lives on the remote scheme
+      val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idHex = Lake.sinkIdHex("bucket-sink")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        lake.cfg.location, s"_sink.$idHex.0.json")))
+      // torn-commit heal across the PUT-semantics store: drop the
+      // ledger, restore the pend marker, replay — the name-tagged sweep
+      // (a delete per torn file, no rename) converges to one copy
+      fs.delete(new org.apache.hadoop.fs.Path(
+        lake.cfg.location, s"_sink.$idHex.0.json"), false)
+      fs.create(new org.apache.hadoop.fs.Path(
+        lake.cfg.location, s"_append.$idHex-0.lock"), true).close()
+      assert(lake.ingestExactlyOnce(batch, "bucket-sink", 0L))
+      assert(lake.count() === 2L)
+      assert(lake.read().select("document").as[String].collect().sorted
+        === Array("s0", "s1"))
+      // no pend marker or sink scratch left; maintenance proceeds
+      assert(lake.compact() >= 1L)
+      assert(lake.count() === 2L)
+    }
+  }
 }
