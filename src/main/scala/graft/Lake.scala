@@ -153,6 +153,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       add.fields.foreach { f =>
         require(!taken(f.name),
           s"evolve at ${cfg.location}: column `${f.name}` already exists")
+        // names the query surfaces DERIVE onto result frames
+        // ("change" on the feed, "dist" on kNN, "packed"/"pq_code" on
+        // compressed lakes) or use as rewrite-plan internals — an extra
+        // with one of these names would be silently clobbered by
+        // withColumn or corrupt a join key, not served back
+        require(!Lake.reservedDerivedCols(f.name) && f.name != partCol + "_s",
+          s"evolve at ${cfg.location}: column name `${f.name}` is " +
+            "reserved by a query or maintenance surface (derived " +
+            "outputs: change, dist, packed, pq_code; plan internals) — " +
+            "pick another name")
         require(!f.name.contains("\u0001"),
           s"evolve: column name `${f.name}` contains the reserved \\u0001")
         // the DDL must round-trip: an unparseable registration would
@@ -205,17 +215,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *     file of a sink batch is prefixed `sink-<id>-<batchHex>-`,
     *     [[writeAppend]]'s `fileTag`) and are deleted before the
     *     rewrite, so replay converges instead of duplicating.
-    *  3. PEND MARKER — `_append.<id>-<batchHex>.lock` is created
-    *     before any file lands and deleted only AFTER the ledger
-    *     commit. It matches the shared append-marker pattern, so a
-    *     crash mid-batch BLOCKS maintenance (exactly like a crashed
-    *     plain append) until the sink restarts and self-heals — a
-    *     compact running between crash and replay would merge the torn
-    *     files beyond the sweep's reach. Force-clearing the marker
-    *     (`repair()`/`vacuum(force)`) and then compacting before the
-    *     sink restarts is the one documented way to defeat the sweep;
-    *     the marker's json names the sink and batch for exactly that
-    *     inspection.
+    *  3. PEND MARKER — `_append.<id>-<batchHex>-<attempt>.lock` is
+    *     created before any file lands, HEARTBEATEN (re-PUT) every few
+    *     seconds while the attempt publishes, and deleted only AFTER
+    *     the ledger commit. It matches the shared append-marker
+    *     pattern, so a crash mid-batch BLOCKS maintenance (exactly
+    *     like a crashed plain append) until the sink restarts and
+    *     self-heals — a compact running between crash and replay would
+    *     merge the torn files beyond the sweep's reach. The heartbeat
+    *     is the live-vs-dead discriminator: a replay finding a FRESH
+    *     rival marker for its own batch refuses loudly (a zombie
+    *     driver is publishing that batch concurrently — sweeping would
+    *     corrupt what it is about to commit), while a STALE marker
+    *     (no heartbeat for `pendStaleMs`) marks a dead attempt whose
+    *     files are swept. Should two attempts still interleave past
+    *     the marker check, the ledger version create arbitrates and
+    *     the loser deletes exactly its own attempt-tagged files.
+    *     Force-clearing the marker (`repair()`/`vacuum(force)`) and
+    *     then compacting before the sink restarts is the one
+    *     documented way to defeat the sweep; the marker's json names
+    *     the sink, batch, and attempt for exactly that inspection.
     *  4. WRITE + LEDGER — the tagged append, the skip/zone refreshes
     *     (idempotent recomputes), then the ledger version create. A
     *     crash after the ledger but before the pend delete is healed
@@ -232,8 +251,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       batchId: Long): Boolean = withAppendLock("sink-batch") {
     val fs = fsOfRoot
     val idHex = Lake.sinkIdHex(sinkId)
-    val pend = new org.apache.hadoop.fs.Path(cfg.location,
-      s"_append.$idHex-${java.lang.Long.toHexString(batchId)}.lock")
+    val batchHex = java.lang.Long.toHexString(batchId)
+    // per-ATTEMPT identity on top of the (sink, batch) identity: two
+    // concurrent attempts of the same batch (a zombie driver racing its
+    // replacement) publish under DISTINCT tags, the ledger version
+    // create arbitrates, and the loser deletes exactly its own files —
+    // without this, the loser's uniquely-named duplicates would survive
+    // forever (the later replay takes the skip branch and sweeps
+    // nothing)
+    val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    def pendsForBatch(): Seq[org.apache.hadoop.fs.Path] =
+      listRoot(fs).collect {
+        case s if s.isFile &&
+          s.getPath.getName.startsWith(s"_append.$idHex-$batchHex-") &&
+          s.getPath.getName.endsWith(".lock") => s.getPath
+      }
+    def clearPends(): Unit = pendsForBatch().foreach(p =>
+      try { fs.delete(p, false); () }
+      catch { case scala.util.control.NonFatal(_) => () })
     val committed = sinkLedger(fs, idHex)
     // a LEGITIMATE replay only ever re-delivers the ledger head (the
     // micro-batch commit log lags addBatch by at most one batch). A
@@ -250,27 +285,91 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         s"the _sink.$idHex.*.json ledger files to deliberately re-ingest " +
         "from scratch.")
     if (committed.exists(_ == batchId)) {
-      // the replay of the already-committed head: the crash (if any)
-      // fell in the narrow ledger→marker-delete window — clear the
-      // stale marker so maintenance stops being blocked, skip the batch
-      try { fs.delete(pend, false); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+      // the replay of the already-committed head: any crash fell in the
+      // ledger→marker-delete window — clear stale markers so
+      // maintenance stops being blocked, skip the batch
+      clearPends()
       false
     } else {
       requirePqModelMatch()
-      val tag = s"$idHex-${java.lang.Long.toHexString(batchId)}"
-      if (fs.exists(pend)) sweepSinkFiles(fs, tag)
-      val out0 = fs.create(pend, true)
-      try out0.write(
-        (s"""{"op": "sink-batch", "sink": "$idHex", "batch": $batchId, """ +
-          s""""taken_at": "${java.time.Instant.now()}"}""").getBytes("UTF-8"))
-      finally out0.close()
-      val out = writeAppend(withDerived(rows), fileTag = Some(tag))
-      refreshSkipIndex(out.shards)
-      refreshZoneMap(out.files)
-      writeSinkLedger(fs, idHex, batchId)
-      fs.delete(pend, false)
-      true
+      // Torn PREVIOUS attempts of this batch left their pend markers
+      // behind (nothing else removes them, and the markers have blocked
+      // every maintenance op since): sweep every such attempt's
+      // published files before rewriting. DEAD vs LIVE is decided by
+      // marker freshness — a live attempt HEARTBEATS its marker (below)
+      // every few seconds, so a fresh marker means another driver is
+      // publishing THIS batch right now (a zombie racing its
+      // replacement) and sweeping would corrupt the files it is about
+      // to commit: refuse loudly instead, and let the replay retry
+      // after the marker goes stale or the rival's commit lands.
+      val pends = pendsForBatch()
+      if (pends.nonEmpty) {
+        val now = System.currentTimeMillis()
+        val fresh = pends.filter(p =>
+          try now - fs.getFileStatus(p).getModificationTime < Lake.pendStaleMs
+          catch { case _: java.io.FileNotFoundException => false })
+        if (fresh.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"sink batch $batchId at ${cfg.location} refused: another " +
+            s"attempt of this same batch holds a fresh marker " +
+            s"(${fresh.map(_.getName).mkString(", ")}) — a concurrent " +
+            "duplicate driver is publishing this batch right now. Retry " +
+            s"after the marker stops heartbeating (${Lake.pendStaleMs} ms) " +
+            "or its commit lands.")
+        sweepSinkFiles(fs, s"$idHex-$batchHex")
+      }
+      val pend = new org.apache.hadoop.fs.Path(cfg.location,
+        s"_append.$idHex-$batchHex-$attempt.lock")
+      def stampPend(): Unit = {
+        val o = fs.create(pend, true)
+        try o.write(
+          (s"""{"op": "sink-batch", "sink": "$idHex", "batch": $batchId, """ +
+            s""""attempt": "$attempt", """ +
+            s""""taken_at": "${java.time.Instant.now()}"}""").getBytes("UTF-8"))
+        finally o.close()
+      }
+      stampPend()
+      // heartbeat: re-PUT the marker (portable mtime refresh — setTimes
+      // is unsupported on object stores) so rival replays see a LIVE
+      // attempt for as long as this JVM is; a crash stops the beat and
+      // the marker goes stale within pendStaleMs
+      val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val beat = new Thread(() => {
+        while (beating.get()) {
+          try Thread.sleep(math.max(1000L, Lake.pendStaleMs / 4))
+          catch { case _: InterruptedException => () }
+          if (beating.get())
+            try stampPend()
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }, s"graft-sink-pend-beat-$attempt")
+      beat.setDaemon(true)
+      beat.start()
+      try {
+        val out = writeAppend(withDerived(rows),
+          fileTag = Some(s"$idHex-$batchHex-$attempt"))
+        refreshSkipIndex(out.shards)
+        refreshZoneMap(out.files)
+        // COMMIT = the atomic ledger version create. A collision means a
+        // racing attempt of this very batch already committed: WE lost —
+        // remove exactly our attempt's files (the winner's stay) and
+        // report the batch as already-committed. On a plain-S3 store
+        // where create(overwrite=false) is a blind PUT the arbitration
+        // narrows to the same documented residual as the writer lock.
+        val won =
+          try { writeSinkLedger(fs, idHex, batchId); true }
+          catch { case _: java.io.IOException
+              if sinkLedger(fs, idHex).exists(_ >= batchId) =>
+            sweepSinkFiles(fs, s"$idHex-$batchHex-$attempt")
+            false
+          }
+        // stop the beat BEFORE deleting markers, or a final beat could
+        // resurrect one and block maintenance until the next replay.
+        // ALL of this batch's markers go — ours plus any stale crashed
+        // attempt's (a live rival would have made us refuse up front)
+        beating.set(false); beat.interrupt(); beat.join(5000L)
+        clearPends()
+        won
+      } finally { beating.set(false); beat.interrupt() }
     }
   }
 
@@ -1932,6 +2031,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           s"${got.toLong} but this session uses ${want.toLong} — " +
           "re-run calibrateRecall() under the writer's config"))
     }
+    // the ladder is metric-specific too: which shards hold a query's
+    // true top-k depends on the distance ranking, so a cosine-measured
+    // ladder says nothing about l2 serving
+    ("\"metric\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
+      .map(_.group(1)).foreach(got => require(got == cfg.metric,
+        s"recall calibration at ${cfg.location} was measured under " +
+          s"metric=$got but this session uses ${cfg.metric} — " +
+          "re-run calibrateRecall() under the serving metric"))
     val rs = """"recalls"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1).split(",").map(_.trim.toDouble).toSeq)
     recallCalibCache = rs
@@ -2302,33 +2409,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         f.isFile && f.getPath.getName.endsWith(".parquet")).toLong).sum
   }
 
-  /** Inverse of Spark's partition-path escaping (the behavior of
-    * catalyst's `ExternalCatalogUtils.unescapePathName`, reimplemented
-    * to stay off the internal API): `%XX` → char, the Hive null
-    * sentinel → None. */
-  private[graft] def unescapePartitionValue(raw: String): Option[String] = {
-    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
-    val sb = new StringBuilder(raw.length)
-    var i = 0
-    while (i < raw.length) {
-      val c = raw.charAt(i)
-      if (c == '%' && i + 2 < raw.length) {
-        // validate each nibble as ASCII hex specifically:
-        // Integer.parseInt(_, 16) also accepts signed forms ("+4") and
-        // Character.digit accepts non-ASCII Unicode digits (fullwidth
-        // '４', Arabic-Indic) — either would decode a foreign dir value
-        // to a control char instead of passing it through literally
-        // (Spark itself only ever emits ASCII %XX)
-        def nibble(c: Char): Int =
-          if (c < 128) Character.digit(c, 16) else -1
-        val hi = nibble(raw.charAt(i + 1))
-        val lo = nibble(raw.charAt(i + 2))
-        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    Some(sb.toString)
-  }
+  /** Inverse of Spark's partition-path escaping — delegates to the ONE
+    * hardened implementation in the companion ([[Lake.unescapePartitionValue]]),
+    * shared with the DSv2 format so the two surfaces can never decode
+    * the same directory name differently. */
+  private[graft] def unescapePartitionValue(raw: String): Option[String] =
+    Lake.unescapePartitionValue(raw)
 
   /** Row-level DELETE WHERE — the targeted maintenance op the reference
     * lacks (its only delete is whole-store, index.py:548-563; table
@@ -2697,18 +2783,29 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * writes `spec_fp` of the EMPTY list, which field reads reject into
     * "scan" rather than misprune. Escaped characters in paths
     * round-trip through [[unescapeJson]]. */
-  private def zoneSpecFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+  /** The field spec with "present but unreadable" DISTINGUISHED from
+    * "absent": None = the spec file exists but could not be read or
+    * parsed (transient store failure, torn write). Callers that would
+    * REBUILD the map must skip on None — rebuilding with Nil would
+    * permanently and silently drop the operator-configured field
+    * pruning on one store hiccup. Read-side callers may treat None as
+    * Nil (degrade to unpruned scans, self-heals next read). */
+  private def zoneSpecFieldsChecked(
+      fs: org.apache.hadoop.fs.FileSystem): Option[Seq[String]] = {
     val spec = new org.apache.hadoop.fs.Path(zonePath, "_spec.json")
-    if (!fs.exists(spec)) return Nil
+    if (!fs.exists(spec)) return Some(Nil)
     // anchored on the "fields" array itself (not a positional token
     // drop), so a future spec variant with extra keys parses the same
-    try """"fields"\s*:\s*\[([^\]]*)\]""".r
+    try Some(""""fields"\s*:\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(readFully(fs, spec))
       .map(a => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(a.group(1))
         .map(m => unescapeJson(m.group(1))).toSeq)
-      .getOrElse(Nil)
-    catch { case scala.util.control.NonFatal(_) => Nil }
+      .getOrElse(Nil))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def zoneSpecFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    zoneSpecFieldsChecked(fs).getOrElse(Nil)
 
   /** Build the per-file TIMESTAMP ZONE MAP (`<root>/_zone`): (file,
     * min_ts, max_ts, cnt), one row per live data file. LSH sharding
@@ -3517,8 +3614,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val compacted = compactIncremental(targetBytes,
       clusterBy = clusterBy, maxFilesPerShard = maxFilesPerShard)
     val skip = skipStaleCount() > 0L && { buildSkipIndex(); true }
-    val zone = zoneNeedsRebuild() && {
-      buildZoneMap(zoneSpecFields(fsOfRoot)); true }
+    val zone = zoneNeedsRebuild() && (zoneSpecFieldsChecked(fsOfRoot) match {
+      // spec present but unreadable: SKIP this cycle's rebuild rather
+      // than rebuild specless (which would silently drop the
+      // operator-configured field pruning); the next maintain() retries
+      case None => false
+      case Some(fields) => buildZoneMap(fields); true
+    })
     val swept = vacuum(retainMs = retainMs)
     Lake.MaintenanceReport(compacted, skip, zone, swept)
   }
@@ -3903,6 +4005,53 @@ object Lake {
     * Appends hold one of these (any number concurrently) instead of the
     * exclusive `_lock`; maintenance refuses while any is present. */
   private[graft] val appendMarkerRe = "_append\\.[0-9a-f-]+\\.lock".r
+
+  /** Inverse of Spark's partition-path escaping (the behavior of
+    * catalyst's `ExternalCatalogUtils.unescapePathName`, reimplemented
+    * to stay off the internal API): `%XX` → char, the Hive null
+    * sentinel → None. The single shared implementation for the Scala
+    * read paths AND the DSv2 format's partition-value decoding. */
+  private[graft] def unescapePartitionValue(raw: String): Option[String] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '%' && i + 2 < raw.length) {
+        // validate each nibble as ASCII hex specifically:
+        // Integer.parseInt(_, 16) also accepts signed forms ("+4") and
+        // Character.digit accepts non-ASCII Unicode digits (fullwidth
+        // '４', Arabic-Indic) — either would decode a foreign dir value
+        // to a control char instead of passing it through literally
+        // (Spark itself only ever emits ASCII %XX)
+        def nibble(c: Char): Int =
+          if (c < 128) Character.digit(c, 16) else -1
+        val hi = nibble(raw.charAt(i + 1))
+        val lo = nibble(raw.charAt(i + 2))
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  /** Column names the engine DERIVES onto query outputs or uses as
+    * rewrite-plan internals — refused by [[Lake.evolve]] (a stored
+    * extra with one of these names would be clobbered by the
+    * `withColumn` that derives it, or corrupt an internal join). */
+  private[graft] val reservedDerivedCols: Set[String] = Set(
+    "change", "dist", "packed", "pq_code", "qnrm", "qshard",
+    "_mcmp", "_slice", "n_slices", "__routed", "shard_s", "key_s",
+    "spec_fp", "skip_stale")
+
+  /** Staleness horizon for a sink attempt's pend marker: an attempt
+    * HEARTBEATS its marker every `pendStaleMs / 4`, so a marker this
+    * old means the attempt's JVM is dead (crash) rather than slow —
+    * the discriminator that lets a replay sweep a torn attempt's files
+    * without ever sweeping a live concurrent attempt's. System-property
+    * override for tests (which simulate crashes with fresh markers). */
+  private[graft] def pendStaleMs: Long =
+    sys.props.get("graft.sink.pendStaleMs").map(_.toLong).getOrElse(45000L)
 
   /** Stable 12-hex sink identity from the user-visible sink id (the
     * query's checkpoint location): what names the sink's ledger files,

@@ -108,10 +108,26 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // ledger needs); an explicit sinkId option overrides
     val sinkId = opt(opts, "sinkId")
       .orElse(opt(opts, "checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft sink needs .option(\"checkpointLocation\", ...) (or an " +
-          "explicit .option(\"sinkId\", ...)): the exactly-once batch " +
-          "ledger is keyed by it"))
+      .getOrElse {
+        // the cluster-default conf resolves the REAL checkpoint path
+        // (conf dir + query name) only AFTER createSink runs, and the
+        // query name is not in these options either — so the sink
+        // cannot derive a restart-stable identity from the conf alone;
+        // guessing one risks two queries silently sharing a ledger.
+        // Ask for it explicitly, naming the conf case.
+        val confDefault = sqlContext.sparkSession.conf
+          .getOption("spark.sql.streaming.checkpointLocation").isDefined
+        throw new IllegalArgumentException(
+          "graft sink needs .option(\"checkpointLocation\", ...) (or an " +
+            "explicit .option(\"sinkId\", ...)): the exactly-once batch " +
+            "ledger is keyed by it" +
+            (if (confDefault)
+              ". The spark.sql.streaming.checkpointLocation conf default " +
+                "is set, but the per-query path it resolves to is not " +
+                "visible here — pass .option(\"sinkId\", \"<stable name " +
+                "unique to this query>\") when relying on the conf default"
+            else ""))
+      }
     new GraftSink(sqlContext.sparkSession, cfg, sinkId)
   }
 
@@ -189,42 +205,28 @@ object GraftDataSource {
     (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(json)
       .map(_.group(1))
 
-  /** Hive-style partition-path unescape (`%2F` → `/`): Spark's writer
-    * escapes special characters in partition values when naming
-    * directories, so the manifest's dir names round-trip through this
-    * before becoming partition VALUES. */
-  private[graft] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
   /** One escaped `key=value` dir name (or None for unpartitioned
-    * legacy files) → the partition column's INTERNAL value. */
+    * legacy files) → the partition column's INTERNAL value. Decoding
+    * goes through [[graft.Lake.unescapePartitionValue]] — the ONE
+    * hardened implementation (ASCII-nibble-validated, Hive null
+    * sentinel aware) — so the format and the Scala read paths can
+    * never decode the same directory name differently. */
   private[graft] def partValue(dirName: Option[String], dt: DataType): Any =
     dirName.map(_.split("=", 2)) match {
-      case None => null
       case Some(Array(_, enc)) =>
-        val v = unescapePathName(enc)
-        if (v == "__HIVE_DEFAULT_PARTITION__") null
-        else dt match {
-          case IntegerType => java.lang.Integer.valueOf(v.toInt)
-          case LongType => java.lang.Long.valueOf(v.toLong)
-          case ShortType => java.lang.Short.valueOf(v.toShort)
-          case StringType => UTF8String.fromString(v)
-          case other => throw new IllegalArgumentException(
-            s"graft format: unsupported partition key type ${other.simpleString}" +
-              " — supported: int, bigint, smallint, string")
+        Lake.unescapePartitionValue(enc) match {
+          case None => null // Hive default-partition sentinel
+          case Some(v) => dt match {
+            case IntegerType => java.lang.Integer.valueOf(v.toInt)
+            case LongType => java.lang.Long.valueOf(v.toLong)
+            case ShortType => java.lang.Short.valueOf(v.toShort)
+            case StringType => UTF8String.fromString(v)
+            case other => throw new IllegalArgumentException(
+              s"graft format: unsupported partition key type ${other.simpleString}" +
+                " — supported: int, bigint, smallint, string")
+          }
         }
-      case Some(_) => null
+      case _ => null
     }
 
   /** Options + sidecar → the lake config, shared by the batch READ
@@ -280,17 +282,20 @@ object GraftDataSource {
     val roots = lake.scanRoots(asOf)
     val canonical = lake.canonicalSchema
     val partField = canonical.fields.last
-    val scanOpts = new CaseInsensitiveStringMap((options.asScala.toMap ++
-      // union every footer so added-column drift in ANY file surfaces
-      // (readFrom's posture), unless the caller overrides
-      (if (options.containsKey("mergeSchema")) Map.empty[String, String]
-       else Map("mergeSchema" -> "true"))).asJava)
     new GraftTable(
       s"graft:$location" + asOf.map(v => s"@$v").getOrElse(""),
-      spark, scanOpts, roots, partField,
-      // an EMPTY lake has no footers to infer from — pin the canonical
-      // schema so `SELECT *` on a just-bootstrapped table resolves
-      if (roots.isEmpty) Some(canonical) else None)
+      spark, options, roots, partField,
+      // the table's schema is PINNED to the sidecar-declared one
+      // (stored columns + registered evolve() extras + partition col),
+      // never footer-inferred: a column registered by evolve() but not
+      // yet present in any file must still resolve (null-filled, the
+      // Lake.read() contract), an empty lake must still serve SELECT *,
+      // and resolution stays one sidecar read instead of an O(files)
+      // footer-merge pass. A foreign column present in some file but
+      // not registered is ignored by projection (the Delta posture:
+      // the declared schema is the table); the Scala read() path keeps
+      // its stricter footer-merge validation for drift hunting.
+      Some(canonical))
   }
 }
 

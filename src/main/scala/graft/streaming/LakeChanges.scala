@@ -335,8 +335,12 @@ private[streaming] final class LakeChangesTable(cfg: LakeConfig,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schemaFor(cfg, extras)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          // the SAME pinned extras as readSchema(): the reader factory
+          // must never re-read the sidecar lazily, or an evolve()
+          // between resolution and batch 0 would shift every ordinal
+          // past the extras (extras precede (shard, change) in the row)
           new LakeChangesMicroBatchStream(
-            SparkSession.active, cfg, parameters)
+            SparkSession.active, cfg, parameters, extras)
       }
     }
 }
@@ -356,7 +360,9 @@ private[streaming] final case class ChangeOffset(version: Long) extends OffsetV2
   * no driver materialization. Cost tracks churn, never lake size. */
 private[streaming] final class LakeChangesMicroBatchStream(
     spark: SparkSession, cfg: LakeConfig,
-    parameters: Map[String, String]) extends MicroBatchStream {
+    parameters: Map[String, String],
+    pinnedExtras: Seq[org.apache.spark.sql.types.StructField])
+  extends MicroBatchStream {
   import LakeChanges._
 
   private val lake = Lake(spark, cfg)
@@ -410,9 +416,11 @@ private[streaming] final class LakeChangesMicroBatchStream(
   /** Built once per stream: the stock parquet reader factory over the
     * canonical stored schema + the (shard, change) partition pair —
     * every batch's `FilePartition`s carry their own files and partition
-    * values, so one factory serves the stream's lifetime. */
+    * values, so one factory serves the stream's lifetime. Uses the
+    * extras PINNED at scan resolution (constructor), never a fresh
+    * sidecar read — see toMicroBatchStream. */
   override lazy val createReaderFactory: PartitionReaderFactory = {
-    val dataSchema = StructType(storedFieldsFor(cfg) ++ lake.currentExtraFields)
+    val dataSchema = StructType(storedFieldsFor(cfg) ++ pinnedExtras)
     val partSchema = StructType(Seq(
       StructField(cfg.partitionKey.getOrElse("shard"), partTypeFor(cfg)),
       StructField("change", StringType)))

@@ -108,6 +108,14 @@ class EvolveSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       lake.evolve(StructType(Seq(StructField("x", StringType)))))
     assert(e3.getMessage.contains("already exists"))
+    // names the query surfaces DERIVE onto outputs would be silently
+    // clobbered (topK's "dist", the feed's "change") or corrupt a
+    // rewrite-plan join ("n_slices") — refused at registration
+    Seq("change", "dist", "n_slices", "_mcmp", "shard_s").foreach { reserved =>
+      val e = intercept[IllegalArgumentException](
+        lake.evolve(StructType(Seq(StructField(reserved, StringType)))))
+      assert(e.getMessage.contains("reserved"), s"$reserved: ${e.getMessage}")
+    }
   }
 
   test("the graft DSv2 format and a fresh change-feed subscription serve evolved columns") {

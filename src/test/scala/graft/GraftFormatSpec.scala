@@ -179,6 +179,26 @@ class GraftFormatSpec extends SparkSpec {
     assert(ids(fmt(lake)).size === 8, "a refused write must land nothing")
   }
 
+  test("a column registered by evolve() but not yet in any file resolves through the format (null-filled)") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val lake = freshLake()
+    lake.ingest(rows(10, "e"))
+    lake.evolve(StructType(Seq(StructField("quality", DoubleType))))
+    // no ingest after the evolve: the column exists ONLY in the sidecar.
+    // The format's schema is pinned to the sidecar-declared one, so the
+    // column must resolve (typed nulls) exactly as Lake.read() serves it
+    val viaFmt = fmt(lake).select("id", "quality").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(viaFmt.size === 10 && viaFmt.values.forall(identity))
+    assert(fmt(lake).schema("quality").dataType === DoubleType)
+    // and post-evolve rows carry values through the same table
+    lake.ingest(Seq(("e-new", Seq(1f, 0f, 0f), "d", 0.5))
+      .toDF("id", "vector", "document", "quality"))
+    val got = fmt(lake).where(col("id") === "e-new")
+      .select("quality").collect()
+    assert(got.length === 1 && got.head.getDouble(0) === 0.5)
+  }
+
   test("an empty bootstrapped lake serves an empty frame with the canonical schema (dim option)") {
     val dir = Files.createTempDirectory("graft_fmt_empty").toString
     val df = spark.read.format("graft").option("dim", 3)

@@ -95,28 +95,54 @@ class GraftSinkSpec extends SparkSpec {
 
     // simulate the crash window: files published (and even the skip/
     // zone refreshes run) but the ledger commit never happened — delete
-    // the ledger version and restore the pend marker
+    // the ledger version and restore a (stale) pend marker. The
+    // staleness override stands in for the marker aging past the
+    // heartbeat horizon after the JVM died.
     val idHex = Lake.sinkIdHex("sink-t")
     val ledger = new Path(loc, s"_sink.$idHex.7.json")
     assert(fs.exists(ledger), "ledger version should exist after commit")
     fs.delete(ledger, false)
-    val pend = new Path(loc, s"_append.$idHex-7.lock")
+    val pend = new Path(loc, s"_append.$idHex-7-deadbeef.lock")
     fs.create(pend, true).close()
 
     // replay of the same batch: the sweep removes the torn files first,
     // so the lake converges to exactly one copy
-    assert(lake.ingestExactlyOnce(batch, "sink-t", 7L))
+    sys.props("graft.sink.pendStaleMs") = "0"
+    try assert(lake.ingestExactlyOnce(batch, "sink-t", 7L))
+    finally sys.props.remove("graft.sink.pendStaleMs")
     assert(lake.read().count() === 3)
     assert(lake.read().select("document").as[String].collect().sorted ===
       Array("p", "q", "r"))
     assert(!fs.exists(pend), "pend marker cleared after healed commit")
   }
 
+  test("a FRESH rival marker for the same batch refuses the attempt (live zombie protection)") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val batch = Seq((Seq(1f, 0f, 0f, 0f), "z")).toDF("vector", "document")
+    assert(lake.ingestExactlyOnce(batch, "sink-z", 0L))
+    // a marker freshly heartbeaten by another driver's attempt of batch 1
+    val idHex = Lake.sinkIdHex("sink-z")
+    val rival = new Path(loc, s"_append.$idHex-1-cafe0001.lock")
+    fsOf(loc).create(rival, true).close()
+    try {
+      // under the DEFAULT staleness horizon the attempt must refuse —
+      // sweeping would delete files the live rival is about to commit
+      val e = intercept[java.util.ConcurrentModificationException](
+        lake.ingestExactlyOnce(batch, "sink-z", 1L))
+      assert(e.getMessage.contains("concurrent duplicate driver"))
+      assert(lake.read().count() === 1, "refused attempt must publish nothing")
+    } finally fsOf(loc).delete(rival, false)
+    // rival gone (crashed and aged, or committed+cleared): proceeds
+    assert(lake.ingestExactlyOnce(batch, "sink-z", 1L))
+    assert(lake.read().count() === 2)
+  }
+
   test("a stranded pend marker blocks maintenance (crashed sink batch = crashed append)") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
     lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "x")).toDF("vector", "document"))
-    val pend = new Path(loc, s"_append.${Lake.sinkIdHex("s")}-0.lock")
+    val pend = new Path(loc, s"_append.${Lake.sinkIdHex("s")}-0-feed0002.lock")
     fsOf(loc).create(pend, true).close()
     try {
       val e = intercept[java.util.ConcurrentModificationException](lake.compact())

@@ -246,10 +246,12 @@ class LakePropertiesSpec extends SparkSpec {
             fs.delete(new org.apache.hadoop.fs.Path(lake.cfg.location,
               s"_sink.$idHex.$sinkBatch.json"), false)
             val pend = new org.apache.hadoop.fs.Path(lake.cfg.location,
-              s"_append.$idHex-${java.lang.Long.toHexString(sinkBatch)}.lock")
+              s"_append.$idHex-${java.lang.Long.toHexString(sinkBatch)}-f022beef.lock")
             fs.create(pend, true).close()
-            assert(lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),
+            sys.props("graft.sink.pendStaleMs") = "0" // crashed attempt aged out
+            try assert(lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),
               s"step $step: torn replay of sink batch $sinkBatch not healed")
+            finally sys.props.remove("graft.sink.pendStaleMs")
           }
           sinkBatch += 1
           "sink batch"

@@ -438,8 +438,10 @@ class ObjectStoreSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(
         lake.cfg.location, s"_sink.$idHex.0.json"), false)
       fs.create(new org.apache.hadoop.fs.Path(
-        lake.cfg.location, s"_append.$idHex-0.lock"), true).close()
-      assert(lake.ingestExactlyOnce(batch, "bucket-sink", 0L))
+        lake.cfg.location, s"_append.$idHex-0-beadfeed.lock"), true).close()
+      sys.props("graft.sink.pendStaleMs") = "0" // the marker has "aged out"
+      try assert(lake.ingestExactlyOnce(batch, "bucket-sink", 0L))
+      finally sys.props.remove("graft.sink.pendStaleMs")
       assert(lake.count() === 2L)
       assert(lake.read().select("document").as[String].collect().sorted
         === Array("s0", "s1"))

@@ -94,5 +94,13 @@ class RecallSpec extends SparkSpec {
     info(f"target=$target%.2f achieved=${achieved.map(a => f"$a%.2f").mkString(", ")}")
     assert(achieved.sum / achieved.size >= target - 0.25,
       s"held-out achieved ${achieved} vs target $target")
+
+    // the ladder is METRIC-specific: a session opening the same lake
+    // under another metric must refuse the persisted calibration (which
+    // shards hold a query's top-k depends on the distance ranking)
+    val l2Lake = Lake(spark, cfgL.copy(metric = "l2"))
+    val em = intercept[IllegalArgumentException](
+      l2Lake.topKAtRecall(Fixtures.queryVec, k, target))
+    assert(em.getMessage.contains("metric"), em.getMessage)
   }
 }
