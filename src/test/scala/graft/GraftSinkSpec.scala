@@ -138,6 +138,36 @@ class GraftSinkSpec extends SparkSpec {
     assert(lake.read().count() === 2)
   }
 
+  test("two concurrent attempts of the SAME batch converge to one copy (refusal or ledger arbitration)") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val batch = Seq(
+      (Seq(1f, 0f, 0f, 0f), "r0"), (Seq(0f, 1f, 0f, 0f), "r1"),
+      (Seq(0f, 0f, 1f, 0f), "r2")).toDF("vector", "document")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // race outcomes, all acceptable: one attempt refuses on the other's
+    // fresh marker (CME), or both publish and the ledger create picks
+    // the winner while the loser removes its own attempt-tagged files.
+    // What must NEVER vary: exactly one copy of the batch afterwards.
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq.fill(2)(scala.concurrent.Future(
+        try Right(lake.ingestExactlyOnce(batch, "race-sink", 0L))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }))),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    val committed = results.collect { case Right(true) => () }.size
+    assert(committed >= 1, s"someone must commit the batch: $results")
+    assert(lake.read().count() === 3, "exactly one copy of the batch")
+    assert(lake.read().select("document").as[String].collect().sorted ===
+      Array("r0", "r1", "r2"))
+    // the ledger holds the batch; a later replay skips
+    assert(!lake.ingestExactlyOnce(batch, "race-sink", 0L))
+    // no markers left behind; maintenance proceeds
+    lake.compact()
+  }
+
   test("a stranded pend marker blocks maintenance (crashed sink batch = crashed append)") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
