@@ -1124,6 +1124,36 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     dirs ++ legacy
   }
 
+  /** The live data files as a frame — (file, partition, generation,
+    * bytes, modified_ms), the capacity-planning / small-files view
+    * behind the format's `option("view", "files")`. One root listing +
+    * one LIST per live directory: O(live files) driver-side metadata,
+    * the same order as [[validate]]'s skip check. Pre-v2/legacy
+    * root-level data reports generation 0. */
+  def filesView(): DataFrame = {
+    import spark.implicits._
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
+    def fileRows(dir: org.apache.hadoop.fs.Path, part: Option[String],
+        gen: Long): Seq[(String, String, Long, Long, Long)] =
+      if (!fs.exists(dir)) Nil
+      else dataFilesIn(fs, dir).map(f => (f.getPath.toString, part.orNull,
+        gen, f.getLen, f.getModificationTime))
+    val live = liveEntries(st).flatMap { case (d, g) =>
+      fileRows(new org.apache.hadoop.fs.Path(genPath(g), d),
+        unescapePartitionValue(d.split("=", 2)(1)), g)
+    }
+    val legacy = rootLevelDataFrom(entries).flatMap { p =>
+      if (p.getName.endsWith(".parquet")) {
+        val s = fs.getFileStatus(p)
+        Seq((p.toString, null: String, 0L, s.getLen, s.getModificationTime))
+      } else fileRows(p, unescapePartitionValue(p.getName.split("=", 2)(1)), 0L)
+    }
+    (live ++ legacy)
+      .toDF("file", "partition", "generation", "bytes", "modified_ms")
+  }
+
   /** The commit log as a frame: one row per sidecar version still on
     * disk — (version, last_update, generation, live_dirs). The
     * versions are [[readAt]]'s input; the latest row is what [[read]]

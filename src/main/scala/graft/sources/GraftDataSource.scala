@@ -144,9 +144,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // so memoizing on the exact options map collapses the cost to one
   // resolution WITHOUT caching across queries — every new SELECT still
   // re-resolves the live set.
-  @volatile private var memo: (Map[String, String], GraftTable) = null
+  @volatile private var memo: (Map[String, String], Table) = null
 
-  private def tableFor(options: CaseInsensitiveStringMap): GraftTable = {
+  private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val key = options.asCaseSensitiveMap().asScala.toMap
     val m = memo
     if (m != null && m._1 == key) m._2
@@ -272,12 +272,36 @@ object GraftDataSource {
   /** Resolve options + sidecar into the lake and its scan roots, and
     * wrap the stock DSv2 parquet table over them. Called once per
     * query resolution, so every SELECT sees the CURRENT live set (or
-    * the pinned `asOf` snapshot). */
-  private def makeTable(options: CaseInsensitiveStringMap): GraftTable = {
+    * the pinned `asOf` snapshot). With `option("view", ...)` the same
+    * format serves the lake's INTROSPECTION frames instead of rows —
+    * the DESCRIBE HISTORY analog, queryable from pure SQL:
+    *
+    *  - `history`: one row per sidecar version ([[graft.Lake.history]])
+    *  - `validate`: the one-row integrity audit ([[graft.Lake.validate]]
+    *    — runs the audit scan at resolution, the cost the caller asked
+    *    for)
+    *  - `files`: the live data files with directory, generation, and
+    *    size — the capacity-planning view (one root listing + one
+    *    LIST per live directory, O(live files) metadata)
+    *
+    * Views are driver-sized metadata served through a DSv2 `LocalScan`
+    * (Catalyst folds it to a LocalRelation — no file scan planned). */
+  private def makeTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val cfg = resolveConfig(spark, options)
     val location = cfg.location
     val lake = Lake(spark, cfg)
+    opt(options, "view").foreach { v =>
+      val df = v match {
+        case "history" => lake.history()
+        case "validate" => lake.validate()
+        case "files" => lake.filesView()
+        case other => throw new IllegalArgumentException(
+          s"graft format at $location: unknown view '$other' — " +
+            "supported: history, validate, files")
+      }
+      return new GraftViewTable(s"graft:$location#$v", df)
+    }
     val asOf = opt(options, "asOf").map(_.toLong)
     val roots = lake.scanRoots(asOf)
     val canonical = lake.canonicalSchema
@@ -297,6 +321,36 @@ object GraftDataSource {
       // its stricter footer-merge validation for drift hunting.
       Some(canonical))
   }
+}
+
+/** An introspection view as a DSv2 table: the already-computed frame's
+  * rows served through `LocalScan`, which Catalyst folds to a
+  * LocalRelation — driver-sized metadata, no file scan, no partitions.
+  * Each query RESOLUTION recomputes the frame (the provider memo is
+  * per-load), so `SELECT * FROM graft_history` always reflects the
+  * current sidecar set. */
+final class GraftViewTable(name0: String,
+    df: org.apache.spark.sql.DataFrame)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan}
+
+  override def name(): String = name0
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        // executeCollect copies rows (unsafe-row buffers are reused
+        // inside partition iterators — a raw toRdd.collect could alias)
+        override def rows(): Array[InternalRow] =
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+            .queryExecution.executedPlan.executeCollect()
+      }
+    }
 }
 
 /** The resolved table: the stock DSv2 parquet table over the live

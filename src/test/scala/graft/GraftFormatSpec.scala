@@ -199,6 +199,41 @@ class GraftFormatSpec extends SparkSpec {
     assert(got.length === 1 && got.head.getDouble(0) === 0.5)
   }
 
+  test("introspection views through the format: history, validate, files — pure SQL, LocalScan plan") {
+    val lake = freshLake()
+    lake.ingest(rows(20, "h"))
+    lake.seal()
+    lake.ingest(rows(5, "i"))
+    def view(v: String) = spark.read.format("graft")
+      .option("view", v).load(lake.cfg.location)
+
+    // history matches Lake.history(), row for row
+    val viaFmt = view("history").collect().map(_.toString).toSeq
+    val direct = lake.history().collect().map(_.toString).toSeq
+    assert(viaFmt === direct && viaFmt.size >= 2)
+    // re-resolution reflects new commits (the provider memo is per-load)
+    lake.seal()
+    assert(view("history").count() === lake.history().count())
+
+    // validate: the audit row, queryable in SQL
+    val audit = view("validate")
+    audit.createOrReplaceTempView("graft_audit")
+    val row = spark.sql(
+      "SELECT rows, misrouted, dup_ids FROM graft_audit").head()
+    assert(row.getLong(0) === 25L && row.getLong(1) === 0L && row.getLong(2) === 0L)
+
+    // files: every live file with its partition and size; totals agree
+    // with the data scan
+    val files = view("files").collect()
+    assert(files.nonEmpty && files.forall(_.getAs[Long]("bytes") > 0L))
+    assert(files.map(_.getAs[String]("file")).distinct.length === files.length)
+    assert(view("files").count() === fmt(lake).inputFiles.length.toLong)
+
+    // the plan is a local relation — no file scan for metadata
+    assert(scanExecs(view("history")).isEmpty)
+    intercept[IllegalArgumentException](view("nope").collect())
+  }
+
   test("an empty bootstrapped lake serves an empty frame with the canonical schema (dim option)") {
     val dir = Files.createTempDirectory("graft_fmt_empty").toString
     val df = spark.read.format("graft").option("dim", 3)
