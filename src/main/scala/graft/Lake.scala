@@ -149,16 +149,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(dup.isEmpty, s"evolve: duplicate column name(s) ${dup.mkString(", ")}")
     withWriterLock("evolve") {
       val st = readState()
-      val taken = (storedColsOf(st) :+ partCol).toSet
+      // CASE-INSENSITIVE checks throughout: Spark's resolver matches
+      // columns case-insensitively by default, so a "Dist" extra would
+      // still be clobbered by topK's withColumn("dist", ...) and a
+      // "Document" extra would collide with the stored column
+      val taken = (storedColsOf(st) :+ partCol).map(_.toLowerCase).toSet
       add.fields.foreach { f =>
-        require(!taken(f.name),
+        val lower = f.name.toLowerCase
+        require(!taken(lower),
           s"evolve at ${cfg.location}: column `${f.name}` already exists")
         // names the query surfaces DERIVE onto result frames
         // ("change" on the feed, "dist" on kNN, "packed"/"pq_code" on
         // compressed lakes) or use as rewrite-plan internals — an extra
         // with one of these names would be silently clobbered by
         // withColumn or corrupt a join key, not served back
-        require(!Lake.reservedDerivedCols(f.name) && f.name != partCol + "_s",
+        require(!Lake.reservedDerivedCols(lower) &&
+            lower != (partCol + "_s").toLowerCase,
           s"evolve at ${cfg.location}: column name `${f.name}` is " +
             "reserved by a query or maintenance surface (derived " +
             "outputs: change, dist, packed, pq_code; plan internals) — " +
@@ -260,15 +266,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // forever (the later replay takes the skip branch and sweeps
     // nothing)
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    def pendsForBatch(): Seq[org.apache.hadoop.fs.Path] =
+    def pendsForBatch(): Seq[(org.apache.hadoop.fs.Path, String)] =
       listRoot(fs).collect {
         case s if s.isFile &&
           s.getPath.getName.startsWith(s"_append.$idHex-$batchHex-") &&
-          s.getPath.getName.endsWith(".lock") => s.getPath
+          s.getPath.getName.endsWith(".lock") =>
+          s.getPath -> s.getPath.getName
+            .stripPrefix(s"_append.$idHex-$batchHex-").stripSuffix(".lock")
       }
-    def clearPends(): Unit = pendsForBatch().foreach(p =>
-      try { fs.delete(p, false); () }
-      catch { case scala.util.control.NonFatal(_) => () })
+    def isStale(p: org.apache.hadoop.fs.Path): Boolean =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime >= Lake.pendStaleMs
+      catch { case _: java.io.FileNotFoundException => false }
+    // Heal the DEAD attempts of this batch: for every STALE marker
+    // (no heartbeat for pendStaleMs = its JVM is gone), delete that
+    // attempt's published files — UNLESS it is the recorded winner,
+    // whose files ARE the committed batch — then the marker itself.
+    // Scoped per OBSERVED stale attempt, never batch-wide: a racing
+    // live attempt's files carry a different attempt tag and are never
+    // matched, so no replay can delete rows another attempt is about
+    // to commit (and fresh markers — live rivals — are left untouched,
+    // heartbeat protection intact).
+    def healDeadAttempts(winner: Option[String]): Unit =
+      pendsForBatch().foreach { case (p, a) =>
+        if (isStale(p)) {
+          if (!winner.contains(a)) sweepSinkFiles(fs, s"$idHex-$batchHex-$a")
+          try { fs.delete(p, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
     val committed = sinkLedger(fs, idHex)
     // a LEGITIMATE replay only ever re-delivers the ledger head (the
     // micro-batch commit log lags addBatch by at most one batch). A
@@ -286,39 +312,37 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "from scratch.")
     if (committed.exists(_ == batchId)) {
       // the replay of the already-committed head: any crash fell in the
-      // ledger→marker-delete window — clear stale markers so
-      // maintenance stops being blocked, skip the batch
-      clearPends()
+      // ledger→marker-delete window. Heal DEAD attempts (a crashed
+      // loser's files would otherwise be served as duplicates forever —
+      // the ledger records the WINNING attempt so its files are never
+      // touched) and leave any fresh marker alone: a live zombie is
+      // mid-publish and will lose the ledger race and clean itself up.
+      healDeadAttempts(sinkWinner(fs, idHex, batchId))
       false
     } else {
       requirePqModelMatch()
-      // Torn PREVIOUS attempts of this batch left their pend markers
-      // behind (nothing else removes them, and the markers have blocked
-      // every maintenance op since): sweep every such attempt's
-      // published files before rewriting. DEAD vs LIVE is decided by
-      // marker freshness — a live attempt HEARTBEATS its marker (below)
-      // every few seconds, so a fresh marker means another driver is
-      // publishing THIS batch right now (a zombie racing its
-      // replacement) and sweeping would corrupt the files it is about
-      // to commit: refuse loudly instead, and let the replay retry
-      // after the marker goes stale or the rival's commit lands.
-      val pends = pendsForBatch()
-      if (pends.nonEmpty) {
-        val now = System.currentTimeMillis()
-        val fresh = pends.filter(p =>
-          try now - fs.getFileStatus(p).getModificationTime < Lake.pendStaleMs
-          catch { case _: java.io.FileNotFoundException => false })
-        if (fresh.nonEmpty) throw new java.util.ConcurrentModificationException(
-          s"sink batch $batchId at ${cfg.location} refused: another " +
-            s"attempt of this same batch holds a fresh marker " +
-            s"(${fresh.map(_.getName).mkString(", ")}) — a concurrent " +
-            "duplicate driver is publishing this batch right now. Retry " +
-            s"after the marker stops heartbeating (${Lake.pendStaleMs} ms) " +
-            "or its commit lands.")
-        sweepSinkFiles(fs, s"$idHex-$batchHex")
-      }
+      // A FRESH marker for this batch means another driver is
+      // publishing it right now (a zombie racing its replacement —
+      // live attempts HEARTBEAT their marker): refuse loudly, since
+      // converging concurrently would double-publish. STALE markers
+      // are dead attempts; heal them (sweep + marker delete) per
+      // observed attempt.
+      val fresh = pendsForBatch().collect { case (p, _) if !isStale(p) => p }
+      if (fresh.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"sink batch $batchId at ${cfg.location} refused: another " +
+          s"attempt of this same batch holds a fresh marker " +
+          s"(${fresh.map(_.getName).mkString(", ")}) — a concurrent " +
+          "duplicate driver is publishing this batch right now. Retry " +
+          s"after the marker stops heartbeating (${Lake.pendStaleMs} ms) " +
+          "or its commit lands.")
+      healDeadAttempts(winner = None)
       val pend = new org.apache.hadoop.fs.Path(cfg.location,
         s"_append.$idHex-$batchHex-$attempt.lock")
+      // pendLock serializes the heartbeat's re-PUT against the final
+      // marker delete: without it, a beat blocked inside fs.create on a
+      // slow store could land AFTER the delete and resurrect the marker
+      // — stranding it (maintenance blocked) until repair
+      val pendLock = new Object
       def stampPend(): Unit = {
         val o = fs.create(pend, true)
         try o.write(
@@ -337,9 +361,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         while (beating.get()) {
           try Thread.sleep(math.max(1000L, Lake.pendStaleMs / 4))
           catch { case _: InterruptedException => () }
-          if (beating.get())
-            try stampPend()
-            catch { case scala.util.control.NonFatal(_) => () }
+          pendLock.synchronized {
+            if (beating.get())
+              try stampPend()
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
       }, s"graft-sink-pend-beat-$attempt")
       beat.setDaemon(true)
@@ -349,28 +375,49 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           fileTag = Some(s"$idHex-$batchHex-$attempt"))
         refreshSkipIndex(out.shards)
         refreshZoneMap(out.files)
-        // COMMIT = the atomic ledger version create. A collision means a
-        // racing attempt of this very batch already committed: WE lost —
-        // remove exactly our attempt's files (the winner's stay) and
-        // report the batch as already-committed. On a plain-S3 store
-        // where create(overwrite=false) is a blind PUT the arbitration
+        // COMMIT = the atomic ledger version create (recording THIS
+        // attempt as the winner). A collision means a racing attempt of
+        // this very batch already committed: WE lost — remove exactly
+        // our attempt's files (the winner's stay) and report the batch
+        // as already-committed. On a plain-S3 store where
+        // create(overwrite=false) is a blind PUT the arbitration
         // narrows to the same documented residual as the writer lock.
         val won =
-          try { writeSinkLedger(fs, idHex, batchId); true }
+          try { writeSinkLedger(fs, idHex, batchId, attempt); true }
           catch { case _: java.io.IOException
               if sinkLedger(fs, idHex).exists(_ >= batchId) =>
             sweepSinkFiles(fs, s"$idHex-$batchHex-$attempt")
             false
           }
-        // stop the beat BEFORE deleting markers, or a final beat could
-        // resurrect one and block maintenance until the next replay.
-        // ALL of this batch's markers go — ours plus any stale crashed
-        // attempt's (a live rival would have made us refuse up front)
         beating.set(false); beat.interrupt(); beat.join(5000L)
-        clearPends()
+        // the monitor (not the bounded join) is what makes the delete
+        // final: any in-flight beat completes first, none start after
+        pendLock.synchronized {
+          try { fs.delete(pend, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        // other STALE markers of this batch heal now that a winner is
+        // recorded (fresh ones belong to live rivals about to lose and
+        // self-clean)
+        healDeadAttempts(
+          if (won) Some(attempt) else sinkWinner(fs, idHex, batchId))
         won
       } finally { beating.set(false); beat.interrupt() }
     }
+  }
+
+  /** The WINNING attempt recorded in the ledger version of (sink,
+    * batch) — None when the version is absent (rotated out) or predates
+    * attempt recording. Guards the heal path: a batch's committed files
+    * carry the winner's attempt tag and must never be swept. */
+  private def sinkWinner(fs: org.apache.hadoop.fs.FileSystem,
+      idHex: String, batchId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_sink.$idHex.$batchId.json")
+    if (!fs.exists(p)) return None
+    try """"attempt"\s*:\s*"([0-9a-f]+)"""".r
+      .findFirstMatchIn(readFully(fs, p)).map(_.group(1))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Newest committed batch id for sink `idHex`, from the root's
@@ -389,12 +436,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * newest two versions of this sink best-effort (same rotation
     * posture as the `_meta` sidecar). */
   private def writeSinkLedger(fs: org.apache.hadoop.fs.FileSystem,
-      idHex: String, batchId: Long): Unit = {
+      idHex: String, batchId: Long, attempt: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.location,
       s"_sink.$idHex.$batchId.json")
-    val out = fs.create(p, false) // replays are gate-serialized; a name
-    try out.write(                // collision here is a protocol bug
-      s"""{"sink": "$idHex", "batch": $batchId, "committed_at": "${java.time.Instant.now()}"}"""
+    val out = fs.create(p, false) // atomic create = the commit arbiter;
+    try out.write(                // a collision means a rival won
+      (s"""{"sink": "$idHex", "batch": $batchId, "attempt": "$attempt", """ +
+        s""""committed_at": "${java.time.Instant.now()}"}""")
         .getBytes("UTF-8"))
     finally out.close()
     try {
@@ -1140,15 +1188,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       if (!fs.exists(dir)) Nil
       else dataFilesIn(fs, dir).map(f => (f.getPath.toString, part.orNull,
         gen, f.getLen, f.getModificationTime))
-    val live = liveEntries(st).flatMap { case (d, g) =>
+    // pooled LISTs (the liveShardFiles posture): on an object store a
+    // serial per-directory listing would pay O(live dirs) round trips
+    val live = mapDirsPooled(liveEntries(st)) { (d, g) =>
       fileRows(new org.apache.hadoop.fs.Path(genPath(g), d),
         unescapePartitionValue(d.split("=", 2)(1)), g)
-    }
+    }.flatten
     val legacy = rootLevelDataFrom(entries).flatMap { p =>
-      if (p.getName.endsWith(".parquet")) {
-        val s = fs.getFileStatus(p)
-        Seq((p.toString, null: String, 0L, s.getLen, s.getModificationTime))
-      } else fileRows(p, unescapePartitionValue(p.getName.split("=", 2)(1)), 0L)
+      if (p.getName.endsWith(".parquet"))
+        // listRoot already fetched these statuses — reuse, no re-stat
+        entries.find(_.getPath == p).toSeq.map(s =>
+          (p.toString, null: String, 0L, s.getLen, s.getModificationTime))
+      else fileRows(p, unescapePartitionValue(p.getName.split("=", 2)(1)), 0L)
     }
     (live ++ legacy)
       .toDF("file", "partition", "generation", "bytes", "modified_ms")

@@ -34,7 +34,7 @@ object GraftFunctions {
     // `USING graft` table prunes to one directory: routed kNN in pure
     // SQL, no Scala API (GraftFormatSpec pins the pruned plan).
     "lsh_shard" -> (exprs =>
-      if (exprs.size <= 1) Lsh.default.catalystShardExpr(exprs.head)
+      if (exprs.size == 1) Lsh.default.catalystShardExpr(exprs.head)
       else {
         require(exprs.size == 4,
           "lsh_shard takes (vector) or (vector, dim, numHashes, seed)")

@@ -102,7 +102,12 @@ class GraftSinkSpec extends SparkSpec {
     val ledger = new Path(loc, s"_sink.$idHex.7.json")
     assert(fs.exists(ledger), "ledger version should exist after commit")
     fs.delete(ledger, false)
-    val pend = new Path(loc, s"_append.$idHex-7-deadbeef.lock")
+    // the marker carries the REAL attempt id (as a genuine crash would
+    // leave it) — the heal path sweeps files by that attempt's tag
+    val attempt = lake.read().inputFiles.map(new Path(_).getName)
+      .collectFirst { case n if n.startsWith(s"sink-$idHex-7-") =>
+        n.stripPrefix(s"sink-$idHex-7-").split("-")(0) }.get
+    val pend = new Path(loc, s"_append.$idHex-7-$attempt.lock")
     fs.create(pend, true).close()
 
     // replay of the same batch: the sweep removes the torn files first,

@@ -245,8 +245,14 @@ class LakePropertiesSpec extends SparkSpec {
             val idHex = Lake.sinkIdHex("fuzz-sink")
             fs.delete(new org.apache.hadoop.fs.Path(lake.cfg.location,
               s"_sink.$idHex.$sinkBatch.json"), false)
+            val bHex = java.lang.Long.toHexString(sinkBatch)
+            val attempt = lake.read().inputFiles
+              .map(new org.apache.hadoop.fs.Path(_).getName)
+              .collectFirst { case n if n.startsWith(s"sink-$idHex-$bHex-") =>
+                n.stripPrefix(s"sink-$idHex-$bHex-").split("-")(0) }
+              .getOrElse("f022beef") // batch fully compacted away
             val pend = new org.apache.hadoop.fs.Path(lake.cfg.location,
-              s"_append.$idHex-${java.lang.Long.toHexString(sinkBatch)}-f022beef.lock")
+              s"_append.$idHex-$bHex-$attempt.lock")
             fs.create(pend, true).close()
             sys.props("graft.sink.pendStaleMs") = "0" // crashed attempt aged out
             try assert(lake.ingestExactlyOnce(df, "fuzz-sink", sinkBatch),

@@ -437,8 +437,12 @@ class ObjectStoreSpec extends SparkSpec {
       // (a delete per torn file, no rename) converges to one copy
       fs.delete(new org.apache.hadoop.fs.Path(
         lake.cfg.location, s"_sink.$idHex.0.json"), false)
+      val attempt = lake.read().inputFiles
+        .map(new org.apache.hadoop.fs.Path(_).getName)
+        .collectFirst { case n if n.startsWith(s"sink-$idHex-0-") =>
+          n.stripPrefix(s"sink-$idHex-0-").split("-")(0) }.get
       fs.create(new org.apache.hadoop.fs.Path(
-        lake.cfg.location, s"_append.$idHex-0-beadfeed.lock"), true).close()
+        lake.cfg.location, s"_append.$idHex-0-$attempt.lock"), true).close()
       sys.props("graft.sink.pendStaleMs") = "0" // the marker has "aged out"
       try assert(lake.ingestExactlyOnce(batch, "bucket-sink", 0L))
       finally sys.props.remove("graft.sink.pendStaleMs")
