@@ -274,10 +274,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           s.getPath -> s.getPath.getName
             .stripPrefix(s"_append.$idHex-$batchHex-").stripSuffix(".lock")
       }
-    def isStale(p: org.apache.hadoop.fs.Path): Boolean =
-      try System.currentTimeMillis() -
-        fs.getFileStatus(p).getModificationTime >= Lake.pendStaleMs
-      catch { case _: java.io.FileNotFoundException => false }
+    // Some(true) = stale (dead attempt), Some(false) = fresh (live
+    // rival, heartbeat protection), None = GONE — deleted between the
+    // pendsForBatch() listing and this stat, i.e. its attempt just
+    // committed and cleaned up. Gone is its own state: mapping it to
+    // "fresh" would make a replay refuse (spuriously failing the query
+    // over a rival that already finished), and mapping it to "stale"
+    // would sweep the files of a batch that just committed.
+    def markerState(p: org.apache.hadoop.fs.Path): Option[Boolean] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime >= Lake.pendStaleMs)
+      catch { case _: java.io.FileNotFoundException => None }
     // Heal the DEAD attempts of this batch: for every STALE marker
     // (no heartbeat for pendStaleMs = its JVM is gone), delete that
     // attempt's published files — UNLESS it is the recorded winner,
@@ -287,12 +294,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // matched, so no replay can delete rows another attempt is about
     // to commit (and fresh markers — live rivals — are left untouched,
     // heartbeat protection intact).
-    def healDeadAttempts(winner: Option[String]): Unit =
+    //
+    // `version` is [[sinkVersion]]'s three-way answer for THIS batch:
+    // None = no ledger version (nothing committed — every stale attempt
+    // is a dead loser, sweep freely); Some(Some(w)) = w won (sweep
+    // every stale attempt but w); Some(None) = the version FILE exists
+    // but its winner is UNREADABLE (a torn ledger write) — the one
+    // state where sweeping is forbidden: the committed batch's files
+    // carry SOME attempt's tag and we cannot tell whose, so deleting
+    // any stale attempt's files might delete the committed rows
+    // themselves. Markers are kept too: maintenance stays blocked,
+    // loudly, until an operator repairs the torn _sink.<id>.<batch>
+    // .json (or repair()/vacuum(force) clears the marker).
+    def healDeadAttempts(version: Option[Option[String]]): Unit =
       pendsForBatch().foreach { case (p, a) =>
-        if (isStale(p)) {
-          if (!winner.contains(a)) sweepSinkFiles(fs, s"$idHex-$batchHex-$a")
-          try { fs.delete(p, false); () }
-          catch { case scala.util.control.NonFatal(_) => () }
+        if (markerState(p).contains(true)) version match {
+          case Some(None) => () // torn ledger: winner unknowable — keep everything
+          case Some(Some(w)) if w == a =>
+            // the winner's own stale marker (crash in the ledger →
+            // marker-delete window): its files ARE the batch
+            try { fs.delete(p, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          case _ =>
+            sweepSinkFiles(fs, s"$idHex-$batchHex-$a")
+            try { fs.delete(p, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     val committed = sinkLedger(fs, idHex)
@@ -317,7 +343,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // the ledger records the WINNING attempt so its files are never
       // touched) and leave any fresh marker alone: a live zombie is
       // mid-publish and will lose the ledger race and clean itself up.
-      healDeadAttempts(sinkWinner(fs, idHex, batchId))
+      healDeadAttempts(sinkVersion(fs, idHex, batchId))
       false
     } else {
       requirePqModelMatch()
@@ -327,7 +353,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // converging concurrently would double-publish. STALE markers
       // are dead attempts; heal them (sweep + marker delete) per
       // observed attempt.
-      val fresh = pendsForBatch().collect { case (p, _) if !isStale(p) => p }
+      val fresh = pendsForBatch().collect {
+        case (p, _) if markerState(p).contains(false) => p
+      }
       if (fresh.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"sink batch $batchId at ${cfg.location} refused: another " +
           s"attempt of this same batch holds a fresh marker " +
@@ -335,7 +363,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "duplicate driver is publishing this batch right now. Retry " +
           s"after the marker stops heartbeating (${Lake.pendStaleMs} ms) " +
           "or its commit lands.")
-      healDeadAttempts(winner = None)
+      healDeadAttempts(version = None)
       val pend = new org.apache.hadoop.fs.Path(cfg.location,
         s"_append.$idHex-$batchHex-$attempt.lock")
       // pendLock serializes the heartbeat's re-PUT against the final
@@ -376,18 +404,42 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         refreshSkipIndex(out.shards)
         refreshZoneMap(out.files)
         // COMMIT = the atomic ledger version create (recording THIS
-        // attempt as the winner). A collision means a racing attempt of
-        // this very batch already committed: WE lost — remove exactly
-        // our attempt's files (the winner's stay) and report the batch
-        // as already-committed. On a plain-S3 store where
-        // create(overwrite=false) is a blind PUT the arbitration
-        // narrows to the same documented residual as the writer lock.
+        // attempt as the winner). On IOException the version state
+        // disambiguates LOSING A RACE from OUR OWN WRITE TEARING —
+        // without the distinction, a torn own write (create succeeded,
+        // write/close threw, a visible half-written version remains)
+        // would match a naive "version exists" guard, sweep our own
+        // just-published files, and report already-committed: every
+        // later replay skips and the batch's rows are silently lost.
+        //  - a READABLE version naming a RIVAL attempt: we lost the
+        //    race — remove exactly our attempt's files (the winner's
+        //    stay) and report already-committed.
+        //  - NO version but the ledger head moved PAST this batch: a
+        //    rival committed it (and more; our batch's version slot
+        //    was rotated out — for the rival to be delivered batch
+        //    n+1 its commit of n must have landed). Our files are
+        //    pure duplicates: sweep, report already-committed.
+        //  - anything else (version absent with head at/below us,
+        //    version unreadable, or — readback races — naming US):
+        //    RETHROW. The pend marker stays, maintenance stays
+        //    blocked, and the restart's replay converges through the
+        //    skip/heal branch (which preserves a recorded winner's
+        //    files and refuses to sweep under a torn version). On a
+        //    plain-S3 store where create(overwrite=false) is a blind
+        //    PUT the arbitration narrows to the same documented
+        //    residual as the writer lock.
         val won =
           try { writeSinkLedger(fs, idHex, batchId, attempt); true }
-          catch { case _: java.io.IOException
-              if sinkLedger(fs, idHex).exists(_ >= batchId) =>
-            sweepSinkFiles(fs, s"$idHex-$batchHex-$attempt")
-            false
+          catch { case e: java.io.IOException =>
+            sinkVersion(fs, idHex, batchId) match {
+              case Some(Some(w)) if w != attempt =>
+                sweepSinkFiles(fs, s"$idHex-$batchHex-$attempt")
+                false
+              case None if sinkLedger(fs, idHex).exists(_ > batchId) =>
+                sweepSinkFiles(fs, s"$idHex-$batchHex-$attempt")
+                false
+              case _ => throw e
+            }
           }
         beating.set(false); beat.interrupt(); beat.join(5000L)
         // the monitor (not the bounded join) is what makes the delete
@@ -400,24 +452,37 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         // recorded (fresh ones belong to live rivals about to lose and
         // self-clean)
         healDeadAttempts(
-          if (won) Some(attempt) else sinkWinner(fs, idHex, batchId))
+          if (won) Some(Some(attempt)) else sinkVersion(fs, idHex, batchId))
         won
       } finally { beating.set(false); beat.interrupt() }
     }
   }
 
-  /** The WINNING attempt recorded in the ledger version of (sink,
-    * batch) — None when the version is absent (rotated out) or predates
-    * attempt recording. Guards the heal path: a batch's committed files
-    * carry the winner's attempt tag and must never be swept. */
-  private def sinkWinner(fs: org.apache.hadoop.fs.FileSystem,
-      idHex: String, batchId: Long): Option[String] = {
+  /** The ledger version state for (sink, batch) — three-way, because
+    * the heal paths must treat each differently:
+    *
+    *  - `None`: the version FILE is absent (never committed, or rotated
+    *    out after later commits).
+    *  - `Some(Some(attempt))`: committed; `attempt` won. The batch's
+    *    files carry the winner's tag and must never be swept.
+    *  - `Some(None)`: the version file EXISTS but the winning attempt
+    *    cannot be read out of it (a torn ledger write, or a transient
+    *    read failure). The batch counts as committed (the filename is
+    *    the ledger, [[sinkLedger]]) but the winner is unknowable — heal
+    *    paths must sweep NOTHING under this state, or they could delete
+    *    the committed rows themselves. */
+  private def sinkVersion(fs: org.apache.hadoop.fs.FileSystem,
+      idHex: String, batchId: Long): Option[Option[String]] = {
     val p = new org.apache.hadoop.fs.Path(cfg.location,
       s"_sink.$idHex.$batchId.json")
-    if (!fs.exists(p)) return None
-    try """"attempt"\s*:\s*"([0-9a-f]+)"""".r
-      .findFirstMatchIn(readFully(fs, p)).map(_.group(1))
-    catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      if (!fs.exists(p)) None
+      else Some(""""attempt"\s*:\s*"([0-9a-f]+)"""".r
+        .findFirstMatchIn(readFully(fs, p)).map(_.group(1)))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case scala.util.control.NonFatal(_) => Some(None)
+    }
   }
 
   /** Newest committed batch id for sink `idHex`, from the root's

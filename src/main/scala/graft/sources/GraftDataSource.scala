@@ -105,9 +105,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val cfg = resolveConfig(sqlContext.sparkSession, opts)
     // sink identity = the query's checkpoint location (stable across
     // restarts, distinct across queries — the property the exactly-once
-    // ledger needs); an explicit sinkId option overrides
+    // ledger needs); an explicit sinkId option overrides. The PATH is
+    // NORMALIZED (qualified scheme + authority, dot-segments and
+    // trailing slashes collapsed) before it becomes an identity: a
+    // restart that respells the same checkpoint ("/cp/" vs "/cp",
+    // relative vs absolute, file:/cp vs bare /cp) must map to the SAME
+    // ledger — a respelling that started a fresh empty ledger would let
+    // a head batch replayed after a crash in the addBatch→commit-log
+    // window ingest twice. An explicit sinkId is a NAME, not a path,
+    // and is used verbatim.
     val sinkId = opt(opts, "sinkId")
-      .orElse(opt(opts, "checkpointLocation"))
+      .orElse(opt(opts, "checkpointLocation").map(
+        normalizeCheckpointId(sqlContext.sparkSession, _)))
       .getOrElse {
         // the cluster-default conf resolves the REAL checkpoint path
         // (conf dir + query name) only AFTER createSink runs, and the
@@ -171,6 +180,27 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 object GraftDataSource {
   private def opt(o: CaseInsensitiveStringMap, key: String): Option[String] =
     Option(o.get(key)).filter(_.nonEmpty)
+
+  /** Canonical spelling of a checkpoint path for ledger identity:
+    * `Path` construction collapses duplicate separators and trailing
+    * slashes, `makeQualified` pins the scheme + authority and resolves
+    * a relative path against the FS working directory — so every
+    * spelling of one checkpoint location hashes to one sink identity.
+    * Falls back to the raw string if the path cannot be qualified (an
+    * unregistered scheme): an unqualifiable path is at least
+    * SELF-consistent across restarts. */
+  private[graft] def normalizeCheckpointId(spark: SparkSession,
+      raw: String): String =
+    try {
+      val p = new Path(raw)
+      val u = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri
+      // rebuilt from components, not toUri.toString: a null vs EMPTY
+      // authority ("file:/x" vs "file:///x") round-trips differently
+      // through URI yet names the same location
+      if (u.getScheme == null) u.getPath
+      else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    } catch { case scala.util.control.NonFatal(_) => raw }
 
   /** Newest `_meta.<v>.json` (or the pre-v2 `_meta.json`) body at
     * `location`, read directly — the provider cannot construct a Lake

@@ -121,6 +121,58 @@ class GraftSinkSpec extends SparkSpec {
     assert(!fs.exists(pend), "pend marker cleared after healed commit")
   }
 
+  test("a TORN ledger version (winner unreadable) freezes the heal path: no sweep, marker kept, maintenance blocked") {
+    val loc = tmp() + "/lake"
+    val fs = fsOf(loc)
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val batch = Seq(
+      (Seq(1f, 0f, 0f, 0f), "p"), (Seq(0f, 1f, 0f, 0f), "q")).toDF("vector", "document")
+    assert(lake.ingestExactlyOnce(batch, "sink-tl", 7L))
+    assert(lake.read().count() === 2)
+
+    // simulate a TORN ledger write: the version file exists (so the
+    // batch counts committed — the filename is the ledger) but the
+    // winning attempt is unreadable from its body. Restore a stale pend
+    // marker carrying the REAL attempt, as a crash in the commit window
+    // would leave it.
+    val idHex = Lake.sinkIdHex("sink-tl")
+    val ledger = new Path(loc, s"_sink.$idHex.7.json")
+    val out = fs.create(ledger, true)
+    out.write("{\"sink\": \"".getBytes("UTF-8")) // half-written json
+    out.close()
+    val attempt = lake.read().inputFiles.map(new Path(_).getName)
+      .collectFirst { case n if n.startsWith(s"sink-$idHex-7-") =>
+        n.stripPrefix(s"sink-$idHex-7-").split("-")(0) }.get
+    val pend = new Path(loc, s"_append.$idHex-7-$attempt.lock")
+    fs.create(pend, true).close()
+
+    // the replay takes the skip branch but must sweep NOTHING: the
+    // committed files carry SOME attempt's tag and the torn version
+    // cannot say whose — deleting the stale attempt's files here could
+    // be deleting the committed rows themselves
+    sys.props("graft.sink.pendStaleMs") = "0"
+    try assert(!lake.ingestExactlyOnce(batch, "sink-tl", 7L))
+    finally sys.props.remove("graft.sink.pendStaleMs")
+    assert(lake.read().count() === 2, "committed rows survive the torn-ledger replay")
+    assert(fs.exists(pend), "marker stays: maintenance blocked loudly until repair")
+    intercept[java.util.ConcurrentModificationException](lake.compact())
+
+    // the documented operator heal: fix/inspect, clear the marker
+    fs.delete(pend, false)
+    lake.compact()
+    assert(lake.read().count() === 2)
+  }
+
+  test("sink identity normalizes checkpoint path spellings (trailing slash, scheme, duplicate separators)") {
+    val base = GraftDataSource.normalizeCheckpointId(spark, "/tmp/graft_cp_x")
+    assert(GraftDataSource.normalizeCheckpointId(spark, "/tmp/graft_cp_x/") === base)
+    assert(GraftDataSource.normalizeCheckpointId(spark, "/tmp//graft_cp_x") === base)
+    assert(GraftDataSource.normalizeCheckpointId(spark, "file:/tmp/graft_cp_x") === base)
+    assert(GraftDataSource.normalizeCheckpointId(spark, "file:///tmp/graft_cp_x") === base)
+    // distinct checkpoints stay distinct
+    assert(GraftDataSource.normalizeCheckpointId(spark, "/tmp/graft_cp_y") !== base)
+  }
+
   test("a FRESH rival marker for the same batch refuses the attempt (live zombie protection)") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
