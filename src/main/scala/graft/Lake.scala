@@ -142,6 +142,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * operators can see how much of the lake predates the evolution.
     * The reference pins its frame schema for the index's life
     * (index.py:249-250); evolution is an engine extension. */
+  /** Materialize the sidecar for a brand-new lake WITHOUT ingesting a
+    * row — the `CREATE TABLE` bootstrap ([[graft.sources.GraftCatalog]]):
+    * one state commit makes the empty lake discoverable (the sidecar
+    * records dim/metric/routing config, so later sessions and the SQL
+    * format resolve it with zero options). Idempotent on an existing
+    * lake (a plain `last_update` re-stamp). */
+  def bootstrap(): Unit = withWriterLock("bootstrap") {
+    writeState(readState()); ()
+  }
+
   def evolve(add: StructType): Unit = {
     require(add.fields.nonEmpty, "evolve: no columns given")
     val dup = add.fields.map(_.name).groupBy(identity)
@@ -908,12 +918,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         when(col("metadata").isNull || size(col("metadata")) === 0,
           map(lit("id"), lit("1")).cast(MapType(StringType, StringType)))
           .otherwise(col("metadata")))
+    // NULL-valued derived columns are treated like ABSENT ones, per row
+    // — the SQL write path (INSERT INTO ... USING graft with a column
+    // list, df.write.format("graft") with a subset schema) delivers the
+    // full table schema with unsupplied columns null-filled, and a null
+    // document/id landing verbatim would diverge from what the same
+    // rows get through the Scala API
     if (!df.columns.contains("document")) df = df.withColumn("document", lit(""))
-    // a caller-supplied id survives (upsert identity); absent → uuid,
-    // the reference's default (index.py:577)
+    else df = df.withColumn("document",
+      coalesce(col("document").cast(StringType), lit("")))
+    // a caller-supplied id survives (upsert identity); absent or null →
+    // uuid, the reference's default (index.py:577)
     if (!df.columns.contains("id")) df = df.withColumn("id", expr("uuid()"))
     df = df
-      .withColumn("id", col("id").cast(StringType))
+      .withColumn("id", coalesce(col("id").cast(StringType), expr("uuid()")))
       // a caller-supplied timestamp survives (backfill/replay ingest
       // keeps source event times — and the `_zone` time pruning is only
       // as good as the times are meaningful); absent or null → now(),
@@ -952,7 +970,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
                   "format or cast explicitly before ingest")))
                 .cast(TimestampType)))
         } else current_timestamp())
-      .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
+      // a NULL vector is refused per-row in the plan (not pre-counted —
+      // that would cost an extra scan): it cannot be routed, packed, or
+      // searched, and on an LSH lake it would silently land in the Hive
+      // default partition outside every shard prune
+      .withColumn("vector",
+        when(col("vector").isNull, raise_error(lit(
+          s"ingest at ${cfg.location}: `vector` is null — every ingested " +
+            "row needs a vector (it is the routing and search key)"))
+          .cast(ArrayType(FloatType)))
+          .otherwise(col("vector").cast(ArrayType(FloatType))))
     if (cfg.packSignBits)
       df = df.withColumn("packed", V.signPack(col("vector")))
     cfg.pqCodebooks.foreach { m =>

@@ -508,6 +508,60 @@ object CoreQueries {
                     round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** The (session, sfDir)-scoped lake built ENTIRELY through the DSv2
+    * batch WRITE path — `df.write.format("graft").mode("append")` with
+    * a subset schema over an evolve()d lake — so the registry holds an
+    * oracle-checked query whose input rows never touched the Scala
+    * ingest API. Shard routing, derive defaults, and the evolved
+    * `label` extra all come from the write path under test
+    * ([[graft.sources.GraftTable.newWriteBuilder]]); hash-equality
+    * with the DuckDB oracle (which recomputes routing from raw
+    * `embeddings`) proves the SQL write landed every row, routed it
+    * identically, and carried the extra column bit-exactly. */
+  private def sqlInsertLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "sql_insert") {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "sql_lake")
+      val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
+      l.delete()
+      l.evolve(StructType(Seq(StructField("label", IntegerType))))
+      Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document"),
+          col("label"))
+        .write.format("graft").mode("append").save(tmp)
+      l
+    }
+
+  /** Per-shard profile of the SQL-written lake ([[sqlInsertLake]]),
+    * aggregated in pure SQL through the format read — the full
+    * SQL-only round trip (write → read → aggregate) against the
+    * DuckDB oracle on the raw table. Distinct aggregation from
+    * q_shard_stats (avg) and q_sql_scan (min/max): count + distinct
+    * evolved labels + mean norm, so the three surfaces cannot mask
+    * each other. Scale shape: one partitioned scan, hash agg on the
+    * partition column. */
+  val qSqlInsert = Q(
+    "q_sql_insert",
+    (s, dir) => {
+      val lake = sqlInsertLake(s, dir)
+      val view = "graft_sql_insert_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
+      s.read.format("graft").load(lake.cfg.location)
+        .select(col("shard"), col("label"),
+          V.l2Norm(col("vector")).as("norm"))
+        .createOrReplaceTempView(view)
+      s.sql(s"""SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(count(DISTINCT label) AS BIGINT) AS labels,
+                       round(avg(norm), 6) AS avg_norm
+                FROM $view GROUP BY shard ORDER BY shard""")
+    },
+    Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(DISTINCT label) AS BIGINT) AS labels,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
   /** Pairwise cosine similarity between label centroids — the
     * class-separation audit an embedding pipeline reports (are label
     * clusters collapsing?). The quadratic pairing runs over the
@@ -669,5 +723,5 @@ object CoreQueries {
     qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats, qSqlScan, qHybridRrf, qMaxSim)
+    qShardStats, qSqlScan, qSqlInsert, qHybridRrf, qMaxSim)
 }

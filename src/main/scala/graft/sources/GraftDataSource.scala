@@ -10,9 +10,10 @@ import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.StreamSinkProvider
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -56,15 +57,18 @@ import graft.{Lake, LakeConfig}
   * names as `graft-changes`). `asOf` takes any sidecar version from
   * [[graft.Lake.history]]; a vacuumed version fails loudly.
   *
-  * BATCH writes are REFUSED by capability: an INSERT landing raw
-  * parquet under the root would bypass shard routing, id/timestamp
-  * derivation, the staged publish, and the manifest — use
-  * [[graft.Lake.ingest]]. STREAMING writes are supported
+  * BATCH writes are supported and NEVER land raw parquet: `INSERT
+  * INTO` / `writeTo(...).append()` / `df.write.format("graft")
+  * .mode("append")` funnel through the identical `withDerived` +
+  * staged-publish + append-gate path as [[graft.Lake.ingest]]
+  * ([[GraftTable.newWriteBuilder]] — shard routing, uuid/timestamp
+  * defaults, metadata coercion, evolve extras, concurrent-append
+  * admission). STREAMING writes are supported
   * (`df.writeStream.format("graft")` → [[GraftSink]], exactly-once
   * via [[graft.Lake.ingestExactlyOnce]]'s batch ledger), because a
   * streaming write IS routed ingest — the sink runs the same derive +
   * staged-publish path as the Scala API. Streaming reads go through
-  * the registered `graft-changes` source; together the three close
+  * the registered `graft-changes` source; together they close
   * the loop `readStream(graft-changes) → transform →
   * writeStream(graft)` without a line of Scala.
   *
@@ -316,7 +320,7 @@ object GraftDataSource {
     *
     * Views are driver-sized metadata served through a DSv2 `LocalScan`
     * (Catalyst folds it to a LocalRelation — no file scan planned). */
-  private def makeTable(options: CaseInsensitiveStringMap): Table = {
+  private[sources] def makeTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val cfg = resolveConfig(spark, options)
     val location = cfg.location
@@ -338,7 +342,7 @@ object GraftDataSource {
     val partField = canonical.fields.last
     new GraftTable(
       s"graft:$location" + asOf.map(v => s"@$v").getOrElse(""),
-      spark, options, roots, partField,
+      spark, options, cfg, asOf, roots, partField,
       // the table's schema is PINNED to the sidecar-declared one
       // (stored columns + registered evolve() extras + partition col),
       // never footer-inferred: a column registered by evolve() but not
@@ -387,8 +391,94 @@ final class GraftViewTable(name0: String,
   * directory set, with the partition spec built FROM THE MANIFEST
   * (one `PartitionPath` per live directory) instead of inferred from
   * paths — inference refuses the multi-generation tree, and the
-  * manifest already knows every value. Read-only by capability. */
+  * manifest already knows every value.
+  *
+  * WRITABLE: `INSERT INTO`, `df.writeTo(...).append()`, and
+  * `df.write.format("graft").mode("append")` all land as ONE routed
+  * lake append — the write funnels through the IDENTICAL
+  * `withDerived` + staged-publish + append-gate path as
+  * [[graft.Lake.ingest]] (uuid/timestamp defaults, metadata coercion,
+  * LSH shard routing, evolve extras, concurrent-append admission), so
+  * a SQL-inserted row and a Scala-ingested row can never diverge. The
+  * bridge is the public DSv2 `V1Write` escape hatch (the same one
+  * Spark's own JDBC v2 writer uses): a lake commit is ONE
+  * driver-coordinated transaction over the whole batch (shard
+  * clustering exchange, staged publish, manifest stamp under the
+  * append gate), not independent per-partition writer commits, so
+  * handing the planned DataFrame to the existing transactional ingest
+  * is the honest mapping — and it keeps exactly one write path to
+  * test. Append only: OVERWRITE/truncate are refused by capability
+  * (rewrites are the explicit keyed APIs — upsert/deleteWhere), and a
+  * time-travel (`asOf`) table is read-only by definition. */
 final class GraftTable(
+    name0: String,
+    spark: SparkSession,
+    scanOpts: CaseInsensitiveStringMap,
+    cfg: LakeConfig,
+    asOf: Option[Long],
+    roots: Seq[(String, Option[String])],
+    partField: StructField,
+    emptySchema: Option[StructType])
+  extends Table with SupportsRead with SupportsWrite {
+
+  // COMPOSITION, not inheritance, over the stock DSv2 ParquetTable —
+  // deliberately: Spark's FallBackFileSourceV2 analyzer rule rewrites
+  // `INSERT INTO` any table that IS-A FileTable into a raw V1
+  // HadoopFsRelation insert over the table's own fileIndex roots,
+  // which here would land un-routed, un-derived parquet INSIDE a live
+  // shard directory (bypassing newWriteBuilder entirely and corrupting
+  // the layout). Wrapping the parquet table keeps its battle-tested
+  // scan path — newScanBuilder delegates verbatim, so pushdown,
+  // pruning, and the vectorized reader are unchanged — while keeping
+  // this table out of every FileTable-specific rewrite rule.
+  private val parquet = new GraftBackingTable(
+    name0, spark, scanOpts, roots, partField, emptySchema)
+
+  override def name(): String = name0
+  override def schema(): StructType = parquet.schema
+  override def partitioning(): Array[Transform] = parquet.partitioning()
+  override def properties(): JMap[String, String] = parquet.properties()
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    parquet.newScanBuilder(options)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (asOf.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft table $name0 is a time-travel snapshot (asOf=${asOf.get}) " +
+        "— snapshots are read-only; write to the current table instead")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // unreachable through the planner (no truncate/overwrite
+              // capability), kept as defense in depth: a silent
+              // overwrite would drop the whole lake
+              require(!overwrite,
+                s"graft table $name0 does not support overwrite — " +
+                  "appends only (use deleteWhere/upsert for rewrites)")
+              Lake(SparkSession.active, cfg).ingest(data)
+            }
+          }
+      }
+    }
+  }
+}
+
+/** The delegated-to parquet scan table (see [[GraftTable]]'s
+  * composition note): the stock DSv2 `ParquetTable` over the live
+  * directory set with the manifest-built partition spec. Private to
+  * the wrapper — it must never surface as a plan's table, or the
+  * FileTable insert-fallback rule would re-apply. */
+private final class GraftBackingTable(
     name0: String,
     spark: SparkSession,
     scanOpts: CaseInsensitiveStringMap,
@@ -421,13 +511,6 @@ final class GraftTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(
-      s"graft table $name0 does not support writes: raw parquet landed " +
-        "under the lake root would bypass shard routing, id/timestamp " +
-        "derivation, the staged publish, and the manifest — write " +
-        "through Lake.ingest / upsert / deleteWhere.")
 }
 
 /** The registered streaming SINK behind `writeStream.format("graft")`:

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** The DSv2 batch WRITE path (`INSERT INTO`, `df.write.format("graft")
+  * .mode("append")`): every SQL-surface write must funnel through the
+  * IDENTICAL derive + staged-publish + append-gate path as
+  * [[graft.Lake.ingest]] — row parity, routing parity, metadata
+  * parity, evolve-extras parity — and the destructive modes must be
+  * refused. */
+class GraftWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_write_spec").toString
+
+  private val vecs = Seq(
+    (Seq(1f, 0f, 0f, 0f), "a"), (Seq(0f, 1f, 0f, 0f), "b"),
+    (Seq(0f, 0f, 1f, 0f), "c"), (Seq(0.5f, 0.5f, 0f, 0f), "d"))
+
+  test("df.write.format(graft).mode(append) with a subset schema lands routed, derived rows") {
+    val loc = tmp() + "/lake"
+    vecs.toDF("vector", "document")
+      .write.format("graft").mode("append")
+      .option("dim", "4").option("numHashes", "2")
+      .save(loc)
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val got = lake.read()
+    assert(got.count() === 4)
+    // full derive path ran: uuid ids, timestamp, default metadata, routing
+    assert(got.select("id").as[String].collect().forall(_.nonEmpty))
+    assert(got.select("metadata").where(size($"metadata") === 0).count() === 0)
+    assert(got.where($"timestamp".isNull).count() === 0)
+    // routing parity with the Scala API on the same rows
+    val twin = Lake(spark, LakeConfig(tmp() + "/twin", dim = 4, numHashes = 2))
+    twin.ingest(vecs.toDF("vector", "document"))
+    val bySql = got.select("document", "shard").as[(String, Int)].collect().toMap
+    val byApi = twin.read().select("document", "shard").as[(String, Int)].collect().toMap
+    assert(bySql === byApi)
+  }
+
+  test("INSERT INTO ... USING graft with a column list: missing columns derive, rows match the Scala path") {
+    val loc = tmp() + "/lake"
+    // bootstrap the lake so the sidecar carries dim/hashes
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "seed")).toDF("vector", "document"))
+    spark.sql("DROP TABLE IF EXISTS graft_write_spec_t")
+    spark.sql(s"CREATE TABLE graft_write_spec_t USING graft LOCATION '$loc'")
+    try {
+      spark.sql(
+        """INSERT INTO graft_write_spec_t (vector, document)
+           VALUES (array(0.0F, 1.0F, 0.0F, 0.0F), 'sql-b'),
+                  (array(0.0F, 0.0F, 1.0F, 0.0F), 'sql-c')""")
+      val got = lake.read()
+      assert(got.count() === 3)
+      assert(got.select("document").as[String].collect().toSet ===
+        Set("seed", "sql-b", "sql-c"))
+      // the SQL-inserted rows carry derived ids/timestamps/metadata
+      val sqlRows = got.where($"document".startsWith("sql-"))
+      assert(sqlRows.where($"id".isNull || $"timestamp".isNull).count() === 0)
+      assert(sqlRows.select("metadata").where(size($"metadata") === 0).count() === 0)
+      // and the reads through the SQL table see them
+      assert(spark.sql("SELECT count(*) FROM graft_write_spec_t").head().getLong(0) === 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_write_spec_t")
+  }
+
+  test("evolve extras flow through the SQL write; caller-supplied id and timestamp survive") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "seed")).toDF("vector", "document"))
+    lake.evolve(StructType(Seq(StructField("quality", DoubleType))))
+    Seq((Seq(0f, 1f, 0f, 0f), "q-doc", 0.75, "my-id"))
+      .toDF("vector", "document", "quality", "id")
+      .write.format("graft").mode("append").save(loc)
+    val got = lake.read().where($"document" === "q-doc")
+      .select("quality", "id").collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(0) === 0.75)
+    assert(got.head.getString(1) === "my-id")
+    // pre-evolve row null-fills
+    assert(lake.read().where($"document" === "seed" && $"quality".isNull).count() === 1)
+  }
+
+  test("destructive modes are refused: overwrite, truncate-style INSERT OVERWRITE, asOf snapshots") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(vecs.toDF("vector", "document"))
+    val df = Seq((Seq(1f, 0f, 0f, 0f), "x")).toDF("vector", "document")
+    intercept[Exception] {
+      df.write.format("graft").mode("overwrite").save(loc)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_write_spec_o")
+    spark.sql(s"CREATE TABLE graft_write_spec_o USING graft LOCATION '$loc'")
+    try intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE graft_write_spec_o (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'x')""")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_write_spec_o")
+    // nothing was destroyed by the refused writes
+    assert(lake.read().count() === 4)
+    // a time-travel table is read-only
+    val v = lake.history().agg(max("version")).head().getLong(0)
+    intercept[Exception] {
+      df.write.format("graft").mode("append")
+        .option("asOf", v.toString).save(loc)
+    }
+    assert(lake.read().count() === 4)
+  }
+
+  test("a null vector is refused per-row by the write, loudly") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "seed")).toDF("vector", "document"))
+    val e = intercept[Exception] {
+      Seq((None: Option[Seq[Float]], "bad"))
+        .toDF("vector", "document")
+        .write.format("graft").mode("append").save(loc)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("`vector` is null")))
+    assert(lake.read().count() === 1, "refused write published nothing")
+  }
+}
