@@ -40,8 +40,22 @@ object Bench {
 
   /** Per-query outcome: median seconds over successful passes (falling
     * back to failure timings when NO pass succeeded — the honest cost
-    * of a query that never succeeds), first error, failed-pass count. */
-  final case class QueryResult(sec: Double, err: Option[String], failedReps: Int)
+    * of a query that never succeeds), first error, failed-pass count,
+    * and the RELATIVE SPREAD of the timed samples ((max−min)/median;
+    * 0 when fewer than two samples). The spread is the dispersion
+    * stamp that makes the artifact regression-sensitive on its heavy
+    * tail: a reader comparing two rounds can tell "2× but the spread
+    * band already covers it" from "2× outside the band" without
+    * hunting down fresh reruns. */
+  final case class QueryResult(sec: Double, err: Option[String],
+      failedReps: Int, spread: Double = 0.0)
+
+  /** (max−min)/median of the timed samples — 0 for degenerate input. */
+  def spreadOf(xs: Seq[Double]): Double = {
+    if (xs.size < 2) return 0.0
+    val med = median(xs)
+    if (med <= 0.0) 0.0 else (xs.max - xs.min) / med
+  }
 
   /** JSON string literal: truncate BEFORE escaping (a cut through the
     * middle of an escape sequence would emit invalid JSON), then escape
@@ -68,18 +82,26 @@ object Bench {
   def formatLines(results: Seq[(String, QueryResult)], reps: Int,
       sfDir: String, loadavg: (Double, Double),
       loadThreshold: Double = 2.0, cpus: Int = 4,
-      elapsedSec: Double = Double.MaxValue): (String, String) = {
+      elapsedSec: Double = Double.MaxValue,
+      tailReps: Int = 0): (String, String) = {
     val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, QueryResult(_, Some(m), _)) =>
+    val errs = results.collect { case (k, QueryResult(_, Some(m), _, _)) =>
       jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val failedReps = results.collect { case (k, r) if r.failedReps > 0 =>
       jstr(k) + ":" + r.failedReps }.mkString("{", ",", "}")
+    // full per-query dispersion rides only the FULL line; the compact
+    // line carries the count of UNSTABLE queries (spread > 50% of
+    // median — the band past which a same-machine 1.5× comparison is
+    // noise, per BENCHNOTES' round-9 q18 post-mortem)
+    val spreads = results.map { case (k, r) => jstr(k) + ":" + r3(r.spread) }
+      .mkString("{", ",", "}")
+    val unstable = results.filter(_._2.spread > 0.5)
     val total = results.map(_._2.sec).sum
     val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
     val contended = isContended(loadavg, loadThreshold, cpus, elapsedSec)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"reps":$reps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"spread":$spreads,"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
     val budget = 1300
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -91,12 +113,12 @@ object Bench {
       else { omitted += 1; omittedSum += r.sec }
     }
     val errsCompact = results
-      .collect { case (k, QueryResult(_, Some(m), _)) => jstr(k) + ":" + jstr(m.take(60)) }
+      .collect { case (k, QueryResult(_, Some(m), _, _)) => jstr(k) + ":" + jstr(m.take(60)) }
       .take(3).mkString("{", ",", "}")
     val nErrs = results.count(_._2.err.isDefined)
     val nFailedReps = results.count(_._2.failedReps > 0)
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"reps":$reps,"n_queries":${results.size},"loadavg":$la,"contended":$contended,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"n_queries":${results.size},"loadavg":$la,"contended":$contended,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     (fullLine, compactLine)
   }
 
@@ -154,29 +176,56 @@ object Bench {
     // one pass = the whole registry in a fixed order; reps of the same
     // query land minutes apart (see object scaladoc)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // the heavy tail gets EXTRA interleaved reps: the top decile (by
+    // preliminary median) carries most of the total AND showed the
+    // widest absolute noise band (round 9's committed q_tpch_q18 was
+    // 2.46× its round-8 number purely by draw — a real 2× regression
+    // on the heaviest query would have been indistinguishable). With
+    // 3 + 4 = 7 interleaved samples the median needs 4 coinciding
+    // outliers to move, so the top decile's medians resolve a ~1.3×
+    // change the 3-sample medians could not. Cheap by construction:
+    // ~12 queries × 4 reps ≈ one extra pass of wall time.
+    val tailReps = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "4").toInt)
+    def runOne(name: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
     def measure(): (Seq[(String, QueryResult)], (Double, Double), Double) = {
       val loadStart = loadavg1m()
       val wallStart = System.nanoTime()
       val passes: Seq[Map[String, (Double, Option[String])]] =
-        (0 until reps).map { _ =>
-          names.map { name =>
-            val t0 = System.nanoTime()
-            val err: Option[String] =
-              try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-              catch { case e: Throwable =>
-                Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-            name -> ((System.nanoTime() - t0) / 1e9, err)
-          }.toMap
-        }
-      val results: Seq[(String, QueryResult)] = names.map { name =>
-        val runs = passes.map(_(name))
+        (0 until reps).map { _ => names.map(n => n -> runOne(n)).toMap }
+      def samplesOf(name: String, extra: Seq[Map[String, (Double, Option[String])]]) = {
+        val runs = passes.map(_(name)) ++ extra.flatMap(_.get(name))
         // a failing pass can exit far faster than a real run and would
         // drag the median below the query's true cost — time successful
         // passes only
         val ok = runs.filter(_._2.isEmpty)
-        val timed = if (ok.nonEmpty) ok else runs
+        (if (ok.nonEmpty) ok else runs, runs)
+      }
+      val prelim = names.map(n => n -> median(samplesOf(n, Nil)._1.map(_._1)))
+      val tail = prelim.sortBy(-_._2)
+        .take(math.max(1, names.size / 10)).map(_._1)
+      val tailPasses: Seq[Map[String, (Double, Option[String])]] =
+        (0 until tailReps).map { _ => tail.map(n => n -> runOne(n)).toMap }
+      val results: Seq[(String, QueryResult)] = names.map { name =>
+        val (timed, runs) = samplesOf(name, tailPasses)
+        // spread is computed over the WARM samples only (pass 0
+        // excluded): the first pass pays each query's one-time fixture
+        // builds and codegen, a known startup cost the median already
+        // rejects — folding it into the dispersion stamp would flag
+        // most of the registry as "unstable" over a cost no steady
+        // run re-pays. A query with no warm samples reports spread 0.
+        val warm = (passes.drop(1).map(_(name)) ++
+          tailPasses.flatMap(_.get(name))).filter(_._2.isEmpty)
         name -> QueryResult(median(timed.map(_._1)),
-          runs.flatMap(_._2).headOption, runs.count(_._2.isDefined))
+          runs.flatMap(_._2).headOption, runs.count(_._2.isDefined),
+          spreadOf(warm.map(_._1)))
       }
       (results, (loadStart, loadavg1m()),
         (System.nanoTime() - wallStart) / 1e9)
@@ -197,7 +246,8 @@ object Bench {
     while (go) {
       val (results, la, elapsed) = measure()
       val (fullLine, compactLine) =
-        formatLines(results, reps, sfDir, la, loadThreshold, cpus, elapsed)
+        formatLines(results, reps, sfDir, la, loadThreshold, cpus, elapsed,
+          tailReps)
       val contended = isContended(la, loadThreshold, cpus, elapsed)
       attempts += ((fullLine, compactLine, contended, results))
       if (contended && attempts.size <= retryMax) {

@@ -827,10 +827,26 @@ object SinkBench {
         s"${sys.props("java.io.tmpdir")}/graft_sink_bench_$tag", dim = dim,
         numHashes = 4))
       lake.delete()
+      val stagingRoot =
+        s"${sys.props("java.io.tmpdir")}/graft_sink_bench_stage_$tag"
       val (t, _) = time {
         (0L until batches.toLong).foreach { b =>
-          if (mode == "plain") lake.ingest(chunk(b))
-          else lake.ingestExactlyOnce(chunk(b), "bench-sink", b)
+          mode match {
+            case "plain" => lake.ingest(chunk(b))
+            case "sink" => lake.ingestExactlyOnce(chunk(b), "bench-sink", b)
+            case "stage" =>
+              // what a DSv2 StreamingWrite sink would be forced to do
+              // (ADR docs/adr-streaming-extension-points.md): commit()
+              // receives no rows, so executors must PERSIST the raw
+              // batch and the driver commit re-reads it before running
+              // the real exactly-once ingest — this stage write + read
+              // back is the extra I/O the v2 extension point costs per
+              // micro-batch, on top of sink mode's identical ingest
+              val staging = s"$stagingRoot/$b"
+              chunk(b).write.mode("overwrite").parquet(staging)
+              lake.ingestExactlyOnce(
+                spark.read.parquet(staging), "bench-sink", b)
+          }
         }
       }
       if (report)
@@ -839,6 +855,10 @@ object SinkBench {
           s""""sec_per_batch":${f"${t / batches}%.3f"},""" +
           s""""rows":${lake.read().count()}}""")
       lake.delete()
+      try org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // warm-up pass per mode first: the first lake-write path through a
     // fresh JVM pays codegen/classload that would otherwise be billed
@@ -847,6 +867,7 @@ object SinkBench {
     run("sink", "warm_s", report = false)
     run("plain", "p", report = true)
     run("sink", "s", report = true)
+    run("stage", "st", report = true)
     spark.stop()
   }
 }

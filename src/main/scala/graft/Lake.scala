@@ -1583,21 +1583,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // evolved column participates in row identity (an upsert changing
     // only an extra must NOT cancel)
     val sliceCols = ins.columns.toSeq
-    val out =
-      if (!netted)
-        ins.withColumn("change", lit("insert"))
-          .unionByName(del.withColumn("change", lit("delete")))
-      else {
-        def prep(df: DataFrame): DataFrame =
-          df.withColumn("_mcmp", array_sort(map_entries(col("metadata"))))
-        val li = prep(ins); val rd = prep(del)
-        val keys = sliceCols.filterNot(_ == "metadata") :+ "_mcmp"
-        val cond = keys.map(k => li(k) <=> rd(k)).reduce(_ && _)
-        li.join(rd, cond, "left_anti").withColumn("change", lit("insert"))
-          .unionByName(
-            rd.join(li, cond, "left_anti").withColumn("change", lit("delete")))
-      }
-    out.select((sliceCols.map(col) :+ col("change")): _*)
+    if (!netted)
+      ins.withColumn("change", lit("insert"))
+        .unionByName(del.withColumn("change", lit("delete")))
+        .select((sliceCols.map(col) :+ col("change")): _*)
+    else Lake.netInsertsDeletes(ins, del)
   }
 
   private def readFrom(st: LakeState,
@@ -2177,12 +2167,89 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         s""""lsh_seed": ${cfg.seed}, "metric": "${cfg.metric}", """ +
         s""""k": $k, "sample": ${sampled.size}, """ +
         s""""stamp": "${lastUpdate().getOrElse("")}", """ +
+        // the live data volume at calibration time — the cheap drift
+        // denominator [[recallCalibStale]] compares against (metadata
+        // listing only, no scan)
+        s""""bytes": ${liveDataBytes()}, """ +
         s""""recalls": [${recalls.mkString(", ")}]}""").getBytes("UTF-8"))
     finally out.close()
     fs.delete(recallPath, true)
     fs.rename(tmp, recallPath)
     recallCalibCache = Some(recalls)
     recalls
+  }
+
+  /** Total bytes of live data files — the calibration-drift
+    * denominator. Pure metadata (pooled LISTs over live directories,
+    * the filesView posture); never opens a file. */
+  private def liveDataBytes(): Long = {
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
+    val live = mapDirsPooled(liveEntries(st)) { (d, g) =>
+      val p = new org.apache.hadoop.fs.Path(genPath(g), d)
+      if (!fs.exists(p)) Nil else dataFilesIn(fs, p).map(_.getLen)
+    }.flatten.sum
+    val legacy = rootLevelDataFrom(entries).map { p =>
+      entries.find(_.getPath == p).map(_.getLen)
+        .getOrElse(if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+          dataFilesIn(fs, p).map(_.getLen).sum else 0L)
+    }.sum
+    live + legacy
+  }
+
+  /** STALENESS of the persisted recall calibration — the policy that
+    * decides when churn has invalidated the ladder ([[maintain]] is
+    * the consumer; it re-calibrates exactly when this says so):
+    *
+    *  - None: no calibration persisted (nothing to be stale).
+    *  - Some(false): FRESH — the lake's `last_update` change token
+    *    still equals the one the calibration recorded (nothing at all
+    *    changed: one sidecar read, the fast path), OR the token moved
+    *    but the live data VOLUME drifted less than `drift` (default
+    *    50%) from the calibrated volume — small appends and pure
+    *    rewrites shift shard-membership distributions far too little
+    *    to move a ladder measured over a vector sample.
+    *  - Some(true): STALE — the volume drifted past the threshold
+    *    (mass ingest/delete since calibration: the sampled queries and
+    *    the shard distribution no longer describe this lake), or the
+    *    token moved and the calibration predates volume recording.
+    *
+    * Cost: one sidecar read on the fresh-token path; one metadata
+    * listing otherwise. Never a data scan. [[topKAtRecall]] keeps
+    * serving under a stale ladder (its fallback contract is unchanged
+    * and re-calibration is a write-path job, not something a read
+    * should trigger) — staleness is a MAINTENANCE signal. */
+  private[graft] def recallCalibStale(drift: Double = 0.5): Option[Boolean] = {
+    val fs = fsOfRoot
+    val p = new org.apache.hadoop.fs.Path(recallPath, "calib.json")
+    if (!fs.exists(p)) return None
+    val json = readFully(fs, p)
+    val stamp = """"stamp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    if (stamp.nonEmpty && lastUpdate().contains(stamp)) return Some(false)
+    val calibBytes = """"bytes"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+    calibBytes match {
+      case None => Some(true) // pre-volume artifact + moved token: recalibrate once
+      case Some(b0) =>
+        Some(math.abs(liveDataBytes() - b0).toDouble >
+          drift * math.max(b0, 1L).toDouble)
+    }
+  }
+
+  /** The (k, sampleQueries) the persisted calibration was measured
+    * with — what a policy-driven re-calibration must reuse (a refresh
+    * that silently changed k would move the ladder's self-hit bias). */
+  private def recallCalibParams(): Option[(Int, Int)] = {
+    val fs = fsOfRoot
+    val p = new org.apache.hadoop.fs.Path(recallPath, "calib.json")
+    if (!fs.exists(p)) return None
+    val json = readFully(fs, p)
+    def num(name: String): Option[Int] =
+      (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+    for (k <- num("k"); s <- num("sample")) yield (k, s)
   }
 
   /** The persisted calibration, refused loudly when its routing
@@ -3795,7 +3862,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       case Some(fields) => buildZoneMap(fields); true
     })
     val swept = vacuum(retainMs = retainMs)
-    Lake.MaintenanceReport(compacted, skip, zone, swept)
+    // recall-ladder freshness: re-calibrate exactly when churn since
+    // the last calibration crossed the drift threshold
+    // ([[recallCalibStale]] scaladoc — a no-op maintain() pays one
+    // sidecar read here, nothing else), reusing the persisted (k,
+    // sample) so the refreshed ladder is comparable to the old one
+    val recalibrated = recallCalibStale().contains(true) && {
+      recallCalibParams() match {
+        case Some((k, sample)) => calibrateRecall(k, sample); true
+        case None => calibrateRecall(); true
+      }
+    }
+    Lake.MaintenanceReport(compacted, skip, zone, swept, recalibrated)
   }
 
   def validate(): DataFrame = {
@@ -4165,7 +4243,8 @@ object Lake {
     * a converged lake. */
   final case class MaintenanceReport(
       compactedShards: Long, skipRefreshed: Boolean,
-      zoneRebuilt: Boolean, vacuumSwept: Long)
+      zoneRebuilt: Boolean, vacuumSwept: Long,
+      recallRecalibrated: Boolean = false)
 
   /** `_zone` part-file count past which an append's refresh compacts
     * the map into one part (see `compactZoneParts`). System-property
@@ -4225,6 +4304,36 @@ object Lake {
     * override for tests (which simulate crashes with fresh markers). */
   private[graft] def pendStaleMs: Long =
     sys.props.get("graft.sink.pendStaleMs").map(_.toLong).getOrElse(45000L)
+
+  /** The ONE netting definition — rows byte-identical between the
+    * insert and delete sides cancel (so a pure compact/rewrite nets to
+    * nothing), shared by [[Lake.changesBetween]]'s netted frame and
+    * the public per-batch helper [[graft.streaming.LakeChanges.net]]
+    * so the two surfaces can never diverge on row identity. Every
+    * non-map column participates via null-safe equality; map columns
+    * (unjoinable directly) compare through their sorted entry arrays.
+    * Internal comparison columns carry the reserved \u0001 prefix,
+    * which [[Lake.evolve]] refuses in user column names — no evolved
+    * extra can collide. Scale shape: two hash anti-joins keyed on the
+    * full row — the join keys ARE the data, so the shuffle is the
+    * delta itself, never the lake. */
+  private[graft] def netInsertsDeletes(ins: DataFrame,
+      del: DataFrame): DataFrame = {
+    val dataCols = ins.columns.toSeq
+    val mapCols = ins.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name).toSet
+    def prep(df: DataFrame): DataFrame =
+      mapCols.foldLeft(df)((d, c) =>
+        d.withColumn("\u0001mcmp_" + c, array_sort(map_entries(col(c)))))
+    val li = prep(ins); val rd = prep(del)
+    val keys = dataCols.filterNot(mapCols) ++ mapCols.map("\u0001mcmp_" + _)
+    val cond = keys.map(k => li(k) <=> rd(k)).reduce(_ && _)
+    li.join(rd, cond, "left_anti").withColumn("change", lit("insert"))
+      .unionByName(
+        rd.join(li, cond, "left_anti").withColumn("change", lit("delete")))
+      .select((dataCols.map(col) :+ col("change")): _*)
+  }
 
   /** Stable 12-hex sink identity from the user-visible sink id (the
     * query's checkpoint location): what names the sink's ledger files,

@@ -148,6 +148,50 @@ class LakeChangeSourceProvider extends StreamSourceProvider with TableProvider
 }
 
 object LakeChanges {
+  /** NET a raw change-feed micro-batch: rows byte-identical between
+    * the batch's insert and delete sides cancel, so a pure
+    * compact/rewrite nets to nothing — the same row-identity rule as
+    * the v1 netted source, by construction (both delegate to
+    * [[graft.Lake.netInsertsDeletes]], the one netting definition).
+    *
+    * This is the DSv2-native way to consume the netted feed: the raw
+    * `netted=false` stream (pure `MicroBatchStream`, one FilePartition
+    * slice per batch, no `private[sql]` bridge) is the TRANSPORT, and
+    * netting runs inside the consumer's own batch function — where a
+    * join is a perfectly ordinary plan:
+    *
+    * {{{
+    *   spark.readStream.format("graft-changes")
+    *     .option("location", path).option("dim", 64)
+    *     .option("netted", "false")
+    *     .load()
+    *     .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+    *       val netted = LakeChanges.net(batch)   // ≡ netted=true rows
+    *       ...
+    *     }.start()
+    * }}}
+    *
+    * Each raw micro-batch covers exactly one sealed interval (a, b] —
+    * the same interval the v1 netted source would serve as one batch —
+    * so per-batch netting and per-interval netting see identical file
+    * sets and produce identical rows (ChangeFeedSpec pins the
+    * equivalence, rewrite churn included). The v1 `netted=true` path
+    * remains registered as COMPAT for consumers that want the netting
+    * inside the source itself; it rides legacy extension points (see
+    * the provider scaladoc) and this helper is the forward path.
+    *
+    * Scale shape: two hash anti-joins keyed on the full row — the
+    * shuffle is the batch's own delta, never the lake. */
+  def net(batch: DataFrame): DataFrame = {
+    require(batch.columns.contains("change"),
+      "LakeChanges.net expects a change-feed batch (missing `change` " +
+        "column) — read it from format(\"graft-changes\") with " +
+        "option netted=false")
+    Lake.netInsertsDeletes(
+      batch.where(col("change") === "insert").drop("change"),
+      batch.where(col("change") === "delete").drop("change"))
+  }
+
   private[streaming] def opt(parameters: Map[String, String], key: String): Option[String] = {
     val lower = key.toLowerCase(java.util.Locale.ROOT)
     parameters.collectFirst {

@@ -97,6 +97,30 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains(rs.head._2.sec.toString))
   }
 
+  test("dispersion stamp: full line carries per-query spread; both lines count the unstable set") {
+    val stable = ("q_stable", QueryResult(1.0, None, 0, spread = 0.1))
+    val noisy = ("q_noisy", QueryResult(1.0, None, 0, spread = 0.92))
+    val (full, compact) = formatLines(Seq(stable, noisy), reps = 3,
+      sfDir = "sf", loadavg = (0.0, 0.0), tailReps = 4)
+    assert(full.contains(""""spread":{"q_stable":0.100,"q_noisy":0.920}"""))
+    // unstable = spread past 50% of median: a same-machine 1.5×
+    // comparison inside that band is noise, not regression
+    assert(full.contains("\"unstable_n\":1"))
+    assert(compact.contains("\"unstable_n\":1"))
+    assert(full.contains("\"tail_reps\":4") && compact.contains("\"tail_reps\":4"))
+    // and the budget still holds with the new fields at 150 queries
+    val big = synthetic(150).map { case (k, r) => k -> r.copy(spread = 0.777) }
+    val (_, c2) = formatLines(big, 3, "/root/testdata/sf0.1", (0.0, 0.0), tailReps = 4)
+    assert(c2.getBytes("UTF-8").length < 1900, s"${c2.length} bytes")
+  }
+
+  test("spreadOf: (max-min)/median, 0 for degenerate input") {
+    assert(Bench.spreadOf(Seq(1.0)) === 0.0)
+    assert(Bench.spreadOf(Nil) === 0.0)
+    assert(math.abs(Bench.spreadOf(Seq(0.8, 1.0, 1.4)) - 0.6) < 1e-9)
+    assert(Bench.spreadOf(Seq(0.0, 0.0)) === 0.0)
+  }
+
   test("median is the middle of odd runs, mean-of-middle for even") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)

@@ -99,6 +99,34 @@ class ChangeFeedSpec extends SparkSpec {
       (200 until 210).map(_.toString).sorted)
   }
 
+  test("LakeChanges.net over the raw feed equals the in-source netted feed, rewrite churn included") {
+    // the DSv2-native consumption shape (ADR: raw transport +
+    // per-batch netting in foreachBatch) must be row-for-row identical
+    // to netted=true — both delegate to the one netting definition.
+    // The interval mixes appends, a deleteWhere (rewrite churn: kept
+    // rows appear on both raw sides), and an upsert, so every
+    // cancellation class is exercised.
+    val lake = mkLake("nethelper")
+    lake.ingest(rows(0 until 40))
+    val v = lake.seal()
+    lake.ingest(rows(100 until 110))
+    assert(lake.deleteWhere(col("id").cast("long") % 5 === 0) > 0L)
+    lake.upsert(rows(7 to 7))
+    def canon(df: DataFrame): Seq[String] =
+      df.select(col("id"), col("document"), col("change"),
+          col("vector").cast("string"))
+        .collect().map(_.toString).sorted.toSeq
+    val viaHelper = graft.streaming.LakeChanges.net(
+      lake.changesSince(v, netted = false))
+    val inSource = lake.changesSince(v, netted = true)
+    assert(canon(viaHelper) === canon(inSource))
+    assert(viaHelper.columns.toSeq === inSource.columns.toSeq)
+    // a frame without the change column refuses loudly
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.LakeChanges.net(lake.read()))
+    assert(e.getMessage.contains("change"))
+  }
+
   test("seal leaves live rows unchanged; readAt(sealed) is frozen against later appends") {
     val lake = mkLake("frozen")
     lake.ingest(rows(0 until 25))

@@ -283,4 +283,71 @@ class PlanSpec extends SparkSpec {
     lake.topK(q, 3).collect()
       .foreach(r => assert(r.getAs[Int]("shard") === routed))
   }
+
+  test("every partition-less window in the registry sits above a cardinality-bounding node") {
+    // the Verify log's "No Partition Defined for Window operation"
+    // warnings are BENIGN here by construction: each global window
+    // ranks a bounded list (a post-aggregate table, a top-k, a literal
+    // frame), never corpus rows. This pins that construction for the
+    // WHOLE registry — a future query feeding an unbounded scan into a
+    // partition-less window fails this spec instead of shipping a
+    // single-partition sort of the corpus.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+    // cardinality-bounding nodes: below any of these, input size no
+    // longer reaches the window (aggregates bound by group count —
+    // every global-window consumer groups on a bounded key set: labels,
+    // cells, epochs, vocab terms; limits/top-k bound outright)
+    def bounds(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec | _: TakeOrderedAndProjectExec |
+           _: GlobalLimitExec | _: LocalLimitExec |
+           _: CollectLimitExec | _: LocalTableScanExec => true
+      case w: WindowGroupLimitExec => w.partitionSpec.nonEmpty || bounded(w.child)
+      case _ => false
+    }
+    // every leaf path must hit a bounding node before a data scan
+    def bounded(p: SparkPlan): Boolean =
+      if (bounds(p)) true
+      else p match {
+        case _: FileSourceScanExec | _: BatchScanExec |
+             _: RowDataSourceScanExec => false
+        case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+        case c: InMemoryTableScanExec =>
+          // a cached/materialized table is as bounded as what built it
+          bounded(c.relation.cachedPlan)
+        case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty =>
+          // unknown leaves (RDD scans etc.) count as UNBOUNDED — the
+          // audit must fail closed, not vacuously pass new plan shapes
+          false
+        case other => other.children.forall(bounded)
+      }
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+      case c: InMemoryTableScanExec => globalWindows(c.relation.cachedPlan)
+    }.flatten
+
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var audited = 0
+    Registry.all.foreach { q =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan
+      val gw = globalWindows(plan)
+      audited += gw.size
+      gw.foreach { w =>
+        if (!bounded(w.child)) offenders += s"${q.name}: $w"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows over unbounded input:\n${offenders.mkString("\n")}")
+    // the audit is exercised, not vacuous: the registry is KNOWN to
+    // carry global windows (q_hybrid_rrf ranks two 100-row lists,
+    // q_cluster_labels ranks the cells-by-vocab table, ...)
+    assert(audited >= 3, s"expected several global windows, found $audited")
+  }
 }

@@ -51,6 +51,44 @@ class RecallSpec extends SparkSpec {
     assert(topIds(emb) === exact) // exact is self-consistent
   }
 
+  test("calibration staleness: small churn stays fresh, mass ingest goes stale, maintain() re-calibrates exactly then") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recall_stale").toString
+    val cfgL = LakeConfig(s"$tmp/lake", dim = 64, numHashes = 3)
+    val lake = Lake(spark, cfgL)
+    def batch(n: Int, shift: Double) = Tables.embeddings(spark, dir)
+      .limit(n)
+      .select(transform(col("embedding"), x => x + lit(shift))
+        .cast("array<float>").as("vector"),
+        concat(lit(s"d$shift-"), col("vec_id")).as("document"))
+    lake.ingest(batch(120, 0.0))
+    assert(lake.recallCalibStale().isEmpty, "no calibration yet -> None")
+    assert(!lake.maintain().recallRecalibrated,
+      "maintain() must never create a calibration the operator didn't ask for")
+    lake.calibrateRecall(k = 10, sampleQueries = 8)
+    assert(lake.recallCalibStale() === Some(false), "just calibrated -> fresh")
+    // a no-op maintain() must NOT re-calibrate (the fresh-token path)
+    val idle = lake.maintain()
+    assert(!idle.recallRecalibrated, "no churn -> no recalibration")
+    // small churn: the change token moves, but volume drift is far
+    // under the threshold -> still fresh
+    lake.ingest(batch(6, 0.1))
+    assert(lake.recallCalibStale() === Some(false),
+      "a small append must not invalidate the ladder")
+    assert(!lake.maintain().recallRecalibrated)
+    // mass ingest of a SHIFTED distribution: volume more than doubles
+    // -> stale, and maintain() refreshes the calibration with the
+    // persisted (k, sample)
+    lake.ingest(batch(200, 3.0).union(batch(200, -3.0)))
+    assert(lake.recallCalibStale() === Some(true),
+      "post-churn distribution shift must read as stale")
+    val healed = lake.maintain()
+    assert(healed.recallRecalibrated, "maintain() must re-calibrate when stale")
+    assert(lake.recallCalibStale() === Some(false), "healed -> fresh again")
+    assert(!lake.maintain().recallRecalibrated, "and the next maintain() skips")
+    // the refreshed ladder still serves the dial end-to-end
+    assert(lake.topKAtRecall(Fixtures.queryVec, 5, 0.5).count() === 5L)
+  }
+
   test("topKAtRecall: one-scan calibration is monotone and persisted; targets map to the promised plans") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_recall").toString
