@@ -206,6 +206,41 @@ object GraftDataSource {
       else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
     } catch { case scala.util.control.NonFatal(_) => raw }
 
+  /** V1 source filter → Catalyst Column, for the `DELETE FROM`
+    * surface ([[GraftTable.deleteWhere]]): None marks a predicate the
+    * translation cannot express — `canDeleteWhere` then refuses the
+    * whole DELETE (Spark raises the analysis error), never a partial
+    * one. Covers the full algebra Spark pushes for flat columns;
+    * map-typed (`metadata`) and nested predicates never arrive here as
+    * source filters. */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq.map(lit): _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Newest `_meta.<v>.json` (or the pre-v2 `_meta.json`) body at
     * `location`, read directly — the provider cannot construct a Lake
     * before it knows `dim`, and the sidecar is where `dim` lives. */
@@ -419,7 +454,8 @@ final class GraftTable(
     roots: Seq[(String, Option[String])],
     partField: StructField,
     emptySchema: Option[StructType])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // COMPOSITION, not inheritance, over the stock DSv2 ParquetTable —
   // deliberately: Spark's FallBackFileSourceV2 analyzer rule rewrites
@@ -449,6 +485,33 @@ final class GraftTable(
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  /** `DELETE FROM` / `TRUNCATE TABLE` in SQL — mapped onto
+    * [[graft.Lake.deleteWhere]], the engine's transactional row-level
+    * delete (per-shard rewrite of only the hit files, staged publish,
+    * manifest commit — the SAME path the Scala API takes, so a SQL
+    * DELETE can never bypass the layout). `canDeleteWhere` admits
+    * exactly the predicates that translate to Catalyst columns; Spark
+    * surfaces the rest as a clean "cannot delete by filter" analysis
+    * error instead of a silent partial delete. TRUNCATE is the
+    * `AlwaysTrue` delete through the identical path — old snapshots
+    * stay time-travelable until vacuum, like any rewrite. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => GraftDataSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft table $name0 is a time-travel snapshot (asOf=${asOf.get}) " +
+        "— snapshots are read-only")
+    val cond = filters.toSeq
+      .map(f => GraftDataSource.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft table $name0: cannot delete by filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Lake(SparkSession.active, cfg).deleteWhere(cond)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.isDefined) throw new UnsupportedOperationException(

@@ -128,6 +128,34 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE lakes.default.r4")
   }
 
+  test("DELETE FROM and TRUNCATE map onto the transactional deleteWhere; snapshots and maps refuse") {
+    warehouse
+    sql("DROP TABLE IF EXISTS lakes.default.del")
+    sql("""CREATE TABLE lakes.default.del (vector array<float>, document string)
+           USING graft OPTIONS (dim '4', numHashes '2')""")
+    sql("""INSERT INTO lakes.default.del (vector, document, id)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a', 'id-a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b', 'id-b'),
+                  (array(0.0F, 0.0F, 1.0F, 0.0F), 'c', 'id-c')""")
+    sql("DELETE FROM lakes.default.del WHERE id = 'id-b'")
+    assert(sql("SELECT document FROM lakes.default.del ORDER BY document")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "c"))
+    // conjunctions, IN lists, string predicates all translate
+    sql("DELETE FROM lakes.default.del WHERE document LIKE 'a%' AND id IN ('id-a', 'id-x')")
+    assert(sql("SELECT count(*) FROM lakes.default.del").head().getLong(0) === 1)
+    // the delete ran through the lake's rewrite path: the Scala API
+    // sees the same live set, and history kept the pre-delete version
+    val lake = Lake(spark,
+      LakeConfig(s"$warehouse/default/del", dim = 4, numHashes = 2))
+    assert(lake.read().count() === 1)
+    assert(lake.history().count() >= 2)
+    // TRUNCATE = delete-all through the identical path
+    sql("TRUNCATE TABLE lakes.default.del")
+    assert(sql("SELECT count(*) FROM lakes.default.del").head().getLong(0) === 0)
+    assert(lake.read().count() === 0)
+    sql("DROP TABLE lakes.default.del")
+  }
+
   test("the evolve fuzz op is reachable via ALTER: extras survive maintenance driven from SQL reads") {
     warehouse
     sql("DROP TABLE IF EXISTS lakes.default.ev")
