@@ -110,6 +110,33 @@ class GraftWriteSpec extends SparkSpec {
     assert(lake.read().count() === 4)
   }
 
+  test("concurrent SQL writes admit each other (shared append gate), rows from both land") {
+    val loc = tmp() + "/lake"
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    lake.ingest(Seq((Seq(1f, 0f, 0f, 0f), "seed")).toDF("vector", "document"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (0 until 2).map { w =>
+      scala.concurrent.Future {
+        (0 until 3).foreach { b =>
+          Seq((Seq(0f, 1f, 0f, w.toFloat), s"w$w-b$b"))
+            .toDF("vector", "document")
+            .write.format("graft").mode("append").save(loc)
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    assert(lake.read().count() === 7)
+    assert(lake.read().select("document").as[String].collect().toSet ===
+      (for (w <- 0 until 2; b <- 0 until 3) yield s"w$w-b$b").toSet + "seed")
+    // no stranded locks: maintenance proceeds
+    lake.compact()
+  }
+
   test("a null vector is refused per-row by the write, loudly") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))

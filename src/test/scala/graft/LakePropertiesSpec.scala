@@ -99,7 +99,22 @@ class LakePropertiesSpec extends SparkSpec {
     // streaming-sink batch counter (the exactly-once ledger's clock)
     var sinkBatch = 0L
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(24) match {
+      val op = rng.nextInt(26) match {
+        case 24 | 25 =>
+          // the SQL batch WRITE path (df.write.format("graft")) — must
+          // be indistinguishable from lake.ingest in the model: same
+          // derive, same routing, same extras, same staged publish
+          val rows = freshRows(1 + rng.nextInt(6))
+          day += 1
+          withExtras(rows.map(r => (r._1, r._2, r._3, ts(day)))
+            .toDF("id", "vector", "document", "timestamp"))
+            .write.format("graft").mode("append")
+            .option("dim", dim.toString).option("numHashes", "3")
+            .save(lake.cfg.location)
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          days ++= rows.map(r => r._1 -> day)
+          stampExtras(rows.map(_._1))
+          "sql write"
         case 0 | 1 | 2 =>
           val rows = freshRows(1 + rng.nextInt(8))
           day += 1
