@@ -970,15 +970,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
                   "format or cast explicitly before ingest")))
                 .cast(TimestampType)))
         } else current_timestamp())
-      // a NULL vector is refused per-row in the plan (not pre-counted —
-      // that would cost an extra scan): it cannot be routed, packed, or
-      // searched, and on an LSH lake it would silently land in the Hive
-      // default partition outside every shard prune
+      // a NULL or WRONG-LENGTH vector is refused per-row in the plan
+      // (not pre-counted — that would cost an extra scan): a null
+      // cannot be routed, packed, or searched (and on an LSH lake it
+      // would silently land in the Hive default partition outside
+      // every shard prune), and a vector of the wrong dimension would
+      // route through a truncated dot product and poison every later
+      // distance — the easiest mistake to make through the SQL write
+      // surface, caught at the door with the lake's own message
       .withColumn("vector",
         when(col("vector").isNull, raise_error(lit(
           s"ingest at ${cfg.location}: `vector` is null — every ingested " +
             "row needs a vector (it is the routing and search key)"))
           .cast(ArrayType(FloatType)))
+          .when(size(col("vector")) =!= cfg.dim, raise_error(concat(
+            lit(s"ingest at ${cfg.location}: vector of length "),
+            size(col("vector")).cast(StringType),
+            lit(s" does not match the lake's dim ${cfg.dim}")))
+            .cast(ArrayType(FloatType)))
           .otherwise(col("vector").cast(ArrayType(FloatType))))
     if (cfg.packSignBits)
       df = df.withColumn("packed", V.signPack(col("vector")))

@@ -243,28 +243,67 @@ object GraftDataSource {
 
   /** Newest `_meta.<v>.json` (or the pre-v2 `_meta.json`) body at
     * `location`, read directly — the provider cannot construct a Lake
-    * before it knows `dim`, and the sidecar is where `dim` lives. */
+    * before it knows `dim`, and the sidecar is where `dim` lives.
+    *
+    * BOUNDED RETRY around the listing+read: a directory listing under
+    * concurrent churn is not a snapshot — concurrent appends stamp and
+    * rotate sidecar versions, and a `readdir` racing create/delete can
+    * transiently MISS an entry that existed throughout (observed as a
+    * spurious "no lake sidecar found" under two racing SQL writers),
+    * or the listed max version can be rotated away before the read
+    * opens it. At least one version file exists at every instant once
+    * the lake exists, so a miss is transient by construction: re-list
+    * a few times before concluding the lake has no sidecar. */
   private def sidecarJson(spark: SparkSession, location: String): Option[String] = {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
     val versioned = """_meta\.(\d+)\.json""".r
-    val entries = fs.listStatus(root).filter(_.isFile)
-    val p = entries.flatMap(s => s.getPath.getName match {
-      case versioned(v) => Some(v.toLong -> s.getPath)
-      case _ => None
-    }).sortBy(_._1).lastOption.map(_._2)
-      .orElse(entries.find(_.getPath.getName == "_meta.json").map(_.getPath))
-    p.map { path =>
-      val in = fs.open(path)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8")
-      } finally in.close()
+    // Left(retryable) — the directory HAS entries but no visible
+    // sidecar (the readdir-race signature: a lake with any content
+    // always has one) or the listed newest version vanished before the
+    // read; Right(answer) — a definitive yes/no (missing or empty root
+    // = a genuinely fresh location, answered immediately so the
+    // empty-lake bootstrap path never pays a retry).
+    def attempt(): Either[Unit, Option[String]] = {
+      if (!fs.exists(root)) return Right(None)
+      val all = fs.listStatus(root)
+      if (all.isEmpty) return Right(None)
+      val entries = all.filter(_.isFile)
+      val p = entries.flatMap(s => s.getPath.getName match {
+        case versioned(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      }).sortBy(_._1).lastOption.map(_._2)
+        .orElse(entries.find(_.getPath.getName == "_meta.json").map(_.getPath))
+      p match {
+        case None => Left(())
+        case Some(path) =>
+          try {
+            val in = fs.open(path)
+            try {
+              val bytes = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              var n = in.read(buf)
+              while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+              Right(Some(new String(bytes.toByteArray, "UTF-8")))
+            } finally in.close()
+          } catch {
+            // rotated out between list and read — a rival committed a
+            // newer version; re-list
+            case _: java.io.FileNotFoundException => Left(())
+          }
+      }
     }
+    var tries = 0
+    while (true) {
+      attempt() match {
+        case Right(r) => return r
+        case Left(_) if tries >= 3 => return None
+        case Left(_) =>
+          tries += 1
+          Thread.sleep(25L * tries)
+      }
+    }
+    None
   }
 
   private def longField(json: String, name: String): Option[Long] =

@@ -150,5 +150,14 @@ class GraftWriteSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("`vector` is null")))
     assert(lake.read().count() === 1, "refused write published nothing")
+    // wrong dimension is refused per-row too: a truncated dot product
+    // would otherwise route the row and poison every later distance
+    val e2 = intercept[Exception] {
+      Seq((Seq(1f, 0f), "short"))
+        .toDF("vector", "document")
+        .write.format("graft").mode("append").save(loc)
+    }
+    assert(messages(e2).exists(_.contains("does not match the lake's dim")))
+    assert(lake.read().count() === 1)
   }
 }
