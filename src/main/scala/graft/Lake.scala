@@ -3998,7 +3998,33 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * concern (an object-store latency tax otherwise). */
   private def listRoot(fs: org.apache.hadoop.fs.FileSystem): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new org.apache.hadoop.fs.Path(cfg.location)
-    if (!fs.exists(root)) Nil else fs.listStatus(root).toSeq
+    def once(): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(root)) Nil else fs.listStatus(root).toSeq
+    // a directory listing under concurrent churn is NOT a snapshot: a
+    // readdir racing the sidecar rotation's create/delete can
+    // transiently miss an entry that existed throughout. A listing that
+    // shows generation data but NO sidecar is that race's signature —
+    // a lake with a generation tree always has a sidecar (the first
+    // append commits one before returning) except for the short
+    // first-ingest window, so re-list briefly before believing it.
+    // Downstream, a missed sidecar would not fail loudly: readState
+    // would fall back to the DEFAULT state and a read would silently
+    // serve only the current generation, dropping every manifest-named
+    // directory.
+    var entries = once()
+    var tries = 0
+    def looksRacy(es: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
+      es.nonEmpty &&
+        !es.exists(s => s.isFile && (s.getPath.getName == "_meta.json" ||
+          metaNameRe.pattern.matcher(s.getPath.getName).matches())) &&
+        es.exists(s => s.isDirectory &&
+          Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
+    while (tries < 3 && looksRacy(entries)) {
+      tries += 1
+      Thread.sleep(25L * tries)
+      entries = once()
+    }
+    entries
   }
 
   /** (version, path) of every sidecar version in a root listing. */
@@ -4017,12 +4043,28 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * single-file sidecar read-compatibly; no sidecar = fresh lake). */
   private def readStateFrom(fs: org.apache.hadoop.fs.FileSystem,
       entries: Seq[org.apache.hadoop.fs.FileStatus]): LakeState = {
-    val versions = metaVersionsFrom(entries)
-    if (versions.nonEmpty)
-      parseState(readFully(fs, versions.maxBy(_._1)._2))
-    else entries.find(s => s.isFile && s.getPath.getName == "_meta.json")
-      .map(s => parseState(readFully(fs, s.getPath)))
-      .getOrElse(LakeState(1L, Nil))
+    // the listed newest version can be rotated out between the listing
+    // and this read when writers are stamping rapidly (rotation keeps
+    // the newest few, so two commits in the window retire the listed
+    // max) — re-list and re-pick instead of failing a healthy lake
+    var es = entries
+    var tries = 0
+    while (true) {
+      val versions = metaVersionsFrom(es)
+      try {
+        return if (versions.nonEmpty)
+          parseState(readFully(fs, versions.maxBy(_._1)._2))
+        else es.find(s => s.isFile && s.getPath.getName == "_meta.json")
+          .map(s => parseState(readFully(fs, s.getPath)))
+          .getOrElse(LakeState(1L, Nil))
+      } catch {
+        case _: java.io.FileNotFoundException if tries < 3 =>
+          tries += 1
+          Thread.sleep(25L * tries)
+          es = listRoot(fs)
+      }
+    }
+    LakeState(1L, Nil) // unreachable
   }
 
   /** Current on-disk state: generation (the append target — its whole
@@ -4113,18 +4155,42 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .map { case (n, t) => s""""${escapeJson(n + "\u0001" + t)}"""" }
         .mkString(""", "extra_cols": [""", ", ", "]")
     val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$sealedField$extraField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    // ATOMIC publish: the body lands in a root-sibling tmp (a name no
+    // discovery regex matches) and is RENAMED into its version name.
+    // A create-in-place briefly exposes an EMPTY `_meta.<v>.json`
+    // (create() makes the entry before write/close lands the bytes),
+    // and a reader catching that window parses the DEFAULT state —
+    // silently serving only the current generation, or failing a
+    // format resolution with "no dim" (observed under two concurrent
+    // SQL writers). The no-overwrite rename doubles as the version
+    // allocation arbiter the in-place create(overwrite=false) used to
+    // be: POSIX/HDFS rename refuses an existing destination (bump and
+    // retry); on a plain-S3-semantics store it narrows to the same
+    // documented clobber residual as before.
+    val tmp = new org.apache.hadoop.fs.Path(cfg.location,
+      s"_meta.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
     var v = latest + 1
     var done = false
-    while (!done) {
-      try {
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(cfg.location, s"_meta.$v.json"), false)
-        out.write(json.getBytes("UTF-8")); out.close(); done = true
-      } catch {
-        // a racing streaming-listener stamp took this version: ours
-        // carries the same state, only a fresher last_update — bump
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+    try {
+      while (!done) {
+        val dst = new org.apache.hadoop.fs.Path(cfg.location, s"_meta.$v.json")
+        if (fs.exists(dst)) v += 1 // a racing stamp took this version
+        else if (fs.rename(tmp, dst)) done = true
+        else {
+          // rename refusal without a visible destination: either the
+          // rival's create won the same instant (bump) or the tmp is
+          // gone (a real store failure — loud, never a silent no-stamp)
+          require(fs.exists(tmp),
+            s"sidecar publish at ${cfg.location}: staged version body " +
+              s"$tmp vanished before rename — store failure")
+          v += 1
+        }
       }
+    } finally if (!done) {
+      try { fs.delete(tmp, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // sweep far-superseded versions; keep a few for in-flight readers.
     // SEALED versions are exempt: they are the change-feed's sync
@@ -4142,6 +4208,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           try parseState(readFully(fs, p)).isSealed
           catch { case scala.util.control.NonFatal(_) => true }) }
       .foreach(p => fs.delete(p._2, false))
+    // stranded publish bodies (a JVM that died between staging and
+    // rename) are inert — no regex matches them — but sweep the old
+    // ones anyway; age-gated so no live writer's in-flight tmp is hit
+    try listRoot(fs).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith("_meta.tmp.") &&
+          System.currentTimeMillis() - s.getModificationTime > 3600000L)
+        fs.delete(s.getPath, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
     v
   }
 
