@@ -156,6 +156,23 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE lakes.default.del")
   }
 
+  test("namespaces: CREATE/SHOW/DROP, non-empty refusal without CASCADE, tables listed per namespace") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakes.nsx")
+    assert(sql("SHOW NAMESPACES IN lakes").collect()
+      .map(_.getString(0)).contains("nsx"))
+    sql("""CREATE TABLE lakes.nsx.t1 (vector array<float>)
+           USING graft OPTIONS (dim '4', numHashes '2')""")
+    assert(sql("SHOW TABLES IN lakes.nsx").collect()
+      .map(_.getString(1)).toSeq === Seq("t1"))
+    // dropping a populated namespace without CASCADE refuses
+    intercept[Exception](sql("DROP NAMESPACE lakes.nsx"))
+    assert(sql("SHOW TABLES IN lakes.nsx").count() === 1, "refusal dropped nothing")
+    sql("DROP NAMESPACE lakes.nsx CASCADE")
+    assert(!sql("SHOW NAMESPACES IN lakes").collect()
+      .map(_.getString(0)).contains("nsx"))
+  }
+
   test("the evolve fuzz op is reachable via ALTER: extras survive maintenance driven from SQL reads") {
     warehouse
     sql("DROP TABLE IF EXISTS lakes.default.ev")
