@@ -206,7 +206,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * for exactly the shards this batch touched, so appends no longer
     * stale-out their shards' sketches until the next rebuild. */
   def ingest(rows: DataFrame): Unit = withAppendLock("ingest") {
-    requirePqModelMatch()
+    requireWriteConfigMatch()
     val out = writeAppend(withDerived(rows))
     refreshSkipIndex(out.shards)
     refreshZoneMap(out.files)
@@ -356,7 +356,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       healDeadAttempts(sinkVersion(fs, idHex, batchId))
       false
     } else {
-      requirePqModelMatch()
+      requireWriteConfigMatch()
       // A FRESH marker for this batch means another driver is
       // publishing it right now (a zombie racing its replacement —
       // live attempts HEARTBEAT their marker): refuse loudly, since
@@ -494,6 +494,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       case scala.util.control.NonFatal(_) => Some(None)
     }
   }
+
+  /** Whether ANY ledger version exists for this user-visible sink id —
+    * the migration probe [[graft.sources.GraftDataSource.createSink]]
+    * uses to keep a pre-normalization checkpoint spelling bound to its
+    * existing ledger (a respelled identity with an empty ledger would
+    * re-ingest the replayed head batch). One root listing. */
+  private[graft] def hasSinkLedger(sinkId: String): Boolean =
+    sinkLedger(fsOfRoot, Lake.sinkIdHex(sinkId)).isDefined
 
   /** Newest committed batch id for sink `idHex`, from the root's
     * `_sink.<id>.<batch>.json` ledger versions. */
@@ -1054,7 +1062,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
     routingChecked // BEFORE the sidecar write below re-stamps it
-    requirePqModelMatch() // likewise
+    requireWriteConfigMatch() // likewise
     // resolve the sink generation, stamp, AND pin it — all under the
     // writer lock, failing LOUDLY on contention (a silently-skipped
     // start racing a compact could resolve a generation that a commit
@@ -2199,10 +2207,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       val p = new org.apache.hadoop.fs.Path(genPath(g), d)
       if (!fs.exists(p)) Nil else dataFilesIn(fs, p).map(_.getLen)
     }.flatten.sum
+    // legacy root-level data: a directory's own FileStatus length is
+    // meaningless — branch on shape like filesView, never entries.find
+    // (whose hit would report the dir entry's ~0 length for gigabytes
+    // of pre-v2 partition data)
     val legacy = rootLevelDataFrom(entries).map { p =>
-      entries.find(_.getPath == p).map(_.getLen)
-        .getOrElse(if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-          dataFilesIn(fs, p).map(_.getLen).sum else 0L)
+      if (p.getName.endsWith(".parquet"))
+        entries.find(_.getPath == p).map(_.getLen).getOrElse(0L)
+      else if (fs.exists(p)) dataFilesIn(fs, p).map(_.getLen).sum
+      else 0L
     }.sum
     live + legacy
   }
@@ -2515,6 +2528,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def compact(targetBytes: Long = 128L * 1024L * 1024L,
       clusterBy: Seq[Column] = Nil): Long = {
     if (!exists()) return 0L
+    requireWriteConfigMatch() // a rewrite under a lesser config would strip columns
     withWriterLock("compact")(compactImpl(targetBytes, clusterBy))
   }
 
@@ -2530,6 +2544,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def compactIncremental(targetBytes: Long = 128L * 1024L * 1024L,
       clusterBy: Seq[Column] = Nil, maxFilesPerShard: Int = 4): Long = {
     if (!exists()) return 0L
+    requireWriteConfigMatch() // a rewrite under a lesser config would strip columns
     withWriterLock("compactIncremental") {
       val fs = fsOfRoot
       val st = readState()
@@ -2682,6 +2697,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     */
   def deleteWhere(pred: Column): Long = {
     if (!exists()) return 0L
+    requireWriteConfigMatch() // a rewrite under a lesser config would strip columns
     withWriterLock("deleteWhere")(deleteWhereImpl(pred))
   }
 
@@ -2719,7 +2735,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def upsert(rows: DataFrame): Long = {
     require(rows.columns.contains("id"),
       "upsert needs caller-supplied ids (an id column) to define row identity")
-    requirePqModelMatch()
+    requireWriteConfigMatch()
     withWriterLock("upsert")(upsertImpl(rows))
   }
 
@@ -3486,6 +3502,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * instead of probing the whole lake. Returns rows deleted. */
   def deleteIds(ids: Seq[String]): Long = {
     if (ids.isEmpty || !exists()) return 0L
+    requireWriteConfigMatch() // a rewrite under a lesser config would strip columns
     val pred = col("id").isin(ids: _*)
     withWriterLock("deleteIds") {
       val fs = fsOfRoot
@@ -3877,7 +3894,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // sidecar read here, nothing else), reusing the persisted (k,
     // sample) so the refreshed ladder is comparable to the old one
     val recalibrated = recallCalibStale().contains(true) && {
-      recallCalibParams() match {
+      // a drained lake (churn = everything deleted) reads as maximally
+      // stale but has nothing to sample — skip rather than fail the
+      // whole maintenance tick; the stale calibration stays inert until
+      // rows return (topKAtRecall on an empty lake returns empty rows
+      // regardless of ladder)
+      if (liveDataBytes() == 0L) false
+      else recallCalibParams() match {
         case Some((k, sample)) => calibrateRecall(k, sample); true
         case None => calibrateRecall(); true
       }
@@ -4012,20 +4035,37 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // serve only the current generation, dropping every manifest-named
     // directory.
     var entries = once()
-    var tries = 0
+    def hasSidecar(es: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
+      es.exists(s => s.isFile && (s.getPath.getName == "_meta.json" ||
+        metaNameRe.pattern.matcher(s.getPath.getName).matches()))
     def looksRacy(es: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
-      es.nonEmpty &&
-        !es.exists(s => s.isFile && (s.getPath.getName == "_meta.json" ||
-          metaNameRe.pattern.matcher(s.getPath.getName).matches())) &&
+      es.nonEmpty && !hasSidecar(es) &&
         es.exists(s => s.isDirectory &&
           Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
-    while (tries < 3 && looksRacy(entries)) {
+    // the retry tax is paid ONCE per confirmed sidecarless tree: a
+    // crashed first ingest strands gen dirs with no sidecar PERMANENTLY
+    // (until repair/vacuum), and re-sleeping on every listing would tax
+    // each read path ~150 ms forever. Once the retries exhaust, the
+    // state is remembered and later listings skip straight through; any
+    // listing that sees a sidecar resets the memo (so a fresh race
+    // after a real commit retries again).
+    if (hasSidecar(entries)) sidecarlessConfirmed = false
+    var tries = 0
+    while (tries < 3 && !sidecarlessConfirmed && looksRacy(entries)) {
       tries += 1
       Thread.sleep(25L * tries)
       entries = once()
+      if (hasSidecar(entries)) sidecarlessConfirmed = false
     }
+    if (tries == 3 && looksRacy(entries)) sidecarlessConfirmed = true
     entries
   }
+
+  /** listRoot's once-per-instance memo: the tree was CONFIRMED to hold
+    * generation data with no sidecar (a crash-stranded first ingest),
+    * so later listings skip the anti-race retries. Reset the moment
+    * any listing sees a sidecar. */
+  @volatile private var sidecarlessConfirmed = false
 
   /** (version, path) of every sidecar version in a root listing. */
   private def metaVersionsFrom(entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -4137,6 +4177,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
     val seedField =
       if (cfg.partitionKey.isEmpty) s""", "lsh_seed": ${cfg.seed}""" else ""
+    // self-description the SQL format needs to reconstruct THIS config
+    // (GraftDataSource.resolveConfig): whether rows carry the packed
+    // sign-bit column, and the user partition key's NAME (num_shards=-1
+    // already says "user-keyed" but not what the column is called)
+    val packField =
+      if (cfg.packSignBits) s""", "pack_sign_bits": true""" else ""
+    val partKeyField = cfg.partitionKey
+      .map(k => s""", "partition_key": "${escapeJson(k)}"""").getOrElse("")
     val sealedField = if (sealedCommit) s""", "sealed": true""" else ""
     val liveField = st.live
       .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }
@@ -4154,7 +4202,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       else st.extraCols
         .map { case (n, t) => s""""${escapeJson(n + "\u0001" + t)}"""" }
         .mkString(""", "extra_cols": [""", ", ", "]")
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$sealedField$extraField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$packField$partKeyField$sealedField$extraField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     // ATOMIC publish: the body lands in a root-sibling tmp (a name no
     // discovery regex matches) and is RENAMED into its version name.
     // A create-in-place briefly exposes an EMPTY `_meta.<v>.json`
@@ -4162,11 +4210,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // and a reader catching that window parses the DEFAULT state —
     // silently serving only the current generation, or failing a
     // format resolution with "no dim" (observed under two concurrent
-    // SQL writers). The no-overwrite rename doubles as the version
-    // allocation arbiter the in-place create(overwrite=false) used to
-    // be: POSIX/HDFS rename refuses an existing destination (bump and
-    // retry); on a plain-S3-semantics store it narrows to the same
-    // documented clobber residual as before.
+    // SQL writers). Version-allocation arbitration: HDFS rename
+    // refuses an existing destination (bump and retry); POSIX rename
+    // CLOBBERS — there, two stamps racing past the exists() pre-check
+    // can land on one version and the earlier body is lost. That loss
+    // is bounded by the stamping rules: only SHARED-gate appends ever
+    // stamp concurrently (maintenance and seal hold the exclusive
+    // writer lock), and racing append stamps carry the IDENTICAL
+    // manifest (re-read under the gate, maintenance excluded), so a
+    // clobber forfeits nothing but a duplicate last_update — the same
+    // residual the previous in-place create had on plain-S3 stores,
+    // now shared by local-FS runs and documented as such.
     val tmp = new org.apache.hadoop.fs.Path(cfg.location,
       s"_meta.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
@@ -4185,6 +4239,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           require(fs.exists(tmp),
             s"sidecar publish at ${cfg.location}: staged version body " +
               s"$tmp vanished before rename — store failure")
+          // bounded: a store whose rename persistently returns false
+          // while the tmp survives would otherwise bump forever where
+          // the old in-place create failed loudly with its IOException
+          require(v < latest + 10000,
+            s"sidecar publish at ${cfg.location}: rename refused " +
+              s"${v - latest} consecutive versions with the staged body " +
+              "still present — store rename is failing, not racing")
           v += 1
         }
       }
@@ -4315,6 +4376,42 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "mixing codes from different trainings silently corrupts topKPq — " +
           "construct the Lake with the model that first wrote it")
     }
+
+  /** WRITE-side config guard, over and above [[requirePqModelMatch]]:
+    * a session whose config lacks a compression the SIDECAR says the
+    * lake stores must not write — its [[withDerived]] would append rows
+    * WITHOUT the `pq_code`/`packed` columns (and its rewrites would
+    * strip them from surviving rows), null-poisoning every later
+    * compressed search silently. The asymmetric direction is the sharp
+    * one: [[requirePqModelMatch]] only fires when THIS session carries
+    * codebooks, so the codebook-less SQL-format session (whose
+    * `resolveConfig` cannot reconstruct a model from the sidecar's
+    * fingerprint) or a misconstructed Scala session would pass it
+    * vacuously. READS stay open either way — `pq_code`/`packed` are
+    * plain columns to a plain read. Legacy sidecars written before
+    * `pack_sign_bits` was recorded can't be defended here; the first
+    * write by a correctly-configured session stamps the field. */
+  private def requireWriteConfigMatch(): Unit = {
+    requirePqModelMatch()
+    readMetaSidecar().foreach { json =>
+      if (cfg.pqCodebooks.isEmpty &&
+          """"pq_fingerprint"\s*:\s*"[0-9a-f]+"""".r.findFirstIn(json).isDefined)
+        throw new IllegalArgumentException(
+          s"lake at ${cfg.location} stores pq_code (the sidecar records a " +
+            "codebook fingerprint) but this session has no pqCodebooks — " +
+            "writing would append/rewrite rows without their codes and " +
+            "silently corrupt topKPq. Construct the Lake (or pass options) " +
+            "with the lake's model; SQL-surface writes to PQ lakes need " +
+            "the Scala session that holds it.")
+      if (!cfg.packSignBits &&
+          """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(json).isDefined)
+        throw new IllegalArgumentException(
+          s"lake at ${cfg.location} stores the packed sign-bit column but " +
+            "this session has packSignBits=false — writing would " +
+            "append/rewrite rows without `packed` and silently corrupt " +
+            "topKCompressed. Set packSignBits=true (option or config).")
+    }
+  }
 }
 
 object Lake {

@@ -119,8 +119,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // window ingest twice. An explicit sinkId is a NAME, not a path,
     // and is used verbatim.
     val sinkId = opt(opts, "sinkId")
-      .orElse(opt(opts, "checkpointLocation").map(
-        normalizeCheckpointId(sqlContext.sparkSession, _)))
+      .orElse(opt(opts, "checkpointLocation").map { raw =>
+        val normalized = normalizeCheckpointId(sqlContext.sparkSession, raw)
+        // MIGRATION: a query that committed batches under the
+        // pre-normalization RAW spelling must keep that identity — a
+        // respelled identity with an empty ledger would fail to
+        // recognize the replayed head batch as committed and ingest it
+        // twice. The normalized id wins whenever it has history (or
+        // neither does — the fresh-query case); the raw id is adopted
+        // only when it alone holds a ledger.
+        if (normalized == raw) normalized
+        else {
+          val lake = Lake(sqlContext.sparkSession, cfg)
+          if (!lake.hasSinkLedger(normalized) && lake.hasSinkLedger(raw)) raw
+          else normalized
+        }
+      })
       .getOrElse {
         // the cluster-default conf resolves the REAL checkpoint path
         // (conf dir + query name) only AFTER createSink runs, and the
@@ -373,8 +387,13 @@ object GraftDataSource {
       seed = opt(options, "seed").map(_.toLong)
         .orElse(json.flatMap(longField(_, "lsh_seed"))).getOrElse(42L),
       partitionKey = opt(options, "partitionKey")
+        // the sidecar records the user partition key's NAME (round 10);
+        // pre-recording sidecars fall back to the legacy "key" guess
+        .orElse(json.flatMap(strField(_, "partition_key")))
         .orElse(if (userKeyed) Some("key") else None),
-      packSignBits = opt(options, "packSignBits").exists(_.toBoolean))
+      packSignBits = opt(options, "packSignBits").map(_.toBoolean)
+        .getOrElse(json.exists(
+          """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(_).isDefined)))
   }
 
   /** Resolve options + sidecar into the lake and its scan roots, and

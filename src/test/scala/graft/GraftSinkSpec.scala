@@ -163,6 +163,31 @@ class GraftSinkSpec extends SparkSpec {
     assert(lake.read().count() === 2)
   }
 
+  test("sink identity migration: a ledger committed under the raw path spelling is adopted, not restarted") {
+    val loc = tmp() + "/lake"
+    val cp = tmp() + "/cp" // raw spelling; normalization prepends file://
+    val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val batch = Seq((Seq(1f, 0f, 0f, 0f), "m0")).toDF("vector", "document")
+    // a pre-normalization deployment committed batch 0 under the
+    // VERBATIM checkpoint string
+    assert(lake.ingestExactlyOnce(batch, cp, 0L))
+    assert(lake.read().count() === 1)
+    // the upgraded sink must bind to that ledger: the replayed head
+    // batch (crash in the addBatch->commit-log window) is a no-op, not
+    // a duplicate ingest under a fresh normalized identity
+    val ds = new GraftDataSource
+    val sink = ds.createSink(spark.sqlContext,
+      Map("path" -> loc, "dim" -> "4", "numHashes" -> "2",
+        "checkpointLocation" -> cp), Nil, OutputMode.Append())
+      .asInstanceOf[graft.sources.GraftSink]
+    sink.addBatch(0L, batch)
+    assert(lake.read().count() === 1, "replayed head must not duplicate")
+    // and the adopted identity keeps advancing under the same ledger
+    sink.addBatch(1L, Seq((Seq(0f, 1f, 0f, 0f), "m1")).toDF("vector", "document"))
+    assert(lake.read().count() === 2)
+    assert(lake.hasSinkLedger(cp), "the raw-spelling ledger stays the identity")
+  }
+
   test("sink identity normalizes checkpoint path spellings (trailing slash, scheme, duplicate separators)") {
     val base = GraftDataSource.normalizeCheckpointId(spark, "/tmp/graft_cp_x")
     assert(GraftDataSource.normalizeCheckpointId(spark, "/tmp/graft_cp_x/") === base)

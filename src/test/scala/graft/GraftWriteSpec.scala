@@ -137,6 +137,71 @@ class GraftWriteSpec extends SparkSpec {
     lake.compact()
   }
 
+  test("packed lakes: the format recovers packSignBits from the sidecar; a lesser config cannot write") {
+    val loc = tmp() + "/lake"
+    val packed = Lake(spark,
+      LakeConfig(loc, dim = 4, numHashes = 2, packSignBits = true))
+    packed.ingest(Seq((Seq(1f, 0f, -1f, 0f), "a")).toDF("vector", "document"))
+    // zero options: the SQL write must reconstruct packSignBits and
+    // carry the packed column — a silent un-packed append would
+    // null-poison topKCompressed for these rows
+    Seq((Seq(0f, 1f, 0f, -1f), "b")).toDF("vector", "document")
+      .write.format("graft").mode("append").save(loc)
+    val got = packed.read()
+    assert(got.count() === 2)
+    assert(got.where($"packed".isNull).count() === 0,
+      "SQL-written rows must carry the packed sign bits")
+    // a Scala session WITHOUT packSignBits is refused on every write
+    // and rewrite (its frames would strip the column)
+    val lesser = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    val e1 = intercept[IllegalArgumentException](
+      lesser.ingest(Seq((Seq(1f, 1f, 0f, 0f), "c")).toDF("vector", "document")))
+    assert(e1.getMessage.contains("packSignBits"))
+    intercept[IllegalArgumentException](lesser.compact())
+    intercept[IllegalArgumentException](
+      lesser.deleteWhere($"document" === "a"))
+    assert(packed.read().count() === 2, "refused ops changed nothing")
+  }
+
+  test("PQ lakes: SQL writes are refused (codebooks are not reconstructible from a fingerprint)") {
+    import graft.operators.Pq
+    val dim = 8
+    val data = Seq.tabulate(64)(i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 31 + j).toFloat)))
+      .toDF("id", "vec")
+    val model = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 2))
+    val loc = tmp() + "/lake"
+    val pq = Lake(spark, LakeConfig(loc, dim = dim, numHashes = 2,
+      pqCodebooks = Some(model)))
+    pq.ingest(data.select(col("vec").cast("array<float>").as("vector"),
+      concat(lit("d"), col("id")).as("document")))
+    val e = intercept[Exception] {
+      Seq((Seq.fill(dim)(0.1f), "sql")).toDF("vector", "document")
+        .write.format("graft").mode("append").save(loc)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pqCodebooks")))
+    assert(pq.read().count() === 64, "refused write landed nothing")
+  }
+
+  test("user-keyed lakes: the format recovers the partition key NAME from the sidecar") {
+    val loc = tmp() + "/lake"
+    val keyed = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2,
+      partitionKey = Some("tenant")))
+    keyed.ingest(Seq((Seq(1f, 0f, 0f, 0f), "a", "acme"))
+      .toDF("vector", "document", "tenant"))
+    // zero options: both the read schema and the write routing must use
+    // the REAL key name, not the legacy "key" guess
+    val viaFmt = spark.read.format("graft").load(loc)
+    assert(viaFmt.columns.contains("tenant"))
+    Seq((Seq(0f, 1f, 0f, 0f), "b", "globex"))
+      .toDF("vector", "document", "tenant")
+      .write.format("graft").mode("append").save(loc)
+    assert(keyed.read().select("document", "tenant").as[(String, String)]
+      .collect().toMap === Map("a" -> "acme", "b" -> "globex"))
+  }
+
   test("a null vector is refused per-row by the write, loudly") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))

@@ -87,6 +87,12 @@ class RecallSpec extends SparkSpec {
     assert(!lake.maintain().recallRecalibrated, "and the next maintain() skips")
     // the refreshed ladder still serves the dial end-to-end
     assert(lake.topKAtRecall(Fixtures.queryVec, 5, 0.5).count() === 5L)
+    // a DRAINED lake reads maximally stale but has nothing to sample:
+    // maintain() must skip the recalibration, never fail the tick
+    assert(lake.deleteWhere(lit(true)) > 0L)
+    val drained = lake.maintain()
+    assert(!drained.recallRecalibrated,
+      "an empty lake cannot recalibrate; the tick must still succeed")
   }
 
   test("topKAtRecall: one-scan calibration is monotone and persisted; targets map to the promised plans") {
