@@ -4220,7 +4220,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // manifest (re-read under the gate, maintenance excluded), so a
     // clobber forfeits nothing but a duplicate last_update — the same
     // residual the previous in-place create had on plain-S3 stores,
-    // now shared by local-FS runs and documented as such.
+    // now shared by local-FS runs and documented as such. On real
+    // object stores the publish stays torn-free for a different
+    // reason: rename is a server-side copy and object visibility is
+    // all-or-nothing (no reader ever sees a partial object) — only
+    // stream-copying stand-ins (the test BucketFs) retain a window,
+    // which their PUT-semantics caveat already covers.
     val tmp = new org.apache.hadoop.fs.Path(cfg.location,
       s"_meta.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
