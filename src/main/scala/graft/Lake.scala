@@ -4042,30 +4042,37 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       es.nonEmpty && !hasSidecar(es) &&
         es.exists(s => s.isDirectory &&
           Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
-    // the retry tax is paid ONCE per confirmed sidecarless tree: a
-    // crashed first ingest strands gen dirs with no sidecar PERMANENTLY
-    // (until repair/vacuum), and re-sleeping on every listing would tax
-    // each read path ~150 ms forever. Once the retries exhaust, the
-    // state is remembered and later listings skip straight through; any
-    // listing that sees a sidecar resets the memo (so a fresh race
-    // after a real commit retries again).
-    if (hasSidecar(entries)) sidecarlessConfirmed = false
+    // retry gating: the race signature (gen data, no sidecar) has two
+    // benign look-alikes — a FIRST ingest legitimately in flight (its
+    // sidecar commits only after the data lands, possibly seconds
+    // later) and a crash-stranded first ingest (permanent until
+    // repair). Retrying forever against those taxes every read path
+    // ~150 ms, but NEVER retrying reopens the silent default-state
+    // read on a genuine rotation miss. The discriminator is history:
+    // once THIS instance has seen a sidecar, a later sidecarless
+    // listing can only be a transient miss (sidecars are rotated,
+    // never all deleted) — always retry. Before any sidecar was ever
+    // seen, pay the retries once (the first listing may genuinely
+    // race a first commit) and then stop.
+    if (hasSidecar(entries)) sidecarSeen = true
     var tries = 0
-    while (tries < 3 && !sidecarlessConfirmed && looksRacy(entries)) {
+    while (tries < 3 && looksRacy(entries) &&
+        (sidecarSeen || !sidecarlessChecked)) {
       tries += 1
       Thread.sleep(25L * tries)
       entries = once()
-      if (hasSidecar(entries)) sidecarlessConfirmed = false
+      if (hasSidecar(entries)) sidecarSeen = true
     }
-    if (tries == 3 && looksRacy(entries)) sidecarlessConfirmed = true
+    if (!sidecarSeen && looksRacy(entries)) sidecarlessChecked = true
     entries
   }
 
-  /** listRoot's once-per-instance memo: the tree was CONFIRMED to hold
-    * generation data with no sidecar (a crash-stranded first ingest),
-    * so later listings skip the anti-race retries. Reset the moment
-    * any listing sees a sidecar. */
-  @volatile private var sidecarlessConfirmed = false
+  /** listRoot retry-gating state (scaladoc at the use site): whether
+    * this instance ever observed a committed sidecar (=> sidecarless
+    * listings are transient misses, always worth retrying), and
+    * whether the one pre-sidecar retry round was already spent. */
+  @volatile private var sidecarSeen = false
+  @volatile private var sidecarlessChecked = false
 
   /** (version, path) of every sidecar version in a root listing. */
   private def metaVersionsFrom(entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -4171,7 +4178,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * sync points), and resolved manifest-only by readers. */
   private def writeState(st: LakeState, sealedCommit: Boolean = false): Long = {
     val fs = fsOfRoot
-    val versions = metaVersions(fs)
+    // ONE root listing serves version discovery AND the stranded-tmp
+    // sweep below — a second LIST per commit is pure object-store tax
+    val rootEntries = listRoot(fs)
+    val versions = metaVersionsFrom(rootEntries)
     val latest = if (versions.isEmpty) 0L else versions.map(_._1).max
     val pqField = cfg.pqCodebooks
       .map(m => s""", "pq_fingerprint": "${m.fingerprint}"""").getOrElse("")
@@ -4276,8 +4286,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .foreach(p => fs.delete(p._2, false))
     // stranded publish bodies (a JVM that died between staging and
     // rename) are inert — no regex matches them — but sweep the old
-    // ones anyway; age-gated so no live writer's in-flight tmp is hit
-    try listRoot(fs).foreach { s =>
+    // ones anyway (from the already-taken listing); age-gated so no
+    // live writer's in-flight tmp is hit
+    try rootEntries.foreach { s =>
       if (s.isFile && s.getPath.getName.startsWith("_meta.tmp.") &&
           System.currentTimeMillis() - s.getModificationTime > 3600000L)
         fs.delete(s.getPath, false)
@@ -4304,30 +4315,6 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     p.map(readFully(fs, _))
   }
 
-  private def escapeJson(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
-  private def unescapeJson(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case e => sb.append(e); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
 
   /** Stored `shard` values are only meaningful under the hyperplanes
     * that routed them — the routing analog of the PQ/IVF fingerprint
@@ -4370,11 +4357,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * pre-fingerprint sidecar (no field) is accepted and stamped on the
     * next write. */
   private def requirePqModelMatch(): Unit =
+    pqFingerprintMatch(if (cfg.pqCodebooks.isDefined) readMetaSidecar() else None)
+
+  /** Fingerprint equality when BOTH sides carry one — shared by the
+    * read guard ([[requirePqModelMatch]], which pays the sidecar read
+    * only for PQ sessions) and the write guard (which already holds
+    * the sidecar body — no second read, G4). */
+  private def pqFingerprintMatch(json: Option[String]): Unit =
     cfg.pqCodebooks.foreach { m =>
       for {
-        json <- readMetaSidecar()
+        j <- json
         found <- """"pq_fingerprint"\s*:\s*"([0-9a-f]+)"""".r
-          .findFirstMatchIn(json).map(_.group(1))
+          .findFirstMatchIn(j).map(_.group(1))
       } require(found == m.fingerprint,
         s"lake at ${cfg.location} stores pq_code under codebook fingerprint " +
           s"$found but this session's model fingerprints ${m.fingerprint}; " +
@@ -4382,25 +4376,38 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "construct the Lake with the model that first wrote it")
     }
 
-  /** WRITE-side config guard, over and above [[requirePqModelMatch]]:
-    * a session whose config lacks a compression the SIDECAR says the
-    * lake stores must not write — its [[withDerived]] would append rows
-    * WITHOUT the `pq_code`/`packed` columns (and its rewrites would
-    * strip them from surviving rows), null-poisoning every later
-    * compressed search silently. The asymmetric direction is the sharp
-    * one: [[requirePqModelMatch]] only fires when THIS session carries
-    * codebooks, so the codebook-less SQL-format session (whose
-    * `resolveConfig` cannot reconstruct a model from the sidecar's
-    * fingerprint) or a misconstructed Scala session would pass it
-    * vacuously. READS stay open either way — `pq_code`/`packed` are
-    * plain columns to a plain read. Legacy sidecars written before
-    * `pack_sign_bits` was recorded can't be defended here; the first
-    * write by a correctly-configured session stamps the field. */
+  /** WRITE-side config guard: the session's compression config and the
+    * sidecar's recorded one must agree IN BOTH DIRECTIONS before any
+    * write or rewrite — one sidecar read covers every check.
+    *
+    *  - Session LACKS a compression the sidecar declares: refuse —
+    *    [[withDerived]] would append rows WITHOUT `pq_code`/`packed`
+    *    (and rewrites would strip them), null-poisoning compressed
+    *    search silently. This is the sharp direction for the SQL
+    *    format (whose `resolveConfig` cannot rebuild codebooks from a
+    *    fingerprint) and misconstructed Scala sessions, both of which
+    *    pass the fingerprint-equality check vacuously.
+    *  - Session DECLARES a compression the sidecar doesn't, over a
+    *    lake that already holds data: refuse — the write would stamp
+    *    the new config into the sidecar as authoritative, poisoning
+    *    every pre-existing row (null `packed`/`pq_code`) AND locking
+    *    the original, correct config out via the first rule. A
+    *    data-less lake may upgrade freely (the next write defines the
+    *    layout), and a pre-recording lake whose files genuinely carry
+    *    the column is re-stamped deliberately with [[bootstrap]] under
+    *    the full config — the documented one-time migration.
+    *
+    * READS stay open under any config — `pq_code`/`packed` are plain
+    * columns to a plain read. */
   private def requireWriteConfigMatch(): Unit = {
-    requirePqModelMatch()
-    readMetaSidecar().foreach { json =>
-      if (cfg.pqCodebooks.isEmpty &&
-          """"pq_fingerprint"\s*:\s*"[0-9a-f]+"""".r.findFirstIn(json).isDefined)
+    val json = readMetaSidecar()
+    pqFingerprintMatch(json)
+    json.foreach { j =>
+      val sidecarPq =
+        """"pq_fingerprint"\s*:\s*"[0-9a-f]+"""".r.findFirstIn(j).isDefined
+      val sidecarPacked =
+        """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(j).isDefined
+      if (cfg.pqCodebooks.isEmpty && sidecarPq)
         throw new IllegalArgumentException(
           s"lake at ${cfg.location} stores pq_code (the sidecar records a " +
             "codebook fingerprint) but this session has no pqCodebooks — " +
@@ -4408,18 +4415,67 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
             "silently corrupt topKPq. Construct the Lake (or pass options) " +
             "with the lake's model; SQL-surface writes to PQ lakes need " +
             "the Scala session that holds it.")
-      if (!cfg.packSignBits &&
-          """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(json).isDefined)
+      if (!cfg.packSignBits && sidecarPacked)
         throw new IllegalArgumentException(
           s"lake at ${cfg.location} stores the packed sign-bit column but " +
             "this session has packSignBits=false — writing would " +
             "append/rewrite rows without `packed` and silently corrupt " +
             "topKCompressed. Set packSignBits=true (option or config).")
+      val upgrades =
+        (if (cfg.pqCodebooks.isDefined && !sidecarPq) Seq("pqCodebooks") else Nil) ++
+          (if (cfg.packSignBits && !sidecarPacked) Seq("packSignBits") else Nil)
+      if (upgrades.nonEmpty && hasAnyData())
+        throw new IllegalArgumentException(
+          s"lake at ${cfg.location} holds rows written WITHOUT " +
+            s"${upgrades.mkString("/")}, but this session declares " +
+            s"${upgrades.mkString("/")} — writing would stamp the new " +
+            "config as authoritative and null-poison every existing row's " +
+            "compressed search (then refuse the original config). Create " +
+            "compressed lakes compressed from the start; if this lake's " +
+            "files genuinely carry the column (written before the sidecar " +
+            "recorded the flag), re-stamp once with bootstrap() under the " +
+            "full config.")
     }
+  }
+
+  /** Whether the lake holds ANY data rows — manifest entries, a
+    * populated current generation, or legacy root-level files. One
+    * listing; used by the config-upgrade refusal above. */
+  private def hasAnyData(): Boolean = {
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = readStateFrom(fs, entries)
+    st.live.nonEmpty || rootLevelDataFrom(entries).nonEmpty ||
+      treeHasData(fs, genPath(st.generation))
   }
 }
 
 object Lake {
+  private[graft] def escapeJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private[graft] def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"

@@ -282,6 +282,12 @@ object GraftDataSource {
       if (!fs.exists(root)) return Right(None)
       val all = fs.listStatus(root)
       if (all.isEmpty) return Right(None)
+      // only a GENERATION tree marks the race signature — pointing the
+      // format at some arbitrary non-lake directory (a plain parquet
+      // dataset, a checkpoint dir) must answer "no sidecar" instantly,
+      // not after three retry sleeps (same gating as Lake.listRoot)
+      val hasGenDir = all.exists(s => s.isDirectory &&
+        graft.Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
       val entries = all.filter(_.isFile)
       val p = entries.flatMap(s => s.getPath.getName match {
         case versioned(v) => Some(v.toLong -> s.getPath)
@@ -289,7 +295,7 @@ object GraftDataSource {
       }).sortBy(_._1).lastOption.map(_._2)
         .orElse(entries.find(_.getPath.getName == "_meta.json").map(_.getPath))
       p match {
-        case None => Left(())
+        case None => if (hasGenDir) Left(()) else Right(None)
         case Some(path) =>
           try {
             val in = fs.open(path)
@@ -387,9 +393,14 @@ object GraftDataSource {
       seed = opt(options, "seed").map(_.toLong)
         .orElse(json.flatMap(longField(_, "lsh_seed"))).getOrElse(42L),
       partitionKey = opt(options, "partitionKey")
-        // the sidecar records the user partition key's NAME (round 10);
+        // the sidecar records the user partition key's NAME (round 10),
+        // json-ESCAPED by the writer — read it back through the
+        // escape-aware capture + unescape (a plain [^"]* capture stops
+        // at an escaped quote and resolves a corrupted column name);
         // pre-recording sidecars fall back to the legacy "key" guess
-        .orElse(json.flatMap(strField(_, "partition_key")))
+        .orElse(json.flatMap(
+          """"partition_key"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+            .findFirstMatchIn(_).map(m => Lake.unescapeJson(m.group(1)))))
         .orElse(if (userKeyed) Some("key") else None),
       packSignBits = opt(options, "packSignBits").map(_.toBoolean)
         .getOrElse(json.exists(

@@ -262,4 +262,29 @@ class GraftFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("dim") ||
       e.getMessage.contains("3-dim"), e.getMessage)
   }
+
+  test("a NON-LAKE directory answers 'no sidecar' immediately — the anti-race retries are gated on a generation tree") {
+    // the sidecar reader's bounded retry exists for ONE race signature:
+    // generation data visible, sidecar transiently missed by a churning
+    // readdir. A plain parquet dataset / checkpoint dir has files and
+    // subdirs but no gen-<n> tree — it must resolve (and refuse for the
+    // missing dim) without paying the 150 ms of retry sleeps per open
+    val dir = Files.createTempDirectory("graft_fmt_nonlake").toString
+    Seq((1, "a"), (2, "b")).toDF("n", "s")
+      .write.parquet(s"$dir/data.parquet")
+    new java.io.File(s"$dir/commits").mkdirs() // checkpoint-ish subdir
+    // warm the format path once (class-load / FS init noise out of the
+    // timing), then time three opens: old behavior slept >= 450 ms
+    intercept[IllegalArgumentException](
+      spark.read.format("graft").load(dir))
+    val t0 = System.nanoTime()
+    (0 until 3).foreach { _ =>
+      val e = intercept[IllegalArgumentException](
+        spark.read.format("graft").load(dir))
+      assert(e.getMessage.contains("dim"), e.getMessage)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 400L,
+      s"non-lake dir took ${elapsedMs} ms for 3 opens — retry sleeps are firing")
+  }
 }

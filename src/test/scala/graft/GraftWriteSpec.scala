@@ -202,6 +202,80 @@ class GraftWriteSpec extends SparkSpec {
       .collect().toMap === Map("a" -> "acme", "b" -> "globex"))
   }
 
+  test("config UPGRADES are refused over a lake that holds rows; a bootstrapped empty lake upgrades freely") {
+    val loc = tmp() + "/lake"
+    val plain = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    plain.ingest(vecs.toDF("vector", "document"))
+    // the REVERSE of the lesser-config refusal: a session DECLARING a
+    // compression over rows written without it would stamp the new
+    // config into the sidecar as authoritative, null-poisoning every
+    // existing row's compressed search AND locking the original config
+    // out via the lesser-config rule — refused on write and rewrite
+    val upgraded = Lake(spark,
+      LakeConfig(loc, dim = 4, numHashes = 2, packSignBits = true))
+    val e = intercept[IllegalArgumentException](
+      upgraded.ingest(Seq((Seq(1f, 1f, 0f, 0f), "x")).toDF("vector", "document")))
+    assert(e.getMessage.contains("packSignBits"))
+    assert(e.getMessage.contains("WITHOUT"))
+    intercept[IllegalArgumentException](upgraded.compact())
+    intercept[IllegalArgumentException](
+      upgraded.deleteWhere($"document" === "a"))
+    assert(plain.read().count() === 4, "refused ops changed nothing")
+    // the original config keeps working after the refusals
+    plain.ingest(Seq((Seq(1f, 1f, 1f, 0f), "e")).toDF("vector", "document"))
+    assert(plain.read().count() === 5)
+
+    // a DATA-LESS lake may upgrade: CREATE TABLE bootstraps the sidecar
+    // under the plain config, but with zero rows there is nothing to
+    // poison — the first write defines the layout
+    val loc2 = tmp() + "/empty"
+    Lake(spark, LakeConfig(loc2, dim = 4, numHashes = 2)).bootstrap()
+    val packed = Lake(spark,
+      LakeConfig(loc2, dim = 4, numHashes = 2, packSignBits = true))
+    packed.ingest(Seq((Seq(1f, 0f, -1f, 0f), "p")).toDF("vector", "document"))
+    assert(packed.read().where($"packed".isNull).count() === 0,
+      "the upgraded first write carries the packed column")
+  }
+
+  test("a declared PQ model over a plain lake with rows is refused (upgrade direction)") {
+    import graft.operators.Pq
+    val loc = tmp() + "/lake"
+    val plain = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
+    plain.ingest(vecs.toDF("vector", "document"))
+    val data = Seq.tabulate(16)(i =>
+      (i.toLong, Seq.tabulate(4)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("id", "vec")
+    val model = Pq.round6(Pq.train(data, "vec", "id", dim = 4, m = 2, k = 4, iters = 1))
+    val pqSession = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2,
+      pqCodebooks = Some(model)))
+    val e = intercept[IllegalArgumentException](
+      pqSession.ingest(Seq((Seq(1f, 1f, 0f, 0f), "x")).toDF("vector", "document")))
+    assert(e.getMessage.contains("pqCodebooks"))
+    assert(plain.read().count() === 4)
+  }
+
+  test("a partition key name needing JSON escaping round-trips through the sidecar") {
+    // the sidecar stores the key NAME json-escaped; a naive [^"]*
+    // capture on the read side would hand back the ESCAPED text (e.g.
+    // a doubled backslash) and the format would resolve a column that
+    // does not exist
+    val key = """te\ant"""
+    val loc = tmp() + "/lake"
+    val keyed = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2,
+      partitionKey = Some(key)))
+    keyed.ingest(Seq((Seq(1f, 0f, 0f, 0f), "a", "acme"))
+      .toDF("vector", "document", key))
+    // zero options: the format must recover the EXACT key name
+    val viaFmt = spark.read.format("graft").load(loc)
+    assert(viaFmt.columns.contains(key), s"got ${viaFmt.columns.mkString(",")}")
+    Seq((Seq(0f, 1f, 0f, 0f), "b", "globex"))
+      .toDF("vector", "document", key)
+      .write.format("graft").mode("append").save(loc)
+    assert(keyed.read().select(col("document"), col(s"`$key`"))
+      .as[(String, String)].collect().toMap ===
+      Map("a" -> "acme", "b" -> "globex"))
+  }
+
   test("a null vector is refused per-row by the write, loudly") {
     val loc = tmp() + "/lake"
     val lake = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
