@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,7 +62,8 @@ import graft.{Lake, LakeConfig}
   * Reference: the reference has no catalog or SQL surface at all
   * (vector_lake/index.py exposes only the Python constructor); this is
   * the engine-native face a multi-tenant deployment needs. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -255,6 +257,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft catalog: RENAME is not supported — a managed lake's name is " +
         "its directory (concurrent readers resolve by path); register an " +
         "external table at the same location under the new name instead")
+
+  // ------------------------------------------------------- procedures --
+
+  /** Maintenance procedures live under the reserved `system` namespace
+    * (`CALL <cat>.system.maintain(table => 'ns.name')` — the
+    * Iceberg/Delta convention). The `table` argument resolves through
+    * [[locationOf]] exactly like a SELECT would (managed dir, external
+    * pointer, or — when it contains a `/` — a raw lake path), so a
+    * procedure and a query can never disagree about which lake a name
+    * means. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"graft catalog: procedures live in the `system` namespace — " +
+          s"CALL $catalogName.system.${ident.name()}(...); got namespace " +
+          s"[${ident.namespace().mkString(".")}]")
+    GraftProcedures.load(ident.name(), resolveLakeRef).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: no procedure `${ident.name()}` — available: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** A procedure's `table` argument → the Lake it names: a raw root
+    * path when it contains a separator, otherwise `ns.name` / `name`
+    * (default namespace) through the catalog's own resolution. Config
+    * comes from the sidecar via the same [[GraftDataSource.resolveConfig]]
+    * as every read — compressed lakes whose models are not sidecar-
+    * reconstructible keep their documented SQL-surface refusals. */
+  private def resolveLakeRef(ref: String): Lake = {
+    val loc =
+      if (ref.contains("/") || ref.contains("\\")) ref
+      else {
+        val parts = ref.split("\\.").toSeq
+        val ident =
+          if (parts.length == 1) Identifier.of(Array("default"), parts.head)
+          else Identifier.of(parts.init.toArray, parts.last)
+        locationOrThrow(ident)
+      }
+    Lake(spark, GraftDataSource.resolveConfig(spark,
+      new CaseInsensitiveStringMap(Map("path" -> loc).asJava)))
+  }
 
   // ------------------------------------------------------- namespaces --
 

@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.Lake
+
+/** Maintenance as SQL stored procedures — the last lifecycle surface
+  * that needed Scala. With these, a platform team's cron and an
+  * operator's console both speak pure SQL:
+  *
+  * {{{
+  *   CALL lakes.system.maintain(table => 'default.corpus')
+  *   CALL lakes.system.compact(table => 'default.corpus', target_bytes => 268435456)
+  *   CALL lakes.system.vacuum(table => 'default.corpus', retain_ms => 86400000)
+  *   CALL lakes.system.repair(table => 'default.corpus')
+  *   CALL lakes.system.seal(table => 'default.corpus')
+  *   SHOW PROCEDURES IN lakes.system
+  * }}}
+  *
+  * Each procedure resolves its `table` argument through the SAME
+  * catalog pointer/directory rules as any `SELECT` (so managed,
+  * external, and adopted lakes all work), funnels into the
+  * corresponding [[graft.Lake]] call — identical locks, identical
+  * commit protocol, identical refusals — and returns the call's report
+  * as a one-row result set ([[org.apache.spark.sql.connector.read.LocalScan]]:
+  * driver-side rows, no job). A raw lake path (anything containing
+  * `/`) is accepted too, mirroring `spark.read.format("graft").load`.
+  *
+  * 100 TB posture: procedures are a control plane — argument parsing
+  * and result marshalling are O(1); all data movement happens inside
+  * the underlying maintenance op, which carries its own scale story
+  * (incremental compaction O(dirty shards), vacuum O(dead dirs),
+  * maintain's no-op flatness — see their scaladoc).
+  *
+  * Reference: the reference has no maintenance surface at all (no
+  * compaction, no retention, no repair — vector_lake/index.py holds
+  * whatever parquet it wrote); this completes the engine-native
+  * operational story SQL-first. */
+private[graft] object GraftProcedures {
+
+  /** Procedure names under the catalog's `system` namespace. */
+  val names: Seq[String] = Seq("maintain", "compact", "vacuum", "repair", "seal")
+
+  def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
+    def p(n: String, dt: DataType, comment: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).comment(comment).build()
+    def pd(n: String, dt: DataType, default: String,
+        comment: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).defaultValue(default).comment(comment).build()
+    val table = p("table", StringType,
+      "catalog table ('ns.name' or 'name') or a lake root path")
+
+    name match {
+      case "maintain" => Some(new LakeProcedure(
+        "maintain", resolve,
+        Array(table,
+          pd("target_bytes", LongType, (128L * 1024 * 1024).toString,
+            "compaction target file size"),
+          pd("max_files_per_shard", IntegerType, "4",
+            "file-count slack below which a shard is never rewritten"),
+          pd("retain_ms", LongType, (7L * 24 * 3600 * 1000).toString,
+            "vacuum retention window for dead generations")),
+        StructType(Seq(
+          StructField("compacted_shards", LongType, nullable = false),
+          StructField("skip_refreshed", BooleanType, nullable = false),
+          StructField("zone_rebuilt", BooleanType, nullable = false),
+          StructField("vacuum_swept", LongType, nullable = false),
+          StructField("recall_recalibrated", BooleanType, nullable = false))),
+        "one-call maintenance policy: runs only the work the lake's health signals justify",
+        (lake, in) => {
+          val r = lake.maintain(targetBytes = in.getLong(1),
+            maxFilesPerShard = in.getInt(2), retainMs = in.getLong(3))
+          InternalRow(r.compactedShards, r.skipRefreshed, r.zoneRebuilt,
+            r.vacuumSwept, r.recallRecalibrated)
+        }))
+      case "compact" => Some(new LakeProcedure(
+        "compact", resolve,
+        Array(table,
+          pd("target_bytes", LongType, (128L * 1024 * 1024).toString,
+            "target file size"),
+          pd("incremental", BooleanType, "true",
+            "rewrite only over-fragmented shards (false = full rewrite)"),
+          pd("max_files_per_shard", IntegerType, "4",
+            "incremental mode's file-count slack")),
+        StructType(Seq(StructField("rewritten", LongType, nullable = false))),
+        "compaction: incremental (shards rewritten) or full (files after rewrite)",
+        (lake, in) => InternalRow(
+          if (in.getBoolean(2))
+            lake.compactIncremental(targetBytes = in.getLong(1),
+              maxFilesPerShard = in.getInt(3))
+          else lake.compact(targetBytes = in.getLong(1)))))
+      case "vacuum" => Some(new LakeProcedure(
+        "vacuum", resolve,
+        Array(table,
+          pd("retain_ms", LongType, "0",
+            "keep dead generations/sidecars younger than this"),
+          pd("force", BooleanType, "false",
+            "also clear stale locks and markers (repair posture)")),
+        StructType(Seq(StructField("swept", LongType, nullable = false))),
+        "sweep dead generations and superseded sidecars past the retention window",
+        (lake, in) => InternalRow(
+          lake.vacuum(force = in.getBoolean(2), retainMs = in.getLong(1)))))
+      case "repair" => Some(new LakeProcedure(
+        "repair", resolve, Array(table),
+        StructType(Seq(StructField("swept", LongType, nullable = false))),
+        "force-vacuum: clear stale locks/markers and sweep dead state",
+        (lake, _) => InternalRow(lake.repair())))
+      case "seal" => Some(new LakeProcedure(
+        "seal", resolve, Array(table),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        "commit a sealed snapshot version (the change-feed sync point)",
+        (lake, _) => InternalRow(lake.seal())))
+      case _ => None
+    }
+  }
+}
+
+/** One lake-scoped procedure: `table` is always parameter 0 and is
+  * resolved through the owning catalog's rules; `run` sees the
+  * coerced, default-filled argument row Spark binds to
+  * [[parameters]]. Unbound and bound are the same object — the
+  * parameter list is static, so [[bind]] has nothing to specialize. */
+private final class LakeProcedure(
+    procName: String,
+    resolve: String => Lake,
+    params: Array[ProcedureParameter],
+    outSchema: StructType,
+    describe: String,
+    run: (Lake, InternalRow) => InternalRow)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = describe
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  // every procedure mutates (or at least re-stamps) lake state
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    require(!input.isNullAt(0),
+      s"graft procedure $procName: `table` must not be null")
+    val lake = resolve(input.getUTF8String(0).toString)
+    val row = run(lake, input)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = outSchema
+      override def rows(): Array[InternalRow] = Array(row)
+      override def description(): String = s"graft procedure $procName result"
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+/** SQL stored procedures ([[graft.sources.GraftProcedures]]): the
+  * maintenance lifecycle — maintain / compact / vacuum / repair /
+  * seal — driven from `spark.sql` ONLY, against both catalog-resolved
+  * table names and raw lake paths, with results served as one-row
+  * frames and the discovery statements (SHOW PROCEDURES, DESCRIBE
+  * PROCEDURE) working. */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_proc_wh").toString
+    spark.conf.set("spark.sql.catalog.plakes",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.plakes.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS plakes.default")
+    w
+  }
+
+  private def sql(s: String) = spark.sql(s)
+
+  private def mkTable(name: String): String = {
+    warehouse
+    sql(s"DROP TABLE IF EXISTS plakes.default.$name")
+    sql(s"""CREATE TABLE plakes.default.$name (vector array<float>, document string)
+            USING graft OPTIONS (dim '4', numHashes '2')""")
+    name
+  }
+
+  private def ingestBatches(name: String, batches: Int): Unit =
+    (0 until batches).foreach { b =>
+      sql(s"""INSERT INTO plakes.default.$name (vector, document)
+              VALUES (array(1.0F, ${b}.0F, 0.0F, 0.0F), 'a$b'),
+                     (array(0.0F, 1.0F, ${b}.0F, 0.0F), 'b$b'),
+                     (array(${b}.0F, 0.0F, 1.0F, 1.0F), 'c$b')""")
+    }
+
+  test("CALL compact rewrites a fragmented lake; rows survive bit-for-bit") {
+    val t = mkTable("pc_compact")
+    ingestBatches(t, 5)
+    val before = sql(s"SELECT document FROM plakes.default.$t")
+      .as[String].collect().sorted
+    // file counts through the format's own `files` view (SQL-only spec)
+    def files(): Long = spark.read.format("graft").option("view", "files")
+      .load(s"$warehouse/default/$t").count()
+    val filesBefore = files()
+    val r = sql(
+      s"CALL plakes.system.compact(table => 'default.$t', incremental => false)")
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.schema.fieldNames.toSeq === Seq("rewritten"))
+    val filesAfter = files()
+    assert(filesAfter < filesBefore,
+      s"compact did not reduce files: $filesBefore -> $filesAfter")
+    assert(r.head.getLong(0) === filesAfter,
+      "full compact reports the file count after rewrite")
+    assert(sql(s"SELECT document FROM plakes.default.$t")
+      .as[String].collect().sorted.toSeq === before.toSeq)
+  }
+
+  test("CALL maintain returns the policy report; a converged lake reports a no-op") {
+    val t = mkTable("pc_maintain")
+    ingestBatches(t, 2)
+    val r1 = sql(s"CALL plakes.system.maintain(table => 'default.$t')").collect()
+    assert(r1.length === 1)
+    assert(r1.head.schema.fieldNames.toSeq === Seq("compacted_shards",
+      "skip_refreshed", "zone_rebuilt", "vacuum_swept", "recall_recalibrated"))
+    // a second immediate call finds nothing left to justify
+    val r2 = sql(s"CALL plakes.system.maintain(table => 'default.$t')").collect().head
+    assert(r2.getLong(0) === 0L, "second maintain compacted nothing")
+    assert(!r2.getBoolean(1) && !r2.getBoolean(2))
+  }
+
+  test("CALL seal then vacuum: versions commit and dead state sweeps; raw-path refs work") {
+    val t = mkTable("pc_seal")
+    ingestBatches(t, 2)
+    val v = sql(s"CALL plakes.system.seal(table => 'default.$t')")
+      .collect().head.getLong(0)
+    assert(v > 0L)
+    // compact to strand a dead generation, then vacuum with retain 0
+    sql(s"CALL plakes.system.compact(table => 'default.$t', incremental => false)")
+    val swept = sql(
+      s"CALL plakes.system.vacuum(table => 'default.$t', retain_ms => 0)")
+      .collect().head.getLong(0)
+    assert(swept >= 0L)
+    // the RAW PATH spelling resolves the same lake (repair = force path)
+    val loc = s"$warehouse/default/$t"
+    val swept2 = sql(s"CALL plakes.system.repair(table => '$loc')")
+      .collect().head.getLong(0)
+    assert(swept2 >= 0L)
+    assert(sql(s"SELECT count(*) FROM plakes.default.$t")
+      .head().getLong(0) === 6L, "maintenance never lost a row")
+  }
+
+  test("discovery and refusals: SHOW PROCEDURES, DESCRIBE, unknown name, wrong namespace, missing table") {
+    warehouse
+    val names = sql("SHOW PROCEDURES IN plakes.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|"))
+    graft.sources.GraftProcedures.names.foreach(n =>
+      assert(names.exists(_.contains(n)), s"missing procedure $n in ${names.toSeq}"))
+    val desc = sql("DESCRIBE PROCEDURE plakes.system.maintain").collect()
+      .map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("maintain"))
+    // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE;
+    // our message rides the cause chain
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e1 = intercept[Exception](
+      sql("CALL plakes.system.nope(table => 'default.x')").collect())
+    assert(messages(e1).exists(_.contains("no procedure")), messages(e1))
+    val e2 = intercept[Exception](
+      sql("CALL plakes.default.maintain(table => 'default.x')").collect())
+    assert(messages(e2).exists(_.contains("system")), messages(e2))
+    val e3 = intercept[Exception](
+      sql("CALL plakes.system.maintain(table => 'default.does_not_exist')").collect())
+    assert(e3.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("procedure writes honor the same refusals as the Scala API: a PQ lake refuses a codebook-less rewrite") {
+    import graft.operators.Pq
+    val dim = 8
+    val data = Seq.tabulate(32)(i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.cos(i * 13 + j).toFloat)))
+      .toDF("id", "vec")
+    val model = Pq.round6(Pq.train(data, "vec", "id", dim = dim, m = 4, k = 8, iters = 1))
+    val loc = Files.createTempDirectory("graft_proc_pq").toString + "/lake"
+    val pq = Lake(spark, LakeConfig(loc, dim = dim, numHashes = 2,
+      pqCodebooks = Some(model)))
+    pq.ingest(data.select(org.apache.spark.sql.functions.col("vec")
+      .cast("array<float>").as("vector")))
+    warehouse
+    // compact through the procedure resolves config from the sidecar,
+    // which cannot rebuild the codebooks -> the rewrite must refuse
+    // rather than strip pq_code
+    val e = intercept[Exception](
+      sql(s"CALL plakes.system.compact(table => '$loc')").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pqCodebooks")), messages(e).mkString("; "))
+    assert(pq.read().count() === 32)
+  }
+}
