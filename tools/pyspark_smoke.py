@@ -82,6 +82,18 @@ spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-b'")
 check("DELETE FROM removed exactly one row", spark.sql(
     "SELECT count(*) c FROM lakes.default.pysmoke").head().c == 3)
 
+# maintenance from SQL: the stored procedures under system
+rep = spark.sql(
+    "CALL lakes.system.maintain(table => 'default.pysmoke')").head()
+check("CALL maintain returns the policy report",
+      rep.compacted_shards >= 0 and rep.vacuum_swept >= 0)
+check("SHOW PROCEDURES lists the maintenance surface", {
+    "maintain", "compact", "vacuum", "repair", "seal"
+} <= {r[-1] for r in spark.sql("SHOW PROCEDURES IN lakes.system").collect()})
+sealed = spark.sql(
+    "CALL lakes.system.seal(table => 'default.pysmoke')").head().version
+check("CALL seal commits a version", sealed > 0)
+
 hist = spark.read.format("graft").option("view", "history").load(path)
 check("history view readable, >= 2 versions", hist.count() >= 2)
 audit = spark.read.format("graft").option("view", "validate").load(path)
