@@ -149,6 +149,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * format resolve it with zero options). Idempotent on an existing
     * lake (a plain `last_update` re-stamp). */
   def bootstrap(): Unit = withWriterLock("bootstrap") {
+    // bootstrap IS the documented config-UPGRADE migration (re-stamping
+    // a pre-recording lake whose files genuinely carry the compressed
+    // columns), so only the LESSER direction is refused here: a
+    // session whose config lacks a compression the sidecar declares
+    // would erase the flag from the re-stamped sidecar, and every
+    // later lesser-config write would then pass [[requireWriteConfigMatch]]
+    // and strip the columns for real.
+    requireNoLesserConfig(readMetaSidecar())
     writeState(readState()); ()
   }
 
@@ -158,6 +166,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .collect { case (n, xs) if xs.size > 1 => n }
     require(dup.isEmpty, s"evolve: duplicate column name(s) ${dup.mkString(", ")}")
     withWriterLock("evolve") {
+      // evolve re-stamps the sidecar from THIS session's config: under
+      // a mismatched one it would silently flip the recorded
+      // compression flags (same hazard as any write)
+      requireWriteConfigMatch()
       val st = readState()
       // CASE-INSENSITIVE checks throughout: Spark's resolver matches
       // columns case-insensitively by default, so a "Dist" extra would
@@ -1400,7 +1412,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * partial). Returns the sealed version number. */
   def seal(): Long = withWriterLock("seal") {
     routingChecked // seal re-stamps the sidecar: never under a foreign config
-    requirePqModelMatch()
+    requireWriteConfigMatch() // both directions — the stamp is authoritative
     val fs = fsOfRoot
     val st = readState()
     require(!fs.exists(new org.apache.hadoop.fs.Path(
@@ -4038,10 +4050,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     def hasSidecar(es: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
       es.exists(s => s.isFile && (s.getPath.getName == "_meta.json" ||
         metaNameRe.pattern.matcher(s.getPath.getName).matches()))
+    // the race signature is DATA visible with no sidecar: generation
+    // trees, or root-level data (an adopted pre-v2 flat lake whose
+    // bootstrap/re-stamp rotations can transiently hide its versioned
+    // sidecar from a racing readdir — gating on gen dirs alone would
+    // hand such a reader the silent default state)
     def looksRacy(es: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
       es.nonEmpty && !hasSidecar(es) &&
-        es.exists(s => s.isDirectory &&
-          Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
+        (es.exists(s => s.isDirectory &&
+          Lake.genDirRe.pattern.matcher(s.getPath.getName).matches()) ||
+          rootLevelDataFrom(es).nonEmpty)
     // retry gating: the race signature (gen data, no sidecar) has two
     // benign look-alikes — a FIRST ingest legitimately in flight (its
     // sidecar commits only after the data lands, possibly seconds
@@ -4401,6 +4419,41 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * columns to a plain read. */
   private def requireWriteConfigMatch(): Unit = {
     val json = readMetaSidecar()
+    requireNoLesserConfig(json)
+    json.foreach { j =>
+      val sidecarPq =
+        """"pq_fingerprint"\s*:\s*"[0-9a-f]+"""".r.findFirstIn(j).isDefined
+      val sidecarPacked =
+        """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(j).isDefined
+      val upgrades =
+        (if (cfg.pqCodebooks.isDefined && !sidecarPq) Seq("pqCodebooks") else Nil) ++
+          (if (cfg.packSignBits && !sidecarPacked) Seq("packSignBits") else Nil)
+      // check-then-act residual: two CONCURRENT first writes under the
+      // shared append gate (one plain, one upgraded) can both see an
+      // empty lake here and both land — whichever sidecar version wins
+      // then misdescribes the loser's rows. Same class of residual as
+      // the PUT-semantics lock notes: serialized first writes (the
+      // universal case — someone creates the lake, then loaders attach)
+      // are fully defended.
+      if (upgrades.nonEmpty && exists())
+        throw new IllegalArgumentException(
+          s"lake at ${cfg.location} holds rows written WITHOUT " +
+            s"${upgrades.mkString("/")}, but this session declares " +
+            s"${upgrades.mkString("/")} — writing would stamp the new " +
+            "config as authoritative and null-poison every existing row's " +
+            "compressed search (then refuse the original config). Create " +
+            "compressed lakes compressed from the start; if this lake's " +
+            "files genuinely carry the column (written before the sidecar " +
+            "recorded the flag), re-stamp once with bootstrap() under the " +
+            "full config.")
+    }
+  }
+
+  /** The LESSER direction of the write-config guard alone (sidecar
+    * declares a compression this session's config lacks) — what
+    * [[bootstrap]] checks, since bootstrap is itself the documented
+    * upgrade path and must not trip the upgrade refusal. */
+  private def requireNoLesserConfig(json: Option[String]): Unit = {
     pqFingerprintMatch(json)
     json.foreach { j =>
       val sidecarPq =
@@ -4421,32 +4474,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
             "this session has packSignBits=false — writing would " +
             "append/rewrite rows without `packed` and silently corrupt " +
             "topKCompressed. Set packSignBits=true (option or config).")
-      val upgrades =
-        (if (cfg.pqCodebooks.isDefined && !sidecarPq) Seq("pqCodebooks") else Nil) ++
-          (if (cfg.packSignBits && !sidecarPacked) Seq("packSignBits") else Nil)
-      if (upgrades.nonEmpty && hasAnyData())
-        throw new IllegalArgumentException(
-          s"lake at ${cfg.location} holds rows written WITHOUT " +
-            s"${upgrades.mkString("/")}, but this session declares " +
-            s"${upgrades.mkString("/")} — writing would stamp the new " +
-            "config as authoritative and null-poison every existing row's " +
-            "compressed search (then refuse the original config). Create " +
-            "compressed lakes compressed from the start; if this lake's " +
-            "files genuinely carry the column (written before the sidecar " +
-            "recorded the flag), re-stamp once with bootstrap() under the " +
-            "full config.")
     }
-  }
-
-  /** Whether the lake holds ANY data rows — manifest entries, a
-    * populated current generation, or legacy root-level files. One
-    * listing; used by the config-upgrade refusal above. */
-  private def hasAnyData(): Boolean = {
-    val fs = fsOfRoot
-    val entries = listRoot(fs)
-    val st = readStateFrom(fs, entries)
-    st.live.nonEmpty || rootLevelDataFrom(entries).nonEmpty ||
-      treeHasData(fs, genPath(st.generation))
   }
 }
 
@@ -4475,6 +4503,17 @@ object Lake {
     }
     sb.toString
   }
+
+  /** Escape-aware named string field over sidecar JSON — the ONE
+    * correct way to read back a string the writer passed through
+    * [[escapeJson]]: a naive `[^"]*` capture stops at an escaped quote
+    * and resolves a corrupted value. Any new string field added to the
+    * sidecar must be read through this (array-shaped fields like
+    * `live`/`extra_cols` carry the same escape-aware element pattern
+    * inline). */
+  private[graft] def escapedStrField(json: String, name: String): Option[String] =
+    (s""""${java.util.regex.Pattern.quote(name)}"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
 
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */

@@ -282,12 +282,20 @@ object GraftDataSource {
       if (!fs.exists(root)) return Right(None)
       val all = fs.listStatus(root)
       if (all.isEmpty) return Right(None)
-      // only a GENERATION tree marks the race signature — pointing the
-      // format at some arbitrary non-lake directory (a plain parquet
-      // dataset, a checkpoint dir) must answer "no sidecar" instantly,
-      // not after three retry sleeps (same gating as Lake.listRoot)
-      val hasGenDir = all.exists(s => s.isDirectory &&
-        graft.Lake.genDirRe.pattern.matcher(s.getPath.getName).matches())
+      // LAKE-SHAPED data marks the race signature: a generation tree,
+      // or root-level data (`key=value` dirs / bare parquet — an
+      // adopted flat lake mid-sidecar-rotation looks exactly like
+      // this). Pointing the format at a non-lake directory (a
+      // checkpoint dir, a dataset's parent) still answers "no sidecar"
+      // instantly instead of after three retry sleeps; a plain
+      // partitioned parquet dataset pays the bounded retry once before
+      // its clean refusal (same gating as Lake.listRoot's looksRacy)
+      val hasGenDir = all.exists { s =>
+        (s.isDirectory &&
+          (graft.Lake.genDirRe.pattern.matcher(s.getPath.getName).matches() ||
+            s.getPath.getName.contains("="))) ||
+          (s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }
       val entries = all.filter(_.isFile)
       val p = entries.flatMap(s => s.getPath.getName match {
         case versioned(v) => Some(v.toLong -> s.getPath)
@@ -394,13 +402,11 @@ object GraftDataSource {
         .orElse(json.flatMap(longField(_, "lsh_seed"))).getOrElse(42L),
       partitionKey = opt(options, "partitionKey")
         // the sidecar records the user partition key's NAME (round 10),
-        // json-ESCAPED by the writer — read it back through the
-        // escape-aware capture + unescape (a plain [^"]* capture stops
-        // at an escaped quote and resolves a corrupted column name);
+        // json-ESCAPED by the writer — read it back escape-aware
+        // (Lake.escapedStrField; a plain [^"]* capture stops at an
+        // escaped quote and resolves a corrupted column name);
         // pre-recording sidecars fall back to the legacy "key" guess
-        .orElse(json.flatMap(
-          """"partition_key"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-            .findFirstMatchIn(_).map(m => Lake.unescapeJson(m.group(1)))))
+        .orElse(json.flatMap(Lake.escapedStrField(_, "partition_key")))
         .orElse(if (userKeyed) Some("key") else None),
       packSignBits = opt(options, "packSignBits").map(_.toBoolean)
         .getOrElse(json.exists(

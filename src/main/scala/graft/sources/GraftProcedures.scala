@@ -140,8 +140,14 @@ private final class LakeProcedure(
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    require(!input.isNullAt(0),
-      s"graft procedure $procName: `table` must not be null")
+    // EVERY argument slot must be non-null, not just `table`: a NULL
+    // in a primitive slot would silently unbox to 0/false (e.g.
+    // `retain_ms => NULL` sweeping every dead generation immediately,
+    // `incremental => NULL` forcing a full rewrite) — refuse loudly;
+    // omitting the argument is how you ask for the default
+    params.indices.foreach(i => require(!input.isNullAt(i),
+      s"graft procedure $procName: argument `${params(i).name}` is NULL — " +
+        "omit the argument to use its default"))
     val lake = resolve(input.getUTF8String(0).toString)
     val row = run(lake, input)
     val scan: Scan = new LocalScan {

@@ -274,17 +274,20 @@ class GraftFormatSpec extends SparkSpec {
       .write.parquet(s"$dir/data.parquet")
     new java.io.File(s"$dir/commits").mkdirs() // checkpoint-ish subdir
     // warm the format path once (class-load / FS init noise out of the
-    // timing), then time three opens: old behavior slept >= 450 ms
+    // timing), then take the MINIMUM of three timed opens — robust to
+    // transient machine load; with the retries firing EVERY open slept
+    // >= 150 ms, so a sub-150 ms minimum proves the fast path
     intercept[IllegalArgumentException](
       spark.read.format("graft").load(dir))
-    val t0 = System.nanoTime()
-    (0 until 3).foreach { _ =>
+    val samples = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
       val e = intercept[IllegalArgumentException](
         spark.read.format("graft").load(dir))
       assert(e.getMessage.contains("dim"), e.getMessage)
+      (System.nanoTime() - t0) / 1000000L
     }
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    assert(elapsedMs < 400L,
-      s"non-lake dir took ${elapsedMs} ms for 3 opens — retry sleeps are firing")
+    assert(samples.min < 150L,
+      s"non-lake dir opens took ${samples.mkString(",")} ms — " +
+        "retry sleeps are firing")
   }
 }

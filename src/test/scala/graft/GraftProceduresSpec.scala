@@ -117,6 +117,14 @@ class GraftProceduresSpec extends SparkSpec {
     val e3 = intercept[Exception](
       sql("CALL plakes.system.maintain(table => 'default.does_not_exist')").collect())
     assert(e3.getMessage.toLowerCase.contains("table"))
+    // a NULL argument must refuse loudly, never unbox to 0/false (a
+    // NULL retain_ms silently becoming 0 would sweep every dead
+    // generation immediately)
+    val t = mkTable("pc_null")
+    val e4 = intercept[Exception](sql(
+      s"CALL plakes.system.vacuum(table => 'default.$t', retain_ms => NULL)")
+      .collect())
+    assert(messages(e4).exists(_.contains("NULL")), messages(e4))
   }
 
   test("procedure writes honor the same refusals as the Scala API: a PQ lake refuses a codebook-less rewrite") {

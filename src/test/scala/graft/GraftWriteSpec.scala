@@ -160,6 +160,10 @@ class GraftWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](lesser.compact())
     intercept[IllegalArgumentException](
       lesser.deleteWhere($"document" === "a"))
+    // seal/bootstrap re-stamp the sidecar too — a lesser-config stamp
+    // would ERASE pack_sign_bits and unlock the stripping writes above
+    intercept[IllegalArgumentException](lesser.seal())
+    intercept[IllegalArgumentException](lesser.bootstrap())
     assert(packed.read().count() === 2, "refused ops changed nothing")
   }
 
@@ -220,6 +224,11 @@ class GraftWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](upgraded.compact())
     intercept[IllegalArgumentException](
       upgraded.deleteWhere($"document" === "a"))
+    // EVERY sidecar re-stamper refuses, not just row writes: seal and
+    // evolve would stamp the upgraded flags just as authoritatively
+    intercept[IllegalArgumentException](upgraded.seal())
+    intercept[IllegalArgumentException](upgraded.evolve(
+      StructType(Seq(StructField("q", DoubleType)))))
     assert(plain.read().count() === 4, "refused ops changed nothing")
     // the original config keeps working after the refusals
     plain.ingest(Seq((Seq(1f, 1f, 1f, 0f), "e")).toDF("vector", "document"))
