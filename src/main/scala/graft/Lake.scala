@@ -1243,6 +1243,61 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     st
   }
 
+  /** CLONE — materialize this lake's current (or `asOf`-pinned)
+    * snapshot as a NEW, fully independent lake at `targetLocation`:
+    * the experiment-fork op (Delta's `CREATE TABLE ... DEEP CLONE`
+    * analog). Every stored byte is preserved — ids, timestamps,
+    * metadata, routing (`shard` values stay valid because the clone
+    * inherits this config's hyperplane seed), compressed columns
+    * (`packed`/`pq_code` under the same codebooks), and whatever
+    * schema-evolution extras the SNAPSHOT carries (an `asOf` clone
+    * gets the schema as of that version, not today's). Nothing is
+    * re-derived and no routing is recomputed: the snapshot frame is
+    * handed straight to the target's append path.
+    *
+    * DEEP by design, shallow deliberately declined: the manifest
+    * stores root-relative directory names and [[vacuum]] owns dead
+    * trees per root, so a metadata-only clone would either break on
+    * relative resolution or couple the two lakes' retention lifetimes
+    * (the source's vacuum silently destroying the clone's data). One
+    * distributed read→write job instead — O(data) but zero driver
+    * data-plane, and the clone's lifecycle (compaction, vacuum,
+    * seals, indexes — rebuilt on demand, not copied) is its own from
+    * the first byte.
+    *
+    * The target must be EMPTY (no sidecar, no data): clone creates,
+    * never merges. A vacuumed `asOf` fails loudly via [[readAt]]. */
+  def cloneTo(targetLocation: String, asOf: Option[Long] = None): Lake = {
+    routingChecked
+    // the clone's first sidecar is stamped from THIS config, so a
+    // session whose config lacks a compression the SOURCE declares
+    // (the codebook-less SQL-procedure session on a PQ lake, a
+    // misconstructed Scala one) would produce a target whose sidecar
+    // misdescribes the faithfully-copied pq_code/packed bytes — refuse,
+    // same contract as every write surface
+    requireNoLesserConfig(readMetaSidecar())
+    val fs = fsOfRoot
+    val here = fs.makeQualified(new org.apache.hadoop.fs.Path(cfg.location))
+    val there = new org.apache.hadoop.fs.Path(targetLocation)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(targetLocation))
+    require(here != there,
+      s"cloneTo: target equals the source location $here")
+    val snap = asOf.map(readAt).getOrElse(read())
+    val target = Lake(spark, cfg.copy(location = targetLocation))
+    require(!target.exists() && target.readMetaSidecar().isEmpty,
+      s"cloneTo: target $targetLocation already holds a lake or data — " +
+        "clone only creates, never merges; delete() the target first")
+    // extras = snapshot columns beyond this config's canonical stored
+    // set (registered on the target BEFORE the append so its very
+    // first sidecar carries them)
+    val base = (storedFields.map(_.name) :+ partCol).map(_.toLowerCase).toSet
+    val extras = snap.schema.fields.filterNot(f => base(f.name.toLowerCase))
+    if (extras.nonEmpty) target.evolve(StructType(extras.toSeq))
+    target.withAppendLock("clone") { target.writeAppend(snap); () }
+    target
+  }
+
   /** The canonical stored schema + partition column — what an empty
     * lake's scan serves (and what [[readFrom]] validates a non-empty
     * read against). */

@@ -562,6 +562,43 @@ object CoreQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** A DEEP CLONE of the fixture lake ([[graft.Lake.cloneTo]] — the
+    * experiment-fork op), built once per (session, sfDir). The
+    * measured surface is the CLONE's read-back: hash-equality with an
+    * oracle that recomputes routing from raw `embeddings` proves the
+    * clone carried every row, vector, and shard assignment
+    * byte-faithfully with nothing re-derived. */
+  private def cloneStatsLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "clone_stats") {
+      val src = shardStatsLake(s, dir)
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "clone")
+      Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6)).delete()
+      src.cloneTo(tmp)
+    }
+
+  /** Per-shard profile of the CLONED lake — distinct aggregation from
+    * its source twin q_shard_stats (count + DISTINCT documents +
+    * norm max, not the mean), so a clone bug cannot hide behind the
+    * source query's green. Scale shape: one distributed copy job built
+    * the fixture; the query itself is the usual partitioned scan +
+    * hash agg on the partition column. */
+  val qCloneStats = Q(
+    "q_clone_stats",
+    (s, dir) => {
+      val lake = cloneStatsLake(s, dir)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("document")).as("docs"),
+          round(max(V.l2Norm(col("vector"))), 6).as("max_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(DISTINCT 'doc-' || vec_id) AS BIGINT) AS docs,
+                    round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
   /** Pairwise cosine similarity between label centroids — the
     * class-separation audit an embedding pipeline reports (are label
     * clusters collapsing?). The quadratic pairing runs over the
@@ -723,5 +760,5 @@ object CoreQueries {
     qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats, qSqlScan, qSqlInsert, qHybridRrf, qMaxSim)
+    qShardStats, qSqlScan, qSqlInsert, qCloneStats, qHybridRrf, qMaxSim)
 }

@@ -42,7 +42,8 @@ import graft.Lake
 private[graft] object GraftProcedures {
 
   /** Procedure names under the catalog's `system` namespace. */
-  val names: Seq[String] = Seq("maintain", "compact", "vacuum", "repair", "seal")
+  val names: Seq[String] =
+    Seq("maintain", "compact", "vacuum", "repair", "seal", "clone")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -113,6 +114,28 @@ private[graft] object GraftProcedures {
         StructType(Seq(StructField("version", LongType, nullable = false))),
         "commit a sealed snapshot version (the change-feed sync point)",
         (lake, _) => InternalRow(lake.seal())))
+      case "clone" => Some(new LakeProcedure(
+        "clone", resolve,
+        Array(table,
+          p("target_location", StringType,
+            "root directory of the new lake (must be empty)"),
+          pd("as_of", LongType, "-1",
+            "sidecar version to clone at (-1 = current state)")),
+        StructType(Seq(
+          StructField("target", StringType, nullable = false),
+          StructField("rows", LongType, nullable = false))),
+        "deep-clone the lake (or an asOf snapshot) to a new independent location",
+        (lake, in) => {
+          val target = in.getUTF8String(1).toString
+          val asOf = in.getLong(2) match {
+            case -1L => None
+            case v => Some(v)
+          }
+          val clone = lake.cloneTo(target, asOf)
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(target),
+            clone.read().count())
+        }))
       case _ => None
     }
   }
