@@ -1298,6 +1298,97 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     target
   }
 
+  /** REPLICATION APPLY — advance this lake by a netted change-feed
+    * delta ([[changesBetween]]'s frame: stored columns + partition
+    * column + `change` ∈ insert|delete). The churn-proportional
+    * companion to [[cloneTo]]: a replica cut at version A follows its
+    * source to version B by applying `changesBetween(A, B)` — cost
+    * O(churn + affected partitions), never O(data), where a re-clone
+    * would copy everything.
+    *
+    * Semantics are upsert-shaped and byte-preserving: rows matching a
+    * DELETE id leave, INSERT rows land exactly as carried (no
+    * re-derive, no re-route — the delta's own `shard`/key values are
+    * kept, valid because source and replica share the routing config
+    * by clone construction), and any pre-existing row sharing an
+    * INSERT id is replaced rather than duplicated (a replica drifted
+    * by a partial earlier apply converges instead of corrupting).
+    * Columns the delta carries beyond this lake's stored set are
+    * auto-[[evolve]]d first, so a source schema evolution rides the
+    * feed to the replica. The caller owns VERSION ALIGNMENT: applying
+    * a delta whose from-version is not the replica's current state is
+    * answered garbage-for-garbage ([[syncFrom]] is the aligned
+    * convenience). Same rewrite machinery, locks, and staged-publish
+    * commit as [[upsert]]. Returns (deleted, inserted). */
+  def applyChanges(changes: DataFrame): (Long, Long) = {
+    require(changes.columns.contains("change"),
+      "applyChanges wants a change-feed frame (a `change` column of " +
+        "insert|delete) — see changesBetween/changesSince(netted=true)")
+    requireWriteConfigMatch()
+    withWriterLock("applyChanges")(applyChangesImpl(changes))
+  }
+
+  private def applyChangesImpl(changes: DataFrame): (Long, Long) = {
+    val delta = graft.operators.Materialize.cut(changes)
+    val bad = delta.select("change").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      .filterNot(Set("insert", "delete"))
+    require(bad.isEmpty,
+      s"applyChanges: unknown change kind(s) ${bad.mkString(", ")}")
+    val ins = delta.where(col("change") === "insert").drop("change")
+    val insCount = ins.count()
+    val distinctIns = ins.select("id").distinct().count()
+    require(distinctIns == insCount,
+      s"applyChanges: delta inserts carry duplicate ids ($insCount rows, " +
+        s"$distinctIns distinct) — not a netted feed frame")
+    // auto-evolve: delta columns beyond the stored set ride the feed
+    // (inline sidecar commit — the source's evolve already validated
+    // the names; we hold the writer lock, so no re-entrant evolve())
+    val st0 = readState()
+    val known = (storedColsOf(st0) :+ partCol).map(_.toLowerCase).toSet
+    val extra = ins.schema.fields.filterNot(f => known(f.name.toLowerCase))
+    if (extra.nonEmpty) {
+      writeState(st0.copy(extraCols = st0.extraCols ++
+        extra.map(f => f.name -> f.dataType.catalogString)))
+      ()
+    }
+    if (!exists()) { // bootstrapping replica: the delta IS the state
+      val out = writeAppend(ins)
+      refreshSkipIndex(out.shards); refreshZoneMap(out.files)
+      return (0L, insCount)
+    }
+    // every id the delta touches leaves the kept set (delete = gone,
+    // insert = replaced-if-present); affected partitions come from
+    // the delta itself — it carries the partition column for both
+    // sides, so a shard-moving replacement hits old AND new dirs
+    val touched = broadcast(
+      delta.select(col("id").as("__chg_id")).distinct())
+    val affected = delta.select(partCol).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
+    if (affected.isEmpty) return (0L, 0L)
+    val slice = read().where(affectedPartPred(affected))
+    val sliceCount = slice.count()
+    val colsNow = storedColsNow
+    val kept = slice
+      .join(touched, col("id") === col("__chg_id"), "left_anti")
+      .select((colsNow.map(col) :+ col(partCol)): _*)
+    val keptCount = kept.count()
+    rewritePartitions(affected,
+      kept.unionByName(ins.select((colsNow.map(col) :+ col(partCol)): _*)),
+      keptCount + insCount, "applyChanges")
+    (sliceCount - keptCount, insCount)
+  }
+
+  /** Aligned replication step: advance this REPLICA from its
+    * `fromVersion` cut to the source's `toVersion` seal by applying
+    * the netted delta — [[cloneTo]]`(asOf = A)` then repeated
+    * `syncFrom(source, A, B)` / `syncFrom(source, B, C)` keeps a
+    * replica following at O(churn). Both versions must be sealed sync
+    * points on the SOURCE ([[changesBetween]]'s contract; a vacuumed
+    * endpoint fails loudly there). */
+  def syncFrom(source: Lake, fromVersion: Long, toVersion: Long): (Long, Long) =
+    applyChanges(source.changesBetween(fromVersion, toVersion))
+
   /** The canonical stored schema + partition column — what an empty
     * lake's scan serves (and what [[readFrom]] validates a non-empty
     * read against). */

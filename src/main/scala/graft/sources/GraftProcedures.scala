@@ -43,7 +43,7 @@ private[graft] object GraftProcedures {
 
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
-    Seq("maintain", "compact", "vacuum", "repair", "seal", "clone")
+    Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -135,6 +135,26 @@ private[graft] object GraftProcedures {
           InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(target),
             clone.read().count())
+        }))
+      case "sync" => Some(new LakeProcedure(
+        "sync", resolve,
+        Array(p("replica", StringType,
+          "catalog table ('ns.name' or 'name') or lake root path of the REPLICA"),
+          p("source", StringType,
+            "catalog table or lake root path of the SOURCE to follow"),
+          p("from_version", LongType,
+            "the replica's current cut (a sealed source version)"),
+          p("to_version", LongType,
+            "the sealed source version to advance to")),
+        StructType(Seq(
+          StructField("deleted", LongType, nullable = false),
+          StructField("inserted", LongType, nullable = false))),
+        "advance a replica by the source's netted change feed (O(churn), never O(data))",
+        (replica, in) => {
+          val source = resolve(in.getUTF8String(1).toString)
+          val (d, i) =
+            replica.syncFrom(source, in.getLong(2), in.getLong(3))
+          InternalRow(d, i)
         }))
       case _ => None
     }

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** [[graft.Lake.applyChanges]]/[[graft.Lake.syncFrom]] — the
+  * churn-proportional replication step: a replica cut by [[graft.Lake
+  * .cloneTo]] at seal A follows its source to seal B by applying the
+  * netted change feed. Pins: end-state equality through the full
+  * mutation mix (deletes, shard-moving replacements, inserts, a
+  * compaction that must net to zero), chained syncs, convergence on
+  * re-application, schema evolution riding the feed, and the SQL
+  * procedure face. */
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sync_spec").toString
+
+  private def rows(n: Int) = (0 until n).map { i =>
+    (Seq(math.sin(i * 3).toFloat, math.cos(i * 7).toFloat,
+      (i % 5 - 2).toFloat / 3, -math.sin(i).toFloat),
+      s"doc-$i", s"id-$i")
+  }.toDF("vector", "document", "id")
+
+  private def fingerprint(l: Lake): Set[String] = {
+    val df = l.read()
+    val cols = df.schema.fields.sortBy(_.name).map { f =>
+      f.dataType match {
+        // maps have no deterministic serialization order — sort entries
+        case _: org.apache.spark.sql.types.MapType =>
+          array_sort(map_entries(col(f.name))).cast("string")
+        case _ => col(f.name).cast("string")
+      }
+    }
+    df.select(concat_ws("|", cols.toIndexedSeq: _*)).as[String].collect().toSet
+  }
+
+  test("replica follows the source through deletes, shard-moving replacements, inserts, and a compaction") {
+    val src = Lake(spark, LakeConfig(tmp() + "/src", dim = 4, numHashes = 2))
+    src.ingest(rows(40))
+    val a = src.seal()
+    val replica = src.cloneTo(tmp() + "/rep", asOf = Some(a))
+
+    // the full mutation mix between the seals
+    src.deleteWhere(col("document").isin("doc-1", "doc-2", "doc-9"))
+    // negate-replace: flipped sign bits MOVE these rows across shards
+    src.upsert(src.read().where(col("document").isin("doc-4", "doc-5"))
+      .select(transform(col("vector"), v => -v).as("vector"),
+        col("document"), col("id")))
+    src.ingest(Seq((Seq(7f, 0f, -7f, 1f), "doc-new", "id-new"))
+      .toDF("vector", "document", "id"))
+    src.compact() // rewritten-but-identical rows must net to ZERO in the feed
+    val b = src.seal()
+
+    val (deleted, inserted) = replica.syncFrom(src, a, b)
+    assert(deleted === 5L, "3 deletes + 2 replaced old versions leave")
+    assert(inserted === 3L, "2 replacements + 1 fresh insert land")
+    assert(fingerprint(replica) === fingerprint(src))
+    // routing stayed valid on the replica (no misroutes after the
+    // shard-moving replacements)
+    assert(replica.validate().head().getAs[Long]("misrouted") === 0L)
+  }
+
+  test("chained syncs advance seal by seal; re-applying a delta converges instead of duplicating") {
+    val src = Lake(spark, LakeConfig(tmp() + "/src", dim = 4, numHashes = 2))
+    src.ingest(rows(20))
+    val a = src.seal()
+    val replica = src.cloneTo(tmp() + "/rep", asOf = Some(a))
+
+    src.deleteWhere(col("document") === "doc-0")
+    val b = src.seal()
+    src.ingest(Seq((Seq(1f, 2f, 3f, 4f), "late", "id-late"))
+      .toDF("vector", "document", "id"))
+    val c = src.seal()
+
+    replica.syncFrom(src, a, b)
+    replica.syncFrom(src, b, c)
+    assert(fingerprint(replica) === fingerprint(src))
+
+    // re-apply the last delta: inserts REPLACE, deletes no-op — the
+    // replica converges to the same state (safe after a crashed
+    // half-applied step is retried)
+    replica.syncFrom(src, b, c)
+    assert(fingerprint(replica) === fingerprint(src))
+    assert(replica.read().count() === src.read().count())
+  }
+
+  test("schema evolution rides the feed: the replica auto-evolves and serves the new column") {
+    val src = Lake(spark, LakeConfig(tmp() + "/src", dim = 4, numHashes = 2))
+    src.ingest(rows(10))
+    val a = src.seal()
+    val replica = src.cloneTo(tmp() + "/rep", asOf = Some(a))
+
+    src.evolve(StructType(Seq(StructField("quality", DoubleType))))
+    src.ingest(Seq((Seq(0f, 1f, 1f, 0f), "doc-q", "id-q", 0.9))
+      .toDF("vector", "document", "id", "quality"))
+    val b = src.seal()
+
+    replica.syncFrom(src, a, b)
+    assert(replica.read().schema.fieldNames.contains("quality"))
+    assert(replica.read().where(col("document") === "doc-q")
+      .select("quality").as[Double].head() === 0.9)
+    // pre-evolve replica rows null-fill, same as the source
+    assert(replica.read().where(col("quality").isNull).count() ===
+      src.read().where(col("quality").isNull).count())
+  }
+
+  test("refusals: a frame without the change column, and unknown change kinds") {
+    val l = Lake(spark, LakeConfig(tmp() + "/lake", dim = 4, numHashes = 2))
+    l.ingest(rows(5))
+    val e1 = intercept[IllegalArgumentException](
+      l.applyChanges(l.read()))
+    assert(e1.getMessage.contains("change"))
+    val e2 = intercept[IllegalArgumentException](
+      l.applyChanges(l.read().withColumn("change", lit("upsert"))))
+    assert(e2.getMessage.contains("unknown change kind"))
+    assert(l.read().count() === 5L, "refused applies changed nothing")
+  }
+
+  test("the whole replication loop from SQL: CALL clone then CALL sync") {
+    val w = Files.createTempDirectory("graft_sync_wh").toString
+    spark.conf.set("spark.sql.catalog.slakes",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.slakes.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS slakes.default")
+    spark.sql("""CREATE TABLE slakes.default.src (vector array<float>, document string)
+                 USING graft OPTIONS (dim '4', numHashes '2')""")
+    spark.sql("""INSERT INTO slakes.default.src (vector, document)
+                 VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                        (array(0.0F, 1.0F, 0.0F, 0.0F), 'b'),
+                        (array(0.0F, 0.0F, 1.0F, 0.0F), 'c')""")
+    val a = spark.sql("CALL slakes.system.seal(table => 'default.src')")
+      .head().getLong(0)
+    val rep = tmp() + "/rep"
+    spark.sql(s"""CALL slakes.system.clone(table => 'default.src',
+                    target_location => '$rep', as_of => $a)""")
+    spark.sql("DELETE FROM slakes.default.src WHERE document = 'b'")
+    spark.sql("""INSERT INTO slakes.default.src (vector, document)
+                 VALUES (array(1.0F, 1.0F, 0.0F, 0.0F), 'd')""")
+    val b = spark.sql("CALL slakes.system.seal(table => 'default.src')")
+      .head().getLong(0)
+    val r = spark.sql(
+      s"""CALL slakes.system.sync(replica => '$rep', source => 'default.src',
+            from_version => $a, to_version => $b)""").head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L)
+    assert(spark.read.format("graft").load(rep)
+      .select("document").as[String].collect().sorted.toSeq ===
+      Seq("a", "c", "d"))
+  }
+}
