@@ -599,6 +599,73 @@ object CoreQueries {
                     round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** A REPLICA advanced by the netted change feed ([[graft.Lake
+    * .syncFrom]] — the replication op), built once per (session,
+    * sfDir). A fresh source lake over `embeddings` is sealed (A) and
+    * deep-cloned; the source then mutates through the full mix —
+    * deletes (doc ids ending in 0), shard-MOVING replacements
+    * (vectors negated for doc ids ending in 1 re-route to new
+    * directories), and a compaction whose rewritten-but-identical
+    * rows must net to ZERO in the feed — and seals again (B). The
+    * replica applies `changesBetween(A, B)`: O(churn + affected
+    * partitions), never a re-copy. */
+  private def syncStatsLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "sync_stats") {
+      val src = Lake(s, LakeConfig(
+        BuiltFixtures.sessionTmp(s, dir, "sync_src"), dim = 64, numHashes = 6))
+      src.delete()
+      src.ingest(Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      val a = src.seal()
+      val repTmp = BuiltFixtures.sessionTmp(s, dir, "sync_rep")
+      Lake(s, LakeConfig(repTmp, dim = 64, numHashes = 6)).delete()
+      val replica = src.cloneTo(repTmp, asOf = Some(a))
+      src.deleteWhere(col("document").endsWith("0"))
+      src.upsert(src.read().where(col("document").endsWith("1"))
+        .select(transform(col("vector"), v => -v).as("vector"),
+          col("document"), col("id")))
+      src.compact()
+      val b = src.seal()
+      replica.syncFrom(src, a, b)
+      replica
+    }
+
+  /** Per-shard profile of the SYNCED replica ([[syncStatsLake]]) —
+    * the replication correctness gate the driver can hash-check: the
+    * oracle recomputes the mutated corpus (deletes out, negated
+    * vectors re-routed through LSH) straight from raw `embeddings`,
+    * so equality proves the feed carried exactly the churn — deletes
+    * applied, replacements landed on their NEW shards, untouched rows
+    * byte-stable, compaction contributing nothing. Distinct
+    * aggregation from its fixture cousins (count + distinct docs +
+    * norm MIN; q_shard_stats avg, q_sql_scan min/max over a different
+    * lake, q_clone_stats max) so the surfaces cannot mask each other.
+    * Scale shape: the sync was O(churn); the query is one partitioned
+    * scan + hash agg on the partition column. */
+  val qSyncStats = Q(
+    "q_sync_stats",
+    (s, dir) => {
+      val lake = syncStatsLake(s, dir)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("document")).as("docs"),
+          round(min(V.l2Norm(col("vector"))), 6).as("min_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH synced AS (
+               SELECT vec_id,
+                      CASE WHEN vec_id % 10 = 1
+                           THEN list_transform(embedding, x -> -x)
+                           ELSE embedding END AS v
+               FROM embeddings WHERE vec_id % 10 <> 0)
+             SELECT ${Lsh(64, 6).sqlShardExpr("v")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(DISTINCT 'doc-' || vec_id) AS BIGINT) AS docs,
+                    round(min(sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[]))), 6) AS min_norm
+             FROM synced GROUP BY 1 ORDER BY shard"""))
+
   /** Pairwise cosine similarity between label centroids — the
     * class-separation audit an embedding pipeline reports (are label
     * clusters collapsing?). The quadratic pairing runs over the
@@ -760,5 +827,6 @@ object CoreQueries {
     qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats, qSqlScan, qSqlInsert, qCloneStats, qHybridRrf, qMaxSim)
+    qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
+    qHybridRrf, qMaxSim)
 }
