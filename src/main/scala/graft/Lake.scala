@@ -1335,9 +1335,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .filterNot(Set("insert", "delete"))
     require(bad.isEmpty,
       s"applyChanges: unknown change kind(s) ${bad.mkString(", ")}")
-    val ins = delta.where(col("change") === "insert").drop("change")
-    val insCount = ins.count()
-    val distinctIns = ins.select("id").distinct().count()
+    val insRaw = delta.where(col("change") === "insert").drop("change")
+    val insCount = insRaw.count()
+    val distinctIns = insRaw.select("id").distinct().count()
     require(distinctIns == insCount,
       s"applyChanges: delta inserts carry duplicate ids ($insCount rows, " +
         s"$distinctIns distinct) — not a netted feed frame")
@@ -1346,37 +1346,66 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // the names; we hold the writer lock, so no re-entrant evolve())
     val st0 = readState()
     val known = (storedColsOf(st0) :+ partCol).map(_.toLowerCase).toSet
-    val extra = ins.schema.fields.filterNot(f => known(f.name.toLowerCase))
+    val extra = insRaw.schema.fields.filterNot(f => known(f.name.toLowerCase))
     if (extra.nonEmpty) {
       writeState(st0.copy(extraCols = st0.extraCols ++
         extra.map(f => f.name -> f.dataType.catalogString)))
       ()
     }
     if (!exists()) { // bootstrapping replica: the delta IS the state
-      val out = writeAppend(ins)
+      val out = writeAppend(insRaw)
       refreshSkipIndex(out.shards); refreshZoneMap(out.files)
       return (0L, insCount)
     }
-    // every id the delta touches leaves the kept set (delete = gone,
-    // insert = replaced-if-present); affected partitions come from
+    // project both sides to the replica's stored shape; a column this
+    // replica holds that the delta lacks (replica evolved past the
+    // source) null-fills, the same typed fill every read applies
+    val colsNow = storedColsNow
+    val shape = canonicalSchema.fields.map(f => f.name -> f.dataType).toMap
+    def proj(df: DataFrame): DataFrame = {
+      val padded = (colsNow :+ partCol).filterNot(df.columns.contains)
+        .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast(shape(c))))
+      padded.select((colsNow.map(col) :+ col(partCol)): _*)
+    }
+    val ins = proj(insRaw)
+    // every id the delta touches (delete = candidate removal, insert =
+    // candidate replacement); affected-partition candidates come from
     // the delta itself — it carries the partition column for both
     // sides, so a shard-moving replacement hits old AND new dirs
     val touched = broadcast(
       delta.select(col("id").as("__chg_id")).distinct())
-    val affected = delta.select(partCol).distinct().collect()
+    val candidates = delta.select(partCol).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString)).toSet
-    if (affected.isEmpty) return (0L, 0L)
+    if (candidates.isEmpty) return (0L, 0L)
+    // CONVERGENCE NETTING: net the incoming inserts against the
+    // replica's CURRENT rows for the touched ids (the one netting
+    // definition, [[Lake.netInsertsDeletes]]). A row already present
+    // byte-identical contributes nothing; a delete for an absent id
+    // no-ops — so re-applying a delta after a crashed half-applied
+    // step, or replaying a full snapshot over an already-converged
+    // replica (the [[follow]] bootstrap), REWRITES NOTHING instead of
+    // churning every partition. Only partitions where a row actually
+    // enters or leaves are rewritten.
+    val current = graft.operators.Materialize.cut(
+      proj(read().where(affectedPartPred(candidates))
+        .join(touched, col("id") === col("__chg_id"), "left_semi")))
+    val net = graft.operators.Materialize.cut(netInsertsDeletes(ins, current))
+    val toIns = net.where(col("change") === "insert").drop("change")
+    val insN = toIns.count()
+    val delN = net.where(col("change") === "delete").count()
+    if (insN == 0L && delN == 0L) return (0L, 0L) // already converged
+    val affected = net.select(partCol).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
+    val changedIds = broadcast(
+      net.select(col("id").as("__chg_id")).distinct())
     val slice = read().where(affectedPartPred(affected))
     val sliceCount = slice.count()
-    val colsNow = storedColsNow
-    val kept = slice
-      .join(touched, col("id") === col("__chg_id"), "left_anti")
-      .select((colsNow.map(col) :+ col(partCol)): _*)
+    val kept = proj(
+      slice.join(changedIds, col("id") === col("__chg_id"), "left_anti"))
     val keptCount = kept.count()
-    rewritePartitions(affected,
-      kept.unionByName(ins.select((colsNow.map(col) :+ col(partCol)): _*)),
-      keptCount + insCount, "applyChanges")
-    (sliceCount - keptCount, insCount)
+    rewritePartitions(affected, kept.unionByName(toIns),
+      keptCount + insN, "applyChanges")
+    (sliceCount - keptCount, insN)
   }
 
   /** Aligned replication step: advance this REPLICA from its
@@ -1388,6 +1417,77 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * endpoint fails loudly there). */
   def syncFrom(source: Lake, fromVersion: Long, toVersion: Long): (Long, Long) =
     applyChanges(source.changesBetween(fromVersion, toVersion))
+
+  /** CONTINUOUS replication — this lake FOLLOWS `source` as a live
+    * replica: the source's change feed (the raw DSv2 `graft-changes`
+    * stream — the forward path, no legacy extension points) is netted
+    * per micro-batch ([[graft.streaming.LakeChanges.net]]) and applied
+    * through [[applyChanges]] inside `foreachBatch`. The composition
+    * closes the replication story: [[cloneTo]] forks, [[syncFrom]]
+    * advances seal-by-seal on demand, `follow` keeps a replica current
+    * unattended.
+    *
+    * Consistency: each micro-batch is one sealed interval (a, b] of
+    * the source, applied as one transactional rewrite here — the
+    * replica only ever serves sealed source states, never a torn
+    * middle. Exactly-once EFFECT without sink-side ledger machinery:
+    * offsets are durable source seals, and a batch replayed after a
+    * crash (foreachBatch is at-least-once) re-nets against the
+    * replica's current rows and rewrites only what is genuinely
+    * missing — an already-applied batch is a no-op by
+    * [[applyChanges]]'s convergence netting.
+    *
+    * Bootstrap: a fresh checkpoint's first batch is the full sealed
+    * snapshot as inserts. An EMPTY replica bootstraps with a plain
+    * append (no netting cost); a replica pre-seeded by [[cloneTo]]
+    * pays one convergence pass that reads both sides, proves them
+    * identical, and rewrites nothing. Restarts resume from the
+    * checkpoint and never re-pay the snapshot.
+    *
+    * 100 TB posture: steady-state cost per trigger is O(churn +
+    * affected partitions) — file-level delta reads, the netting
+    * anti-join shuffles only the delta, and only partitions where a
+    * row actually enters or leaves are rewritten. [[graft.Lake.vacuum]]
+    * on the SOURCE is the one thing that can break a long-stopped
+    * follower's replay (it retires sealed versions); run it with
+    * `retainMs` covering the follower's maximum downtime, same as any
+    * change-feed consumer. */
+  def follow(source: LakeConfig, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(source.location != cfg.location,
+      "follow: a lake cannot follow itself")
+    // rows land byte-as-carried (no re-route, no re-derive) — sound
+    // only when both lakes resolve identical routing and storage
+    require(source.dim == cfg.dim && source.numHashes == cfg.numHashes &&
+      source.seed == cfg.seed && source.partitionKey == cfg.partitionKey &&
+      source.packSignBits == cfg.packSignBits,
+      "follow: source and replica must share the routing/storage config " +
+        "(dim, numHashes, seed, partitionKey, packSignBits) — got source=" +
+        s"(${source.dim}, ${source.numHashes}, ${source.seed}, " +
+        s"${source.partitionKey}, ${source.packSignBits}) vs replica=" +
+        s"(${cfg.dim}, ${cfg.numHashes}, ${cfg.seed}, " +
+        s"${cfg.partitionKey}, ${cfg.packSignBits})")
+    val reader = spark.readStream.format("graft-changes")
+      .option("location", source.location)
+      .option("dim", source.dim.toString)
+      .option("numHashes", source.numHashes.toString)
+      .option("metric", source.metric)
+      .option("seed", source.seed.toString)
+      .option("packSignBits", source.packSignBits.toString)
+      .option("netted", "false")
+      .option("initialSnapshot", "true")
+    source.partitionKey.fold(reader)(k => reader.option("partitionKey", k))
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyChanges(graft.streaming.LakeChanges.net(batch.toDF()))
+        ()
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .start()
+  }
 
   /** The canonical stored schema + partition column — what an empty
     * lake's scan serves (and what [[readFrom]] validates a non-empty

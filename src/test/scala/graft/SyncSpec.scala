@@ -80,10 +80,10 @@ class SyncSpec extends SparkSpec {
     replica.syncFrom(src, b, c)
     assert(fingerprint(replica) === fingerprint(src))
 
-    // re-apply the last delta: inserts REPLACE, deletes no-op — the
-    // replica converges to the same state (safe after a crashed
-    // half-applied step is retried)
-    replica.syncFrom(src, b, c)
+    // re-apply the last delta: convergence netting proves every row
+    // already present and rewrites NOTHING — (0, 0), not a re-churn
+    // (safe after a crashed half-applied step is retried)
+    assert(replica.syncFrom(src, b, c) === ((0L, 0L)))
     assert(fingerprint(replica) === fingerprint(src))
     assert(replica.read().count() === src.read().count())
   }
