@@ -162,44 +162,54 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 
   def evolve(add: StructType): Unit = {
     require(add.fields.nonEmpty, "evolve: no columns given")
-    val dup = add.fields.map(_.name).groupBy(identity)
-      .collect { case (n, xs) if xs.size > 1 => n }
-    require(dup.isEmpty, s"evolve: duplicate column name(s) ${dup.mkString(", ")}")
     withWriterLock("evolve") {
       // evolve re-stamps the sidecar from THIS session's config: under
       // a mismatched one it would silently flip the recorded
       // compression flags (same hazard as any write)
       requireWriteConfigMatch()
       val st = readState()
-      // CASE-INSENSITIVE checks throughout: Spark's resolver matches
-      // columns case-insensitively by default, so a "Dist" extra would
-      // still be clobbered by topK's withColumn("dist", ...) and a
-      // "Document" extra would collide with the stored column
-      val taken = (storedColsOf(st) :+ partCol).map(_.toLowerCase).toSet
-      add.fields.foreach { f =>
-        val lower = f.name.toLowerCase
-        require(!taken(lower),
-          s"evolve at ${cfg.location}: column `${f.name}` already exists")
-        // names the query surfaces DERIVE onto result frames
-        // ("change" on the feed, "dist" on kNN, "packed"/"pq_code" on
-        // compressed lakes) or use as rewrite-plan internals — an extra
-        // with one of these names would be silently clobbered by
-        // withColumn or corrupt a join key, not served back
-        require(!Lake.reservedDerivedCols(lower) &&
-            lower != (partCol + "_s").toLowerCase,
-          s"evolve at ${cfg.location}: column name `${f.name}` is " +
-            "reserved by a query or maintenance surface (derived " +
-            "outputs: change, dist, packed, pq_code; plan internals) — " +
-            "pick another name")
-        require(!f.name.contains("\u0001"),
-          s"evolve: column name `${f.name}` contains the reserved \\u0001")
-        // the DDL must round-trip: an unparseable registration would
-        // poison every later read
-        DataType.fromDDL(f.dataType.catalogString)
-      }
+      validateExtraCols(st, add.fields.toSeq, "evolve")
       writeState(st.copy(extraCols =
         st.extraCols ++ add.fields.map(f => f.name -> f.dataType.catalogString)))
       ()
+    }
+  }
+
+  /** The ONE validation for registering extra stored columns — shared
+    * by [[evolve]] and [[applyChanges]]'s auto-evolve, so a buggy or
+    * hostile delta frame cannot register a column name that evolve()
+    * itself would refuse. CASE-INSENSITIVE checks throughout: Spark's
+    * resolver matches columns case-insensitively by default, so a
+    * "Dist" extra would still be clobbered by topK's
+    * withColumn("dist", ...) and a "Document" extra would collide with
+    * the stored column. */
+  private def validateExtraCols(st: LakeState, fields: Seq[StructField],
+      tag: String): Unit = {
+    val dup = fields.map(_.name).groupBy(identity)
+      .collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty,
+      s"$tag: duplicate column name(s) ${dup.mkString(", ")}")
+    val taken = (storedColsOf(st) :+ partCol).map(_.toLowerCase).toSet
+    fields.foreach { f =>
+      val lower = f.name.toLowerCase
+      require(!taken(lower),
+        s"$tag at ${cfg.location}: column `${f.name}` already exists")
+      // names the query surfaces DERIVE onto result frames
+      // ("change" on the feed, "dist" on kNN, "packed"/"pq_code" on
+      // compressed lakes) or use as rewrite-plan internals — an extra
+      // with one of these names would be silently clobbered by
+      // withColumn or corrupt a join key, not served back
+      require(!Lake.reservedDerivedCols(lower) &&
+          lower != (partCol + "_s").toLowerCase,
+        s"$tag at ${cfg.location}: column name `${f.name}` is " +
+          "reserved by a query or maintenance surface (derived " +
+          "outputs: change, dist, packed, pq_code; plan internals) — " +
+          "pick another name")
+      require(!f.name.contains("\u0001"),
+        s"$tag: column name `${f.name}` contains the reserved \\u0001")
+      // the DDL must round-trip: an unparseable registration would
+      // poison every later read
+      DataType.fromDDL(f.dataType.catalogString)
     }
   }
 
@@ -1342,12 +1352,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s"applyChanges: delta inserts carry duplicate ids ($insCount rows, " +
         s"$distinctIns distinct) — not a netted feed frame")
     // auto-evolve: delta columns beyond the stored set ride the feed
-    // (inline sidecar commit — the source's evolve already validated
-    // the names; we hold the writer lock, so no re-entrant evolve())
+    // (inline sidecar commit under the held writer lock, so no
+    // re-entrant evolve() — but the SAME validation: a legit source's
+    // evolve already vetted these names, so anything validateExtraCols
+    // refuses here marks a frame that never came from a feed)
     val st0 = readState()
     val known = (storedColsOf(st0) :+ partCol).map(_.toLowerCase).toSet
     val extra = insRaw.schema.fields.filterNot(f => known(f.name.toLowerCase))
     if (extra.nonEmpty) {
+      validateExtraCols(st0, extra.toSeq, "applyChanges")
       writeState(st0.copy(extraCols = st0.extraCols ++
         extra.map(f => f.name -> f.dataType.catalogString)))
       ()

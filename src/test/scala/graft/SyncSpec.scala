@@ -117,6 +117,14 @@ class SyncSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       l.applyChanges(l.read().withColumn("change", lit("upsert"))))
     assert(e2.getMessage.contains("unknown change kind"))
+    // a delta smuggling a RESERVED extra column (a legit feed can never
+    // carry one — the source's evolve refuses them) hits the same
+    // validation as evolve(), not a silent sidecar registration
+    val e3 = intercept[IllegalArgumentException](
+      l.applyChanges(l.read()
+        .withColumn("dist", lit(0.0))
+        .withColumn("change", lit("insert"))))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
     assert(l.read().count() === 5L, "refused applies changed nothing")
   }
 
