@@ -942,3 +942,77 @@ object BandCompactBench {
     spark.stop()
   }
 }
+
+/** Replication slope probe: [[Lake.syncFrom]] claims O(churn +
+  * affected partitions), never O(data) — so a FIXED churn (deletes +
+  * shard-moving replacements confined to a couple of shards) applied
+  * to a 1× and a 10× lake should cost nearly the same, while the
+  * alternative (re-[[Lake.cloneTo]]) pays the full data size both
+  * times. Also reports the CONVERGENCE pass: re-applying the same
+  * delta must rewrite nothing and cost only the reads. Args: [rows]
+  * [dim] [churn]. */
+object SyncBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 40000L
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val churn = if (args.length > 2) args(2).toInt else 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    def rowsDf(n: Long) = spark.range(n)
+      .select(col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(col("vector"), concat(lit("doc-"), col("num")).as("document"))
+    def run(scale: Int, tag: String, report: Boolean): Unit = {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_sync_bench_$tag"
+      val src = Lake(spark, LakeConfig(s"$root/src", dim = dim, numHashes = 5))
+      src.delete()
+      src.ingest(rowsDf(baseRows * scale))
+      val a = src.seal()
+      val rep = Lake(spark, LakeConfig(s"$root/rep", dim = dim, numHashes = 5))
+      rep.delete()
+      val (tClone, replica) = time(src.cloneTo(s"$root/rep", asOf = Some(a)))
+      // FIXED-SIZE churn confined to two shards: `churn` deletes from
+      // the fullest shard, `churn` negate-replacements from the next
+      // (they MOVE to the complementary shard — worst-case dir spread)
+      import spark.implicits._
+      val byShard = src.read().groupBy("shard").count()
+        .orderBy(col("count").desc).select("shard").as[Int].head(2)
+      val delDocs = src.read().where(col("shard") === byShard(0))
+        .select("document").as[String].head(churn).toSeq
+      val repDocs = src.read().where(col("shard") === byShard(1))
+        .select("document").as[String].head(churn).toSeq
+      src.deleteWhere(col("document").isin(delDocs: _*))
+      src.upsert(src.read().where(col("document").isin(repDocs: _*))
+        .select(transform(col("vector"), v => -v).as("vector"),
+          col("document"), col("id")))
+      val b = src.seal()
+      val delta = graft.operators.Materialize.cut(src.changesBetween(a, b))
+      val (tSync, counts) = time(replica.applyChanges(delta))
+      // convergence pass: same delta again — must be (0,0), no rewrite
+      val (tNoop, noop) = time(replica.applyChanges(delta))
+      if (report)
+        println(s"""{"probe":"sync","rows":${baseRows * scale},""" +
+          s""""churn":${2 * churn},"clone_sec":${f"$tClone%.2f"},""" +
+          s""""sync_sec":${f"$tSync%.2f"},""" +
+          s""""sync_deleted":${counts._1},"sync_inserted":${counts._2},""" +
+          s""""noop_sec":${f"$tNoop%.2f"},""" +
+          s""""noop_deleted":${noop._1},"noop_inserted":${noop._2}}""")
+      src.delete(); replica.delete()
+    }
+    run(1, "warm", report = false) // codegen/classload warm-up
+    run(1, "x1", report = true)
+    run(10, "x10", report = true)
+    spark.stop()
+  }
+}
