@@ -128,6 +128,78 @@ class SyncSpec extends SparkSpec {
     assert(l.read().count() === 5L, "refused applies changed nothing")
   }
 
+  /** Model-based replication fuzz: a seeded random mutation sequence
+    * over the source's full mutating surface (ingest, delete,
+    * shard-moving negate-upserts, compaction, schema evolution), with
+    * the replica advancing by netted syncs at random intervals — every
+    * sync point must land the replica bit-equal to the source, and
+    * occasional duplicate re-applies must net to (0, 0). The
+    * interleavings (a compaction between two syncs, an evolve mid-
+    * interval, a delta that is pure rewrite churn) all arise naturally
+    * from the sequence. Seeded: failures replay. */
+  test("property: random mutation sequences replicate exactly through chained syncs") {
+    val rng = new scala.util.Random(20260814L)
+    val base = tmp()
+    val src = Lake(spark, LakeConfig(base + "/src", dim = 4, numHashes = 2))
+    src.ingest(rows(40))
+    var lastSeal = src.seal()
+    val replica = src.cloneTo(base + "/rep", asOf = Some(lastSeal))
+    var nextId = 1000
+    var evolved = 0
+    var extraCols = Vector.empty[String]
+    def storedSel = (Seq("vector", "document", "id") ++ extraCols).map(col)
+    var syncs = 0
+    for (step <- 1 to 24) {
+      rng.nextInt(6) match {
+        case 0 | 5 => // fresh ingest (extras carry a value when present)
+          val n = 1 + rng.nextInt(4)
+          val df = (0 until n).map { k =>
+            (Seq.fill(4)(rng.nextGaussian().toFloat), s"d-${nextId + k}",
+              s"id-${nextId + k}")
+          }.toDF("vector", "document", "id")
+          src.ingest(extraCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, concat(col("id"), lit(":" + c)))))
+          nextId += n
+        case 1 => // delete a random handful
+          val ids = src.read().select("id").as[String].collect().toSeq
+          if (ids.nonEmpty)
+            src.deleteWhere(col("id").isin(
+              rng.shuffle(ids).take(1 + rng.nextInt(3)): _*))
+        case 2 => // negate-upsert: replaced rows MOVE shards
+          val ids = src.read().select("id").as[String].collect().toSeq
+          if (ids.nonEmpty) {
+            val pick = rng.shuffle(ids).take(1 + rng.nextInt(3))
+            src.upsert(src.read().where(col("id").isin(pick: _*))
+              .select(storedSel: _*)
+              .withColumn("vector", transform(col("vector"), v => -v)))
+          }
+        case 3 => src.compact() // pure rewrite churn must net to zero
+        case 4 if evolved < 2 =>
+          val name = s"fz$evolved"
+          src.evolve(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.StringType))))
+          extraCols :+= name; evolved += 1
+        case _ => ()
+      }
+      if (rng.nextInt(2) == 0 || step == 24) {
+        val b = src.seal()
+        if (b != lastSeal) {
+          replica.syncFrom(src, lastSeal, b)
+          if (rng.nextBoolean()) // duplicate re-apply must converge
+            assert(replica.syncFrom(src, lastSeal, b) === ((0L, 0L)),
+              s"step $step: re-applied delta was not a no-op")
+          lastSeal = b
+          syncs += 1
+        }
+        assert(fingerprint(replica) === fingerprint(src),
+          s"step $step: replica diverged from source")
+      }
+    }
+    assert(syncs >= 3, s"fuzz exercised only $syncs syncs — weak sequence")
+    assert(replica.validate().head().getAs[Long]("misrouted") === 0L)
+  }
+
   test("the whole replication loop from SQL: CALL clone then CALL sync") {
     val w = Files.createTempDirectory("graft_sync_wh").toString
     spark.conf.set("spark.sql.catalog.slakes",
