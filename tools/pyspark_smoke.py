@@ -101,6 +101,37 @@ row = audit.head()
 check("validate view: no misroutes, no dup ids",
       row.misrouted == 0 and row.dup_ids == 0)
 
+# replication from SQL: CALL clone forks a replica at the seal, the
+# source keeps mutating, CALL sync advances the replica by the netted
+# change feed — the whole loop without a line of Scala
+rep_path = f"{wh}/pysmoke_replica"
+spark.sql(
+    f"""CALL lakes.system.clone(table => 'default.pysmoke',
+          target_location => '{rep_path}', as_of => {sealed})"""
+)
+spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-c'")
+spark.sql(
+    """INSERT INTO lakes.default.pysmoke (vector, document, label)
+       VALUES (array(0.0F, 0.0F, 0.0F, 1.0F), 'py-e', 5)"""
+)
+sealed2 = spark.sql(
+    "CALL lakes.system.seal(table => 'default.pysmoke')").head().version
+sync = spark.sql(
+    f"""CALL lakes.system.sync(replica => '{rep_path}',
+          source => 'default.pysmoke',
+          from_version => {sealed}, to_version => {sealed2})"""
+).head()
+check("CALL sync applied the netted delta", sync.deleted == 1
+      and sync.inserted == 1)
+check(
+    "replica equals the mutated source",
+    sorted(r.document for r in spark.read.format("graft")
+           .load(rep_path).select("document").collect())
+    == sorted(r.document for r in
+              spark.sql("SELECT document FROM lakes.default.pysmoke")
+              .collect()),
+)
+
 spark.sql("DROP TABLE lakes.default.pysmoke")
 check("DROP removed the managed lake", spark.sql(
     "SHOW TABLES IN lakes.default").filter("tableName = 'pysmoke'").count() == 0)
