@@ -2972,6 +2972,96 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     withWriterLock("deleteWhere")(deleteWhereImpl(pred))
   }
 
+  /** RETENTION — delete every row whose `timestamp` is strictly older
+    * than `olderThan`, at the cheapest PROVABLE cost tier:
+    *
+    *  1. WHOLESALE manifest retirement: a manifest entry (an
+    *     older-generation directory) ALL of whose data files the zone
+    *     map certifies fully expired (`max_ts < horizon` with
+    *     `ts_cnt == cnt` — no null-timestamp row can hide) is retired
+    *     by ONE sidecar commit. Zero file reads, zero rewrites:
+    *     O(entries) metadata, the deleted row count comes from the
+    *     map's own counters. With time-correlated appends and
+    *     incremental compaction, old data concentrates in old
+    *     generations, so steady-state retention at 100 TB is almost
+    *     entirely this tier — TTL enforcement priced like a directory
+    *     listing, not like a delete.
+    *  2. Row-level delete for the remainder: straddling files,
+    *     current-generation data, and anything the map cannot certify
+    *     (unmapped files, pre-`ts_cnt` maps, null-bearing files) go
+    *     through the usual transactional [[deleteWhere]] rewrite of
+    *     exactly the affected partitions.
+    *
+    * Retired files stay on disk for time travel until [[vacuum]], like
+    * any rewrite's old copies; the change feed carries both tiers as
+    * plain deletes, so [[follow]]ers and [[syncFrom]] replicas apply
+    * the same retention at their own pace. A lake without a zone map
+    * is still correct — everything rides tier 2. Returns
+    * (rowsRetiredWholesale, rowsDeletedByRewrite). */
+  def expire(olderThan: java.time.Instant): (Long, Long) = {
+    if (!exists()) return (0L, 0L)
+    requireWriteConfigMatch()
+    withWriterLock("expire")(expireImpl(olderThan))
+  }
+
+  private def expireImpl(olderThan: java.time.Instant): (Long, Long) = {
+    val fs = fsOfRoot
+    // same maintenance posture as compact/vacuum: data the manifest
+    // does not govern cannot be retired, and a streaming-sink tree's
+    // visibility belongs to its _spark_metadata manifest
+    require(rootLevelData(fs).isEmpty,
+      s"refusing expire at ${cfg.location}: root-level (pre-v2/foreign) " +
+        "data present — re-ingest into the generation layout first")
+    require(!currentGenerationStreamOwned,
+      s"refusing expire at ${cfg.location}: the current generation is an " +
+        "active streaming-sink tree")
+    val horizon = java.sql.Timestamp.from(olderThan)
+    val st = readState()
+    // tier 1: only MANIFEST entries are wholesale candidates (the
+    // current generation is live by listing rule, not by entry)
+    val candidates =
+      if (st.isSealed) st.live else st.live.filter(_._2 != st.generation)
+    var retiredRows = 0L
+    if (candidates.nonEmpty) {
+      // per-file certificates from the zone map: (fully-expired, rows).
+      // Absent/old/unreadable maps yield no certificates — never wrong,
+      // merely tier-2 cost. merged=true: parts written before ts_cnt
+      // null-fill it, which certifies nothing (null comparison).
+      val certs: Map[String, (Boolean, Long)] =
+        try readZone(fs, merged = true).map {
+          _.select(col("file"), col("max_ts"), col("cnt"), col("ts_cnt"))
+            .collect().map { r =>
+              val provable = !r.isNullAt(1) && !r.isNullAt(3) &&
+                r.getLong(3) == r.getLong(2) &&
+                r.getTimestamp(1).before(horizon)
+              zoneKey(r.getString(0)) -> ((provable, r.getLong(2)))
+            }.toMap
+        }.getOrElse(Map.empty)
+        catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (certs.nonEmpty) {
+        val retired = candidates.filter { case (d, g) =>
+          val files = try dataFilesIn(fs,
+            new org.apache.hadoop.fs.Path(genPath(g), d)).toSeq
+          catch { case _: java.io.FileNotFoundException => Nil }
+          files.nonEmpty && files.forall(f =>
+            certs.get(zoneKey(f.getPath.toString)).exists(_._1))
+        }.toSet
+        if (retired.nonEmpty) {
+          retiredRows = retired.toSeq.flatMap { case (d, g) =>
+            dataFilesIn(fs, new org.apache.hadoop.fs.Path(genPath(g), d))
+              .map(f => certs(zoneKey(f.getPath.toString))._2)
+          }.sum
+          writeState(st.copy(live = st.live.filterNot(retired)))
+          ()
+        }
+      }
+    }
+    // tier 2: whatever rows remain expired (straddlers, current-gen,
+    // uncertified files) — discovery reads the post-retirement live set
+    val rewritten = deleteWhereImpl(col("timestamp") < lit(horizon))
+    (retiredRows, rewritten)
+  }
+
   /** @param scope when set, bound the affected-shard DISCOVERY scan to
     *        these partition values (a skip-index candidate set from
     *        [[deleteIds]] — a superset of the shards truly holding
@@ -3293,7 +3383,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val aggs =
       Seq(min(col("timestamp")).as("min_ts"),
         max(col("timestamp")).as("max_ts"),
-        org.apache.spark.sql.functions.count(lit(1)).as("cnt")) ++
+        org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+        // non-null timestamp count: min/max ignore nulls, so only
+        // ts_cnt == cnt PROVES a file holds no null-timestamp rows —
+        // the certificate [[expire]]'s wholesale tier needs (a null
+        // timestamp never matches `timestamp < horizon`, so a file
+        // hiding one must NOT be dropped wholesale). Maps built before
+        // this column simply yield no certificates (expire falls back
+        // to the row-level tier) until rebuilt.
+        org.apache.spark.sql.functions.count(col("timestamp")).as("ts_cnt")) ++
         fields.zipWithIndex.flatMap { case (p, i) =>
           val c = metadataField(p).cast(DoubleType)
           Seq(min(c).as(s"f${i}_min"), max(c).as(s"f${i}_max"))

@@ -43,7 +43,8 @@ private[graft] object GraftProcedures {
 
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
-    Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync")
+    Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync",
+      "expire")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -93,6 +94,25 @@ private[graft] object GraftProcedures {
             lake.compactIncremental(targetBytes = in.getLong(1),
               maxFilesPerShard = in.getInt(3))
           else lake.compact(targetBytes = in.getLong(1)))))
+      case "expire" => Some(new LakeProcedure(
+        "expire", resolve,
+        Array(table,
+          p("retain_ms", LongType,
+            "keep rows whose timestamp is within this window of now; " +
+              "everything older is deleted (zone-certified old " +
+              "directories by pure manifest retirement, the rest by " +
+              "transactional rewrite)")),
+        StructType(Seq(
+          StructField("retired_rows", LongType, nullable = false),
+          StructField("rewritten_rows", LongType, nullable = false))),
+        "TTL retention: delete rows older than now - retain_ms at the cheapest provable tier",
+        (lake, in) => {
+          val retain = in.getLong(1)
+          require(retain >= 0L, s"expire: retain_ms must be >= 0, got $retain")
+          val (retired, rewritten) = lake.expire(
+            java.time.Instant.now().minusMillis(retain))
+          InternalRow(retired, rewritten)
+        }))
       case "vacuum" => Some(new LakeProcedure(
         "vacuum", resolve,
         Array(table,
