@@ -1016,3 +1016,71 @@ object SyncBench {
     spark.stop()
   }
 }
+
+/** Retention slope probe: [[Lake.expire]]'s wholesale tier claims
+  * "TTL enforcement priced like a directory listing" — old data sealed
+  * into manifest directories retires by ONE sidecar commit, cost flat
+  * in data size, while the same retention without a zone map rewrites
+  * every affected partition (O(affected data)). Args: [rows] [dim]. */
+object ExpireBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val oldTs = java.sql.Timestamp.from(
+      java.time.Instant.now().minusSeconds(10L * 86400))
+    val horizon = java.time.Instant.now().minusSeconds(5L * 86400)
+    def rowsDf(n: Long, old: Boolean) = {
+      val base = spark.range(n)
+        .select(col("id").as("num"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => sin(col("id") * 7919 + i * 104729) * 0.15)
+            .cast("array<float>").as("vector"))
+        .select(col("vector"), concat(lit("doc-"), col("num")).as("document"))
+      if (old) base.withColumn("timestamp", lit(oldTs)) else base
+    }
+    def run(scale: Int, zoned: Boolean, tag: String, report: Boolean): Unit = {
+      val l = Lake(spark, LakeConfig(
+        s"${sys.props("java.io.tmpdir")}/graft_expire_bench_$tag",
+        dim = dim, numHashes = 5))
+      l.delete()
+      val n = baseRows * scale
+      l.ingest(rowsDf(n, old = true))
+      if (zoned) {
+        // the wholesale shape: old data sealed into manifest dirs, a
+        // small fresh tail in the current generation
+        l.buildZoneMap()
+        l.seal()
+        l.ingest(rowsDf(2000, old = false))
+      } else {
+        // the straddle shape: every partition holds old AND surviving
+        // rows in the same (current) generation — the rewrite tier
+        // must actually rewrite the kept half, O(affected data)
+        l.ingest(rowsDf(n / 2, old = false))
+      }
+      val (t, r) = time(l.expire(horizon))
+      if (report)
+        println(s"""{"probe":"expire","rows":$n,""" +
+          s""""zoned":$zoned,"sec":${f"$t%.2f"},""" +
+          s""""retired":${r._1},"rewritten":${r._2},""" +
+          s""""remaining":${l.read().count()}}""")
+      l.delete()
+    }
+    run(1, zoned = true, "warm", report = false)
+    run(1, zoned = true, "z1", report = true)
+    run(10, zoned = true, "z10", report = true)
+    run(1, zoned = false, "r1", report = true)
+    run(10, zoned = false, "r10", report = true)
+    spark.stop()
+  }
+}
