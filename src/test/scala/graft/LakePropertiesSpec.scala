@@ -276,6 +276,21 @@ class LakePropertiesSpec extends SparkSpec {
           }
           sinkBatch += 1
           "sink batch"
+        case 20 =>
+          // TIERED RETENTION mid-sequence: expire everything older
+          // than a random day cut — whichever mix of
+          // wholesale-certified manifest dirs and straddling rewrites
+          // the sequence's zone/seal state happens to allow, the
+          // surviving row set must equal the model's
+          val c = 1 + rng.nextInt(math.max(1, day))
+          val victims = days.collect { case (id, d) if d < c => id }.toSet
+          val (retired, rewritten) = lake.expire(
+            java.time.Instant.ofEpochSecond(c.toLong * 86400))
+          assert(retired + rewritten === victims.size.toLong,
+            s"step $step: expire(<day $c) counted ${retired + rewritten}, " +
+              s"model says ${victims.size}")
+          model --= victims; days --= victims; extraVals --= victims
+          "expire"
         case _ =>
           // replay the change feed from the last sync point over that
           // moment's model: the result must be exactly today's model —
