@@ -4244,8 +4244,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   def maintain(targetBytes: Long = 128L * 1024L * 1024L,
       maxFilesPerShard: Int = 4,
       retainMs: Long = 7L * 24 * 3600 * 1000,
-      clusterBy: Seq[Column] = Nil): Lake.MaintenanceReport = {
+      clusterBy: Seq[Column] = Nil,
+      ttlMs: Long = -1L): Lake.MaintenanceReport = {
     if (!exists()) return Lake.MaintenanceReport(0L, false, false, 0L)
+    // retention FIRST: rows about to expire must not be paid for again
+    // by the compaction rewrite below (and a wholesale retirement may
+    // itself leave shards under the file-count slack). ttlMs < 0 = off.
+    val expired =
+      if (ttlMs < 0L) 0L
+      else {
+        val (a, b) = expire(java.time.Instant.now().minusMillis(ttlMs))
+        a + b
+      }
     val compacted = compactIncremental(targetBytes,
       clusterBy = clusterBy, maxFilesPerShard = maxFilesPerShard)
     val skip = skipStaleCount() > 0L && { buildSkipIndex(); true }
@@ -4274,7 +4284,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         case None => calibrateRecall(); true
       }
     }
-    Lake.MaintenanceReport(compacted, skip, zone, swept, recalibrated)
+    Lake.MaintenanceReport(compacted, skip, zone, swept, recalibrated,
+      expired)
   }
 
   def validate(): DataFrame = {
@@ -4881,7 +4892,8 @@ object Lake {
   final case class MaintenanceReport(
       compactedShards: Long, skipRefreshed: Boolean,
       zoneRebuilt: Boolean, vacuumSwept: Long,
-      recallRecalibrated: Boolean = false)
+      recallRecalibrated: Boolean = false,
+      expiredRows: Long = 0L)
 
   /** `_zone` part-file count past which an append's refresh compacts
     * the map into one part (see `compactZoneParts`). System-property

@@ -64,19 +64,24 @@ private[graft] object GraftProcedures {
           pd("max_files_per_shard", IntegerType, "4",
             "file-count slack below which a shard is never rewritten"),
           pd("retain_ms", LongType, (7L * 24 * 3600 * 1000).toString,
-            "vacuum retention window for dead generations")),
+            "vacuum retention window for dead generations"),
+          pd("ttl_ms", LongType, "-1",
+            "when >= 0, expire rows older than now - ttl_ms first " +
+              "(tiered retention, see the expire procedure)")),
         StructType(Seq(
           StructField("compacted_shards", LongType, nullable = false),
           StructField("skip_refreshed", BooleanType, nullable = false),
           StructField("zone_rebuilt", BooleanType, nullable = false),
           StructField("vacuum_swept", LongType, nullable = false),
-          StructField("recall_recalibrated", BooleanType, nullable = false))),
+          StructField("recall_recalibrated", BooleanType, nullable = false),
+          StructField("expired_rows", LongType, nullable = false))),
         "one-call maintenance policy: runs only the work the lake's health signals justify",
         (lake, in) => {
           val r = lake.maintain(targetBytes = in.getLong(1),
-            maxFilesPerShard = in.getInt(2), retainMs = in.getLong(3))
+            maxFilesPerShard = in.getInt(2), retainMs = in.getLong(3),
+            ttlMs = in.getLong(4))
           InternalRow(r.compactedShards, r.skipRefreshed, r.zoneRebuilt,
-            r.vacuumSwept, r.recallRecalibrated)
+            r.vacuumSwept, r.recallRecalibrated, r.expiredRows)
         }))
       case "compact" => Some(new LakeProcedure(
         "compact", resolve,
@@ -86,14 +91,24 @@ private[graft] object GraftProcedures {
           pd("incremental", BooleanType, "true",
             "rewrite only over-fragmented shards (false = full rewrite)"),
           pd("max_files_per_shard", IntegerType, "4",
-            "incremental mode's file-count slack")),
+            "incremental mode's file-count slack"),
+          pd("cluster_by", StringType, "''",
+            "comma-separated columns to range-cluster within each " +
+              "shard (preserves zone-map selectivity after the " +
+              "rewrite; empty = hash slicing)")),
         StructType(Seq(StructField("rewritten", LongType, nullable = false))),
         "compaction: incremental (shards rewritten) or full (files after rewrite)",
-        (lake, in) => InternalRow(
-          if (in.getBoolean(2))
-            lake.compactIncremental(targetBytes = in.getLong(1),
-              maxFilesPerShard = in.getInt(3))
-          else lake.compact(targetBytes = in.getLong(1)))))
+        (lake, in) => {
+          val cluster = Option(in.getUTF8String(4)).map(_.toString)
+            .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.col _).toSeq
+          InternalRow(
+            if (in.getBoolean(2))
+              lake.compactIncremental(targetBytes = in.getLong(1),
+                maxFilesPerShard = in.getInt(3), clusterBy = cluster)
+            else lake.compact(targetBytes = in.getLong(1),
+              clusterBy = cluster))
+        }))
       case "expire" => Some(new LakeProcedure(
         "expire", resolve,
         Array(table,

@@ -59,6 +59,13 @@ class GraftProceduresSpec extends SparkSpec {
       "full compact reports the file count after rewrite")
     assert(sql(s"SELECT document FROM plakes.default.$t")
       .as[String].collect().sorted.toSeq === before.toSeq)
+    // cluster_by: range-clustered rewrite through the SQL face — rows
+    // survive identically (the zone-selectivity contrast itself is
+    // CompactionSpec's Scala-level pin)
+    sql(s"""CALL plakes.system.compact(table => 'default.$t',
+              incremental => false, cluster_by => 'timestamp')""").collect()
+    assert(sql(s"SELECT document FROM plakes.default.$t")
+      .as[String].collect().sorted.toSeq === before.toSeq)
   }
 
   test("CALL maintain returns the policy report; a converged lake reports a no-op") {
@@ -67,7 +74,8 @@ class GraftProceduresSpec extends SparkSpec {
     val r1 = sql(s"CALL plakes.system.maintain(table => 'default.$t')").collect()
     assert(r1.length === 1)
     assert(r1.head.schema.fieldNames.toSeq === Seq("compacted_shards",
-      "skip_refreshed", "zone_rebuilt", "vacuum_swept", "recall_recalibrated"))
+      "skip_refreshed", "zone_rebuilt", "vacuum_swept",
+      "recall_recalibrated", "expired_rows"))
     // a second immediate call finds nothing left to justify
     val r2 = sql(s"CALL plakes.system.maintain(table => 'default.$t')").collect().head
     assert(r2.getLong(0) === 0L, "second maintain compacted nothing")

@@ -100,6 +100,24 @@ class RetentionSpec extends SparkSpec {
     assert(replica.read().count() === 5L)
   }
 
+  test("maintain(ttlMs) folds retention into the policy loop; off by default") {
+    val l = Lake(spark, LakeConfig(tmp() + "/lake", dim = 4, numHashes = 2))
+    l.ingest(rows(0, 15, Some(old)))
+    l.buildZoneMap()
+    l.seal()
+    l.ingest(rows(100, 5, None))
+    // default: no ttl — nothing expires
+    assert(l.maintain().expiredRows === 0L)
+    assert(l.read().count() === 20L)
+    // ttl on: the old rows go (wholesale here — sealed + zone-mapped),
+    // and the rest of the policy loop still runs on the survivor set
+    val r = l.maintain(ttlMs = 5L * 86400 * 1000)
+    assert(r.expiredRows === 15L)
+    assert(l.read().count() === 5L)
+    // converged: the next ttl'd maintain expires nothing
+    assert(l.maintain(ttlMs = 5L * 86400 * 1000).expiredRows === 0L)
+  }
+
   test("the SQL face: CALL expire(table, retain_ms)") {
     val w = Files.createTempDirectory("graft_retention_wh").toString
     spark.conf.set("spark.sql.catalog.rlakes",
@@ -123,5 +141,11 @@ class RetentionSpec extends SparkSpec {
     val bad = intercept[Exception](spark.sql(
       "CALL rlakes.system.expire(table => 'default.ttl', retain_ms => -1)"))
     assert(bad.getMessage.contains(">= 0"), bad.getMessage)
+    // the policy loop's SQL face carries the same knob + report column
+    val m = spark.sql(
+      s"""CALL rlakes.system.maintain(table => 'default.ttl',
+            ttl_ms => ${5L * 86400 * 1000})""").head()
+    assert(m.getAs[Long]("expired_rows") === 0L,
+      "already-expired lake: ttl'd maintain expires nothing more")
   }
 }
