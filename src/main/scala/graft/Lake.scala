@@ -2992,11 +2992,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     *     through the usual transactional [[deleteWhere]] rewrite of
     *     exactly the affected partitions.
     *
-    * Retired files stay on disk for time travel until [[vacuum]], like
-    * any rewrite's old copies; the change feed carries both tiers as
-    * plain deletes, so [[follow]]ers and [[syncFrom]] replicas apply
-    * the same retention at their own pace. A lake without a zone map
-    * is still correct — everything rides tier 2. Returns
+    * Retired files stay on disk for time travel, dying in place like
+    * any rewrite's old copies: [[vacuum]] frees their bytes once their
+    * whole GENERATION falls out of the live manifest (compaction
+    * migrates surviving directories forward, so old generations drain
+    * naturally). The change feed carries both tiers as plain deletes,
+    * so [[follow]]ers and [[syncFrom]] replicas apply the same
+    * retention at their own pace. A lake without a zone map is still
+    * correct — everything rides tier 2. Returns
     * (rowsRetiredWholesale, rowsDeletedByRewrite). */
   def expire(olderThan: java.time.Instant): (Long, Long) = {
     if (!exists()) return (0L, 0L)
