@@ -1351,6 +1351,18 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(distinctIns == insCount,
       s"applyChanges: delta inserts carry duplicate ids ($insCount rows, " +
         s"$distinctIns distinct) — not a netted feed frame")
+    // the delta must CARRY the rows it claims: the BASE stored columns
+    // and the partition column may never be padded — a null-filled
+    // vector/id would corrupt rows, and a null-filled partition column
+    // would misplace every insert into the default partition instead
+    // of its routed shard. Only evolve()d extras null-fill (replica
+    // evolved past the source), the same typed fill every read applies.
+    val missing = (storedCols :+ partCol).filterNot(c =>
+      insRaw.columns.exists(_.equalsIgnoreCase(c)))
+    require(insCount == 0L || missing.isEmpty,
+      s"applyChanges: the delta is missing stored column(s) " +
+        s"${missing.mkString(", ")} — not a change-feed frame (see " +
+        "changesBetween/changesSince; only evolved extras may be absent)")
     // auto-evolve: delta columns beyond the stored set ride the feed
     // (inline sidecar commit under the held writer lock, so no
     // re-entrant evolve() — but the SAME validation: a legit source's
@@ -1456,6 +1468,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * pays one convergence pass that reads both sides, proves them
     * identical, and rewrites nothing. Restarts resume from the
     * checkpoint and never re-pay the snapshot.
+    *
+    * Contention: each apply takes the REPLICA's writer lock and fails
+    * fast if replica-side maintenance holds it — the query fails
+    * loudly rather than stalling, and a restart converges by the
+    * replay-netting contract above. Schedule replica maintenance
+    * around the follower (or let the follower own it).
     *
     * 100 TB posture: steady-state cost per trigger is O(churn +
     * affected partitions) — file-level delta reads, the netting

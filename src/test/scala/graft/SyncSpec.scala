@@ -125,6 +125,13 @@ class SyncSpec extends SparkSpec {
         .withColumn("dist", lit(0.0))
         .withColumn("change", lit("insert"))))
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    // a delta missing BASE stored columns would null-pad them into
+    // corrupt rows (null vectors) or the default partition (null
+    // shard) — refused, only evolved extras may be absent
+    val e4 = intercept[IllegalArgumentException](
+      l.applyChanges(l.read().select("id", "document")
+        .withColumn("change", lit("insert"))))
+    assert(e4.getMessage.contains("missing stored column"), e4.getMessage)
     assert(l.read().count() === 5L, "refused applies changed nothing")
   }
 
