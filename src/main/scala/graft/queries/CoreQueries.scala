@@ -666,6 +666,59 @@ object CoreQueries {
                     round(min(sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[]))), 6) AS min_norm
              FROM synced GROUP BY 1 ORDER BY shard"""))
 
+  /** A lake that went through TIERED TTL RETENTION ([[graft.Lake
+    * .expire]]), built once per (session, sfDir) with FIXED absolute
+    * timestamps so the outcome never depends on the run's clock: rows
+    * with `vec_id % 3 == 0` carry a 2020 ingest timestamp and are
+    * sealed (with a zone map) into manifest directories — the
+    * WHOLESALE tier retires them by one sidecar commit, no reads —
+    * while the rest carry 2026 timestamps and survive. The horizon is
+    * 2023. */
+  private def expireStatsLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "expire_stats") {
+      val l = Lake(s, LakeConfig(
+        BuiltFixtures.sessionTmp(s, dir, "expire"), dim = 64, numHashes = 6))
+      l.delete()
+      val base = Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document"),
+          pmod(col("vec_id"), lit(3)).as("m"))
+      l.ingest(base.where(col("m") === 0).drop("m")
+        .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))))
+      l.buildZoneMap()
+      l.seal() // the 2020 dirs become manifest entries
+      l.ingest(base.where(col("m") =!= 0).drop("m")
+        .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))))
+      l.expire(java.time.Instant.parse("2023-01-01T00:00:00Z"))
+      l
+    }
+
+  /** Per-shard profile of the EXPIRED lake ([[expireStatsLake]]) — the
+    * retention correctness gate the driver can hash-check: the oracle
+    * recomputes the surviving corpus (`vec_id % 3 <> 0`) and its LSH
+    * routing straight from raw `embeddings`, so equality proves the
+    * wholesale manifest retirement dropped exactly the expired rows
+    * and ONLY them, with survivors byte-stable. Scale shape: the
+    * retention itself was one sidecar commit; the query is the usual
+    * partitioned scan + hash agg. */
+  val qExpireStats = Q(
+    "q_expire_stats",
+    (s, dir) => {
+      val lake = expireStatsLake(s, dir)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("document")).as("docs"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(DISTINCT 'doc-' || vec_id) AS BIGINT) AS docs,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings WHERE vec_id % 3 <> 0
+             GROUP BY 1 ORDER BY shard"""))
+
   /** Pairwise cosine similarity between label centroids — the
     * class-separation audit an embedding pipeline reports (are label
     * clusters collapsing?). The quadratic pairing runs over the
@@ -828,5 +881,5 @@ object CoreQueries {
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
-    qHybridRrf, qMaxSim)
+    qExpireStats, qHybridRrf, qMaxSim)
 }
