@@ -719,6 +719,56 @@ object CoreQueries {
              FROM embeddings WHERE vec_id % 3 <> 0
              GROUP BY 1 ORDER BY shard"""))
 
+  /** The tiny STORED dimension the DPP join probes with — shard →
+    * group (shard mod 5), written to parquet once per (session,
+    * sfDir) because dynamic partition pruning requires the build side
+    * to be a file source whose filter SURVIVES optimization (a
+    * LocalRelation's filter constant-folds away before the
+    * PartitionPruning rule ever sees it — exactly like real
+    * pipelines, where the probe keys come from storage). */
+  private def dppDimPath(s: SparkSession, dir: String): String =
+    BuiltFixtures.once(s, dir, "dpp_dim") {
+      val p = BuiltFixtures.sessionTmp(s, dir, "dpp_dim")
+      import s.implicits._
+      (0 until 64).map(sh => (sh, sh % 5)).toDF("shard", "grp")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** The fixture lake joined THROUGH the `graft` format to the stored
+    * dimension under a selective filter — the shape DYNAMIC PARTITION
+    * PRUNING serves ([[graft.sources.GraftRuntimeScan]]): the
+    * broadcast build side's shard keys cut the fact scan's file slice
+    * to the matching directories before a single task launches
+    * (GraftFormatSpec pins the executed-plan slice; this registry
+    * entry is the END-TO-END gate — hash-equality with an oracle that
+    * recomputes routing + the dim function from raw `embeddings`
+    * proves the runtime-pruned scan returns exactly the full join's
+    * rows). Distinct shape from the other fixture-lake queries — the
+    * only one whose scan is cut by a JOIN, not a literal. Scale shape at
+    * 100 TB: broadcast dim, runtime IN over the partition column,
+    * ~1/5 of the directories ever opened. */
+  val qDppJoin = Q(
+    "q_dpp_join",
+    (s, dir) => {
+      val lake = shardStatsLake(s, dir)
+      val dim = s.read.parquet(dppDimPath(s, dir)).where(col("grp") === 3)
+      s.read.format("graft").load(lake.cfg.location)
+        .join(dim, "shard")
+        .groupBy("shard", "grp")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("document")).as("docs"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT shard, CAST(shard % 5 AS INTEGER) AS grp,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(DISTINCT 'doc-' || vec_id) AS BIGINT) AS docs,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM (SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard, vec_id, embedding
+                   FROM embeddings)
+             WHERE shard % 5 = 3 GROUP BY 1, 2 ORDER BY shard"""))
+
   /** Pairwise cosine similarity between label centroids — the
     * class-separation audit an embedding pipeline reports (are label
     * clusters collapsing?). The quadratic pairing runs over the
@@ -881,5 +931,5 @@ object CoreQueries {
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
-    qExpireStats, qHybridRrf, qMaxSim)
+    qExpireStats, qDppJoin, qHybridRrf, qMaxSim)
 }

@@ -552,7 +552,17 @@ final class GraftTable(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
-    parquet.newScanBuilder(options)
+    parquet.newScanBuilder(options) match {
+      // wrap so joins can RUNTIME-prune shard directories (dynamic
+      // partition pruning): stock DSv2 FileScan does not implement
+      // SupportsRuntimeFiltering, so without this a broadcast join on
+      // `shard` — the routed-kNN join shape — reads every live
+      // directory. An unexpected builder shape stays stock (no
+      // runtime pruning, never wrong).
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+        new GraftScanBuilder(p, partField)
+      case other => other
+    }
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (asOf.isDefined)
@@ -677,4 +687,134 @@ final class GraftSink(spark: SparkSession, cfg: LakeConfig, sinkId: String)
   }
 
   override def toString: String = s"GraftSink[${cfg.location}]"
+}
+
+/** The pushdown-preserving builder wrapper behind [[GraftTable]]'s
+  * scans: every parquet pushdown surface (catalyst filters, column
+  * pruning, aggregates, variant extractions) delegates verbatim, and
+  * `build()` wraps the resulting scan in [[GraftRuntimeScan]] so the
+  * format participates in DYNAMIC PARTITION PRUNING. Stock Spark's
+  * DSv2 `FileScan` does not implement `SupportsRuntimeFiltering`
+  * (only v1 `FileSourceScanExec` gets DPP), so without this wrapper a
+  * `lake JOIN routed_queries ON shard` — the routed batch-kNN shape —
+  * scans every live directory no matter how few shards the build side
+  * holds. */
+private final class GraftScanBuilder(
+    delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    partField: StructField)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
+    delegate.pushVariantExtractions(extractions)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    delegate.build() match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        new GraftRuntimeScan(p, partField)
+      case other => other
+    }
+}
+
+/** A DSv2 scan that joins can RUNTIME-prune: `filterAttributes`
+  * exposes the partition column, and `filter()` folds the runtime
+  * predicates (the DPP subquery's IN over the build side's join keys)
+  * into the underlying `ParquetScan`'s partition filters — the
+  * manifest-built file index then drops every non-matching shard
+  * directory before a single task launches. Executed-plan effect:
+  * `BatchScanExec` shows `RuntimeFilters: [dynamicpruning...]` and the
+  * scan's input files shrink to the matching directories
+  * (GraftFormatSpec pins both).
+  *
+  * Fail-safe by construction: a predicate shape this cannot translate
+  * (anything but EqualTo/In on the partition column) prunes NOTHING —
+  * the scan stays complete, never wrong. The `batch` handle resolves
+  * the CURRENT scan at call time because `BatchScanExec`'s lazy batch
+  * may materialize before `filter()` runs. */
+private[graft] final class GraftRuntimeScan(
+    initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    partField: StructField)
+  extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+
+  @volatile private var current: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = initial
+
+  /** The CURRENT delegate (post-runtime-filter once filter() ran) —
+    * what plan-shape specs inspect for file slices and pushdown. */
+  private[graft] def underlying: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = current
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String = current.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    current.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    current.reportDriverMetrics()
+  override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  private val batchHandle = new org.apache.spark.sql.connector.read.Batch {
+    override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+      current.toBatch.planInputPartitions()
+    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      current.toBatch.createReaderFactory()
+  }
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = batchHandle
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(partField.name))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val attr = AttributeReference(partField.name, partField.dataType)()
+    def lit(v: Any): Option[Literal] =
+      try Some(Literal.create(v, partField.dataType))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val exprs: Seq[Expression] = filters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.In(name, vs)
+          if name.equalsIgnoreCase(partField.name) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          Some(org.apache.spark.sql.catalyst.expressions.In(attr, ls.flatten))
+        else None
+      case org.apache.spark.sql.sources.EqualTo(name, v)
+          if name.equalsIgnoreCase(partField.name) =>
+        lit(v).map(org.apache.spark.sql.catalyst.expressions.EqualTo(attr, _))
+      case _ => None
+    }
+    if (exprs.nonEmpty)
+      current = current.copy(partitionFilters = current.partitionFilters ++ exprs)
+  }
+
+  // scan equality drives exchange/scan reuse — delegate to the
+  // underlying case class so identical queries still dedupe
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftRuntimeScan => g.current == current
+    case _ => false
+  }
+  override def hashCode(): Int = current.hashCode()
 }

@@ -37,6 +37,10 @@ class GraftFormatSpec extends SparkSpec {
         case b: BatchScanExec => Seq(b)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
+        // AQE materializes stages as QueryStageExec whose plan is a
+        // FIELD, not a child — collect() alone never reaches the scans
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
       }.flatten
     walk(df.queryExecution.executedPlan)
   }
@@ -73,11 +77,15 @@ class GraftFormatSpec extends SparkSpec {
     // partition pruning: the scan's file slice is the one directory
     val scans = scanExecs(one)
     assert(scans.nonEmpty, one.queryExecution.executedPlan.toString.take(1500))
-    val files = scans.flatMap(_.scan match {
-      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-        f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
-          .flatMap(_.files).map(_.getPath.toString)
-    })
+    val files = scans.map(_.scan).map {
+        // unwrap the runtime-filtering wrapper to the delegated scan
+        case g: graft.sources.GraftRuntimeScan => g.underlying
+        case f => f
+      }.flatMap {
+        case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+          f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files).map(_.getPath.toString)
+      }
     assert(files.nonEmpty && files.forall(_.contains(s"shard=${shards.head}")),
       s"expected only shard=${shards.head} files, got: $files")
     // data filter pushdown reaches the parquet scan
@@ -116,11 +124,14 @@ class GraftFormatSpec extends SparkSpec {
     // and the scan was PRUNED: lsh_shard folded to a literal, so only
     // the routed shard's directory is in the file slice
     val routed = lake.lsh.shardOf(q)
-    val files = scanExecs(df).flatMap(_.scan match {
+    val files = scanExecs(df).map(_.scan).map {
+        case g: graft.sources.GraftRuntimeScan => g.underlying
+        case f => f
+      }.flatMap {
       case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
         f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
           .flatMap(_.files).map(_.getPath.toString)
-    })
+    }
     assert(files.nonEmpty && files.forall(_.contains(s"shard=$routed")),
       s"expected only shard=$routed files, got: $files")
   }
@@ -289,5 +300,50 @@ class GraftFormatSpec extends SparkSpec {
     assert(samples.min < 150L,
       s"non-lake dir opens took ${samples.mkString(",")} ms — " +
         "retry sleeps are firing")
+  }
+
+  test("joins RUNTIME-prune shard directories: dynamic partition pruning through the format") {
+    val dir = Files.createTempDirectory("graft_fmt_dpp").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 4))
+    lake.ingest((0 until 4000).map { i =>
+      (s"r-$i", Seq(math.sin(i * 3).toFloat, math.cos(i * 7).toFloat,
+        (i % 5 - 2).toFloat / 3), s"doc $i")
+    }.toDF("id", "vector", "document"))
+    // the build side must be a FILE source with a surviving selective
+    // filter — a LocalRelation's filter constant-folds away before the
+    // PartitionPruning rule and disqualifies DPP (matching real
+    // pipelines, where the probe set comes from storage)
+    (0 until 16).map(s => (s, s"n$s")).toDF("shard", "name")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").where(col("name") === "n3")
+    val joined = fmt(lake).join(dim, "shard")
+
+    val expect = fmt(lake).where(col("shard") === 3).count()
+    assert(joined.count() === expect, "pruned join returns the exact rows")
+    joined.collect()
+
+    // the optimizer inserted the runtime filter (stock DSv2 FileScan
+    // gets NONE — this is GraftRuntimeScan's SupportsRuntimeFiltering)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+      "DPP subquery planned against the graft scan")
+    val graftScan = scanExecs(joined)
+      .filter(_.scan.getClass.getName.contains("GraftRuntimeScan"))
+    assert(graftScan.nonEmpty, "the graft side planned as a runtime-filterable scan")
+    // and the EXECUTED scan's file slice shrank to the matching
+    // shard's directory — the whole point at 100 TB: the probe side's
+    // keys cut the fact scan before a single task launches. The
+    // runtime IN landed in the delegate's partition filters, and the
+    // manifest-built file index resolves them to one directory.
+    val pruned = graftScan.head.scan
+      .asInstanceOf[graft.sources.GraftRuntimeScan].underlying
+    assert(pruned.partitionFilters.exists(_.toString.contains("IN")),
+      s"runtime IN not folded into partition filters: ${pruned.partitionFilters}")
+    val readFiles = pruned.fileIndex
+      .listFiles(pruned.partitionFilters, pruned.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(_.contains("shard=3")),
+      s"runtime-pruned scan read outside shard=3: " +
+        readFiles.filterNot(_.contains("shard=3")).take(3))
   }
 }
