@@ -560,7 +560,12 @@ final class GraftTable(
       // directory. An unexpected builder shape stays stock (no
       // runtime pruning, never wrong).
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
-        new GraftScanBuilder(p, partField)
+        // SPJ is an explicit per-read/per-session opt-in (option `spj`
+        // overriding conf `spark.graft.spj`) — see GraftRuntimeScan
+        val spj = Option(options.get("spj")).map(_.toBoolean).getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.spj", "false").toBoolean)
+        new GraftScanBuilder(p, partField, spj)
       case other => other
     }
 
@@ -701,7 +706,8 @@ final class GraftSink(spark: SparkSession, cfg: LakeConfig, sinkId: String)
   * holds. */
 private final class GraftScanBuilder(
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
-    partField: StructField)
+    partField: StructField,
+    spj: Boolean)
   extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -733,7 +739,7 @@ private final class GraftScanBuilder(
   override def build(): org.apache.spark.sql.connector.read.Scan =
     delegate.build() match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        new GraftRuntimeScan(p, partField)
+        new GraftRuntimeScan(p, partField, spj)
       case other => other
     }
 }
@@ -752,16 +758,50 @@ private final class GraftScanBuilder(
   * (anything but EqualTo/In on the partition column) prunes NOTHING —
   * the scan stays complete, never wrong. The `batch` handle resolves
   * the CURRENT scan at call time because `BatchScanExec`'s lazy batch
-  * may materialize before `filter()` runs. */
+  * may materialize before `filter()` runs.
+  *
+  * STORAGE-PARTITIONED JOINS: when the read opts in (option
+  * `spj=true`, or session conf `spark.graft.spj=true`), this scan
+  * additionally reports `KeyGroupedPartitioning` over the shard
+  * column and re-plans its file splits into ONE keyed partition per
+  * live shard value (`HasPartitionKey`), so two shard-aligned
+  * lakes — a source and its [[graft.Lake.cloneTo clone]]/
+  * [[graft.Lake.syncFrom replica]], or any pair routed by the same
+  * hyperplanes — join on `shard` (or on `shard` + row keys) with
+  * ZERO shuffle on either side: at 100 TB that's the difference
+  * between re-hashing both corpora across the wire and streaming
+  * co-located directory pairs. The trade is intra-shard parallelism
+  * (one task per shard — shard count already tracks data volume in
+  * this engine), which is exactly why SPJ must be a graft-level
+  * OPT-IN rather than keyed off Spark's own
+  * `spark.sql.sources.v2.bucketing.enabled`: that conf defaults to
+  * TRUE on this Spark line, and a scan that always reported
+  * key-grouped partitioning would silently collapse every plain
+  * format read to one-task-per-shard (the same reason Iceberg gates
+  * grouped planning behind its own `preserve-data-grouping` flag).
+  * SPJ mode disables this scan's runtime filtering
+  * (`filterAttributes` → empty): the reported partitioning must stay
+  * stable once EnsureRequirements planned the shuffle-free join, and
+  * the co-partitioned join subsumes DPP's benefit. */
 private[graft] final class GraftRuntimeScan(
     initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    partField: StructField)
+    partField: StructField,
+    spjRequested: Boolean)
   extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
 
   @volatile private var current: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = initial
+
+  // captured once at build() time on the driver: partition planning
+  // and the reported partitioning must agree for the plan's lifetime.
+  // Spark's own v2-bucketing gate must also be on (default true on
+  // this line) or the reported partitioning would be ignored while
+  // the one-partition-per-shard re-plan still paid its cost.
+  private val spjMode: Boolean = spjRequested &&
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
   /** The CURRENT delegate (post-runtime-filter once filter() ran) —
     * what plan-shape specs inspect for file slices and pushdown. */
@@ -778,16 +818,54 @@ private[graft] final class GraftRuntimeScan(
   override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
     current.columnarSupportMode()
 
+  /** SPJ re-plan: collapse the delegate's bin-packed splits (which
+    * mix shard directories within one task) into one `FilePartition`
+    * per shard key, each carrying its key for Spark's key-grouped
+    * scheduling. Deterministically ordered so both join sides list
+    * partition values identically. */
+  private def keyedPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val splits = current.toBatch.planInputPartitions()
+    // a non-file partition shape means the delegate changed under
+    // us — refuse SPJ (stock splits, Spark falls back to shuffling)
+    // rather than mis-key rows
+    if (!splits.forall(_.isInstanceOf[FilePartition])) splits
+    else {
+      val files = splits.collect { case f: FilePartition => f }.flatMap(_.files)
+      files.groupBy(_.partitionValues.get(0, partField.dataType))
+        .toArray
+        .sortBy(_._1.toString)
+        .zipWithIndex
+        .map { case ((_, fs), i) =>
+          new KeyedFilePartition(i, fs, fs.head.partitionValues.copy())
+        }
+    }
+  }
+
   private val batchHandle = new org.apache.spark.sql.connector.read.Batch {
     override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-      current.toBatch.planInputPartitions()
+      if (spjMode) keyedPartitions() else current.toBatch.planInputPartitions()
     override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
       current.toBatch.createReaderFactory()
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = batchHandle
 
+  /** Advisory connector-side partitioning; Spark rebuilds the exact
+    * catalyst `KeyGroupedPartitioning` from the keyed partitions
+    * themselves, gated on the same v2-bucketing conf that set
+    * [[spjMode]]. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjMode)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(partField.name)),
+        keyedPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        current.toBatch.planInputPartitions().length)
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(partField.name))
+    if (spjMode) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column(partField.name))
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val attr = AttributeReference(partField.name, partField.dataType)()
@@ -813,8 +891,23 @@ private[graft] final class GraftRuntimeScan(
   // scan equality drives exchange/scan reuse — delegate to the
   // underlying case class so identical queries still dedupe
   override def equals(o: Any): Boolean = o match {
-    case g: GraftRuntimeScan => g.current == current
+    case g: GraftRuntimeScan => g.current == current && g.spjMode == spjMode
     case _ => false
   }
   override def hashCode(): Int = current.hashCode()
+}
+
+/** A parquet file partition that knows its shard key — the unit of
+  * storage-partitioned-join scheduling. Extends the stock
+  * `FilePartition` so the delegate's `PartitionReaderFactory` (which
+  * downcasts to `FilePartition`) reads it unchanged; adds
+  * `HasPartitionKey` so Spark's key-grouped planning can line both
+  * join sides' shards up task-for-task. */
+private final class KeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }

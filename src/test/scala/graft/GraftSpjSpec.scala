@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** STORAGE-PARTITIONED JOINS through the `graft` format: with the
+  * session opted into DSv2 bucketing, two shard-aligned lakes (a
+  * source and its clone/replica — the replication-era comparison
+  * shape) join on the shard key with ZERO shuffle on either side,
+  * because [[graft.sources.GraftRuntimeScan]] reports
+  * `KeyGroupedPartitioning(shard)` and re-plans one keyed file
+  * partition per live directory.
+  *
+  * The tests force the regime where the plan shape matters: file
+  * split sizes small enough that every scan is MULTI-partition (a
+  * toy-sized lake otherwise collapses to one split, whose
+  * SinglePartition output satisfies any distribution and makes every
+  * "no shuffle" assertion vacuous) and broadcast joins off (a
+  * broadcast side also needs no shuffle — the stock escape hatch SPJ
+  * exists to beat when BOTH sides are 100 TB facts). Every test pins
+  * the executed plan AND result equality with the stock shuffled
+  * run — the plan may never buy speed with wrong rows. */
+class GraftSpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int) =
+    (0 until n).map { i =>
+      (s"r-$i", Seq(math.sin(i * 3).toFloat, math.cos(i * 7).toFloat,
+        (i % 5 - 2).toFloat / 3), s"doc $i")
+    }.toDF("id", "vector", "document")
+
+  private def fmt(lake: Lake): DataFrame =
+    spark.read.format("graft").load(lake.cfg.location)
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        shuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffles(q.plan)
+    }.flatten
+
+  private def graftScans(p: SparkPlan): Seq[BatchScanExec] =
+    p.collect {
+      case b: BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        graftScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        graftScans(q.plan)
+    }.flatten.filter(_.scan.getClass.getName.contains("GraftRuntimeScan"))
+
+  /** Both-facts-huge regime: multi-split scans, no broadcast escape. */
+  private val factRegime = Seq(
+    "spark.sql.files.maxPartitionBytes" -> "16384",
+    "spark.sql.files.openCostInBytes" -> "16384",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private val spjConfs = Seq(
+    "spark.graft.spj" -> "true",
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+
+  /** Run `body` under `confs`, restoring previous values after. */
+  private def withConfs[T](confs: Seq[(String, String)])(body: => T): T = {
+    val prev = confs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** A source lake and a mutated clone — shard-aligned by
+    * construction (cloneTo carries the hyperplane config), with the
+    * clone's live set diverged by a row-level delete so the join has
+    * something real to measure. */
+  private lazy val (src, rep) = {
+    val dir = Files.createTempDirectory("graft_spj").toString
+    val a = Lake(spark, LakeConfig(s"$dir/src", dim = 3, numHashes = 4))
+    a.ingest(rows(4000))
+    val b = a.cloneTo(s"$dir/rep")
+    b.deleteWhere(col("id").endsWith("7"))
+    (a, b)
+  }
+
+  test("per-shard profile comparison joins with ZERO shuffle under SPJ") {
+    def compared() =
+      fmt(src).groupBy("shard").agg(count(lit(1)).as("src_cnt"))
+        .join(fmt(rep).groupBy("shard").agg(count(lit(1)).as("rep_cnt")),
+          Seq("shard"))
+        .where(col("src_cnt") =!= col("rep_cnt"))
+    def run(df: DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+    val (stock, stockShuffles) = withConfs(factRegime) {
+      val ctl = compared()
+      val res = run(ctl)
+      (res, shuffles(ctl.queryExecution.executedPlan).size)
+    }
+    assert(stock.nonEmpty, "the delete must diverge at least one shard")
+    // the regime is real: stock mode pays exchanges for both
+    // aggregates (and the join) on multi-split scans
+    assert(stockShuffles > 0, "control run must shuffle")
+
+    withConfs(factRegime ++ spjConfs) {
+      val df = compared()
+      assert(run(df) === stock, "SPJ result must equal the shuffled result")
+      val plan = df.queryExecution.executedPlan
+      assert(graftScans(plan).size === 2, plan.toString.take(1500))
+      // the whole point: groupBy(shard) AND the join both ride the
+      // storage partitioning — not one exchange in the executed plan
+      assert(shuffles(plan).isEmpty,
+        s"expected a shuffle-free plan, got:\n${plan.toString.take(2000)}")
+    }
+  }
+
+  test("row-level replica diff on (shard, id) joins shuffle-free with join keys ⊇ partition keys") {
+    def diff() =
+      fmt(src).select("shard", "id")
+        .join(fmt(rep).select("shard", "id"), Seq("shard", "id"), "left_anti")
+
+    val stock = withConfs(factRegime) {
+      val ctl = diff()
+      val res = ctl.collect().map(_.getString(1)).toSet
+      assert(shuffles(ctl.queryExecution.executedPlan).nonEmpty,
+        "control anti-join must shuffle")
+      res
+    }
+    assert(stock.nonEmpty && stock.forall(_.endsWith("7")),
+      s"anti-join must surface exactly the deleted ids, got ${stock.take(5)}")
+
+    // join keys (shard, id) ⊃ partition keys (shard): Spark only
+    // treats the sides as co-partitioned when told that clustering on
+    // a subset of the join keys is acceptable
+    withConfs(factRegime ++ spjConfs :+
+      ("spark.sql.requireAllClusterKeysForCoPartition" -> "false")) {
+      val df = diff()
+      assert(df.collect().map(_.getString(1)).toSet === stock)
+      val plan = df.queryExecution.executedPlan
+      assert(graftScans(plan).size === 2, plan.toString.take(1500))
+      assert(shuffles(plan).isEmpty,
+        s"expected a shuffle-free anti-join, got:\n${plan.toString.take(2000)}")
+    }
+  }
+
+  test("a PLAIN read never regroups to one-task-per-shard: SPJ stays a graft-level opt-in") {
+    // Spark's own v2-bucketing gate defaults TRUE on this line — if
+    // the scan keyed off it, every plain format read would collapse
+    // to |shards| tasks. Pin that without the graft opt-in the scan
+    // keeps the delegate's split-level parallelism (multi-split under
+    // the small-split regime) and reports no key-grouped partitioning.
+    withConfs(factRegime) {
+      assert(spark.conf.get("spark.sql.sources.v2.bucketing.enabled") === "true")
+      val df = fmt(src).groupBy("shard").agg(count(lit(1)))
+      df.collect()
+      val scan = graftScans(df.queryExecution.executedPlan).head
+      val parts = scan.scan.toBatch.planInputPartitions()
+      assert(!parts.exists(_.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]),
+        "plain reads must serve stock (un-keyed) splits")
+      assert(scan.outputPartitioning.toString.toLowerCase.indexOf("keygrouped") < 0,
+        s"plain reads must not report key-grouped partitioning: ${scan.outputPartitioning}")
+    }
+  }
+
+  test("SPJ mode never changes WHAT is read: literal shard pruning and full-scan aggregates agree") {
+    val full = fmt(src).count()
+    val one = fmt(src).where(col("shard") === 3).count()
+    withConfs(spjConfs) {
+      assert(fmt(src).count() === full)
+      assert(fmt(src).where(col("shard") === 3).count() === one)
+      // single-shard scans collapse to one keyed partition
+      val df = fmt(src).where(col("shard") === 3)
+      df.collect()
+      val parts = graftScans(df.queryExecution.executedPlan)
+        .head.scan.toBatch.planInputPartitions()
+      assert(parts.length === 1 &&
+        parts.head.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey],
+        s"expected one keyed partition, got ${parts.length}")
+    }
+  }
+}
