@@ -1084,3 +1084,74 @@ object ExpireBench {
     spark.stop()
   }
 }
+
+/** Storage-partitioned-join slope probe: [[Lake.diffStats]]' claim is
+  * that the replica audit is shuffle-free end to end — both per-shard
+  * aggregates ride keyed file partitions and the final join is
+  * co-located — so its cost tracks the SCAN, not the wire. Measures
+  * the audit with SPJ on vs forced-stock (shuffled aggregates + join)
+  * at 1× and 10× data, reporting wall time and the executed plan's
+  * exchange count for each. At local[32] toy scale the wire is cheap,
+  * so the headline is the exchange count (0 vs >0) and the slope;
+  * on a 1000-executor cluster every exchange is a corpus-sized
+  * re-hash across the network. Args: [rows] [dim]. */
+object SpjBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(q.plan)
+      }.sum
+    def rowsDf(n: Long) = spark.range(n)
+      .select(col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(col("vector"), concat(lit("doc-"), col("num")).as("document"))
+    def run(scale: Int, tag: String, report: Boolean): Unit = {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_spj_bench_$tag"
+      val src = Lake(spark, LakeConfig(s"$root/src", dim = dim, numHashes = 5))
+      src.delete()
+      src.ingest(rowsDf(baseRows * scale))
+      Lake(spark, LakeConfig(s"$root/rep", dim = dim, numHashes = 5)).delete()
+      val rep = src.cloneTo(s"$root/rep")
+      rep.deleteWhere(col("document").endsWith("7"))
+      def audit(spj: Boolean): (Double, Int, Long) = {
+        val df = src.diffStats(rep, spj = spj)
+        val (t, rows) = time(df.collect())
+        (t, shuffles(df.queryExecution.executedPlan),
+          rows.count(!_.getBoolean(3)))
+      }
+      val (tSpj, exSpj, divergedSpj) = audit(spj = true)
+      val (tStock, exStock, divergedStock) = audit(spj = false)
+      require(divergedSpj == divergedStock,
+        s"plan modes disagree: $divergedSpj vs $divergedStock")
+      if (report)
+        println(s"""{"probe":"spj","rows":${baseRows * scale},""" +
+          s""""spj_sec":${f"$tSpj%.2f"},"spj_exchanges":$exSpj,""" +
+          s""""stock_sec":${f"$tStock%.2f"},"stock_exchanges":$exStock,""" +
+          s""""diverged_shards":$divergedSpj}""")
+      src.delete(); rep.delete()
+    }
+    run(1, "warm", report = false) // codegen/classload warm-up
+    run(1, "x1", report = true)
+    run(10, "x10", report = true)
+    spark.stop()
+  }
+}

@@ -719,6 +719,50 @@ object CoreQueries {
              FROM embeddings WHERE vec_id % 3 <> 0
              GROUP BY 1 ORDER BY shard"""))
 
+  /** A DIVERGED clone of the fixture lake — the replica-audit
+    * fixture: a deep clone with the rows whose document ends in "0"
+    * deleted, so [[qReplicaDiff]] has real per-shard divergence to
+    * convict (deletion-only, so the oracle can recompute the verdict
+    * from raw `embeddings`). Built once per (session, sfDir). */
+  private def divergedCloneLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "replica_diff") {
+      val src = shardStatsLake(s, dir)
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "diffrep")
+      Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6)).delete()
+      val rep = src.cloneTo(tmp)
+      rep.deleteWhere(col("document").endsWith("0"))
+      rep
+    }
+
+  /** [[graft.Lake.diffStats]] between the fixture lake and its
+    * diverged clone — the replication VERIFICATION op as a registry
+    * query: per-shard row counts on both sides plus the
+    * fingerprint-backed `in_sync` verdict (cast to int for the
+    * oracle). The oracle recomputes both counts and the verdict from
+    * raw `embeddings` (`doc-<vec_id>` ends in "0" ⇔ `vec_id % 10 =
+    * 0`), so hash-equality proves the audit counts every survivor,
+    * misses no divergence, and convicts no healthy shard. Scale
+    * shape: the end-to-end STORAGE-PARTITIONED-JOIN pattern — both
+    * per-shard aggregates ride keyed file partitions and the final
+    * join is co-located (GraftSpjSpec pins the zero-exchange plan);
+    * the only moving data is two aggregated rows per shard. */
+  val qReplicaDiff = Q(
+    "q_replica_diff",
+    (s, dir) => {
+      val src = shardStatsLake(s, dir)
+      val rep = divergedCloneLake(s, dir)
+      src.diffStats(rep)
+        .select(col("shard"), col("cnt"), col("other_cnt"),
+          col("in_sync").cast("int").as("in_sync"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(*) FILTER (WHERE vec_id % 10 <> 0) AS BIGINT) AS other_cnt,
+                    CAST(count(*) = count(*) FILTER (WHERE vec_id % 10 <> 0) AS INTEGER) AS in_sync
+             FROM (SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard, vec_id
+                   FROM embeddings)
+             GROUP BY shard ORDER BY shard"""))
+
   /** The tiny STORED dimension the DPP join probes with — shard →
     * group (shard mod 5), written to parquet once per (session,
     * sfDir) because dynamic partition pruning requires the build side
@@ -931,5 +975,5 @@ object CoreQueries {
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
-    qExpireStats, qDppJoin, qHybridRrf, qMaxSim)
+    qExpireStats, qDppJoin, qReplicaDiff, qHybridRrf, qMaxSim)
 }

@@ -809,6 +809,7 @@ private[graft] final class GraftRuntimeScan(
 
   override def readSchema(): StructType = current.readSchema()
   override def description(): String = current.description()
+  override def toString: String = current.toString
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     current.estimateStatistics()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

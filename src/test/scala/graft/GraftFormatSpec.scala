@@ -302,6 +302,25 @@ class GraftFormatSpec extends SparkSpec {
         "retry sleeps are firing")
   }
 
+  test("per-shard COUNT(*) reads parquet FOOTERS only: aggregate pushdown through the format") {
+    // GraftScanBuilder delegates SupportsPushDownAggregates to the
+    // parquet builder — with the stock conf on, a grouped count never
+    // touches row data (row-group statistics only; at 100 TB that is
+    // a metadata read instead of a corpus scan)
+    val lake = freshLake()
+    lake.ingest(rows(500, "agg"))
+    val expected = lake.read().groupBy("shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = fmt(lake).groupBy("shard").count()
+      assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet === expected)
+      val scan = scanExecs(df).head.scan.description()
+      assert(scan.contains("PushedAggregation: [COUNT(*)]") &&
+        scan.contains("PushedGroupBy: [shard]"), scan.take(800))
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("joins RUNTIME-prune shard directories: dynamic partition pruning through the format") {
     val dir = Files.createTempDirectory("graft_fmt_dpp").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = 4))

@@ -152,6 +152,40 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("diffStats: per-shard replica audit rides SPJ shuffle-free and catches count-neutral divergence") {
+    val dir = Files.createTempDirectory("graft_spj_diff").toString
+    val a = Lake(spark, LakeConfig(s"$dir/src", dim = 3, numHashes = 4))
+    a.ingest(rows(2000))
+    val b = a.cloneTo(s"$dir/rep")
+
+    // a fresh clone is fully in sync
+    val clean = a.diffStats(b)
+    val cleanRows = clean.collect()
+    assert(cleanRows.nonEmpty && cleanRows.forall(_.getBoolean(3)),
+      "fresh clone must be in_sync on every shard")
+    assert(cleanRows.map(r => (r.getLong(1), r.getLong(2))).forall(p => p._1 == p._2))
+    // the whole audit — two scans, two per-shard aggregates, the
+    // join — executes without ONE exchange (the SPJ shape end to end;
+    // spj is the API's own per-read option, no session conf needed)
+    assert(shuffles(clean.queryExecution.executedPlan).isEmpty,
+      clean.queryExecution.executedPlan.toString.take(2000))
+
+    // a COUNT-NEUTRAL divergence: same id, same vector (same shard),
+    // document swapped — counts agree everywhere, the content
+    // fingerprint must still convict exactly the mutated row's shard
+    val victim = b.read().where(col("id") === "r-42")
+      .select(col("vector"), lit("tampered").as("document"), col("id"))
+    b.upsert(victim)
+    val shard42 = a.read().where(col("id") === "r-42")
+      .select("shard").collect().head.getInt(0)
+    val audited = a.diffStats(b).collect()
+    assert(audited.forall(r => r.getLong(1) == r.getLong(2)),
+      "the tamper must be count-neutral")
+    val outOfSync = audited.filterNot(_.getBoolean(3)).map(_.getInt(0)).toSet
+    assert(outOfSync === Set(shard42),
+      s"expected exactly shard $shard42 convicted, got $outOfSync")
+  }
+
   test("a PLAIN read never regroups to one-task-per-shard: SPJ stays a graft-level opt-in") {
     // Spark's own v2-bucketing gate defaults TRUE on this line — if
     // the scan keyed off it, every plain format read would collapse
