@@ -1579,6 +1579,67 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // callers that want shard order sort the |shards|-row output
   }
 
+  /** ANTI-ENTROPY repair — make this REPLICA equal to `source` on
+    * every shard [[diffStats]] convicts, touching nothing else. The
+    * heal half of the audit/heal pair: the audit convicts per-shard
+    * divergence (missing rows, extra rows, count-neutral tampering —
+    * the fingerprint catches all three), and repairFrom rewrites
+    * exactly the convicted partitions from the source's rows: a shard
+    * the replica is missing is created, a shard the source no longer
+    * has is dropped, and a healthy shard's files stay byte-in-place
+    * (RepairSpec pins the untouched live set path-for-path). Columns
+    * the source carries beyond this lake's stored set auto-[[evolve]]
+    * first (the same validation as [[applyChanges]]); replica-only
+    * extras null-fill in repaired shards — the source is
+    * authoritative. Returns (convicted shards, rows rewritten).
+    *
+    * This is the recovery path when the change feed CANNOT replay:
+    * the source [[vacuum]]ed past the replica's last sync point, or
+    * the replica was mutated out of band ([[syncFrom]]/[[follow]]
+    * stay the cheap steady-state at O(churn); repair is O(diverged
+    * partitions) after a metadata-light audit). Same rewrite
+    * machinery, locks, and staged-publish commit as [[upsert]].
+    *
+    * 100 TB posture: the audit is the end-to-end storage-partitioned
+    * join — zero exchanges, two aggregated rows per shard on the
+    * wire — and the copy reads and writes ONLY convicted directories,
+    * so a replica diverged in k of N shards repairs at ~k/N of a
+    * re-clone's cost (re-cloning 100 TB is days of copy; repairing a
+    * two-shard divergence is two directory rewrites). */
+  def repairFrom(source: Lake): (Long, Long) = {
+    requireWriteConfigMatch()
+    withWriterLock("repairFrom") {
+      val convicted = diffStats(source).where(!col("in_sync"))
+        .select(partCol).collect()
+        .map(r => Option(r.get(0)).map(_.toString)).toSet
+      if (convicted.isEmpty) (0L, 0L)
+      else {
+        val truth = source.read().where(affectedPartPred(convicted))
+        // auto-evolve source extras under the held lock (no re-entrant
+        // evolve(), same inline path + validation as applyChanges)
+        val st0 = readState()
+        val known = (storedColsOf(st0) :+ partCol).map(_.toLowerCase).toSet
+        val extra = truth.schema.fields
+          .filterNot(f => known(f.name.toLowerCase))
+        if (extra.nonEmpty) {
+          validateExtraCols(st0, extra.toSeq, "repairFrom")
+          writeState(st0.copy(extraCols = st0.extraCols ++
+            extra.map(f => f.name -> f.dataType.catalogString)))
+          ()
+        }
+        val colsNow = storedColsNow
+        val shape = canonicalSchema.fields.map(f => f.name -> f.dataType).toMap
+        val padded = (colsNow :+ partCol).filterNot(truth.columns.contains)
+          .foldLeft(truth)((d, c) => d.withColumn(c, lit(null).cast(shape(c))))
+        val content = graft.operators.Materialize.cut(
+          padded.select((colsNow.map(col) :+ col(partCol)): _*))
+        val n = content.count()
+        rewritePartitions(convicted, content, n, "repairFrom")
+        (convicted.size.toLong, n)
+      }
+    }
+  }
+
   /** The canonical stored schema + partition column — what an empty
     * lake's scan serves (and what [[readFrom]] validates a non-empty
     * read against). */

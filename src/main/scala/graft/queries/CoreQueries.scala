@@ -763,6 +763,57 @@ object CoreQueries {
                    FROM embeddings)
              GROUP BY shard ORDER BY shard"""))
 
+  /** A HEALED replica of the fixture lake — the anti-entropy fixture:
+    * a deep clone diverged OUT OF BAND (rows ending "1" deleted, plus
+    * one count-neutral tamper — same id, same vector, document
+    * swapped), then [[graft.Lake.repairFrom]] the source. The builder
+    * requires the repair to have convicted shards, so the fixture can
+    * never silently degrade into a no-op. Built once per
+    * (session, sfDir). */
+  private def healedCloneLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "replica_heal") {
+      val src = shardStatsLake(s, dir)
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "healrep")
+      Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6)).delete()
+      val rep = src.cloneTo(tmp)
+      rep.deleteWhere(col("document").endsWith("1"))
+      rep.upsert(rep.read().where(col("document") === "doc-2")
+        .select(col("vector"), lit("tampered").as("document"), col("id")))
+      val (shards, _) = rep.repairFrom(src)
+      require(shards > 0L,
+        "replica_heal fixture: the divergence mix convicted no shard")
+      rep
+    }
+
+  /** [[graft.Lake.repairFrom]] round-trip as a registry query — the
+    * anti-entropy HEAL op verified end to end: the post-repair
+    * [[graft.Lake.diffStats]] audit between the fixture lake and a
+    * replica that had real out-of-band divergence (deletions AND a
+    * count-neutral tamper the fingerprint alone convicts). The oracle
+    * recomputes per-shard counts from raw `embeddings` with both
+    * sides EQUAL and `in_sync` constant 1, so hash-equality proves
+    * the repair restored every deleted row, reverted the tamper,
+    * corrupted nothing — and the audit agrees shard by shard. Scale
+    * shape: the audit is the zero-exchange SPJ (GraftSpjSpec); the
+    * repair reads and rewrites ONLY convicted directories — k of N
+    * diverged shards repair at ~k/N of a re-clone's cost. */
+  val qReplicaHeal = Q(
+    "q_replica_heal",
+    (s, dir) => {
+      val src = shardStatsLake(s, dir)
+      val rep = healedCloneLake(s, dir)
+      src.diffStats(rep)
+        .select(col("shard"), col("cnt"), col("other_cnt"),
+          col("in_sync").cast("int").as("in_sync"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(count(*) AS BIGINT) AS other_cnt,
+                    CAST(1 AS INTEGER) AS in_sync
+             FROM (SELECT ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard
+                   FROM embeddings)
+             GROUP BY shard ORDER BY shard"""))
+
   /** The tiny STORED dimension the DPP join probes with — shard →
     * group (shard mod 5), written to parquet once per (session,
     * sfDir) because dynamic partition pruning requires the build side
@@ -975,5 +1026,5 @@ object CoreQueries {
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
-    qExpireStats, qDppJoin, qReplicaDiff, qHybridRrf, qMaxSim)
+    qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qHybridRrf, qMaxSim)
 }

@@ -44,7 +44,7 @@ private[graft] object GraftProcedures {
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
     Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync",
-      "expire")
+      "heal", "expire")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -190,6 +190,23 @@ private[graft] object GraftProcedures {
           val (d, i) =
             replica.syncFrom(source, in.getLong(2), in.getLong(3))
           InternalRow(d, i)
+        }))
+      case "heal" => Some(new LakeProcedure(
+        "heal", resolve,
+        Array(p("replica", StringType,
+          "catalog table ('ns.name' or 'name') or lake root path of the REPLICA"),
+          p("source", StringType,
+            "catalog table or lake root path of the authoritative SOURCE")),
+        StructType(Seq(
+          StructField("shards_repaired", LongType, nullable = false),
+          StructField("rows_rewritten", LongType, nullable = false))),
+        "anti-entropy repair: rewrite only the shards the diff audit " +
+          "convicts (O(diverged partitions), never O(data)) — the " +
+          "recovery path when the change feed cannot replay",
+        (replica, in) => {
+          val source = resolve(in.getUTF8String(1).toString)
+          val (sh, rw) = replica.repairFrom(source)
+          InternalRow(sh, rw)
         }))
       case _ => None
     }
