@@ -1155,3 +1155,82 @@ object SpjBench {
     spark.stop()
   }
 }
+
+/** Anti-entropy slope probe: [[Lake.repairFrom]]'s claim is that a
+  * replica diverged in k of N shards repairs at ~k/N of a re-clone's
+  * cost — the audit is the zero-exchange SPJ (SpjBench measures that
+  * half), and the copy reads and rewrites ONLY convicted directories.
+  * Diverges a FIXED 2 of 32 shards out of band on the replica (partial
+  * deletes in the fullest shard, one count-neutral tamper in the next)
+  * and measures repairFrom against the O(data) alternative — a full
+  * re-clone — at 1× and 10× data, plus the converged no-op pass (audit
+  * only, rewrites nothing). At 100 TB the re-clone is days of copy;
+  * the repair is two directory rewrites behind a metadata-light audit.
+  * Args: [rows] [dim]. */
+object RepairBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    def rowsDf(n: Long) = spark.range(n)
+      .select(col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(col("vector"), concat(lit("doc-"), col("num")).as("document"))
+    def run(scale: Int, tag: String, report: Boolean): Unit = {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_repair_bench_$tag"
+      val src = Lake(spark, LakeConfig(s"$root/src", dim = dim, numHashes = 5))
+      src.delete()
+      src.ingest(rowsDf(baseRows * scale))
+      Lake(spark, LakeConfig(s"$root/rep", dim = dim, numHashes = 5)).delete()
+      val rep = src.cloneTo(s"$root/rep")
+      // out-of-band divergence confined to 2 of the 32 shards: partial
+      // deletes in one, a count-neutral tamper in the other. The two
+      // MEDIAN-sized shards — the synthetic sin-pattern vectors route
+      // very unevenly (the fullest shard holds ~40% of rows), and a
+      // median pick keeps the probe about the claimed shape (k of N
+      // directories) rather than about this generator's skew; the
+      // reported diverged_rows/total keeps the fraction honest
+      import spark.implicits._
+      val counts = rep.read().groupBy("shard").count()
+        .orderBy(col("count")).select("shard").as[Int].collect()
+      val byShard = counts.slice(counts.length / 2 - 1, counts.length / 2 + 1)
+      rep.deleteWhere(col("shard") === byShard(0) &&
+        col("document").endsWith("3"))
+      val victim = rep.read().where(col("shard") === byShard(1))
+        .select("id").as[String].head()
+      rep.upsert(rep.read().where(col("id") === victim)
+        .select(col("vector"), lit("tampered").as("document"), col("id")))
+      val (tRepair, healed) = time(rep.repairFrom(src))
+      require(healed._1 == 2L, s"expected 2 convicted shards, got $healed")
+      // converged pass: audit only, rewrites nothing
+      val (tNoop, noop) = time(rep.repairFrom(src))
+      require(noop == ((0L, 0L)), s"repair did not converge: $noop")
+      // the O(data) alternative a repair replaces
+      Lake(spark, LakeConfig(s"$root/rec", dim = dim, numHashes = 5)).delete()
+      val (tReclone, rec) = time(src.cloneTo(s"$root/rec"))
+      if (report)
+        println(s"""{"probe":"repair","rows":${baseRows * scale},""" +
+          s""""diverged_shards":2,"shards":${counts.length},""" +
+          s""""repair_sec":${f"$tRepair%.2f"},""" +
+          s""""repaired_rows":${healed._2},"noop_sec":${f"$tNoop%.2f"},""" +
+          s""""reclone_sec":${f"$tReclone%.2f"}}""")
+      src.delete(); rep.delete(); rec.delete()
+    }
+    run(1, "warm", report = false) // codegen/classload warm-up
+    run(1, "x1", report = true)
+    run(10, "x10", report = true)
+    spark.stop()
+  }
+}

@@ -96,6 +96,9 @@ class LakePropertiesSpec extends SparkSpec {
     }
     // change-feed sync point taken mid-sequence: (version, model at seal)
     var sync: Option[(Long, Map[String, (Seq[Float], String)])] = None
+    // anti-entropy replica: forked once, then healed mid-sequence by
+    // repairFrom against whatever drift accumulated since
+    var replica: Option[Lake] = None
     // streaming-sink batch counter (the exactly-once ledger's clock)
     var sinkBatch = 0L
     (0 until 40).foreach { step =>
@@ -207,6 +210,33 @@ class LakePropertiesSpec extends SparkSpec {
             }
           }
           "readAt snapshot"
+        case 15 =>
+          // ANTI-ENTROPY mid-sequence: the replica lags the source by
+          // whatever mutation mix ran since the last repair (ingests,
+          // deletes, shard-moving upserts, compactions, evolves, sink
+          // batches, expirations) — repairFrom must converge it to the
+          // CURRENT model in one pass, and a second pass must no-op
+          replica match {
+            case None =>
+              if (lake.exists() && model.nonEmpty)
+                replica = Some(lake.cloneTo(s"$dir/replica"))
+              "clone anti-entropy replica"
+            case Some(rep) =>
+              rep.repairFrom(lake)
+              val got = rep.read().select("id", "vector", "document")
+                .collect()
+                .map(r => r.getString(0) ->
+                  ((r.getAs[scala.collection.Seq[Float]]("vector").toSeq,
+                    r.getString(2))))
+                .toMap
+              assert(got === model,
+                s"step $step: repaired replica diverged from the model " +
+                  s"(replica-only: ${(got.keySet -- model.keySet).take(5)}, " +
+                  s"model-only: ${(model.keySet -- got.keySet).take(5)})")
+              assert(rep.repairFrom(lake) === ((0L, 0L)),
+                s"step $step: repair did not converge in one pass")
+              "repairFrom replica"
+          }
         case 16 =>
           if (lake.exists()) lake.buildZoneMap()
           "buildZoneMap"

@@ -132,6 +132,29 @@ check(
               .collect()),
 )
 
+# anti-entropy from SQL: mutate the SOURCE with no seal (nothing for the
+# feed to replay), then CALL heal rewrites only the convicted shards
+spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-e'")
+heal = spark.sql(
+    f"""CALL lakes.system.heal(replica => '{rep_path}',
+          source => 'default.pysmoke')"""
+).head()
+check("CALL heal repaired the diverged shards", heal.shards_repaired >= 1)
+check(
+    "healed replica equals the source again",
+    sorted(r.document for r in spark.read.format("graft")
+           .load(rep_path).select("document").collect())
+    == sorted(r.document for r in
+              spark.sql("SELECT document FROM lakes.default.pysmoke")
+              .collect()),
+)
+heal2 = spark.sql(
+    f"""CALL lakes.system.heal(replica => '{rep_path}',
+          source => 'default.pysmoke')"""
+).head()
+check("a second CALL heal is a no-op",
+      heal2.shards_repaired == 0 and heal2.rows_rewritten == 0)
+
 spark.sql("DROP TABLE lakes.default.pysmoke")
 check("DROP removed the managed lake", spark.sql(
     "SHOW TABLES IN lakes.default").filter("tableName = 'pysmoke'").count() == 0)
