@@ -26,6 +26,8 @@ import graft.{Lake, LakeConfig}
   *   INSERT INTO lakes.default.corpus (vector, document) VALUES ...
   *   ALTER TABLE lakes.default.corpus ADD COLUMNS (quality double)
   *   SELECT * FROM lakes.default.corpus
+  *   SELECT * FROM lakes.default.corpus VERSION AS OF 3      -- readAt
+  *   SELECT * FROM lakes.default.corpus TIMESTAMP AS OF '2026-08-01'
   *   DROP TABLE lakes.default.corpus
   * }}}
   *
@@ -158,6 +160,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val loc = locationOrThrow(ident)
     GraftDataSource.makeTable(
       new CaseInsensitiveStringMap(Map("path" -> loc).asJava))
+  }
+
+  /** `SELECT … FROM t VERSION AS OF <v>` — the SQL face of
+    * [[graft.Lake.readAt]]: any sidecar version still on disk serves
+    * (listed by the `history` view); a vacuumed one fails loudly by
+    * name, and the snapshot table is read-only — both inherited from
+    * the format's own `asOf` option, which this delegates to. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val loc = locationOrThrow(ident)
+    val v =
+      try java.lang.Long.parseLong(version)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          "graft catalog: VERSION AS OF wants a numeric sidecar " +
+            s"version (see the history view), got '$version'")
+      }
+    GraftDataSource.makeTable(new CaseInsensitiveStringMap(
+      Map("path" -> loc, "asOf" -> v.toString).asJava))
+  }
+
+  /** `TIMESTAMP AS OF` — resolved to the NEWEST retained sidecar
+    * version whose `last_update` stamp is at or before the requested
+    * instant (Spark hands micros since epoch), then served exactly
+    * like VERSION AS OF. An instant predating the oldest retained
+    * version fails loudly instead of serving an empty guess — after a
+    * vacuum that is the honest answer. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = locationOrThrow(ident)
+    val cut = java.time.Instant.EPOCH.plus(
+      timestamp, java.time.temporal.ChronoUnit.MICROS)
+    val cfg = GraftDataSource.resolveConfig(spark,
+      new CaseInsensitiveStringMap(Map("path" -> loc).asJava))
+    val stamped = Lake(spark, cfg).history()
+      .select("version", "last_update").collect()
+      .flatMap { r =>
+        try Some(r.getLong(0) -> java.time.Instant.parse(r.getString(1)))
+        catch { case _: RuntimeException => None } // pre-stamp sidecar
+      }
+    val at = stamped.filter { case (_, t) => !t.isAfter(cut) }
+    require(at.nonEmpty,
+      s"graft catalog: TIMESTAMP AS OF $cut predates $ident's oldest " +
+        "retained version " +
+        s"(${stamped.sortBy(_._1).headOption.fold("— no stamped history")(_._2.toString)})")
+    loadTable(ident, at.maxBy(_._1)._1.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

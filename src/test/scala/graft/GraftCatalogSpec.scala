@@ -196,4 +196,53 @@ class GraftCatalogSpec extends SparkSpec {
       rows(1).getString(2) === "t")
     sql("DROP TABLE lakes.default.ev")
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF serve sealed snapshots; vacuumed and predating cuts fail loudly") {
+    warehouse
+    sql("DROP TABLE IF EXISTS lakes.default.tt")
+    sql("""CREATE TABLE lakes.default.tt (vector array<float>, document string)
+           USING graft OPTIONS (dim '4', numHashes '2')""")
+    sql("""INSERT INTO lakes.default.tt (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b')""")
+    val v1 = sql("CALL lakes.system.seal(table => 'default.tt')")
+      .head().getLong(0)
+    sql("DELETE FROM lakes.default.tt WHERE document = 'b'")
+    sql("""INSERT INTO lakes.default.tt (vector, document)
+           VALUES (array(0.0F, 0.0F, 1.0F, 0.0F), 'c')""")
+    sql("CALL lakes.system.seal(table => 'default.tt')")
+
+    def docs(suffix: String): Seq[String] =
+      sql(s"SELECT document FROM lakes.default.tt $suffix")
+        .as[String].collect().sorted.toSeq
+    assert(docs("") === Seq("a", "c"))
+    assert(docs(s"VERSION AS OF $v1") === Seq("a", "b"))
+
+    // TIMESTAMP AS OF: the v1 seal's own last_update stamp resolves to
+    // v1 (at-or-before semantics); a far-future instant serves current
+    val loc = Lake(spark, LakeConfig(s"$warehouse/default/tt",
+      dim = 4, numHashes = 2))
+    val stampV1 = loc.history().where(col("version") === v1)
+      .select("last_update").as[String].head()
+    assert(docs(s"TIMESTAMP AS OF '$stampV1'") === Seq("a", "b"))
+    assert(docs("TIMESTAMP AS OF '2999-01-01'") === Seq("a", "c"))
+
+    // a snapshot table is read-only through SQL too
+    val roErr = intercept[Exception](
+      sql(s"""INSERT INTO lakes.default.tt VERSION AS OF $v1
+              (vector, document) VALUES (array(1F,1F,1F,1F), 'x')"""))
+    assert(roErr.getMessage != null)
+
+    // predating cut: loud refusal, not an empty guess
+    val early = intercept[IllegalArgumentException](
+      sql("SELECT * FROM lakes.default.tt TIMESTAMP AS OF '1990-01-01'")
+        .collect())
+    assert(early.getMessage.contains("predates"))
+
+    // vacuum retires v1 -> VERSION AS OF v1 fails by name
+    sql(s"CALL lakes.system.vacuum(table => 'default.tt')")
+    val gone = intercept[Exception](docs(s"VERSION AS OF $v1"))
+    assert(gone.getMessage.contains(v1.toString))
+    sql("DROP TABLE lakes.default.tt")
+  }
 }

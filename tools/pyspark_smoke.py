@@ -135,6 +135,12 @@ check(
 # anti-entropy from SQL: mutate the SOURCE with no seal (nothing for the
 # feed to replay), then CALL heal rewrites only the convicted shards
 spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-e'")
+check(
+    "SQL time travel: VERSION AS OF still serves the pre-delete seal",
+    spark.sql(f"""SELECT count(*) FROM lakes.default.pysmoke
+                  VERSION AS OF {sealed2}""").head()[0]
+    == spark.sql("SELECT count(*) FROM lakes.default.pysmoke").head()[0] + 1,
+)
 heal = spark.sql(
     f"""CALL lakes.system.heal(replica => '{rep_path}',
           source => 'default.pysmoke')"""
