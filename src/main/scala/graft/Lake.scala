@@ -3293,6 +3293,88 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     sliceCount - keptCount
   }
 
+  /** ROW-LEVEL DML APPLY — the commit half of the SQL `UPDATE` /
+    * `MERGE INTO` / subquery-`DELETE` surface
+    * ([[graft.sources.GraftRowLevelBuilder]]): one transactional
+    * rewrite that removes every id in `deletes` and lands every row in
+    * `inserts` under upsert identity (an insert whose id already
+    * exists replaces the stored version). Updates arrive pre-split as
+    * delete(old id) + insert(new row), so `SET id` re-keying and
+    * shard-moving `SET vector` need no special casing — the insert
+    * re-derives and re-routes exactly like [[upsert]] (derived
+    * columns `shard`/`packed`/`pq_code` are recomputed; DML
+    * assignments to them are overwritten by design). Same discovery
+    * (skip-index-prunable id probe), same rewrite machinery, locks,
+    * and staged-publish commit as [[upsert]]/[[deleteWhere]]. Returns
+    * (rows removed or replaced, rows landed). */
+  private[graft] def applyRowDelta(deletes: DataFrame,
+      inserts: DataFrame): (Long, Long) = {
+    requireWriteConfigMatch()
+    withWriterLock("rowLevelDml")(applyRowDeltaImpl(deletes, inserts))
+  }
+
+  private def applyRowDeltaImpl(deletes: DataFrame,
+      inserts: DataFrame): (Long, Long) = {
+    // a pure DELETE stages no row columns — there is nothing to derive
+    val newDerived =
+      if (!inserts.columns.exists(_.equalsIgnoreCase("vector"))) None
+      else Some(graft.operators.Materialize.cut(withDerived(inserts)))
+    val newCount = newDerived.fold(0L)(_.count())
+    // duplicate TARGET ids in one statement would both survive the
+    // rewrite (MERGE inserting two rows under one explicit id, or two
+    // updates re-keyed onto one id) — no row order exists to pick a
+    // winner, so refuse loudly, same contract as upsert
+    val distinctIds = newDerived.fold(0L)(_.select("id").distinct().count())
+    require(distinctIds == newCount,
+      s"row-level DML lands duplicate ids ($newCount rows, " +
+        s"$distinctIds distinct ids) — make the written ids unique")
+    val delIds = graft.operators.Materialize.cut(
+      deletes.select(col(deletes.columns.head).cast(StringType).as("id"))
+        .where(col("id").isNotNull).distinct())
+    val delCount = delIds.count()
+    if (newCount == 0L && delCount == 0L) return (0L, 0L)
+    require(exists(),
+      s"row-level DML at ${cfg.location}: the lake does not exist")
+    val newIds = newDerived.fold(delIds.limit(0))(_.select("id"))
+    val touched = broadcast(newIds.select(col("id").as("__chg_id"))
+      .unionByName(delIds.select(col("id").as("__chg_id"))).distinct())
+    // old-version probe, skip-index pruned when one is fresh (exact
+    // semi-join kills bloom false positives — upsertImpl scaladoc)
+    val probe = {
+      val fs = fsOfRoot
+      val entries = listRoot(fs)
+      skipCandidates(newIds.unionByName(delIds.select("id")),
+        readStateFrom(fs, entries), entries)
+    } match {
+      case Some(c) if c.isEmpty => None
+      case Some(c) => Some(read().where(affectedPartPred(c)))
+      case None => Some(read())
+    }
+    val oldShards = probe.map(
+      _.join(touched, col("id") === col("__chg_id"), "left_semi")
+        .select(partCol).distinct().collect())
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+    val newShards = newDerived.fold(
+      Array.empty[org.apache.spark.sql.Row])(
+      _.select(partCol).distinct().collect())
+    val affected = (oldShards ++ newShards)
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
+    if (affected.isEmpty) return (0L, 0L) // deletes of absent ids only
+    val slice = read().where(affectedPartPred(affected))
+    val sliceCount = slice.count()
+    val colsNow = storedColsNow
+    val kept = slice
+      .join(touched, col("id") === col("__chg_id"), "left_anti")
+      .select((colsNow.map(col) :+ col(partCol)): _*)
+    val keptCount = kept.count()
+    if (sliceCount == keptCount && newCount == 0L) return (0L, 0L)
+    rewritePartitions(affected,
+      newDerived.fold(kept)(nd => kept.unionByName(
+        nd.select((colsNow.map(col) :+ col(partCol)): _*))),
+      keptCount + newCount, "rowLevelDml")
+    (sliceCount - keptCount, newCount)
+  }
+
   /** Null-safe membership predicate over decoded partition values. */
   private def affectedPartPred(affected: Set[Option[String]]): Column =
     affected.toSeq
@@ -4275,6 +4357,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         case Lake.stagingDirName =>
           val hadContent = fs.listStatus(s.getPath).nonEmpty
           if (fs.delete(s.getPath, true) && hadContent) removed += 1L
+        // row-level DML staging (_rlo/<queryId>): writers stage BEFORE
+        // the statement's apply takes the writer lock, so a live
+        // statement's dir is age-protected — only a dir idle >10 min
+        // (a crashed statement: the write job's last staging write and
+        // its locked apply are adjacent in time) is a stranded leftover.
+        // If a pathological sweep ever catches a live one, the commit
+        // fails LOUDLY on the missing files (GraftDeltaWrite), never
+        // silently applying a partial delta.
+        case "_rlo" if s.isDirectory =>
+          fs.listStatus(s.getPath).foreach { q =>
+            if (now - q.getModificationTime > 600000L &&
+                fs.delete(q.getPath, true)) removed += 1L
+          }
+          if (fs.listStatus(s.getPath).isEmpty) {
+            fs.delete(s.getPath, false); ()
+          }
         case _ => ()
       }
     }
@@ -5084,7 +5182,10 @@ object Lake {
   private[graft] val reservedDerivedCols: Set[String] = Set(
     "change", "dist", "packed", "pq_code", "qnrm", "qshard",
     "_mcmp", "_slice", "n_slices", "__routed", "shard_s", "key_s",
-    "spec_fp", "skip_stale")
+    "spec_fp", "skip_stale",
+    // the DSv2 row-level DML metadata column (GraftTable.RidName): a
+    // DATA column with this name would shadow it and break UPDATE/MERGE
+    "_graft_rid")
 
   /** Staleness horizon for a sink attempt's pend marker: an attempt
     * HEARTBEATS its marker every `pendStaleMs / 4`, so a marker this

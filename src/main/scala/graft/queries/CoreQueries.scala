@@ -562,6 +562,83 @@ object CoreQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** The (session, sfDir)-scoped lake mutated ENTIRELY through SQL
+    * row-level DML ([[graft.sources.GraftRowLevelBuilder]]): a MERGE
+    * negates every `vec_id % 9 = 0` vector (shard-moving updates
+    * through the delta path), an UPDATE renames every `vec_id % 10 =
+    * 0` document, and a subquery DELETE removes every `vec_id % 10 =
+    * 5` row (the non-pushable delete shape). Built once per (session,
+    * sfDir); the oracle recomputes the same mutations from raw
+    * `embeddings`, so hash-equality proves the DML surface updated,
+    * re-routed, renamed, and deleted exactly the claimed rows and
+    * corrupted none. */
+  private def sqlDmlLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "sql_dml") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "dml_lake")
+      val l = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
+      l.delete()
+      l.ingest(Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document")))
+      val tag = java.lang.Integer.toHexString(System.identityHashCode(s))
+      val cat = s"graftdml$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        BuiltFixtures.sessionTmp(s, dir, "dml_wh"))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+      val t = s"$cat.default.corpus"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $t USING graft LOCATION '$tmp'")
+      Tables.embeddings(s, dir).where(col("vec_id") % 9 === 0)
+        .select(concat(lit("doc-"), col("vec_id")).as("key"),
+          transform(col("embedding"), x => -x).as("vec"))
+        .createOrReplaceTempView(s"dml_src_$tag")
+      s.sql(s"""MERGE INTO $t x USING dml_src_$tag s ON x.document = s.key
+                WHEN MATCHED THEN UPDATE SET vector = s.vec""")
+      s.sql(s"""UPDATE $t SET document = concat('upd-', document)
+                WHERE document LIKE '%0'""")
+      Tables.embeddings(s, dir).where(col("vec_id") % 10 === 5)
+        .select(concat(lit("doc-"), col("vec_id")).as("doomed"))
+        .createOrReplaceTempView(s"dml_del_$tag")
+      s.sql(s"""DELETE FROM $t
+                WHERE document IN (SELECT doomed FROM dml_del_$tag)""")
+      l
+    }
+
+  /** Per-shard profile of the SQL-DML-mutated lake ([[sqlDmlLake]]) —
+    * row count, renamed-row count, and mean norm per POST-MUTATION
+    * shard. The oracle applies the same negate/rename/delete from raw
+    * `embeddings` (a negated vector's shard recomputes through the
+    * same hyperplane expression), so the hash pins every DML effect:
+    * a row not re-routed, a rename missed or over-applied, a delete
+    * leak, or a vector corrupted by the delta codec all flip it.
+    * Scale shape: DML cost is O(changed rows staged + affected
+    * partitions rewritten) — see GraftRowLevelBuilder; the query is
+    * the usual partitioned scan + hash agg. */
+  val qSqlDml = Q(
+    "q_sql_dml",
+    (s, dir) => {
+      val lake = sqlDmlLake(s, dir)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("document").startsWith("upd-"), 1L).otherwise(0L))
+            .as("renamed"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH base AS (
+               SELECT CASE WHEN vec_id % 9 = 0
+                           THEN list_transform(embedding, x -> -x)
+                           ELSE embedding END AS emb,
+                      CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS renamed
+               FROM embeddings WHERE vec_id % 10 <> 5)
+             SELECT ${Lsh(64, 6).sqlShardExpr("emb")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(renamed) AS BIGINT) AS renamed,
+                    round(avg(sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[]))), 6) AS avg_norm
+             FROM base GROUP BY 1 ORDER BY shard"""))
+
   /** A DEEP CLONE of the fixture lake ([[graft.Lake.cloneTo]] — the
     * experiment-fork op), built once per (session, sfDir). The
     * measured surface is the CLONE's read-back: hash-equality with an
@@ -1025,6 +1102,6 @@ object CoreQueries {
     qKnnBatch, qKnnBatchRouted, qKnnBatchRoutedMp, qNearDup, qNearDupLsh,
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
-    qShardStats, qSqlScan, qSqlInsert, qCloneStats, qSyncStats,
+    qShardStats, qSqlScan, qSqlInsert, qSqlDml, qCloneStats, qSyncStats,
     qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qHybridRrf, qMaxSim)
 }

@@ -72,6 +72,14 @@ import graft.{Lake, LakeConfig}
   * the loop `readStream(graft-changes) → transform →
   * writeStream(graft)` without a line of Scala.
   *
+  * ROW-LEVEL DML is supported: `UPDATE`, `MERGE INTO`, and subquery
+  * `DELETE` plan as a delta-based row-level operation
+  * ([[GraftRowLevelBuilder]] — staged O(changed rows), applied as one
+  * keyed transactional rewrite); pushable plain `DELETE`s stay on the
+  * metadata [[GraftTable.deleteWhere]] path, and `TRUNCATE` maps
+  * there too. Catalog tables additionally serve `VERSION AS OF` /
+  * `TIMESTAMP AS OF` ([[GraftCatalog.loadTable]]).
+  *
   * 100 TB posture: table resolution is one sidecar read + one root
   * listing + O(live dirs) path construction — the same control-plane
   * cost as [[graft.Lake.read]] — and the data plane is the stock
@@ -196,6 +204,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 }
 
 object GraftDataSource {
+  /** The row-level DML metadata column ([[GraftTable.metadataColumns]]). */
+  private[sources] val RidName = "_graft_rid"
+
   private def opt(o: CaseInsensitiveStringMap, key: String): Option[String] =
     Option(o.get(key)).filter(_.nonEmpty)
 
@@ -530,7 +541,9 @@ final class GraftTable(
     partField: StructField,
     emptySchema: Option[StructType])
   extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   // COMPOSITION, not inheritance, over the stock DSv2 ParquetTable —
   // deliberately: Spark's FallBackFileSourceV2 analyzer rule rewrites
@@ -601,6 +614,41 @@ final class GraftTable(
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Lake(SparkSession.active, cfg).deleteWhere(cond)
     ()
+  }
+
+  /** The row-level DML row id, served as a METADATA column: the
+    * stored `id` under a non-nullable declaration. The data column
+    * `id` is nullable BY SCHEMA (parquet + insert-UX: a column-list
+    * INSERT omits it and the derive fills uuids) even though the
+    * write path guarantees it is never null — and Spark refuses a
+    * nullable rowId. The metadata twin carries the truthful
+    * non-null declaration without touching the insert surface; the
+    * scan serves it by duplicating the id column
+    * ([[GraftRidScan]]), and `_graft_rid` is a reserved name
+    * ([[graft.Lake.reservedDerivedCols]]), so a data column can
+    * never shadow it. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDataSource.RidName
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "non-null row identity (the stored id column) for row-level DML"
+    })
+
+  /** `UPDATE` / `MERGE INTO` / subquery `DELETE` — the delta-based
+    * row-level operation ([[GraftRowLevelBuilder]] scaladoc): staged
+    * O(changed rows) delta, applied as one keyed transactional rewrite
+    * through [[graft.Lake.applyRowDelta]]. Pushable plain DELETEs stay
+    * on the cheaper metadata path (Spark's own
+    * OptimizeMetadataOnlyDeleteFromTable turns them back into
+    * [[deleteWhere]] calls). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft table $name0 is a time-travel snapshot (asOf=${asOf.get}) " +
+        "— snapshots are read-only; run DML against the current table")
+    new GraftRowLevelBuilder(name0, cfg, this, info)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -721,8 +769,23 @@ private final class GraftScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+  /** Whether the projection asked for the row-level DML metadata
+    * column — served by [[GraftRidScan]] duplicating the id column. */
+  private var ridRequested = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    ridRequested = requiredSchema.fieldNames.contains(GraftDataSource.RidName)
+    if (!ridRequested) delegate.pruneColumns(requiredSchema)
+    else {
+      val base = StructType(
+        requiredSchema.filterNot(_.name == GraftDataSource.RidName))
+      // the rid is the id column under a non-null declaration — make
+      // sure the parquet scan reads it even if the projection didn't
+      delegate.pruneColumns(
+        if (base.fieldNames.contains("id")) base
+        else StructType(base.fields :+ StructField("id", StringType)))
+    }
+  }
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -736,12 +799,14 @@ private final class GraftScanBuilder(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
     delegate.pushVariantExtractions(extractions)
 
-  override def build(): org.apache.spark.sql.connector.read.Scan =
-    delegate.build() match {
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val inner = delegate.build() match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         new GraftRuntimeScan(p, partField, spj)
       case other => other
     }
+    if (ridRequested) new GraftRidScan(inner) else inner
+  }
 }
 
 /** A DSv2 scan that joins can RUNTIME-prune: `filterAttributes`
@@ -865,7 +930,14 @@ private[graft] final class GraftRuntimeScan(
         current.toBatch.planInputPartitions().length)
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (spjMode) Array.empty
+    // the partition column must be IN THIS SCAN'S OUTPUT to be a
+    // runtime-filter key: Spark's PartitionPruning resolves the
+    // advertised refs against the scan relation and THROWS (rather
+    // than skips) on a miss, so a projection that drops `shard` (a
+    // row-level DML probe join, any shard-less join) must advertise
+    // nothing instead of crashing the whole statement
+    if (spjMode || !readSchema().fieldNames.contains(partField.name))
+      Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.column(partField.name))
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

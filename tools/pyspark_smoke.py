@@ -132,6 +132,29 @@ check(
               .collect()),
 )
 
+# row-level DML: UPDATE rewrites in place, MERGE upserts through the
+# delta path — the full warehouse-DML story from Python
+spark.sql("UPDATE lakes.default.pysmoke SET label = 99 WHERE document = 'py-e'")
+check("UPDATE SET landed", spark.sql(
+    "SELECT label FROM lakes.default.pysmoke WHERE document = 'py-e'")
+    .head()[0] == 99)
+spark.sql("""
+    MERGE INTO lakes.default.pysmoke t
+    USING (SELECT 'py-e' AS key, 7 AS lab
+           UNION ALL SELECT 'py-f', 8) s
+    ON t.document = s.key
+    WHEN MATCHED THEN UPDATE SET label = s.lab
+    WHEN NOT MATCHED THEN
+      INSERT (vector, document, label)
+      VALUES (array(0.5F, 0.5F, 0.0F, 0.0F), s.key, s.lab)
+""")
+check("MERGE updated and inserted", sorted(
+    (r.document, r.label) for r in spark.sql(
+        "SELECT document, label FROM lakes.default.pysmoke "
+        "WHERE document IN ('py-e', 'py-f')").collect())
+    == [("py-e", 7), ("py-f", 8)])
+spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-f'")
+
 # anti-entropy from SQL: mutate the SOURCE with no seal (nothing for the
 # feed to replay), then CALL heal rewrites only the convicted shards
 spark.sql("DELETE FROM lakes.default.pysmoke WHERE document = 'py-e'")
