@@ -99,10 +99,60 @@ class LakePropertiesSpec extends SparkSpec {
     // anti-entropy replica: forked once, then healed mid-sequence by
     // repairFrom against whatever drift accumulated since
     var replica: Option[Lake] = None
+    // SQL row-level DML rides the catalog — registered lazily at the
+    // first DML op (the lake must exist to adopt)
+    var dmlTable: Option[String] = None
+    def dmlTableName(): String = dmlTable.getOrElse {
+      spark.conf.set("spark.sql.catalog.fuzzcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.fuzzcat.warehouse", s"$dir/fuzzwh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS fuzzcat.default")
+      spark.sql("CREATE TABLE IF NOT EXISTS fuzzcat.default.fuzz " +
+        s"USING graft LOCATION '${lake.cfg.location}'")
+      dmlTable = Some("fuzzcat.default.fuzz")
+      dmlTable.get
+    }
     // streaming-sink batch counter (the exactly-once ledger's clock)
     var sinkBatch = 0L
+    val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
     (0 until 40).foreach { step =>
-      val op = rng.nextInt(26) match {
+      val op = rng.nextInt(28) match {
+        case 26 | 27 =>
+          // SQL ROW-LEVEL DML mid-sequence: UPDATE re-documents random
+          // rows, or a MERGE negates one row's vector (a shard move
+          // through the delta path) and inserts one fresh row — the
+          // staged-codec round trip under whatever extras/timestamps/
+          // maps the sequence has accumulated, against the model
+          if (!lake.exists() || model.isEmpty) "sql dml (skipped, empty)"
+          else if (rng.nextBoolean()) {
+            val targets = rng.shuffle(model.keySet.toList).take(2)
+            spark.sql(s"UPDATE ${dmlTableName()} SET document = " +
+              "concat('dml ', id) WHERE id IN (" +
+              targets.map("'" + _ + "'").mkString(",") + ")")
+            targets.foreach(id => model += id -> ((model(id)._1, s"dml $id")))
+            "sql update"
+          } else {
+            val negKey = rng.shuffle(model.keySet.toList).head
+            val fresh = freshRows(1).head
+            day += 1
+            Seq((negKey, model(negKey)._1.map(-_), ""),
+              (fresh._1, fresh._2, fresh._3))
+              .toDF("key", "vec", "doc")
+              .withColumn("tsv", org.apache.spark.sql.functions.lit(ts(day)))
+              .createOrReplaceTempView("fuzz_dml_src")
+            spark.sql(s"""MERGE INTO ${dmlTableName()} t
+              USING fuzz_dml_src s ON t.id = s.key
+              WHEN MATCHED THEN UPDATE SET vector = s.vec
+              WHEN NOT MATCHED THEN
+                INSERT (id, vector, document, timestamp)
+                VALUES (s.key, s.vec, s.doc, s.tsv)""")
+            model += negKey -> ((model(negKey)._1.map(-_), model(negKey)._2))
+            model += fresh._1 -> ((fresh._2, fresh._3))
+            days += fresh._1 -> day
+            // the MERGE insert sets no extras: its row must read back
+            // all-null across every registered extra (no stampExtras)
+            "sql merge"
+          }
         case 24 | 25 =>
           // the SQL batch WRITE path (df.write.format("graft")) — must
           // be indistinguishable from lake.ingest in the model: same
@@ -356,7 +406,15 @@ class LakePropertiesSpec extends SparkSpec {
           "changesSince replay"
       }
       check(s"step $step: $op")
+      opsRun += op
     }
+    // the interleavings this fuzz exists for must actually have fired —
+    // a dispatch change cannot silently drop a family to zero coverage
+    assert(opsRun.exists(_.startsWith("sql ")),
+      s"no SQL write/DML op fired in 40 steps: $opsRun")
+    assert(opsRun.contains("repairFrom replica") ||
+      opsRun.contains("clone anti-entropy replica"),
+      s"anti-entropy never fired in 40 steps: $opsRun")
     // end state: unique ids, audit clean, snapshot history readable
     val audit = lake.validate().head()
     assert(audit.getLong(1) === 0L && audit.getLong(2) === 0L &&
