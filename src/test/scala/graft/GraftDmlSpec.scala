@@ -207,6 +207,49 @@ class GraftDmlSpec extends SparkSpec {
     assert(lake.validate().head().getAs[Long]("misrouted") === 0L)
   }
 
+  test("two racing DML statements: single-writer contract — loser refuses loudly, retry converges, no corruption") {
+    val lake = freshTable("race")
+    sql("""INSERT INTO dml.default.race (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b')""")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def upd(doc: String): java.util.concurrent.Future[Option[Throwable]] =
+      pool.submit(() => {
+        gate.await(10, TimeUnit.SECONDS)
+        try { sql(s"UPDATE dml.default.race SET document = '$doc!' " +
+          s"WHERE document = '$doc'"); None }
+        catch { case t: Throwable => Some(t) }
+      })
+    val (fa, fb) = (upd("a"), upd("b"))
+    gate.countDown()
+    val fails = Seq(fa, fb).flatMap(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // the writer lock serializes applies; a loser (if any) must be the
+    // documented loud refusal, never a silent partial apply
+    fails.foreach { t =>
+      def cme(x: Throwable): Boolean = x != null &&
+        (x.isInstanceOf[java.util.ConcurrentModificationException] ||
+          cme(x.getCause))
+      assert(cme(t), s"unexpected failure kind: $t")
+    }
+    assert(fails.size < 2, "both writers lost the race — livelock")
+    // retry whatever lost: the end state must carry BOTH updates
+    Seq("a", "b").foreach { d =>
+      if (lake.read().where(col("document") === s"$d!").isEmpty)
+        sql(s"UPDATE dml.default.race SET document = '$d!' " +
+          s"WHERE document = '$d'")
+    }
+    assert(lake.read().select("document").as[String].collect().sorted.toSeq
+      === Seq("a!", "b!"))
+    assert(lake.validate().head().getAs[Long]("misrouted") === 0L)
+    // no stranded staging after the race + retries
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo")))
+  }
+
   test("DML parity with the Scala API: MERGE update ≡ upsert, row for row") {
     val lake = freshTable("par")
     val rows = (0 until 30).map { i =>
