@@ -250,6 +250,49 @@ class GraftDmlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo")))
   }
 
+  test("_graft_rid is a hidden metadata column: absent from SELECT *, explicitly selectable, always non-null") {
+    val lake = freshTable("rid")
+    sql("""INSERT INTO dml.default.rid (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b')""")
+    // hidden by default — a user's SELECT * schema is untouched
+    assert(!sql("SELECT * FROM dml.default.rid").columns
+      .contains("_graft_rid"))
+    // explicitly selectable, equal to id, and DECLARED non-null (the
+    // property the row-level rowId rides on)
+    val df = sql("SELECT id, _graft_rid FROM dml.default.rid")
+    assert(!df.schema("_graft_rid").nullable,
+      "the metadata twin must declare non-null")
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)))
+    // a lake can never grow a shadowing DATA column
+    val e = intercept[Exception](
+      sql("ALTER TABLE dml.default.rid ADD COLUMNS (_graft_rid string)"))
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("a stranded _rlo staging dir is vacuum-swept past the age gate; a fresh one survives") {
+    val lake = freshTable("rlo")
+    sql("""INSERT INTO dml.default.rlo (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a')""")
+    val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String, ageMs: Long): org.apache.hadoop.fs.Path = {
+      val d = new org.apache.hadoop.fs.Path(lake.cfg.location, s"_rlo/$name")
+      fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d, "delta-0-0.jsonl"), true)
+        .close()
+      fs.setTimes(d, System.currentTimeMillis() - ageMs, -1)
+      d
+    }
+    val stale = mk("crashed-query", 3600000L) // an hour dead
+    val fresh = mk("live-query", 0L)
+    lake.vacuum()
+    assert(!fs.exists(stale), "the hour-dead staging dir must sweep")
+    assert(fs.exists(fresh),
+      "a fresh staging dir is a LIVE statement's — age-protected")
+    fs.delete(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo"), true)
+  }
+
   test("DML parity with the Scala API: MERGE update ≡ upsert, row for row") {
     val lake = freshTable("par")
     val rows = (0 until 30).map { i =>
