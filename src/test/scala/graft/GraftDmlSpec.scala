@@ -293,6 +293,45 @@ class GraftDmlSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo"), true)
   }
 
+  test("an UPDATE's matched-row scan PRUNES: shard partition filter + parquet pushdown reach the DML plan") {
+    val lake = freshTable("pl")
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (Seq(math.sin(i * 3).toFloat, math.cos(i * 7).toFloat,
+        (i % 5 - 2).toFloat / 3, -math.sin(i).toFloat), s"doc-$i")
+    }
+    rows.toDF("vec", "doc").createOrReplaceTempView("pl_seed")
+    sql("""INSERT INTO dml.default.pl (vector, document)
+           SELECT vec, doc FROM pl_seed""")
+    val shards = sql("SELECT DISTINCT shard FROM dml.default.pl")
+      .as[Int].collect()
+    assert(shards.length > 2, "fixture must spread across shards")
+    val victim = lake.read().where(col("shard") === shards.head)
+      .select("document").as[String].head()
+    // the DML command's executed plan carries the WriteDelta subtree —
+    // assert the scan under it pruned to ONE shard directory and pushed
+    // the residual predicate into parquet
+    val df = sql(s"""UPDATE dml.default.pl SET document = 'pruned!'
+      WHERE shard = ${shards.head} AND document = '$victim'""")
+    // CommandResultExec carries the executed command plan as a FIELD,
+    // not a child — unwrap before collecting scans
+    val inner = df.queryExecution.executedPlan match {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        c.commandPhysicalPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(1000))
+    val desc = scans.map(_.toString).mkString("\n")
+    assert(desc.contains(s"(shard#") && desc.contains(s"= ${shards.head})"),
+      s"no shard partition filter in the DML scan:\n${desc.take(1500)}")
+    assert(desc.contains("PushedFilters: [IsNotNull(document), EqualTo(document,"),
+      s"document predicate not pushed to parquet:\n${desc.take(1500)}")
+    assert(lake.read().where(col("document") === "pruned!").count() === 1)
+  }
+
   test("DML parity with the Scala API: MERGE update ≡ upsert, row for row") {
     val lake = freshTable("par")
     val rows = (0 until 30).map { i =>
