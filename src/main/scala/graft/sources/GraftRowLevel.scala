@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.util.{Base64, Optional}
+import java.util.Base64
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}

@@ -332,6 +332,32 @@ class GraftDmlSpec extends SparkSpec {
     assert(lake.read().where(col("document") === "pruned!").count() === 1)
   }
 
+  test("user-keyed lakes: UPDATE moves a row when SET changes the partition key") {
+    warehouse
+    val dir = Files.createTempDirectory("graft_dml_keyed").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 4,
+      partitionKey = Some("tenant")))
+    lake.ingest(Seq(
+      (Seq(1f, 0f, 0f, 0f), "a", "acme"),
+      (Seq(0f, 1f, 0f, 0f), "b", "globex"))
+      .toDF("vector", "document", "tenant"))
+    sql("DROP TABLE IF EXISTS dml.default.keyed")
+    sql(s"CREATE TABLE dml.default.keyed USING graft LOCATION '$dir/lake'")
+    // SET on the PARTITION KEY: the row must physically move partitions
+    sql("""UPDATE dml.default.keyed SET tenant = 'initech'
+           WHERE document = 'a'""")
+    val got = lake.read().select("document", "tenant").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "initech", "b" -> "globex"))
+    // the moved row lives under its new directory (partition value =
+    // stored reality, not a stale column)
+    val aFiles = lake.read().where(col("document") === "a").inputFiles
+    assert(aFiles.nonEmpty && aFiles.forall(_.contains("tenant=initech")),
+      s"row not relocated: ${aFiles.mkString(", ")}")
+    assert(lake.read().where(col("tenant") === "acme").isEmpty,
+      "the old partition must not retain the moved row")
+  }
+
   test("DML parity with the Scala API: MERGE update ≡ upsert, row for row") {
     val lake = freshTable("par")
     val rows = (0 until 30).map { i =>
