@@ -349,11 +349,16 @@ class GraftDmlSpec extends SparkSpec {
     val got = lake.read().select("document", "tenant").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got === Map("a" -> "initech", "b" -> "globex"))
-    // the moved row lives under its new directory (partition value =
-    // stored reality, not a stale column)
-    val aFiles = lake.read().where(col("document") === "a").inputFiles
-    assert(aFiles.nonEmpty && aFiles.forall(_.contains("tenant=initech")),
-      s"row not relocated: ${aFiles.mkString(", ")}")
+    // physical placement: the LIVE file set now has an initech
+    // directory and no acme one — the row moved partitions on disk,
+    // it did not just change a column under a stale directory
+    val live = lake.read().inputFiles
+    assert(live.exists(_.contains("tenant=initech")),
+      s"no initech directory in the live set: ${live.mkString(", ")}")
+    assert(!live.exists(_.contains("tenant=acme")),
+      s"the old acme directory is still live: ${live.mkString(", ")}")
+    assert(lake.read().where(col("tenant") === "initech")
+      .select("document").as[String].collect().toSeq === Seq("a"))
     assert(lake.read().where(col("tenant") === "acme").isEmpty,
       "the old partition must not retain the moved row")
   }
