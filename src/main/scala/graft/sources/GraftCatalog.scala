@@ -55,6 +55,14 @@ import graft.{Lake, LakeConfig}
   * API would. `dim` is required (array<float> does not carry it);
   * partitioning clauses are refused — the lake routes its own shards.
   *
+  * CTAS (`CREATE TABLE … AS SELECT`) writes BY POSITION, so the query
+  * must project every canonical column (null-projected derived ones
+  * take their defaults — uuid ids, routed shards — through the same
+  * write path); a subset projection is refused by Spark's arity check
+  * and the half-created table is cleaned up. The ergonomic spelling is
+  * `CREATE TABLE` + `INSERT INTO t (cols…) SELECT …` (GraftCatalogSpec
+  * pins all three shapes).
+  *
   * 100 TB posture: the catalog is a pure control plane — every method
   * is O(1) sidecar/directory metadata (list/create/delete of root
   * files); no data job is ever launched by DDL. ALTER ADD COLUMNS is

@@ -197,6 +197,47 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE lakes.default.ev")
   }
 
+  test("CTAS: a full-arity projection lands derived rows; a subset projection fails Spark's arity check with NO orphan") {
+    warehouse
+    import spark.implicits._
+    Seq((Seq(1f, 0f, 0f, 0f), "a"), (Seq(0f, 1f, 0f, 0f), "b"))
+      .toDF("vector", "document").createOrReplaceTempView("cat_ctas_src")
+    // CTAS writes BY POSITION, so the query must supply every canonical
+    // column — null-projected derived columns take their defaults
+    // (uuid ids, routed shards) through the same write path as INSERT
+    sql("DROP TABLE IF EXISTS lakes.default.ctas_ok")
+    sql("""CREATE TABLE lakes.default.ctas_ok USING graft
+             OPTIONS (dim '4', numHashes '2')
+           AS SELECT CAST(null AS STRING) id, vector,
+                     CAST(null AS MAP<STRING,STRING>) metadata, document,
+                     CAST(null AS TIMESTAMP) timestamp,
+                     CAST(null AS INT) shard
+           FROM cat_ctas_src""")
+    assert(sql("""SELECT count(*) FROM lakes.default.ctas_ok
+                  WHERE id IS NULL OR shard IS NULL OR timestamp IS NULL""")
+      .head().getLong(0) === 0, "CTAS rows must derive like any write")
+    assert(sql("SELECT document FROM lakes.default.ctas_ok")
+      .as[String].collect().sorted.toSeq === Seq("a", "b"))
+    sql("DROP TABLE lakes.default.ctas_ok")
+    // the ergonomic subset shape is positional-arity-refused by Spark;
+    // the half-created table must NOT linger (non-atomic CTAS cleanup)
+    val e = intercept[Exception](
+      sql("""CREATE TABLE lakes.default.ctas_bad USING graft
+               OPTIONS (dim '4', numHashes '2')
+             AS SELECT vector, document FROM cat_ctas_src"""))
+    assert(e.getMessage.contains("not enough data columns"), e.getMessage)
+    assert(sql("SHOW TABLES IN lakes.default").collect()
+      .forall(_.getString(1) != "ctas_bad"), "orphan table after failed CTAS")
+    // the supported ergonomic spelling: CREATE + column-list INSERT
+    sql("""CREATE TABLE lakes.default.ctas_two (vector array<float>, document string)
+           USING graft OPTIONS (dim '4', numHashes '2')""")
+    sql("""INSERT INTO lakes.default.ctas_two (vector, document)
+           SELECT vector, document FROM cat_ctas_src""")
+    assert(sql("SELECT count(*) FROM lakes.default.ctas_two")
+      .head().getLong(0) === 2)
+    sql("DROP TABLE lakes.default.ctas_two")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF serve sealed snapshots; vacuumed and predating cuts fail loudly") {
     warehouse
     sql("DROP TABLE IF EXISTS lakes.default.tt")
