@@ -44,7 +44,7 @@ private[graft] object GraftProcedures {
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
     Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync",
-      "heal", "expire")
+      "diff", "heal", "expire")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -190,6 +190,27 @@ private[graft] object GraftProcedures {
           val (d, i) =
             replica.syncFrom(source, in.getLong(2), in.getLong(3))
           InternalRow(d, i)
+        }))
+      case "diff" => Some(new LakeProcedure(
+        "diff", resolve,
+        Array(p("replica", StringType,
+          "catalog table ('ns.name' or 'name') or lake root path of the REPLICA"),
+          p("source", StringType,
+            "catalog table or lake root path of the SOURCE to audit against")),
+        StructType(Seq(
+          StructField("shards", LongType, nullable = false),
+          StructField("diverged", LongType, nullable = false),
+          StructField("rows_replica", LongType, nullable = false),
+          StructField("rows_source", LongType, nullable = false))),
+        "per-shard divergence audit summary (count + content-fingerprint " +
+          "verdict riding the zero-exchange storage-partitioned join); " +
+          "diverged > 0 is what CALL heal repairs",
+        (replica, in) => {
+          val source = resolve(in.getUTF8String(1).toString)
+          val audit = replica.diffStats(source).collect()
+          InternalRow(audit.length.toLong,
+            audit.count(!_.getBoolean(3)).toLong,
+            audit.map(_.getLong(1)).sum, audit.map(_.getLong(2)).sum)
         }))
       case "heal" => Some(new LakeProcedure(
         "heal", resolve,

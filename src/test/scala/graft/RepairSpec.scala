@@ -146,6 +146,13 @@ class RepairSpec extends SparkSpec {
     // out-of-band divergence on the replica — no feed to replay
     val repLake = Lake(spark, LakeConfig(rep, dim = 4, numHashes = 2))
     repLake.deleteWhere(col("document") === "b")
+    // the SQL audit convicts BEFORE the heal...
+    val audit = spark.sql(
+      s"""CALL hlakes.system.diff(replica => '$rep', source => 'default.src')""")
+      .head()
+    assert(audit.getLong(1) >= 1L &&
+      audit.getLong(2) === audit.getLong(3) - 1L,
+      s"diff must convict the deletion: $audit")
     val r = spark.sql(
       s"""CALL hlakes.system.heal(replica => '$rep', source => 'default.src')""")
       .head()
@@ -153,10 +160,14 @@ class RepairSpec extends SparkSpec {
     assert(spark.read.format("graft").load(rep)
       .select("document").as[String].collect().sorted.toSeq ===
       Seq("a", "b", "c"))
-    // converged: a second CALL is a no-op
+    // converged: a second CALL is a no-op, and the audit reads clean
     val again = spark.sql(
       s"""CALL hlakes.system.heal(replica => '$rep', source => 'default.src')""")
       .head()
     assert(again.getLong(0) === 0L && again.getLong(1) === 0L)
+    val clean = spark.sql(
+      s"""CALL hlakes.system.diff(replica => '$rep', source => 'default.src')""")
+      .head()
+    assert(clean.getLong(1) === 0L && clean.getLong(2) === clean.getLong(3))
   }
 }
