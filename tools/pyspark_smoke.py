@@ -164,6 +164,11 @@ check(
                   VERSION AS OF {sealed2}""").head()[0]
     == spark.sql("SELECT count(*) FROM lakes.default.pysmoke").head()[0] + 1,
 )
+diff = spark.sql(
+    f"""CALL lakes.system.diff(replica => '{rep_path}',
+          source => 'default.pysmoke')"""
+).head()
+check("CALL diff convicts the divergence", diff.diverged >= 1)
 heal = spark.sql(
     f"""CALL lakes.system.heal(replica => '{rep_path}',
           source => 'default.pysmoke')"""
