@@ -38,8 +38,11 @@ class LakePropertiesSpec extends SparkSpec {
     * generation-pointer layout (manifest multi-entries, gen
     * accumulation, targeted rewrites, sweeps, and their interleavings
     * all arise naturally from the sequence). Seeded: failures replay. */
-  test("property: random maintenance sequences preserve the exact logical row set") {
-    val rng = new scala.util.Random(20260813L)
+  /** One full 40-step maintenance-model fuzz run (op mix, model, and
+    * invariants in the body) — seed-parameterized so independent seeds
+    * drive DIFFERENT interleavings through the same checks. */
+  private def maintenanceFuzz(seed: Long): Unit = {
+    val rng = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("graft_fuzz").toString
     val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
     var model = Map.empty[String, (Seq[Float], String)] // id -> (vector, doc)
@@ -103,13 +106,16 @@ class LakePropertiesSpec extends SparkSpec {
     // first DML op (the lake must exist to adopt)
     var dmlTable: Option[String] = None
     def dmlTableName(): String = dmlTable.getOrElse {
-      spark.conf.set("spark.sql.catalog.fuzzcat",
+      // seed-scoped catalog name: a shared one would pin the FIRST
+      // run's lake location for every later seed
+      val cat = s"fuzzcat$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.fuzzcat.warehouse", s"$dir/fuzzwh")
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS fuzzcat.default")
-      spark.sql("CREATE TABLE IF NOT EXISTS fuzzcat.default.fuzz " +
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$dir/fuzzwh")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.default")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.fuzz " +
         s"USING graft LOCATION '${lake.cfg.location}'")
-      dmlTable = Some("fuzzcat.default.fuzz")
+      dmlTable = Some(s"$cat.default.fuzz")
       dmlTable.get
     }
     // streaming-sink batch counter (the exactly-once ledger's clock)
@@ -420,6 +426,14 @@ class LakePropertiesSpec extends SparkSpec {
     assert(audit.getLong(1) === 0L && audit.getLong(2) === 0L &&
       audit.getLong(5) === 0L, "validate clean after fuzz")
     assert(lake.history().count() >= 1L)
+  }
+
+  test("property: random maintenance sequences preserve the exact logical row set") {
+    maintenanceFuzz(20260813L)
+  }
+
+  test("property: a second seed drives a different interleaving through the same invariants") {
+    maintenanceFuzz(777321L)
   }
 
   test("property: router range 0 <= shard < numShards for arbitrary vectors") {
