@@ -363,6 +363,35 @@ class GraftDmlSpec extends SparkSpec {
       "the old partition must not retain the moved row")
   }
 
+  test("SQL DML rides the change feed: a replica syncs an UPDATE as a netted delete+insert pair") {
+    val lake = freshTable("feed")
+    sql("""INSERT INTO dml.default.feed (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b')""")
+    val a = lake.seal()
+    val dir = Files.createTempDirectory("graft_dml_feed").toString
+    val replica = lake.cloneTo(s"$dir/rep")
+
+    sql("UPDATE dml.default.feed SET document = 'a2' WHERE document = 'a'")
+    val b = lake.seal()
+
+    // the DML rewrite nets to exactly one delete + one insert — the
+    // untouched row's rewritten-but-identical copy cancels out
+    val delta = lake.changesBetween(a, b)
+      .select("change", "document").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(delta === Seq(("delete", "a"), ("insert", "a2")),
+      s"unexpected netted delta: $delta")
+
+    // and the replica converges by applying it
+    val (d, i) = replica.syncFrom(lake, a, b)
+    assert(d === 1L && i === 1L)
+    assert(replica.read().select("document").as[String].collect().sorted
+      .toSeq === Seq("a2", "b"))
+    assert(replica.diffStats(lake).where(!col("in_sync")).isEmpty,
+      "post-sync audit must read clean")
+  }
+
   test("DML parity with the Scala API: MERGE update ≡ upsert, row for row") {
     val lake = freshTable("par")
     val rows = (0 until 30).map { i =>
