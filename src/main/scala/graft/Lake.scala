@@ -3333,8 +3333,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .where(col("id").isNotNull).distinct())
     val delCount = delIds.count()
     if (newCount == 0L && delCount == 0L) return (0L, 0L)
-    require(exists(),
-      s"row-level DML at ${cfg.location}: the lake does not exist")
+    if (!exists()) {
+      // bootstrapping DML (a MERGE's not-matched inserts into a fresh
+      // bootstrapped table): deletes have nothing to hit, inserts are
+      // a plain first append — same branch as upsert's bootstrap
+      newDerived.foreach { nd =>
+        val out = writeAppend(nd)
+        refreshSkipIndex(out.shards); refreshZoneMap(out.files)
+      }
+      return (0L, newCount)
+    }
     val newIds = newDerived.fold(delIds.limit(0))(_.select("id"))
     val touched = broadcast(newIds.select(col("id").as("__chg_id"))
       .unionByName(delIds.select(col("id").as("__chg_id"))).distinct())

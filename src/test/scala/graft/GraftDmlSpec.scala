@@ -363,6 +363,28 @@ class GraftDmlSpec extends SparkSpec {
       "the old partition must not retain the moved row")
   }
 
+  test("MERGE into a fresh EMPTY table bootstraps: not-matched inserts land derived; a second MERGE matches them") {
+    val lake = freshTable("boot")
+    Seq(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+      .toDF("key", "vec").createOrReplaceTempView("boot_src")
+    // with BOTH clauses the statement rides the delta path (insert-only
+    // merges are append-planned) — the empty-lake apply must bootstrap,
+    // not refuse
+    sql("""MERGE INTO dml.default.boot t USING boot_src s ON t.document = s.key
+           WHEN MATCHED THEN UPDATE SET vector = s.vec
+           WHEN NOT MATCHED THEN INSERT (vector, document) VALUES (s.vec, s.key)""")
+    val rows = lake.read().collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getAs[String]("id") != null &&
+      r.getAs[java.sql.Timestamp]("timestamp") != null), "derive must run")
+    assert(lake.validate().head().getAs[Long]("misrouted") === 0L)
+    // the bootstrapped rows are real upsert targets for the next MERGE
+    sql("""MERGE INTO dml.default.boot t USING boot_src s ON t.document = s.key
+           WHEN MATCHED THEN UPDATE SET document = concat(s.key, '2')""")
+    assert(lake.read().select("document").as[String].collect().sorted
+      .toSeq === Seq("a2", "b2"))
+  }
+
   test("SQL DML rides the change feed: a replica syncs an UPDATE as a netted delete+insert pair") {
     val lake = freshTable("feed")
     sql("""INSERT INTO dml.default.feed (vector, document)
