@@ -1552,28 +1552,65 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }
     require(shared.nonEmpty, "diffStats: no shared stored columns")
     // hash expressions prohibit MAP inputs (map hashcodes are
-    // order-sensitive) — canonicalize maps to their sorted entry list
+    // order-sensitive) — canonicalize maps to their sorted entry list.
+    // NULL-DISTINGUISHING: xxhash64 passes its seed through unchanged
+    // on a NULL input, so two rows differing only in WHICH of two
+    // columns is null would hash identically — each value rides with
+    // an explicit per-column null flag so null placement is part of
+    // the fingerprint.
     val byName = canonicalSchema.fields.map(f => f.name -> f.dataType).toMap
-    val hashInputs = shared.map { f =>
-      byName(f) match {
+    val hashInputs = shared.flatMap { f =>
+      val v = byName(f) match {
         case _: MapType => sort_array(map_entries(col(f)))
         case _ => col(f)
       }
+      Seq(v, isnull(col(f)).cast(IntegerType))
     }
     // spj=false forces the stock shuffled plan — the A/B lever
-    // SpjBench measures the co-located audit against
-    def side(l: Lake, cntName: String, hashName: String): DataFrame =
+    // SpjBench measures the co-located audit against.
+    // TWO combiners over the per-row hash: bit_xor alone is blind to
+    // byte-identical row PAIRS (h XOR h = 0 — a duplicated-and-
+    // dropped-elsewhere pair would XOR-cancel, count-neutral), and a
+    // plain sum alone is blind to nothing obvious but wraps under
+    // ANSI overflow — so the additive combiner runs in decimal(38,0)
+    // (10^19 hash magnitude × 10^19 rows fits) and a shard is in_sync
+    // only when count, XOR fold, AND additive fold all agree.
+    def side(l: Lake, cntName: String, hashName: String, sumName: String): DataFrame =
       spark.read.format("graft").option("spj", spj.toString).load(l.cfg.location)
         .groupBy(col(partCol))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as(cntName),
-          bit_xor(xxhash64(hashInputs: _*)).as(hashName))
-    side(this, "cnt", "h")
-      .join(side(other, "other_cnt", "oh"), Seq(partCol), "full_outer")
-      .select(col(partCol),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        coalesce(col("other_cnt"), lit(0L)).as("other_cnt"),
-        (col("cnt") <=> col("other_cnt") && col("h") <=> col("oh"))
-          .as("in_sync"))
+          bit_xor(xxhash64(hashInputs: _*)).as(hashName),
+          sum(xxhash64(hashInputs: _*).cast(DecimalType(38, 0))).as(sumName))
+    // Join strategy by NULLABILITY of the shard key. A user-keyed
+    // lake's null-key rows (hive default-partition dirs) and an
+    // adopted flat lake's unpartitioned root files audit as ONE
+    // null-key group per side — a plain equi-join would never match
+    // them and report a healthy null shard as two spurious one-sided
+    // rows, so those lakes take a NULL-SAFE join. But Spark rewrites
+    // `<=>` into coalesce/isnull join keys, which cannot ride
+    // KeyGroupedPartitioning — so the common case (LSH-routed, no
+    // legacy root data: the shard key is provably non-null) keeps the
+    // plain equi-join and with it the ZERO-EXCHANGE co-located plan
+    // (GraftSpjSpec pins both shapes).
+    val mine = side(this, "cnt", "h", "hs")
+    val theirs = side(other, "other_cnt", "oh", "ohs")
+    val verdict =
+      (col("cnt") <=> col("other_cnt") && col("h") <=> col("oh") &&
+        col("hs") <=> col("ohs")).as("in_sync")
+    val nullableKey = cfg.partitionKey.isDefined ||
+      scanRoots(None).exists(_._2.isEmpty) ||
+      other.scanRoots(None).exists(_._2.isEmpty)
+    val joined =
+      if (nullableKey)
+        mine.join(theirs, mine(partCol) <=> theirs(partCol), "full_outer")
+          .select(coalesce(mine(partCol), theirs(partCol)).as(partCol),
+            col("cnt"), col("other_cnt"), col("h"), col("oh"),
+            col("hs"), col("ohs"))
+      else mine.join(theirs, Seq(partCol), "full_outer")
+    joined.select(col(partCol),
+      coalesce(col("cnt"), lit(0L)).as("cnt"),
+      coalesce(col("other_cnt"), lit(0L)).as("other_cnt"),
+      verdict)
     // deliberately UNORDERED: an orderBy here would range-shuffle the
     // (tiny) result and spoil the plan's zero-exchange property —
     // callers that want shard order sort the |shards|-row output
@@ -4827,7 +4864,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val packField =
       if (cfg.packSignBits) s""", "pack_sign_bits": true""" else ""
     val partKeyField = cfg.partitionKey
-      .map(k => s""", "partition_key": "${escapeJson(k)}"""").getOrElse("")
+      .map(k => s""", "partition_key": "${escapeJson(k)}"""").getOrElse("") +
+      // ... and its TYPE: without it the SQL surface resolves a
+      // Scala-created IntegerType-keyed lake with the StringType
+      // default, and format reads / DML serve a string-typed key
+      // column diverging from the Scala API's
+      cfg.partitionKey.map(_ =>
+        s""", "partition_key_type": "${escapeJson(cfg.partitionKeyType.catalogString)}"""")
+        .getOrElse("")
     val sealedField = if (sealedCommit) s""", "sealed": true""" else ""
     val liveField = st.live
       .map { case (d, g) => s"""["${escapeJson(d)}", $g]""" }

@@ -11,13 +11,22 @@ import graft.functions.{TextFunctions => T}
   * decoder (JNI/ffmpeg/image lib) would amortize per-partition init —
   * the Scala analog of a Pandas-UDF `mapInPandas` batch.
   *
-  * The decode step itself is STUBBED: this container has no image/audio
-  * libraries, so [[FakeDecoder]] derives deterministic pseudo-features
-  * from the payload's md5 (clearly marked below). Everything around it —
-  * schema, Dataset plumbing, per-partition batching, downstream
-  * transforms (resize, frame sampling) — is real and tested, and
-  * [[Multimodal.featureCols]] provides an expression-only twin of the
-  * fake decode so the whole path is DuckDB-oracle-checkable.
+  * Decode is REAL where the public JDK has a decoder (since round 7):
+  * images through `javax.imageio` ([[ImageIoDecoder]] — PNG/JPEG/GIF/
+  * BMP, raster dims from the actual decode) and audio through
+  * `javax.sound.sampled` ([[JdkDecoder]] — WAV/AIFF/AU, duration from
+  * the parsed frame count), both zero-native-dep. VIDEO is the one
+  * kind with no public-JDK decoder — permanently, not as a gap to
+  * close here: its contract is [[FakeDecoder]]'s deterministic
+  * md5-derived pseudo-features (visibly fake dims, never a silent
+  * drop), the seam where a production deploy plugs an ffmpeg-backed
+  * [[Decoder]] into the same partition-wise plumbing. Everything
+  * around the decoders — schema, Dataset plumbing, per-partition
+  * batching, downstream transforms (resize, frame sampling) — is the
+  * real operator either way, and [[Multimodal.featureCols]] provides
+  * an expression-only twin of the fake decode so the whole path is
+  * DuckDB-oracle-checkable (MultimodalSpec covers the real decoders
+  * against known payloads).
   */
 final case class Asset(asset_id: Long, kind: String, bytes: Array[Byte])
 

@@ -419,6 +419,16 @@ object GraftDataSource {
         // pre-recording sidecars fall back to the legacy "key" guess
         .orElse(json.flatMap(Lake.escapedStrField(_, "partition_key")))
         .orElse(if (userKeyed) Some("key") else None),
+      partitionKeyType = opt(options, "partitionKeyType")
+        // the sidecar records the key's TYPE too (round 11): a
+        // Scala-created IntegerType-keyed lake must not resolve
+        // through SQL with the StringType default — the format scan
+        // and DML would serve a string-typed key column diverging
+        // from the Scala API's. Pre-recording sidecars keep the
+        // default, same back-compat posture as partition_key.
+        .orElse(json.flatMap(Lake.escapedStrField(_, "partition_key_type")))
+        .map(org.apache.spark.sql.types.DataType.fromDDL)
+        .getOrElse(org.apache.spark.sql.types.StringType),
       packSignBits = opt(options, "packSignBits").map(_.toBoolean)
         .getOrElse(json.exists(
           """"pack_sign_bits"\s*:\s*true""".r.findFirstIn(_).isDefined)))
@@ -849,7 +859,7 @@ private final class GraftScanBuilder(
   * stable once EnsureRequirements planned the shuffle-free join, and
   * the co-partitioned join subsumes DPP's benefit. */
 private[graft] final class GraftRuntimeScan(
-    initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    private val initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     partField: StructField,
     spjRequested: Boolean)
   extends org.apache.spark.sql.connector.read.Scan
@@ -900,7 +910,10 @@ private[graft] final class GraftRuntimeScan(
       val files = splits.collect { case f: FilePartition => f }.flatMap(_.files)
       files.groupBy(_.partitionValues.get(0, partField.dataType))
         .toArray
-        .sortBy(_._1.toString)
+        // null-safe ordering: __HIVE_DEFAULT_PARTITION__ dirs and
+        // legacy unpartitioned root files carry a NULL key —
+        // `_._1.toString` would NPE the whole re-plan on them
+        .sortBy(p => String.valueOf(p._1))
         .zipWithIndex
         .map { case ((_, fs), i) =>
           new KeyedFilePartition(i, fs, fs.head.partitionValues.copy())
@@ -961,13 +974,19 @@ private[graft] final class GraftRuntimeScan(
       current = current.copy(partitionFilters = current.partitionFilters ++ exprs)
   }
 
-  // scan equality drives exchange/scan reuse — delegate to the
-  // underlying case class so identical queries still dedupe
+  // scan equality drives exchange/scan reuse — keyed on the IMMUTABLE
+  // inputs (the build-time delegate + spj mode), never on `current`:
+  // filter() swaps `current` mid-planning, and a hashCode that changed
+  // after the scan entered Spark's reuse maps would orphan the entry
+  // (missed reuse / inconsistent equality). Runtime filters stay part
+  // of plan identity anyway: BatchScanExec compares its own
+  // `runtimeFilters` field, so two scans equal here but pruned
+  // differently can never be conflated into one exchange.
   override def equals(o: Any): Boolean = o match {
-    case g: GraftRuntimeScan => g.current == current && g.spjMode == spjMode
+    case g: GraftRuntimeScan => g.initial == initial && g.spjMode == spjMode
     case _ => false
   }
-  override def hashCode(): Int = current.hashCode()
+  override def hashCode(): Int = initial.hashCode() * 31 + (if (spjMode) 1 else 0)
 }
 
 /** A parquet file partition that knows its shard key — the unit of

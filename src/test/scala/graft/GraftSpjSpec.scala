@@ -205,6 +205,104 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ keyed re-plan and diffStats survive a NULL partition key (hive default-partition dirs)") {
+    // a user-keyed lake holding null-key rows lands them under
+    // __HIVE_DEFAULT_PARTITION__ — the keyed re-plan's deterministic
+    // sort used to NPE on the null group, and the audit's equi-join
+    // used to split a healthy null shard into two one-sided rows
+    val dir = Files.createTempDirectory("graft_spj_null").toString
+    val a = Lake(spark, LakeConfig(s"$dir/src", dim = 3, partitionKey = Some("key")))
+    val data = (0 until 300).map { i =>
+      (s"r-$i", Seq(math.sin(i).toFloat, math.cos(i).toFloat, 0.1f),
+        s"doc $i", if (i % 7 == 0) null else s"k${i % 3}")
+    }.toDF("id", "vector", "document", "key")
+    a.ingest(data)
+    val b = a.cloneTo(s"$dir/rep")
+
+    // fresh clone: every shard INCLUDING the null one reads in_sync,
+    // exactly one audit row per distinct key
+    val clean = a.diffStats(b).collect()
+    assert(clean.length === 4, clean.mkString(", "))
+    assert(clean.forall(_.getBoolean(3)), "fresh clone must be fully in_sync")
+    assert(clean.count(_.isNullAt(0)) === 1, "the null key audits as ONE group")
+
+    // diverge a null-key row (r-7: 7 % 7 == 0): the audit must
+    // convict exactly the null shard, keyed re-plan included
+    b.deleteWhere(col("id") === "r-7")
+    val audited = a.diffStats(b).collect()
+    val convicted = audited.filterNot(_.getBoolean(3))
+    assert(convicted.length === 1 && convicted.head.isNullAt(0),
+      s"expected exactly the null shard convicted, got ${convicted.mkString(", ")}")
+  }
+
+  test("diffStats fingerprint distinguishes null-placement and duplicated-pair divergence") {
+    // two residuals the round-10 fingerprint was blind to, both
+    // count-neutral AND invisible to the bare xxhash64/bit_xor fold:
+    // (a) a value MIGRATING between two adjacent same-type columns
+    //     (one null, the other holding it) folds the same non-null
+    //     input sequence — xxhash64 passes its seed through on null,
+    //     so only the new per-column null flags see the placement;
+    // (b) each side gaining a different byte-identical row PAIR —
+    //     pairs XOR-cancel under bit_xor, so only the new additive
+    //     fold sees them.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def mk(n: Int) = (0 until n).map { i =>
+      (s"r-$i", Seq(math.sin(i).toFloat, math.cos(i).toFloat, 0.1f),
+        s"doc $i", ts)
+    }.toDF("id", "vector", "document", "timestamp")
+
+    // (a) null-placement swap across adjacent string columns: sorted
+    // hash-input order is (doc2, document, id, ...), so source
+    // (doc2=null, document="z") and replica (doc2="z", document=null)
+    // fold IDENTICAL non-null sequences
+    val dir = Files.createTempDirectory("graft_spj_fp").toString
+    val extra = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc2",
+        org.apache.spark.sql.types.StringType)))
+    def swapped(doc: Option[String], doc2: Option[String]) =
+      Seq(("n-0", Seq(0.5f, 0.5f, 0.5f), doc.orNull, ts, doc2.orNull))
+        .toDF("id", "vector", "document", "timestamp", "doc2")
+    val a = Lake(spark, LakeConfig(s"$dir/src", dim = 3, numHashes = 2))
+    a.bootstrap(); a.evolve(extra)
+    val b = Lake(spark, LakeConfig(s"$dir/rep", dim = 3, numHashes = 2))
+    b.bootstrap(); b.evolve(extra)
+    a.ingest(mk(40)); b.ingest(mk(40))
+    a.ingest(swapped(doc = Some("z"), doc2 = None))
+    b.ingest(swapped(doc = None, doc2 = Some("z")))
+    val victimShard = a.read().where(col("id") === "n-0")
+      .select("shard").collect().head.getInt(0)
+    val afterSwap = a.diffStats(b).collect()
+    assert(afterSwap.forall(r => r.getLong(1) == r.getLong(2)),
+      "the placement swap must be count-neutral")
+    assert(afterSwap.filterNot(_.getBoolean(3)).map(_.getInt(0)).toSet === Set(victimShard),
+      "null-placement divergence must convict exactly the victim shard")
+
+    // (b) dueling byte-identical pairs: pick two distinct stored rows
+    // of ONE shard; the source gains two exact copies of the first,
+    // the replica two exact copies of the second — counts equal, each
+    // pair XOR-cancels, only the additive fold diverges
+    val dir2 = Files.createTempDirectory("graft_spj_fp2").toString
+    val a2 = Lake(spark, LakeConfig(s"$dir2/src", dim = 3, numHashes = 2))
+    a2.ingest(mk(40))
+    val b2 = a2.cloneTo(s"$dir2/rep")
+    val shardOf = a2.read().groupBy("shard").count()
+      .where(col("count") >= 2).select("shard").collect().head.getInt(0)
+    val pair = a2.read().where(col("shard") === shardOf)
+      .select("id", "vector", "metadata", "document", "timestamp")
+      .orderBy("id").limit(2).collect()
+    def twice(r: org.apache.spark.sql.Row) =
+      Seq(0, 1).map(_ => (r.getString(0), r.getSeq[Float](1),
+        r.getMap[String, String](2).toMap, r.getString(3), r.getTimestamp(4)))
+        .toDF("id", "vector", "metadata", "document", "timestamp")
+    a2.ingest(twice(pair(0)))
+    b2.ingest(twice(pair(1)))
+    val afterDup = a2.diffStats(b2).collect()
+    assert(afterDup.forall(r => r.getLong(1) == r.getLong(2)),
+      "the duplication must be count-neutral")
+    assert(afterDup.filterNot(_.getBoolean(3)).map(_.getInt(0)).toSet === Set(shardOf),
+      "duplicated-pair divergence must convict exactly the victim shard")
+  }
+
   test("SPJ mode never changes WHAT is read: literal shard pruning and full-scan aggregates agree") {
     val full = fmt(src).count()
     val one = fmt(src).where(col("shard") === 3).count()

@@ -206,6 +206,29 @@ class GraftWriteSpec extends SparkSpec {
       .collect().toMap === Map("a" -> "acme", "b" -> "globex"))
   }
 
+  test("user-keyed lakes: the format recovers the partition key TYPE from the sidecar") {
+    val loc = tmp() + "/lake"
+    val keyed = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2,
+      partitionKey = Some("region_id"),
+      partitionKeyType = org.apache.spark.sql.types.IntegerType))
+    keyed.ingest(Seq((Seq(1f, 0f, 0f, 0f), "a", 7))
+      .toDF("vector", "document", "region_id"))
+    // zero options: the format must serve the key at the Scala API's
+    // declared type, not the StringType default — a string-typed
+    // shard column here would diverge from keyed.read()'s int
+    val viaFmt = spark.read.format("graft").load(loc)
+    assert(viaFmt.schema("region_id").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      viaFmt.schema.treeString)
+    assert(viaFmt.where(col("region_id") === 7).count() === 1L)
+    // and the SQL write path routes under the same typed key
+    Seq((Seq(0f, 1f, 0f, 0f), "b", 9))
+      .toDF("vector", "document", "region_id")
+      .write.format("graft").mode("append").save(loc)
+    assert(keyed.read().select("document", "region_id").as[(String, Int)]
+      .collect().toMap === Map("a" -> 7, "b" -> 9))
+  }
+
   test("config UPGRADES are refused over a lake that holds rows; a bootstrapped empty lake upgrades freely") {
     val loc = tmp() + "/lake"
     val plain = Lake(spark, LakeConfig(loc, dim = 4, numHashes = 2))
