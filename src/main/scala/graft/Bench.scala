@@ -57,6 +57,38 @@ object Bench {
     if (med <= 0.0) 0.0 else (xs.max - xs.min) / med
   }
 
+  /** Fold per-pass timings into per-query results. The UNTIMED warm-up
+    * pass never reaches this function — it exists so one-time
+    * per-query costs (BuiltFixtures mutation-history builds, Janino
+    * codegen) are paid before the first timed sample, making every
+    * pass a serve-path measurement. `warmedUp` says whether that pass
+    * ran: when it did, the spread uses ALL successful timed samples;
+    * when it did not (SPARK_GRAFT_WARMUP_REPS=0), pass 0 is excluded
+    * from the spread as before — it pays the one-time builds the
+    * median already rejects, and folding it into the dispersion stamp
+    * would flag most of the registry as "unstable" over a cost no
+    * steady run re-pays. Medians always use every successful timed
+    * sample (failure timings only when NO pass succeeded — the honest
+    * cost of a query that never succeeds). BenchFormatSpec pins both
+    * modes. */
+  def summarize(names: Seq[String],
+      passes: Seq[Map[String, (Double, Option[String])]],
+      tailPasses: Seq[Map[String, (Double, Option[String])]],
+      warmedUp: Boolean): Seq[(String, QueryResult)] = names.map { name =>
+    val runs = passes.map(_(name)) ++ tailPasses.flatMap(_.get(name))
+    // a failing pass can exit far faster than a real run and would
+    // drag the median below the query's true cost — time successful
+    // passes only
+    val ok = runs.filter(_._2.isEmpty)
+    val timed = if (ok.nonEmpty) ok else runs
+    val spreadSamples =
+      ((if (warmedUp) passes else passes.drop(1)).map(_(name)) ++
+        tailPasses.flatMap(_.get(name))).filter(_._2.isEmpty)
+    name -> QueryResult(median(timed.map(_._1)),
+      runs.flatMap(_._2).headOption, runs.count(_._2.isDefined),
+      spreadOf(spreadSamples.map(_._1)))
+  }
+
   /** JSON string literal: truncate BEFORE escaping (a cut through the
     * middle of an escape sequence would emit invalid JSON), then escape
     * EVERY control char < 0x20 — JSON forbids them all raw. */
@@ -195,39 +227,32 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // one UNTIMED warm-up pass (default on; SPARK_GRAFT_WARMUP_REPS=0
+    // disables) runs the whole registry before any timed sample: it
+    // absorbs the once-per-session BuiltFixtures mutation-history
+    // builds (ingest → seal → mutate — seconds for the round-trip
+    // fixtures) and each query shape's Janino compilation, so the
+    // dispersion stamp measures the SERVE path only — round 10's
+    // committed artifact read unstable_n 11 because fixture-backed
+    // queries' first reps were measuring fixture construction.
+    // Failures here are ignored: the timed passes will report them.
+    val warmupReps = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPS", "1").toInt)
     def measure(): (Seq[(String, QueryResult)], (Double, Double), Double) = {
       val loadStart = loadavg1m()
-      val wallStart = System.nanoTime()
+      val wallStart = System.nanoTime() // warm-up counts into elapsed:
+      // it is self-load, and the contention rule's duration-aware
+      // allowance must cover it or a clean run would self-flag
+      (0 until warmupReps).foreach { _ => names.foreach(runOne) }
       val passes: Seq[Map[String, (Double, Option[String])]] =
         (0 until reps).map { _ => names.map(n => n -> runOne(n)).toMap }
-      def samplesOf(name: String, extra: Seq[Map[String, (Double, Option[String])]]) = {
-        val runs = passes.map(_(name)) ++ extra.flatMap(_.get(name))
-        // a failing pass can exit far faster than a real run and would
-        // drag the median below the query's true cost — time successful
-        // passes only
-        val ok = runs.filter(_._2.isEmpty)
-        (if (ok.nonEmpty) ok else runs, runs)
-      }
-      val prelim = names.map(n => n -> median(samplesOf(n, Nil)._1.map(_._1)))
-      val tail = prelim.sortBy(-_._2)
+      val prelim = summarize(names, passes, Nil, warmupReps > 0)
+      val tail = prelim.sortBy(-_._2.sec)
         .take(math.max(1, names.size / 10)).map(_._1)
       val tailPasses: Seq[Map[String, (Double, Option[String])]] =
         (0 until tailReps).map { _ => tail.map(n => n -> runOne(n)).toMap }
-      val results: Seq[(String, QueryResult)] = names.map { name =>
-        val (timed, runs) = samplesOf(name, tailPasses)
-        // spread is computed over the WARM samples only (pass 0
-        // excluded): the first pass pays each query's one-time fixture
-        // builds and codegen, a known startup cost the median already
-        // rejects — folding it into the dispersion stamp would flag
-        // most of the registry as "unstable" over a cost no steady
-        // run re-pays. A query with no warm samples reports spread 0.
-        val warm = (passes.drop(1).map(_(name)) ++
-          tailPasses.flatMap(_.get(name))).filter(_._2.isEmpty)
-        name -> QueryResult(median(timed.map(_._1)),
-          runs.flatMap(_._2).headOption, runs.count(_._2.isDefined),
-          spreadOf(warm.map(_._1)))
-      }
-      (results, (loadStart, loadavg1m()),
+      (summarize(names, passes, tailPasses, warmupReps > 0),
+        (loadStart, loadavg1m()),
         (System.nanoTime() - wallStart) / 1e9)
     }
     // contended-retry discipline: a run whose self-adjudication says

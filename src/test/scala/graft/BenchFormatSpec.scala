@@ -121,6 +121,36 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.spreadOf(Seq(0.0, 0.0)) === 0.0)
   }
 
+  test("summarize: warm-up reps never reach medians; spread covers all timed passes once warmed") {
+    // the untimed warm-up pass is excluded STRUCTURALLY — summarize
+    // only ever sees timed passes — so the pin here is the two
+    // dispersion modes: warmed (all timed passes count toward spread)
+    // vs unwarmed (pass 0 pays one-time builds, excluded from spread,
+    // the pre-round-11 behavior)
+    def pass(v: Double): Map[String, (Double, Option[String])] =
+      Map("q" -> ((v, None)))
+    // warmed: passes [1.0, 1.2, 0.8] — spread over all three
+    val warmed = Bench.summarize(Seq("q"),
+      Seq(pass(1.0), pass(1.2), pass(0.8)), Nil, warmedUp = true)
+    assert(warmed.head._2.sec === 1.0)
+    assert(math.abs(warmed.head._2.spread - 0.4) < 1e-9)
+    // unwarmed: pass 0 is a 9s fixture build — the MEDIAN rejects it
+    // (middle of [9, 1.2, 0.8] is 1.2) and the spread must not see it
+    val unwarmed = Bench.summarize(Seq("q"),
+      Seq(pass(9.0), pass(1.2), pass(0.8)), Nil, warmedUp = false)
+    assert(unwarmed.head._2.sec === 1.2)
+    assert(math.abs(unwarmed.head._2.spread - (1.2 - 0.8) / 1.0) < 1e-9)
+    // failures never enter the median while any pass succeeded, and
+    // tail passes extend both the median and the spread
+    val withTail = Bench.summarize(Seq("q"),
+      Seq(Map("q" -> ((0.1, Some("boom")))), pass(1.0), pass(1.2)),
+      Seq(pass(0.8), pass(1.4)), warmedUp = true)
+    assert(withTail.head._2.sec === 1.1)
+    assert(withTail.head._2.failedReps === 1)
+    assert(withTail.head._2.err === Some("boom"))
+    assert(math.abs(withTail.head._2.spread - (1.4 - 0.8) / 1.1) < 1e-9)
+  }
+
   test("median is the middle of odd runs, mean-of-middle for even") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
