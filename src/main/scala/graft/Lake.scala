@@ -853,6 +853,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     routingChecked // never append rows routed under foreign hyperplanes
     val fs = fsOfRoot
     val st = readState()
+    // re-checked UNDER the append gate (not just at op entry): a
+    // reshard transition committing in the entry-check-to-marker
+    // window must not let this session land rows routed at the old
+    // width into the post-transition tree
+    requireStateWidth(st, "append")
     // a generation with a sink manifest is STREAM-OWNED: the manifest
     // governs which files readers see, and it will never name a batch
     // append's files — writing here would produce committed-but-
@@ -1112,7 +1117,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // the checkpointed sink log continues where it left off.
       val sinkSt =
         if (!metaExisted && treeHasData(fs, cur)) {
-          val rolled = LakeState(nextGen(st), liveEntries(st), extraCols = st.extraCols)
+          // the roll carries any in-flight reshard forward: pending
+          // (dir, generation) references are absolute, so a fresh
+          // append target never invalidates them
+          val rolled = LakeState(nextGen(st), liveEntries(st),
+            extraCols = st.extraCols, sidecarShards = st.sidecarShards,
+            reshard = st.reshard)
           writeState(rolled)
           rolled
         } else { writeState(st); st }
@@ -1718,6 +1728,30 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           "governs file visibility; a raw listing would serve " +
           "uncommitted files) — read through Lake.read() or stop the " +
           "ingest stream and roll a batch generation first.")
+    // WIDTH-UNIFORMITY guard: the format serves partition values
+    // straight from directory NAMES — it has no per-row re-derivation
+    // hook — so a state holding directories at a narrower width than
+    // the session (an in-flight reshard's pending set, or a
+    // pre-reshard snapshot via asOf) would serve stale shard values
+    // through SQL. Lake.read()/readAt() re-derive and stay available.
+    st.reshard.foreach { r =>
+      throw new IllegalStateException(
+        s"graft format at ${cfg.location}: an incremental reshard " +
+          s"${1L << r.fromBits} -> ${1L << r.toBits} shards is in " +
+          s"flight (${r.pending.size} directories still at the old " +
+          "width) — the SQL scan would serve stale directory-named " +
+          "shard values; read through Lake.read() or finish the " +
+          "reshard (reshard(newNumHashes) resumes).")
+    }
+    if (cfg.partitionKey.isEmpty)
+      st.sidecarShards.filter(_ > 0).foreach(ns => require(
+        ns == lsh.numShards,
+        s"graft format at ${cfg.location}: this snapshot was routed " +
+          s"into $ns LSH shards but the lake's current width is " +
+          s"${lsh.numShards} (a reshard happened since) — the SQL " +
+          "scan cannot re-route directory-named partition values; " +
+          "read the snapshot through Lake.readAt, which re-derives " +
+          "routing at the current width"))
     val dirs = liveEntries(st).map { case (d, g) =>
       new org.apache.hadoop.fs.Path(genPath(g), d).toString -> Some(d) }
     val legacy = rootLevelDataFrom(entries).map { p =>
@@ -1849,6 +1883,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     requireWriteConfigMatch() // both directions — the stamp is authoritative
     val fs = fsOfRoot
     val st = readState()
+    requireNoReshard(st, "seal")
     require(!fs.exists(new org.apache.hadoop.fs.Path(
       genPath(st.generation), "_spark_metadata")),
       s"refusing to seal ${cfg.location}: the current generation is a " +
@@ -1901,6 +1936,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val stOld = stateAt(version, fs, entries)
     requireSealedSync(version, stOld)
     val stNew = readStateFrom(fs, entries)
+    requireNoReshard(stNew, "changesSince")
     require(!fs.exists(new org.apache.hadoop.fs.Path(
       genPath(stNew.generation), "_spark_metadata")),
       s"changesSince at ${cfg.location} refused: the current generation is " +
@@ -2058,6 +2094,46 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val partType =
       if (cfg.partitionKey.isEmpty) IntegerType else cfg.partitionKeyType
     val fs = fsOfRoot
+    // ROUTING-WIDTH resolution (LSH lakes): a state written at a
+    // NARROWER width than this session — a pre-reshard snapshot via
+    // readAt, or the pending directories of an in-flight reshard —
+    // serves its rows with the missing high hyperplane bits RE-DERIVED
+    // per row (exact: planes are prefix-stable in the seeded sequence,
+    // see Lsh.shardColFrom), so every read is width-uniform at the
+    // session's width. A state WIDER than the session is refused
+    // (requireStateWidth — bits cannot be un-derived). Steady-state
+    // reads take the `entryBits >= cfg.numHashes` short-circuit: zero
+    // added work. The transient cost is honest and self-shrinking:
+    // pending branches lose directory pruning (the filter lands
+    // post-derivation) until their reshard step completes. Note this
+    // is deliberately LOOSER than requireStateWidth: a narrower state
+    // is legal here (it derives up — that is what mid-reshard pending
+    // sets and pre-reshard snapshots are), and a stale old-width
+    // instance reading a resharded lake is still refused by the
+    // wider-state require below.
+    val stateBits: Int =
+      if (cfg.partitionKey.isDefined) cfg.numHashes
+      else st.reshard.map(_.toBits)
+        .orElse(st.sidecarShards.filter(_ > 0)
+          .map(ns => java.lang.Long.numberOfTrailingZeros(ns)))
+        .getOrElse(cfg.numHashes)
+    require(stateBits <= cfg.numHashes,
+      s"read at ${cfg.location}: this snapshot was routed into " +
+        s"${1L << stateBits} shards but the session's width is " +
+        s"${lsh.numShards} — a wider snapshot cannot be served " +
+        "narrower; construct the Lake at the snapshot's width")
+    val reshardPending: Set[(String, Long)] =
+      st.reshard.map(_.pending.toSet).getOrElse(Set.empty)
+    def widen(df: DataFrame, entryBits: Int): DataFrame =
+      if (cfg.partitionKey.isDefined || entryBits >= cfg.numHashes ||
+          // foreign/legacy branches may lack the columns — pass them
+          // through for the schema validation below to reject with
+          // the full diff instead of failing on a missing reference
+          !df.columns.contains(partCol) || !df.columns.contains("vector"))
+        df
+      else df.withColumn(partCol,
+        (col(partCol) + lsh.shardColFrom(col("vector"), entryBits))
+          .cast(IntegerType))
     // mergeSchema: the default read infers from ONE footer (the
     // lexicographically first file), so an EXTRA column in any other
     // file would slip through null-filled instead of failing the
@@ -2102,26 +2178,34 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       new org.apache.hadoop.fs.Path(cur, "_spark_metadata"))
     val curBranch =
       if (curPresent && treeHasData(fs, cur, knownExists = true))
-        Seq(
+        Seq(widen(
           if (curSinkOwned)
             spark.read
               .schema(StructType(storedFieldsOf(st) :+ StructField(partCol, partType)))
               .parquet(cur.toString)
-          else branch(None, Seq(cur.toString)))
+          else branch(None, Seq(cur.toString)), stateBits))
       else Nil
+    // older-generation branches split by reshard membership: pending
+    // entries were routed at the reshard's FROM width and re-derive
+    // the missing bits; everything else is at the state's width
+    // (mid-reshard, that is the target width — completed steps and
+    // post-transition appends)
     val oldBranches = st.live.filter(_._2 != st.generation)
-      .groupBy(_._2).toSeq.sortBy(_._1).map { case (g, entries) =>
+      .groupBy(e => (e._2, reshardPending.contains(e)))
+      .toSeq.sortBy(_._1).map { case ((g, isPending), entries) =>
         val base = genPath(g)
-        branch(Some(base.toString),
+        widen(branch(Some(base.toString),
           entries.map(_._1).distinct
-            .map(d => new org.apache.hadoop.fs.Path(base, d).toString))
+            .map(d => new org.apache.hadoop.fs.Path(base, d).toString)),
+          if (isPending) st.reshard.get.fromBits else stateBits)
       }
     // pre-v2 flat tree or foreign data at the root: a dedicated branch,
     // so legacy lakes stay readable and foreign schemas fail validation
     val rootData = rootLevelDataFrom(rootEntries)
     val legacyBranch =
       if (rootData.isEmpty) Nil
-      else Seq(branch(Some(cfg.location), rootData.map(_.toString)))
+      else Seq(widen(branch(Some(cfg.location), rootData.map(_.toString)),
+        stateBits))
     // SCHEMA EVOLUTION null-fill: a branch whose generations predate an
     // evolve() lacks the registered extras — pad with typed nulls so
     // the union holds one shape. Only REGISTERED columns are padded;
@@ -2994,6 +3078,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     withWriterLock("compactIncremental") {
       val fs = fsOfRoot
       val st = readState()
+      requireNoReshard(st, "compactIncremental")
       // per-shard (files, bytes) across every live copy of the shard
       val stats: Map[Option[String], (Long, Long)] = liveEntries(st)
         .map { case (d, g) =>
@@ -3024,6 +3109,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private def compactImpl(targetBytes: Long, clusterBy: Seq[Column]): Long = {
     val fs = fsOfRoot
     val st = readState()
+    requireNoReshard(st, "compact")
     require(!fs.exists(
       new org.apache.hadoop.fs.Path(genPath(st.generation), "_spark_metadata")),
       "refusing to compact a streaming-sink lake: _spark_metadata manifest present")
@@ -3126,6 +3212,226 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   private[graft] def unescapePartitionValue(raw: String): Option[String] =
     Lake.unescapePartitionValue(raw)
 
+  /** INCREMENTAL RESHARD — grow the routing width from `cfg.numHashes`
+    * to `newNumHashes` hyperplanes (2^Δ× the shards), the structural
+    * answer to "what happens at 100× the data": shard count is
+    * otherwise frozen at creation (the reference pins it the same way,
+    * `approx_shards → 2^round(log2(...))`, index.py:454-455), so every
+    * directory grows with the lake and single-probe topK degrades
+    * linearly. Returns the Lake at the new width; the receiver is
+    * STALE after a successful begin (every read and write it attempts
+    * is refused by the per-operation width checks — construct at the
+    * new width, or use the returned instance).
+    *
+    * Why refinement is exact and local: the seeded hyperplane sequence
+    * is PREFIX-STABLE ([[graft.functions.Lsh.shardColFrom]] — LshSpec
+    * pins it), so a row's width-(h+Δ) shard is its stored width-h
+    * shard plus 2^h·bit_h + ... — per-row arithmetic, no global
+    * re-route. Each directory therefore splits INDEPENDENTLY into its
+    * 2^Δ refinements, which makes the rewrite incremental:
+    *
+    *  1. TRANSITION (one commit, writer-locked): the sidecar's
+    *     declared width flips to the target, every live (directory,
+    *     generation) pair is recorded `reshard_pending` at the old
+    *     width, and the append target rolls to a fresh generation —
+    *     post-transition appends (routed at the NEW width by any
+    *     correctly-constructed writer; stale-width writers are refused
+    *     per write) can never share a (dir, generation) identity with
+    *     a pending entry. The by-value skip index is dropped (it would
+    *     mis-prune mid-reshard) and rebuilt at completion.
+    *  2. STEPS (`dirsPerCommit` directories per commit, resumable):
+    *     read exactly the batch's source pairs, widen each row's
+    *     shard, write the split directories into a fresh generation,
+    *     verify count + scope, commit — the batch's sources retire
+    *     from the manifest (dead in place, vacuum sweeps), pending
+    *     shrinks. A crash strands at most one uncommitted generation
+    *     (vacuum sweeps it) and the batch replays; `maxDirs` bounds
+    *     one call's work so the rewrite can ride maintenance windows.
+    *  3. COMPLETION (one commit): `reshard_pending` empties, the
+    *     reshard fields drop, and the skip index rebuilds if step 1
+    *     dropped one.
+    *
+    * READS STAY CORRECT THROUGHOUT: [[read]]/[[readAt]]/topK re-derive
+    * the missing high bits per row for pending directories (and for
+    * pre-reshard snapshots — time travel works across reshards), at
+    * the honest transient cost that pending directories lose
+    * DIRECTORY pruning until their step completes (the filter lands
+    * post-derivation); probe cost decays to the new width's as steps
+    * land. Appends, clones, and vacuum run between steps; structural
+    * maintenance (compact/DML/retention/seal/feed-since-current) is
+    * refused until completion, and the SQL format refuses mid-reshard
+    * and pre-reshard-snapshot scans (it serves directory-NAMED
+    * partition values and cannot re-derive — the error says to read
+    * through the Scala API).
+    *
+    * REPLICATION: a reshard between two sync points makes the netted
+    * feed O(data) once (every row lands in new files, most with a new
+    * shard value). Replicas converge by resharding THEMSELVES to the
+    * same width first (routing is deterministic, so source and replica
+    * split identically — a post-reshard [[diffStats]] audit convicts
+    * nothing) and then applying the feed as usual.
+    *
+    * RESUME: call again with the SAME `newNumHashes` from a session at
+    * the new width (the `graft` catalog's `CALL reshard` resolves the
+    * width from the sidecar automatically). A crashed step leaves the
+    * writer lock stranded — [[repair]] clears it, then resume. */
+  def reshard(newNumHashes: Int, maxDirs: Int = Int.MaxValue,
+      dirsPerCommit: Int = 64): Lake = {
+    require(cfg.partitionKey.isEmpty,
+      "reshard applies to LSH-routed lakes; a user-keyed lake's " +
+        "partitioning is the caller's to change")
+    require(newNumHashes > 0 && newNumHashes <= 30, "numHashes in (0,30]")
+    require(newNumHashes >= cfg.numHashes,
+      s"reshard only REFINES the routing (cannot narrow " +
+        s"${cfg.numHashes} -> $newNumHashes hyperplanes): merging " +
+        "shards is a whole-lake rewrite — create a lake at the " +
+        "narrower width and cloneTo it instead")
+    require(dirsPerCommit > 0 && maxDirs >= 0,
+      s"dirsPerCommit must be positive and maxDirs non-negative")
+    routingChecked // both modes: the CALLER's width matches the sidecar
+    if (newNumHashes == cfg.numHashes) { // resume (no-op when complete)
+      reshardSteps(maxDirs, dirsPerCommit)
+      return this
+    }
+    requireWriteConfigMatch()
+    val target = new Lake(spark, cfg.copy(numHashes = newNumHashes))
+    withWriterLock("reshard") {
+      val fs = fsOfRoot
+      val st = readState()
+      requireNoReshard(st, "reshard(begin)") // defensive; routingChecked
+      // already refuses a session at neither endpoint of an in-flight one
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+        genPath(st.generation), "_spark_metadata")),
+        s"refusing reshard at ${cfg.location}: the current generation " +
+          "is an active streaming-sink tree — stop the stream first")
+      require(rootLevelData(fs).isEmpty,
+        s"refusing reshard at ${cfg.location}: root-level (pre-v2/" +
+          "foreign) data present — the manifest does not govern it; " +
+          "re-ingest into the generation layout first")
+      val pending = liveEntries(st)
+      val hadSkip = fs.exists(skipPath)
+      writeState(LakeState(nextGen(st), pending,
+        extraCols = st.extraCols,
+        reshard = Some(Lake.ReshardState(
+          cfg.numHashes, newNumHashes, pending, hadSkip))))
+      if (hadSkip) { fs.delete(skipPath, true); () }
+    }
+    target.reshardSteps(maxDirs, dirsPerCommit)
+    target
+  }
+
+  /** The step loop half of [[reshard]], always running at the TARGET
+    * width: one writer-locked committed batch per iteration, so
+    * appends interleave between batches and a kill at any point
+    * resumes from the last commit. */
+  private def reshardSteps(maxDirs: Int, dirsPerCommit: Int): Unit = {
+    var budget = maxDirs
+    var rebuildSkip = false
+    var done = false
+    while (!done) {
+      withWriterLock("reshard") {
+        val st = readState()
+        st.reshard match {
+          case None => done = true // complete (or never begun: no-op)
+          case Some(r) =>
+            require(r.toBits == cfg.numHashes,
+              s"reshard resume at ${cfg.location}: the in-flight " +
+                s"target is ${1L << r.toBits} shards but this session " +
+                s"routes ${lsh.numShards} — resume with numHashes = " +
+                s"${r.toBits}")
+            if (r.pending.isEmpty) {
+              writeState(st.copy(reshard = None))
+              rebuildSkip = r.hadSkipIndex
+              done = true
+            } else if (budget <= 0) done = true
+            else {
+              val batch = r.pending.take(math.min(budget, dirsPerCommit))
+              reshardStep(st, r, batch)
+              budget -= batch.size
+            }
+        }
+      }
+    }
+    // outside the step lock: buildSkipIndex takes its own writer lock
+    if (rebuildSkip) { buildSkipIndex(); () }
+  }
+
+  /** One committed reshard batch: read EXACTLY the batch's (directory,
+    * generation) sources at the old width, widen each row's shard by
+    * the refinement bits, write the split directories into a fresh
+    * generation, verify count and refinement scope, commit the batch's
+    * retirement. Same staged-publish discipline as every rewrite: a
+    * failure before the sidecar create leaves the live state
+    * untouched and the stranded tree for vacuum. */
+  private def reshardStep(st: LakeState, r: Lake.ReshardState,
+      batch: Seq[(String, Long)]): Unit = {
+    val fs = fsOfRoot
+    val extras = extraFieldsOf(st)
+    def pad(df: DataFrame): DataFrame =
+      extras.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val slices = batch.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, pairs) =>
+      val base = genPath(g)
+      val raw = spark.read.option("mergeSchema", "true")
+        .option("basePath", base.toString)
+        .parquet(pairs.map(_._1).distinct
+          .map(d => new org.apache.hadoop.fs.Path(base, d).toString): _*)
+      pad(raw.withColumn(partCol, col(partCol).cast(IntegerType)))
+    }
+    val cols = storedColsOf(st) :+ partCol
+    val src = slices.reduce(_ unionByName _).select(cols.map(col): _*)
+    val expected = src.count()
+    val newGen = nextGen(st)
+    val tmp = genPath(newGen)
+    if (expected > 0L) {
+      src.withColumn(partCol,
+          (col(partCol) + lsh.shardColFrom(col("vector"), r.fromBits))
+            .cast(IntegerType))
+        .repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", cfg.codec)
+        .partitionBy(partCol)
+        .parquet(tmp.toString)
+      val got = spark.read.parquet(tmp.toString).count()
+      if (got != expected) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"reshard step aborted: wrote $got rows, expected $expected " +
+            "(live state untouched)")
+      }
+      // refinement scope: every produced value must preserve its
+      // source's low bits — anything else is a routing bug, refused
+      // before the commit
+      val mask = (1 << r.fromBits) - 1
+      val oldVals = batch.flatMap(p =>
+        unescapePartitionValue(p._1.split("=", 2)(1))).map(_.toInt).toSet
+      val outOfScope = fs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)))
+        .map(_.toInt).filterNot(v => oldVals(v & mask))
+      require(outOfScope.isEmpty,
+        s"reshard step produced out-of-scope partitions: " +
+          s"${outOfScope.mkString(", ")}")
+    }
+    val batchSet = batch.toSet
+    writeState(LakeState(
+      if (expected > 0L) newGen else st.generation,
+      liveEntries(st).filterNot(batchSet),
+      extraCols = st.extraCols, sidecarShards = st.sidecarShards,
+      reshard = Some(r.copy(pending = r.pending.filterNot(batchSet)))))
+    // auxiliary refresh: the skip index is absent mid-reshard (dropped
+    // at transition); the FILE-keyed zone map refreshes for the
+    // retired and produced values
+    val produced: Set[Option[String]] =
+      if (expected == 0L) Set.empty
+      else fs.listStatus(genPath(newGen))
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)))
+        .toSet
+    refreshZoneMapShards(produced ++
+      batch.map(p => unescapePartitionValue(p._1.split("=", 2)(1))).toSet)
+  }
+
   /** Row-level DELETE WHERE — the targeted maintenance op the reference
     * lacks (its only delete is whole-store, index.py:548-563; table
     * formats call this DELETE): rewrites ONLY the shard directories
@@ -3195,6 +3501,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "active streaming-sink tree")
     val horizon = java.sql.Timestamp.from(olderThan)
     val st = readState()
+    requireNoReshard(st, "expire")
     // tier 1: only MANIFEST entries are wholesale candidates (the
     // current generation is live by listing rule, not by entry)
     val candidates =
@@ -3512,6 +3819,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         s"refusing to index ${cfg.location}: root-level (pre-v2/foreign) " +
           "data present — the index cannot govern what the manifest does not")
       val st = readState()
+      requireNoReshard(st, "buildSkipIndex")
       val files = liveShardFiles(fs, st)
       if (files.isEmpty) { fs.delete(skipPath, true); return 0L }
       writeSkipIndex(skipRows(read(), files, fpp))
@@ -3750,6 +4058,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       require(rootLevelData(fs).isEmpty,
         s"refusing to zone-map ${cfg.location}: root-level (pre-v2/foreign) " +
           "data present — the map cannot govern what the manifest does not")
+      requireNoReshard(readState(), "buildZoneMap")
       val rows = zoneRows(read(), fields).cache()
       try {
         val n = rows.count()
@@ -4175,6 +4484,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       clusterBy: Seq[Column] = Nil): Unit = {
     val fs = fsOfRoot
     val st = readState()
+    requireNoReshard(st, tag)
     // the caller's content shape (stored cols + extras + partCol) is
     // what the slice-join below must re-project back to
     val outCols = content.columns.toSeq
@@ -4815,7 +5125,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .map(e => unescapeJson(e.group(1)).split("\u0001", 2))
         .collect { case Array(n, t) => n -> t }.toSeq)
       .getOrElse(Nil)
-    LakeState(gen, live, genHasData, isSealed, extraCols)
+    val sidecarShards = """"num_shards"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+    // in-flight reshard: pending entries are {"d": dir, "g": gen}
+    // OBJECTS, deliberately shaped so the `live` pair-regex above can
+    // never absorb them (and vice versa)
+    val reshard = for {
+      from <- """"reshard_from"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toLong)
+      to <- """"reshard_to"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toLong)
+    } yield ReshardState(
+      java.lang.Long.numberOfTrailingZeros(from),
+      java.lang.Long.numberOfTrailingZeros(to),
+      """\{\s*"d"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"g"\s*:\s*(\d+)\s*\}""".r
+        .findAllMatchIn(json)
+        .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq,
+      """"reshard_skip"\s*:\s*true""".r.findFirstIn(json).isDefined)
+    LakeState(gen, live, genHasData, isSealed, extraCols, sidecarShards,
+      reshard)
   }
 
   /** Best-effort `last_update` stamp for the streaming path. The
@@ -4889,7 +5217,24 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       else st.extraCols
         .map { case (n, t) => s""""${escapeJson(n + "\u0001" + t)}"""" }
         .mkString(""", "extra_cols": [""", ", ", "]")
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": ${if (cfg.partitionKey.isEmpty) lsh.numShards else -1}$seedField$pqField$packField$partKeyField$sealedField$extraField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    // declared routing width: mid-reshard states declare the TARGET
+    // width (the transition commit is written by the pre-reshard
+    // session, whose own lsh is still the narrow one); otherwise the
+    // carried sidecar width and the writer's are equal by the
+    // per-write guard, and fresh states fall back to the writer's
+    val numShardsField: Long =
+      if (cfg.partitionKey.isDefined) -1L
+      else st.reshard.map(r => 1L << r.toBits)
+        .orElse(st.sidecarShards.filter(_ > 0))
+        .getOrElse(lsh.numShards.toLong)
+    val reshardField = st.reshard.map { r =>
+      val pend = r.pending
+        .map { case (d, g) => s"""{"d": "${escapeJson(d)}", "g": $g}""" }
+        .mkString("[", ", ", "]")
+      s""", "reshard_from": ${1L << r.fromBits}, "reshard_to": ${1L << r.toBits}, "reshard_pending": $pend""" +
+        (if (r.hadSkipIndex) s""", "reshard_skip": true""" else "")
+    }.getOrElse("")
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": $numShardsField$seedField$pqField$packField$partKeyField$sealedField$extraField$reshardField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     // ATOMIC publish: the body lands in a root-sibling tmp (a name no
     // discovery regex matches) and is RENAMED into its version name.
     // A create-in-place briefly exposes an EMPTY `_meta.<v>.json`
@@ -5003,11 +5348,50 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * (dim, num_shards, lsh_seed); any read or write under a mismatched
     * config fails loudly here. Checked once per Lake instance (lazy) —
     * pre-seed sidecars (no lsh_seed field) check what they carry. */
+  private def jsonLongField(json: String, name: String): Option[Long] =
+    (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+
+  /** Per-OPERATION routing-width check against a state already in
+    * hand — zero extra I/O. [[routingChecked]] is once-per-instance
+    * (lazy): it cannot catch a Lake instance whose lake was RESHARDED
+    * underneath it by another session after construction, and such a
+    * stale instance would prune the wrong directory on reads or
+    * append mis-routed rows. Reads check here per [[readFrom]] call
+    * (the state read was already paid); writes check inside
+    * [[requireWriteConfigMatch]] (the sidecar read was already paid)
+    * and again in [[writeAppend]] under the append gate (closing the
+    * check-then-act window against a racing reshard transition). */
+  private def requireStateWidth(st: LakeState, op: String): Unit =
+    if (cfg.partitionKey.isEmpty)
+      st.sidecarShards.filter(_ > 0).foreach(ns => require(
+        ns == lsh.numShards,
+        s"$op at ${cfg.location}: the lake is routed into $ns LSH " +
+          s"shards but this session's config routes into " +
+          s"${lsh.numShards} — the lake was likely resharded after " +
+          "this Lake instance was constructed; build a fresh Lake at " +
+          "the sidecar's width"))
+
+  /** Structure-changing maintenance is mutually exclusive with an
+    * in-flight incremental reshard: compaction/DML/retention group
+    * directories BY VALUE, and mid-reshard the same value names both
+    * an old-width pending directory and a new-width one — a rewrite
+    * would merge mixed-width rows or strand pending references.
+    * Appends, reads, clones, and vacuum stay available; everything
+    * else waits for (or resumes) the reshard. */
+  private def requireNoReshard(st: LakeState, op: String): Unit =
+    st.reshard.foreach { r =>
+      throw new IllegalStateException(
+        s"$op on ${cfg.location} refused: an incremental reshard " +
+          s"${1L << r.fromBits} -> ${1L << r.toBits} shards is in " +
+          s"flight (${r.pending.size} directories still at the old " +
+          "width) — finish it first: reshard(newNumHashes) resumes " +
+          "and is interruptible")
+    }
+
   private lazy val routingChecked: Unit =
     readMetaSidecar().foreach { json =>
-      def longField(name: String): Option[Long] =
-        (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
-          .map(_.group(1).toLong)
+      def longField(name: String): Option[Long] = jsonLongField(json, name)
       longField("dim").foreach(d => require(d == cfg.dim,
         s"lake at ${cfg.location} stores $d-dim vectors but this session " +
           s"is configured for ${cfg.dim}"))
@@ -5080,6 +5464,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val json = readMetaSidecar()
     requireNoLesserConfig(json)
     json.foreach { j =>
+      // routing width, per WRITE (not just per instance): a stale
+      // session writing at the pre-reshard width would append
+      // mis-routed rows or stamp the old width back over the sidecar
+      if (cfg.partitionKey.isEmpty)
+        jsonLongField(j, "num_shards").filter(_ > 0).foreach(ns =>
+          require(ns == lsh.numShards,
+            s"write at ${cfg.location} refused: the lake is routed " +
+              s"into $ns LSH shards but this session writes at " +
+              s"${lsh.numShards} — it was likely resharded after this " +
+              "Lake instance was constructed; build a fresh Lake at " +
+              "the sidecar's width"))
       val sidecarPq =
         """"pq_fingerprint"\s*:\s*"[0-9a-f]+"""".r.findFirstIn(j).isDefined
       val sidecarPacked =
@@ -5301,16 +5696,37 @@ object Lake {
     * in-flight task files at cleanup. */
   private[graft] val stagingDirName: String = "_staging"
 
+  /** An incremental LSH reshard in flight: rows in the `pending`
+    * (escaped-dir, generation) entries are still routed at
+    * `fromBits` hyperplanes while the lake's declared width is already
+    * `toBits` — reads re-derive the missing high bits per row
+    * ([[Lsh.shardColFrom]], exact by plane prefix stability), and each
+    * [[Lake.reshard]] step rewrites a batch of pending directories at
+    * the full width and commits. `hadSkipIndex` remembers whether the
+    * transition dropped an operator-built skip index (its by-value
+    * shard entries would mis-prune mid-reshard), so completion can
+    * rebuild it. */
+  private[graft] final case class ReshardState(
+      fromBits: Int, toBits: Int, pending: Seq[(String, Long)],
+      hadSkipIndex: Boolean = false)
+
   /** Committed layout-v2 state: `generation` is the current append
     * target (its whole subtree is live); `live` names directories still
     * live in OLDER generations as (escaped-dir-name, generation) pairs
     * — the same dir name may appear under several generations (old
-    * rewrite + later appends). */
+    * rewrite + later appends). `sidecarShards` is the num_shards the
+    * sidecar DECLARED (None for fresh constructions and pre-field
+    * sidecars): carried so per-operation width checks and snapshot
+    * re-derivation can see the width a STATE was written at, not just
+    * the session's. `reshard` is the in-flight incremental reshard, if
+    * any. */
   private[graft] final case class LakeState(
       generation: Long, live: Seq[(String, Long)],
       genHasData: Option[Boolean] = None,
       isSealed: Boolean = false,
-      extraCols: Seq[(String, String)] = Nil)
+      extraCols: Seq[(String, String)] = Nil,
+      sidecarShards: Option[Long] = None,
+      reshard: Option[ReshardState] = None)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

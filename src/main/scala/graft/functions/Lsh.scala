@@ -42,6 +42,25 @@ final case class Lsh(dim: Int, numHashes: Int, seed: Long = 42L) {
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Contribution of hyperplanes [fromBit, numHashes) alone —
+    * Σ_{j ≥ fromBit} 2^j · (dot(plane_j, v) > 0): the REFINEMENT bits
+    * an incremental reshard adds to a shard id routed at a narrower
+    * width. Exact by the PREFIX STABILITY of the seeded sequence: one
+    * java.util.Random(seed) fills planes row-major, so
+    * `Lsh(dim, h, seed).planes` is elementwise equal to
+    * `Lsh(dim, h + b, seed).planes.take(h)` (LshSpec pins it) — a row's
+    * width-(h+b) shard is its stored width-h shard plus this column
+    * evaluated with fromBit = h. */
+  def shardColFrom(vec: Column, fromBit: Int): Column = {
+    require(fromBit >= 0 && fromBit <= numHashes,
+      s"fromBit must be in [0, $numHashes], got $fromBit")
+    if (fromBit == numHashes) lit(0)
+    else planes.zipWithIndex.drop(fromBit).map { case (p, j) =>
+      when(VectorFunctions.dot(vec, VectorFunctions.vecLit(p.toSeq)) > 0.0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   /** Shard id as a raw Catalyst expression over an already-resolved
     * input — for FunctionRegistry registration (the Column DSL builds
     * unresolved nodes that cannot round-trip through a registry

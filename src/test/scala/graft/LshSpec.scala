@@ -45,4 +45,32 @@ class LshSpec extends SparkSpec {
     assert(Lsh.default.planes.length === 8)
     assert(Lsh.default.planes.head.length === 64)
   }
+
+  test("prefix stability: widening keeps the narrow planes, so reshard refinement is exact") {
+    // the contract Lake.reshard rests on: one seeded RNG fills planes
+    // row-major, so Lsh(d, h, s).planes is elementwise equal to
+    // Lsh(d, h + b, s).planes.take(h), and a width-(h+b) shard is the
+    // width-h shard plus the shardColFrom(_, h) refinement bits
+    val narrow = Lsh(dim = 16, numHashes = 5, seed = 7L)
+    val wide = Lsh(dim = 16, numHashes = 9, seed = 7L)
+    (0 until 5).foreach { i =>
+      assert(narrow.planes(i).sameElements(wide.planes(i)), s"plane $i")
+    }
+    val rng = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val v = Seq.fill(16)(rng.nextGaussian())
+      val n = narrow.shardOf(v)
+      val w = wide.shardOf(v)
+      assert((w & 31) === n, "low bits must be the narrow shard")
+    }
+    // and the Column refinement agrees with the plain-Scala split
+    import spark.implicits._
+    val vecs = (0 until 60).map(i => (i.toLong,
+      Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v").select(col("id"),
+      (narrow.shardCol(col("v")) + wide.shardColFrom(col("v"), 5))
+        .as("derived"),
+      wide.shardCol(col("v")).as("full"))
+    assert(df.where(col("derived") =!= col("full")).count() === 0L)
+  }
 }
