@@ -428,6 +428,94 @@ object ScaleBench {
   }
 }
 
+/** The reshard payoff probe: single-probe topK reads ONE shard
+  * directory, so its cost tracks rows-per-shard — adding a hyperplane
+  * halves every directory and should halve the probe's scanned rows
+  * (and, past fixed job overhead, its time). Per width this prints one
+  * JSON line with the reshard's own cost, the median probe seconds
+  * over a fixed seeded query set, and the EXACT average rows the
+  * routed directories hold (the scale-honest quantity: at 100 TB the
+  * scan bytes dominate and the ~2×-per-bit drop is the whole point;
+  * at bench scale fixed per-job cost floors the seconds).
+  * Args: [n] [dim] [startHashes] [addedBits] (defaults 200000 64 6 2). */
+object ReshardBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 200000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val start = if (args.length > 2) args(2).toInt else 6
+    val addBits = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // per-DIMENSION frequencies (id * (a·i + b)), not the additive
+    // sin(id·a + i·b) other probes use: the additive form is rank-2
+    // (sin(x+y) expands over two basis vectors), which collapses the
+    // sign space to ~2·numHashes regions and makes hyperplane splits
+    // meaningless — this probe exists to measure splitting, so its
+    // vectors must actually span the space
+    val base = spark.range(n).select(
+        col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * (i * 104729 + 7919)) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(
+        concat(lit("r"), col("num")).as("id"), col("vector"),
+        concat(lit("doc-"), col("num")).as("document"))
+      .transform(graft.operators.Materialize.cut(_))
+    var lake = Lake(spark, LakeConfig(
+      s"${sys.props("java.io.tmpdir")}/graft_reshard_bench", dim = dim,
+      numHashes = start))
+    lake.delete()
+    lake.ingest(base)
+
+    val rng = new java.util.Random(11)
+    val queries = (0 until 16).map(_ => Seq.fill(dim)(rng.nextGaussian() * 0.15))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def probeLine(reshardSec: Double): Unit = {
+      val counts = lake.read().groupBy("shard").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rowsAvg = queries.map(q =>
+        counts.getOrElse(lake.lsh.shardOf(q), 0L).toDouble).sum / queries.size
+      lake.topK(queries.head, 10).count() // warm the shape
+      val secs = queries.map { q =>
+        val t = System.nanoTime()
+        lake.topK(q, 10).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      println(s"""{"probe":"reshard","rows":$n,"dim":$dim,""" +
+        s""""num_shards":${lake.lsh.numShards},""" +
+        s""""reshard_sec":${f"$reshardSec%.3f"},""" +
+        s""""probe_med_sec":${f"${med(secs)}%.3f"},""" +
+        s""""probe_rows_avg":${f"$rowsAvg%.1f"}}""")
+    }
+    probeLine(0.0)
+    (1 to addBits).foreach { b =>
+      val t = System.nanoTime()
+      lake = lake.reshard(start + b)
+      val dt = (System.nanoTime() - t) / 1e9
+      // converge the layout the way a post-reshard maintain() tick
+      // would: fold the per-step generations into one (each generation
+      // is a separate union branch whose mergeSchema planning pays
+      // O(its files) — the steady serve state is one generation) and
+      // retire the dead trees
+      lake.compact()
+      lake.vacuum()
+      probeLine(dt)
+    }
+    lake.delete()
+    spark.stop()
+  }
+}
+
 /** The incremental-aggregate slope probe: per-batch maintenance cost
   * must track CHURN (changed keys → touched buckets), not state size.
   * For each key count n: seed a state of n keys, then apply a

@@ -3320,6 +3320,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     target
   }
 
+  /** In-flight reshard introspection: (from_shards, to_shards,
+    * pending directory count) — None when no reshard is in flight.
+    * What `CALL reshard`'s result row and operator dashboards read;
+    * one sidecar read. */
+  def reshardStatus(): Option[(Long, Long, Long)] =
+    readState().reshard.map(r =>
+      (1L << r.fromBits, 1L << r.toBits, r.pending.size.toLong))
+
   /** The step loop half of [[reshard]], always running at the TARGET
     * width: one writer-locked committed batch per iteration, so
     * appends interleave between batches and a kill at any point
@@ -4835,25 +4843,58 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * per call is bounded by what actually churned: O(dirty shards)
     * rewrite + O(map)/O(shards) index refreshes + O(dead dirs) sweep.
     * Returns what ran. */
+  /** Per-shard BYTE totals over the live set, summarized as
+    * (max, median): the probe-cost signal behind the
+    * `reshard_recommended` verdict — a single-probe topK reads one
+    * shard directory, so its cost tracks the largest directory (the
+    * worst-routed query) against the typical one. Pure listings,
+    * O(live dirs), no row reads — cheap enough for every
+    * [[maintain]]/[[validate]] tick. */
+  private def shardSkewStats(): Option[(Long, Long)] = {
+    val fs = fsOfRoot
+    val st = readState()
+    val perShard = liveEntries(st)
+      .map { case (d, g) =>
+        unescapePartitionValue(d.split("=", 2)(1)) ->
+          (try fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(genPath(g), d)).getLength
+          catch { case _: java.io.FileNotFoundException => 0L })
+      }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+      .toSeq.sorted
+    if (perShard.isEmpty) None
+    else Some((perShard.max, perShard(perShard.size / 2)))
+  }
+
   def maintain(targetBytes: Long = 128L * 1024L * 1024L,
       maxFilesPerShard: Int = 4,
       retainMs: Long = 7L * 24 * 3600 * 1000,
       clusterBy: Seq[Column] = Nil,
-      ttlMs: Long = -1L): Lake.MaintenanceReport = {
+      ttlMs: Long = -1L,
+      targetShardBytes: Long = Lake.defaultTargetShardBytes): Lake.MaintenanceReport = {
     if (!exists()) return Lake.MaintenanceReport(0L, false, false, 0L)
+    // an IN-FLIGHT reshard owns the structure: the rewrite steps
+    // (compact/expire/index builds) would be refused anyway, so skip
+    // them quietly, keep the always-safe vacuum + recalibration, and
+    // surface the pending count — the cron-driven maintain() tick
+    // stays a useful health probe mid-reshard instead of a throw
+    val reshardInFlight = reshardStatus()
     // retention FIRST: rows about to expire must not be paid for again
     // by the compaction rewrite below (and a wholesale retirement may
     // itself leave shards under the file-count slack). ttlMs < 0 = off.
     val expired =
-      if (ttlMs < 0L) 0L
+      if (ttlMs < 0L || reshardInFlight.isDefined) 0L
       else {
         val (a, b) = expire(java.time.Instant.now().minusMillis(ttlMs))
         a + b
       }
-    val compacted = compactIncremental(targetBytes,
-      clusterBy = clusterBy, maxFilesPerShard = maxFilesPerShard)
-    val skip = skipStaleCount() > 0L && { buildSkipIndex(); true }
-    val zone = zoneNeedsRebuild() && (zoneSpecFieldsChecked(fsOfRoot) match {
+    val compacted =
+      if (reshardInFlight.isDefined) 0L
+      else compactIncremental(targetBytes,
+        clusterBy = clusterBy, maxFilesPerShard = maxFilesPerShard)
+    val skip = reshardInFlight.isEmpty && skipStaleCount() > 0L && {
+      buildSkipIndex(); true }
+    val zone = reshardInFlight.isEmpty && zoneNeedsRebuild() && (zoneSpecFieldsChecked(fsOfRoot) match {
       // spec present but unreadable: SKIP this cycle's rebuild rather
       // than rebuild specless (which would silently drop the
       // operator-configured field pruning); the next maintain() retries
@@ -4878,12 +4919,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         case None => calibrateRecall(); true
       }
     }
+    // shard-health telemetry: the oversized-shard signal that says a
+    // reshard is JUSTIFIED work — never auto-runs one (a reshard is an
+    // operator decision: it rewrites the lake once and temporarily
+    // refuses other maintenance); mid-reshard the recommendation stays
+    // down and the pending count reports progress instead
+    val skew = shardSkewStats()
     Lake.MaintenanceReport(compacted, skip, zone, swept, recalibrated,
-      expired)
+      expired,
+      maxShardBytes = skew.map(_._1).getOrElse(0L),
+      medianShardBytes = skew.map(_._2).getOrElse(0L),
+      reshardRecommended = reshardInFlight.isEmpty &&
+        skew.exists(_._1 > targetShardBytes),
+      reshardPendingDirs = reshardInFlight.map(_._3).getOrElse(0L))
   }
 
   def validate(): DataFrame = {
     val df = read()
+    val skew = shardSkewStats()
+    val pendingDirs = reshardStatus().map(_._3).getOrElse(0L)
     // every branch must be an AGGREGATE expression (a bare literal is
     // rejected by agg); "not configured" = max of a constant -1
     def unconfigured: Column = coalesce(max(lit(-1L)), lit(-1L))
@@ -4926,6 +4980,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .as("bad_dim"),
       preEvolve.as("pre_evolve_rows"))
       .withColumn("skip_stale", lit(skipStale))
+      // shard-health skew (driver-side listings, like skip_stale):
+      // max vs median live bytes per shard — the probe-cost estimate a
+      // single-probe query pays on its worst vs typical route — plus
+      // the reshard signals; -1 = empty lake / no shards
+      .withColumn("max_shard_bytes", lit(skew.map(_._1).getOrElse(-1L)))
+      .withColumn("median_shard_bytes", lit(skew.map(_._2).getOrElse(-1L)))
+      .withColumn("reshard_pending_dirs", lit(pendingDirs))
+      .withColumn("reshard_recommended",
+        lit(pendingDirs == 0L &&
+          skew.exists(_._1 > Lake.defaultTargetShardBytes)))
   }
 
   /** Test/tooling hook: the current generation's subtree path (appends
@@ -5579,7 +5643,21 @@ object Lake {
       compactedShards: Long, skipRefreshed: Boolean,
       zoneRebuilt: Boolean, vacuumSwept: Long,
       recallRecalibrated: Boolean = false,
-      expiredRows: Long = 0L)
+      expiredRows: Long = 0L,
+      maxShardBytes: Long = 0L,
+      medianShardBytes: Long = 0L,
+      reshardRecommended: Boolean = false,
+      reshardPendingDirs: Long = 0L)
+
+  /** Default oversized-shard threshold behind the
+    * `reshard_recommended` signal ([[Lake.maintain]]'s
+    * `targetShardBytes`): a single-probe query reads one shard
+    * directory, so once the LARGEST directory crosses this, one more
+    * hyperplane (which halves every directory) is justified work —
+    * the same health-signal discipline as the compaction policy's
+    * file-count slack. 8 GiB ≈ a few seconds of columnar scan per
+    * probe on one executor; tune per latency budget. */
+  val defaultTargetShardBytes: Long = 8L * 1024 * 1024 * 1024
 
   /** `_zone` part-file count past which an append's refresh compacts
     * the map into one part (see `compactZoneParts`). System-property

@@ -478,6 +478,54 @@ object CoreQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** A lake built at 32 shards from HALF the corpus, incrementally
+    * RESHARDED to 128 (a two-hyperplane, 4-way-split refinement) with
+    * the resumable path exercised — one committed step first, then
+    * resume to completion — and the other half ingested AFTER, so the
+    * final layout mixes reshard-derived rows with directly-routed
+    * ones. Built once per (session, sfDir). */
+  private def reshardStatsLake(s: SparkSession, dir: String): Lake =
+    BuiltFixtures.once(s, dir, "reshard_stats") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "reshard")
+      val narrow = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 5))
+      narrow.delete()
+      val base = Tables.embeddings(s, dir)
+        .select(col("embedding").as("vector"),
+          concat(lit("doc-"), col("vec_id")).as("document"),
+          pmod(col("vec_id"), lit(2)).as("m"))
+      narrow.ingest(base.where(col("m") === 0).drop("m"))
+      val mid = narrow.reshard(7, maxDirs = 1, dirsPerCommit = 1)
+      val wide = mid.reshard(7) // resume to completion
+      wide.ingest(base.where(col("m") =!= 0).drop("m"))
+      wide
+    }
+
+  /** Per-shard profile of the RESHARDED lake ([[reshardStatsLake]]) —
+    * the reshard correctness gate the driver can hash-check: the
+    * oracle recomputes every row's routing straight from raw
+    * `embeddings` AT THE NEW 7-hyperplane width, so hash-equality
+    * proves incremental refinement (stored 5-bit shard + derived high
+    * bits, committed directory by directory) lands every row exactly
+    * where direct width-7 routing would — across the resumable-step
+    * boundary and mixed with post-reshard ingests. Scale shape: the
+    * reshard itself was per-directory committed rewrites (O(lake)
+    * once, interruptible); the query is the usual partitioned scan +
+    * hash agg. */
+  val qReshardStats = Q(
+    "q_reshard_stats",
+    (s, dir) => {
+      val lake = reshardStatsLake(s, dir)
+      lake.read()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(V.l2Norm(col("vector"))), 6).as("avg_norm"))
+        .orderBy("shard")
+    },
+    Some(s"""SELECT ${Lsh(64, 7).sqlShardExpr("embedding")} AS shard,
+                    CAST(count(*) AS BIGINT) AS cnt,
+                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+             FROM embeddings GROUP BY 1 ORDER BY shard"""))
+
   /** The fixture lake read back through the `graft` DSv2 FORMAT and
     * aggregated in PURE SQL over a temp view — the SQL-only user's
     * whole path (`spark.read.format("graft")` / `CREATE TABLE ...
@@ -1103,5 +1151,6 @@ object CoreQueries {
     qFilterKnn, qLabelCentroids, qCentroidSim, qJoinDocs,
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qSqlDml, qCloneStats, qSyncStats,
-    qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qHybridRrf, qMaxSim)
+    qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qReshardStats,
+    qHybridRrf, qMaxSim)
 }

@@ -44,7 +44,7 @@ private[graft] object GraftProcedures {
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
     Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync",
-      "diff", "heal", "expire")
+      "diff", "heal", "expire", "reshard")
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -67,21 +67,32 @@ private[graft] object GraftProcedures {
             "vacuum retention window for dead generations"),
           pd("ttl_ms", LongType, "-1",
             "when >= 0, expire rows older than now - ttl_ms first " +
-              "(tiered retention, see the expire procedure)")),
+              "(tiered retention, see the expire procedure)"),
+          pd("target_shard_bytes", LongType,
+            Lake.defaultTargetShardBytes.toString,
+            "oversized-shard threshold behind reshard_recommended: " +
+              "once the largest shard directory crosses this, one " +
+              "more hyperplane (CALL reshard) is justified work")),
         StructType(Seq(
           StructField("compacted_shards", LongType, nullable = false),
           StructField("skip_refreshed", BooleanType, nullable = false),
           StructField("zone_rebuilt", BooleanType, nullable = false),
           StructField("vacuum_swept", LongType, nullable = false),
           StructField("recall_recalibrated", BooleanType, nullable = false),
-          StructField("expired_rows", LongType, nullable = false))),
+          StructField("expired_rows", LongType, nullable = false),
+          StructField("max_shard_bytes", LongType, nullable = false),
+          StructField("median_shard_bytes", LongType, nullable = false),
+          StructField("reshard_recommended", BooleanType, nullable = false),
+          StructField("reshard_pending_dirs", LongType, nullable = false))),
         "one-call maintenance policy: runs only the work the lake's health signals justify",
         (lake, in) => {
           val r = lake.maintain(targetBytes = in.getLong(1),
             maxFilesPerShard = in.getInt(2), retainMs = in.getLong(3),
-            ttlMs = in.getLong(4))
+            ttlMs = in.getLong(4), targetShardBytes = in.getLong(5))
           InternalRow(r.compactedShards, r.skipRefreshed, r.zoneRebuilt,
-            r.vacuumSwept, r.recallRecalibrated, r.expiredRows)
+            r.vacuumSwept, r.recallRecalibrated, r.expiredRows,
+            r.maxShardBytes, r.medianShardBytes, r.reshardRecommended,
+            r.reshardPendingDirs)
         }))
       case "compact" => Some(new LakeProcedure(
         "compact", resolve,
@@ -207,10 +218,45 @@ private[graft] object GraftProcedures {
           "diverged > 0 is what CALL heal repairs",
         (replica, in) => {
           val source = resolve(in.getUTF8String(1).toString)
+          // |shards|-BOUNDED collect: the audit's output is two
+          // aggregated rows per shard, never row data — summarizing
+          // driver-side is O(shards), the same scale class as every
+          // manifest operation. The result-row SHAPES of the
+          // replication procedures are a PySpark-facing contract,
+          // pinned in GraftProceduresSpec.
           val audit = replica.diffStats(source).collect()
           InternalRow(audit.length.toLong,
             audit.count(!_.getBoolean(3)).toLong,
             audit.map(_.getLong(1)).sum, audit.map(_.getLong(2)).sum)
+        }))
+      case "reshard" => Some(new LakeProcedure(
+        "reshard", resolve,
+        Array(table,
+          p("num_hashes", IntegerType,
+            "target hyperplane count (2^num_hashes shards); must be " +
+              ">= the lake's current width — resume an interrupted " +
+              "reshard by calling again with the SAME target"),
+          pd("max_dirs", IntegerType, Int.MaxValue.toString,
+            "bound this call's work to at most this many source " +
+              "directories (spread a large reshard across maintenance " +
+              "windows; pending work resumes on the next call)"),
+          pd("dirs_per_commit", IntegerType, "64",
+            "source directories rewritten per committed step")),
+        StructType(Seq(
+          StructField("num_shards", LongType, nullable = false),
+          StructField("pending_dirs", LongType, nullable = false))),
+        "incremental LSH reshard: grow the routing width by per-" +
+          "directory committed rewrites (resumable; reads stay " +
+          "correct mid-reshard through the Scala API; pending_dirs 0 " +
+          "means complete)",
+        (lake, in) => {
+          // the catalog resolved `lake` at the SIDECAR's width, so a
+          // resume call arrives already at the target width and a
+          // fresh call at the old one — exactly reshard()'s two modes
+          val after = lake.reshard(in.getInt(1),
+            maxDirs = in.getInt(2), dirsPerCommit = in.getInt(3))
+          InternalRow(after.lsh.numShards.toLong,
+            after.reshardStatus().map(_._3).getOrElse(0L))
         }))
       case "heal" => Some(new LakeProcedure(
         "heal", resolve,

@@ -157,8 +157,34 @@ private final class GraftDeltaWrite(cfg: LakeConfig, info: LogicalWriteInfo)
             rowSchema.fields.toSeq.map(f =>
               GraftDeltaCodec.restore(col(f.name), f.dataType)
                 .as(f.name)): _*)
-          Lake(spark, cfg).applyRowDelta(deletes, inserts)
-          ()
+          // OPT-IN bounded retry on writer-lock contention
+          // (spark.graft.dml.lockRetries, default 0 = refuse on first
+          // contention as always): two small racing statements
+          // serialize on the lock, and the loser's only failure is
+          // "someone else was committing" — with retries configured it
+          // backs off (exponential, capped) and re-applies its
+          // ALREADY-STAGED delta against the then-current state, the
+          // same convergent keyed-upsert semantics a caller-side rerun
+          // would get. The staged files outlive attempts; the final
+          // sweep in `finally` covers success and exhaustion alike.
+          val retries = spark.conf
+            .get("spark.graft.dml.lockRetries", "0").toInt
+          val baseWaitMs = spark.conf
+            .get("spark.graft.dml.lockRetryWaitMs", "200").toLong
+          var attempt = 0
+          var applied = false
+          while (!applied) {
+            try {
+              Lake(spark, cfg).applyRowDelta(deletes, inserts)
+              applied = true
+            } catch {
+              case _: java.util.ConcurrentModificationException
+                  if attempt < retries =>
+                attempt += 1
+                Thread.sleep(math.min(
+                  baseWaitMs * (1L << math.min(attempt - 1, 6)), 10000L))
+            }
+          }
         }
       } finally sweep(spark)
     }

@@ -250,6 +250,44 @@ class GraftDmlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo")))
   }
 
+  test("opt-in lock retry: racing DML statements converge without caller retries under spark.graft.dml.lockRetries") {
+    val lake = freshTable("race_retry")
+    sql("""INSERT INTO dml.default.race_retry (vector, document)
+           VALUES (array(1.0F, 0.0F, 0.0F, 0.0F), 'a'),
+                  (array(0.0F, 1.0F, 0.0F, 0.0F), 'b')""")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    spark.conf.set("spark.graft.dml.lockRetries", "8")
+    spark.conf.set("spark.graft.dml.lockRetryWaitMs", "100")
+    try {
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def upd(doc: String): java.util.concurrent.Future[Option[Throwable]] =
+        pool.submit(() => {
+          gate.await(10, TimeUnit.SECONDS)
+          try { sql(s"UPDATE dml.default.race_retry SET document = '$doc!' " +
+            s"WHERE document = '$doc'"); None }
+          catch { case t: Throwable => Some(t) }
+        })
+      val (fa, fb) = (upd("a"), upd("b"))
+      gate.countDown()
+      val fails = Seq(fa, fb).flatMap(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      // with retries on, the loser backs off and re-applies its staged
+      // delta itself: no statement fails, both updates land
+      assert(fails.isEmpty, s"retry mode must converge, got: $fails")
+      assert(lake.read().select("document").as[String].collect().sorted.toSeq
+        === Seq("a!", "b!"))
+      assert(lake.validate().head().getAs[Long]("misrouted") === 0L)
+      // the staging sweep still ran for every attempt
+      val fs = new org.apache.hadoop.fs.Path(lake.cfg.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.cfg.location, "_rlo")))
+    } finally {
+      spark.conf.unset("spark.graft.dml.lockRetries")
+      spark.conf.unset("spark.graft.dml.lockRetryWaitMs")
+    }
+  }
+
   test("_graft_rid is a hidden metadata column: absent from SELECT *, explicitly selectable, always non-null") {
     val lake = freshTable("rid")
     sql("""INSERT INTO dml.default.rid (vector, document)

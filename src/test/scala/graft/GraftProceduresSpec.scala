@@ -75,7 +75,8 @@ class GraftProceduresSpec extends SparkSpec {
     assert(r1.length === 1)
     assert(r1.head.schema.fieldNames.toSeq === Seq("compacted_shards",
       "skip_refreshed", "zone_rebuilt", "vacuum_swept",
-      "recall_recalibrated", "expired_rows"))
+      "recall_recalibrated", "expired_rows", "max_shard_bytes",
+      "median_shard_bytes", "reshard_recommended", "reshard_pending_dirs"))
     // a second immediate call finds nothing left to justify
     val r2 = sql(s"CALL plakes.system.maintain(table => 'default.$t')").collect().head
     assert(r2.getLong(0) === 0L, "second maintain compacted nothing")
@@ -101,6 +102,79 @@ class GraftProceduresSpec extends SparkSpec {
     assert(swept2 >= 0L)
     assert(sql(s"SELECT count(*) FROM plakes.default.$t")
       .head().getLong(0) === 6L, "maintenance never lost a row")
+  }
+
+  test("replication procedure results are a stable PySpark-facing contract: pinned schemas, |shards|-bounded summaries") {
+    // clone/sync/diff/heal return ONE summary row built driver-side
+    // from a |shards|-bounded collect (GraftProcedures notes the
+    // bound) — Python consumers read the fields BY NAME, so the
+    // shapes are pinned here and may only grow, never rename
+    val t = mkTable("pc_shapes")
+    ingestBatches(t, 2)
+    val v1 = sql(s"CALL plakes.system.seal(table => 'default.$t')")
+      .collect().head.getLong(0)
+    val loc2 = warehouse + "/pc_shapes_replica"
+    val c = sql(s"""CALL plakes.system.clone(table => 'default.$t',
+      target_location => '$loc2')""").collect().head
+    assert(c.schema.fieldNames.toSeq === Seq("target", "rows"))
+    assert(c.getString(0) === loc2 && c.getLong(1) === 6L)
+    val d = sql(s"CALL plakes.system.diff(replica => '$loc2', source => 'default.$t')")
+      .collect().head
+    assert(d.schema.fieldNames.toSeq ===
+      Seq("shards", "diverged", "rows_replica", "rows_source"))
+    assert(d.getLong(1) === 0L && d.getLong(2) === d.getLong(3))
+    val h = sql(s"CALL plakes.system.heal(replica => '$loc2', source => 'default.$t')")
+      .collect().head
+    assert(h.schema.fieldNames.toSeq === Seq("shards_repaired", "rows_rewritten"))
+    assert(h.getLong(0) === 0L && h.getLong(1) === 0L)
+    ingestBatches(t, 1)
+    val v2 = sql(s"CALL plakes.system.seal(table => 'default.$t')")
+      .collect().head.getLong(0)
+    val sy = sql(s"""CALL plakes.system.sync(replica => '$loc2',
+      source => 'default.$t', from_version => $v1, to_version => $v2)""")
+      .collect().head
+    assert(sy.schema.fieldNames.toSeq === Seq("deleted", "inserted"))
+    assert(sy.getLong(0) === 0L && sy.getLong(1) === 3L)
+    // ... and the reshard report's shape is part of the same contract
+    val r = sql(s"CALL plakes.system.reshard(table => 'default.$t', num_hashes => 3)")
+      .collect().head
+    assert(r.schema.fieldNames.toSeq === Seq("num_shards", "pending_dirs"))
+  }
+
+  test("CALL reshard grows the width incrementally; a partial call leaves a resumable SQL-refused state") {
+    val t = mkTable("pc_reshard")
+    ingestBatches(t, 4)
+    val before = sql(s"SELECT count(*) FROM plakes.default.$t")
+      .collect().head.getLong(0)
+    // partial: one source directory only — pending remains, the SQL
+    // scan refuses loudly (it cannot re-derive dir-named values), and
+    // maintain reports progress instead of throwing
+    val p1 = sql(s"""CALL plakes.system.reshard(table => 'default.$t',
+      num_hashes => 4, max_dirs => 1, dirs_per_commit => 1)""")
+      .collect().head
+    assert(p1.getLong(0) === 16L)
+    assert(p1.getLong(1) > 0L, "expected pending dirs after max_dirs => 1")
+    val e = intercept[Exception](
+      sql(s"SELECT count(*) FROM plakes.default.$t").collect())
+    assert(e.getMessage.contains("reshard"))
+    val m = sql(s"CALL plakes.system.maintain(table => 'default.$t')")
+      .collect().head
+    assert(m.getAs[Long]("reshard_pending_dirs") > 0L)
+    assert(!m.getAs[Boolean]("reshard_recommended"))
+    // resume to completion: the catalog resolves the width from the
+    // sidecar, so the same CALL finishes the job
+    val p2 = sql(s"""CALL plakes.system.reshard(table => 'default.$t',
+      num_hashes => 4)""").collect().head
+    assert(p2.getLong(0) === 16L && p2.getLong(1) === 0L)
+    assert(sql(s"SELECT count(*) FROM plakes.default.$t")
+      .collect().head.getLong(0) === before)
+    // post-reshard the oversized-shard signal fires under a 1-byte
+    // target (any data crosses it) and stays down at the default
+    val m2 = sql(s"""CALL plakes.system.maintain(table => 'default.$t',
+      target_shard_bytes => 1)""").collect().head
+    assert(m2.getAs[Boolean]("reshard_recommended"))
+    assert(m2.getAs[Long]("max_shard_bytes") > 1L)
+    assert(m2.getAs[Long]("reshard_pending_dirs") === 0L)
   }
 
   test("discovery and refusals: SHOW PROCEDURES, DESCRIBE, unknown name, wrong namespace, missing table") {

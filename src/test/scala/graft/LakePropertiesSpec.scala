@@ -44,7 +44,12 @@ class LakePropertiesSpec extends SparkSpec {
   private def maintenanceFuzz(seed: Long): Unit = {
     val rng = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("graft_fuzz").toString
-    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
+    // `lake` REBINDS when the reshard op grows the routing width (the
+    // old instance is stale by contract); `width` tracks it for the
+    // SQL write path's options
+    var lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
+    var width = 3
+    val reshardRng = new scala.util.Random(seed ^ 0x5eed)
     var model = Map.empty[String, (Seq[Float], String)] // id -> (vector, doc)
     // id -> synthetic ingest day (rows carry EXPLICIT event times so
     // the zone-map window reads below have a model to check against)
@@ -122,6 +127,41 @@ class LakePropertiesSpec extends SparkSpec {
     var sinkBatch = 0L
     val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
     (0 until 40).foreach { step =>
+      // INCREMENTAL RESHARD prelude on ~1/16 of steps, drawn from a
+      // SECOND seeded stream so the primary op sequence (and its
+      // coverage guarantees) stays byte-identical to earlier rounds':
+      // begin + one committed step, CHECK THE MODEL AGAINST THE
+      // MID-RESHARD READ (pending directories re-derive per row — the
+      // pin that a half-resharded lake never serves a wrong row set),
+      // then resume to completion and rebind at the new width. The
+      // anti-entropy replica reshards itself to the same width —
+      // routing is deterministic, so the next repairFrom audit must
+      // convict nothing that DML drift does not explain.
+      if (reshardRng.nextInt(16) == 0 && lake.exists() && width < 6 &&
+          model.nonEmpty) {
+        val mid = lake.reshard(width + 1, maxDirs = 1, dirsPerCommit = 1)
+        val midGot = mid.read().select("id", "vector", "document")
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getAs[scala.collection.Seq[Float]]("vector").toSeq,
+              r.getString(2))))
+          .toMap
+        assert(midGot === model,
+          s"step $step: MID-RESHARD read diverged from the model " +
+            s"(lake-only: ${(midGot.keySet -- model.keySet).take(5)}, " +
+            s"model-only: ${(model.keySet -- midGot.keySet).take(5)})")
+        // every mid-reshard row reads at the NEW width
+        assert(mid.read().where(org.apache.spark.sql.functions.col("shard")
+          =!= Lsh(dim, width + 1).shardCol(
+            org.apache.spark.sql.functions.col("vector")))
+          .count() === 0L,
+          s"step $step: mid-reshard rows not derived to the new width")
+        lake = mid.reshard(width + 1) // resume to completion
+        width += 1
+        replica = replica.map(_.reshard(width))
+        opsRun += "reshard"
+        check(s"step $step: reshard")
+      }
       val op = rng.nextInt(28) match {
         case 26 | 27 =>
           // SQL ROW-LEVEL DML mid-sequence: UPDATE re-documents random
@@ -168,7 +208,7 @@ class LakePropertiesSpec extends SparkSpec {
           withExtras(rows.map(r => (r._1, r._2, r._3, ts(day)))
             .toDF("id", "vector", "document", "timestamp"))
             .write.format("graft").mode("append")
-            .option("dim", dim.toString).option("numHashes", "3")
+            .option("dim", dim.toString).option("numHashes", width.toString)
             .save(lake.cfg.location)
           model ++= rows.map(r => r._1 -> ((r._2, r._3)))
           days ++= rows.map(r => r._1 -> day)
@@ -421,6 +461,9 @@ class LakePropertiesSpec extends SparkSpec {
     assert(opsRun.contains("repairFrom replica") ||
       opsRun.contains("clone anti-entropy replica"),
       s"anti-entropy never fired in 40 steps: $opsRun")
+    assert(opsRun.contains("reshard"),
+      s"the reshard prelude never fired in 40 steps (both pinned seeds " +
+        s"are known to draw it — a dispatch change broke coverage): $opsRun")
     // end state: unique ids, audit clean, snapshot history readable
     val audit = lake.validate().head()
     assert(audit.getLong(1) === 0L && audit.getLong(2) === 0L &&

@@ -189,6 +189,23 @@ heal2 = spark.sql(
 check("a second CALL heal is a no-op",
       heal2.shards_repaired == 0 and heal2.rows_rewritten == 0)
 
+# incremental reshard from SQL: grow the routing width, count preserved,
+# the table reads back at the new width (resume semantics: a second
+# identical CALL is a no-op with 0 pending)
+pre_n = spark.sql("SELECT count(*) c FROM lakes.default.pysmoke").head().c
+rs = spark.sql(
+    "CALL lakes.system.reshard(table => 'default.pysmoke', num_hashes => 4)"
+).head()
+check("CALL reshard completed to 16 shards",
+      rs.num_shards == 16 and rs.pending_dirs == 0)
+check("resharded table reads back with every row", spark.sql(
+    "SELECT count(*) c FROM lakes.default.pysmoke").head().c == pre_n)
+rs2 = spark.sql(
+    "CALL lakes.system.reshard(table => 'default.pysmoke', num_hashes => 4)"
+).head()
+check("a second CALL reshard is a no-op",
+      rs2.num_shards == 16 and rs2.pending_dirs == 0)
+
 spark.sql("DROP TABLE lakes.default.pysmoke")
 check("DROP removed the managed lake", spark.sql(
     "SHOW TABLES IN lakes.default").filter("tableName = 'pysmoke'").count() == 0)
