@@ -3295,7 +3295,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     }
     requireWriteConfigMatch()
     val target = new Lake(spark, cfg.copy(numHashes = newNumHashes))
-    withWriterLock("reshard") {
+    withReshardLock {
       val fs = fsOfRoot
       val st = readState()
       requireNoReshard(st, "reshard(begin)") // defensive; routingChecked
@@ -3328,6 +3328,30 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     readState().reshard.map(r =>
       (1L << r.fromBits, 1L << r.toBits, r.pending.size.toLong))
 
+  /** Writer-lock acquisition with bounded backoff, for the reshard
+    * path only: a long reshard shares the lake with LIVE appenders,
+    * and each step's lock grab can collide with a shared append
+    * marker — a transient state the next moment clears. Up to seven
+    * attempts (~5 s of capped exponential backoff) before surfacing
+    * the contention; a genuinely stranded lock still fails loudly,
+    * with [[repair]] as the documented recovery. Other maintenance
+    * keeps the throw-on-first-contention posture (a cron retries on
+    * its next tick); reshard retries because ONE call is expected to
+    * shepherd many steps through ambient ingest traffic. */
+  private def withReshardLock[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return withWriterLock("reshard")(body)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 6) throw e
+          Thread.sleep(math.min(100L * (1L << attempt), 2000L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The step loop half of [[reshard]], always running at the TARGET
     * width: one writer-locked committed batch per iteration, so
     * appends interleave between batches and a kill at any point
@@ -3337,7 +3361,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     var rebuildSkip = false
     var done = false
     while (!done) {
-      withWriterLock("reshard") {
+      withReshardLock {
         val st = readState()
         st.reshard match {
           case None => done = true // complete (or never begun: no-op)

@@ -454,4 +454,44 @@ class ObjectStoreSpec extends SparkSpec {
       assert(lake.count() === 2L)
     }
   }
+
+  test("incremental reshard round-trips on a non-file: FS: mid-reshard reads, crash-resume via repair, completion") {
+    withBucketFs { root =>
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 5, numHashes = 3))
+      val rnd = new scala.util.Random(13)
+      val data = (0 until 300).map(i =>
+        (s"r-$i", Seq.fill(5)(rnd.nextGaussian().toFloat), s"doc $i"))
+      lake.ingest(data.toDF("id", "vector", "document"))
+      val want = lake.read().select("id", "document")
+        .as[(String, String)].collect().toSet
+
+      // partial reshard over the bucket scheme: one committed step
+      val mid = lake.reshard(5, maxDirs = 1, dirsPerCommit = 1)
+      assert(mid.read().select("id", "document")
+        .as[(String, String)].collect().toSet === want,
+        "mid-reshard read must serve the full row set on bucket://")
+      assert(mid.reshardStatus().exists(_._3 > 0L))
+
+      // CRASH mid-reshard: a stranded writer lock blocks the resume
+      // (loudly) until repair() clears it — the documented recovery
+      val fs = new org.apache.hadoop.fs.Path(mid.cfg.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new org.apache.hadoop.fs.Path(mid.cfg.location, "_lock")
+      val out = fs.create(lock, false)
+      out.write("""{"op": "reshard", "holder": "dead-jvm"}""".getBytes("UTF-8"))
+      out.close()
+      intercept[java.util.ConcurrentModificationException](mid.reshard(5))
+      assert(mid.repair() >= 1L) // clears the stranded lock (and sweeps)
+      val fin = mid.reshard(5)
+      assert(fin.reshardStatus().isEmpty, "resume must complete")
+      assert(fin.read().select("id", "document")
+        .as[(String, String)].collect().toSet === want)
+      // every file still addressed through the bucket scheme, routing clean
+      val files = fin.read().inputFiles
+      assert(files.nonEmpty && files.forall(_.startsWith("bucket:")))
+      assert(fin.validate().head().getAs[Long]("misrouted") === 0L)
+      assert(fin.vacuum() >= 1L) // the retired old-width trees sweep
+      assert(fin.count() === 300L)
+    }
+  }
 }

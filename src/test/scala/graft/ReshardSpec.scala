@@ -169,6 +169,29 @@ class ReshardSpec extends SparkSpec {
       === Set("r-7"))
   }
 
+  test("compressed lakes reshard intact: packed and pq_code survive the rewrite, compressed search works at the new width") {
+    val dir = tmp()
+    val base = rows(300)
+    val pqModel = operators.Pq.round6(operators.Pq.train(
+      base.withColumn("vid", monotonically_increasing_id()),
+      "vector", "vid", dim = dim, m = 4, k = 8, iters = 2))
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3,
+      packSignBits = true, pqCodebooks = Some(pqModel)))
+    lake.ingest(base)
+    val wide = lake.reshard(5)
+    // the stored compression columns rode the per-directory rewrite
+    assert(wide.read()
+      .where(col("packed").isNull || col("pq_code").isNull).count() === 0L)
+    val v = wide.validate().collect().head
+    assert(v.getAs[Long]("misrouted") === 0L)
+    assert(v.getAs[Long]("bad_packed") === 0L)
+    assert(v.getAs[Long]("bad_pq") === 0L)
+    // compressed retrieval modes serve at the new width
+    val q = Seq(0.2, -0.4, 0.6, 0.1)
+    assert(wide.topKCompressed(q, 5).count() === 5L)
+    assert(wide.topKPq(q, 5).count() === 5L)
+  }
+
   test("guard rails: user-keyed lakes, narrowing, and zero-progress calls") {
     val dir = tmp()
     val keyed = Lake(spark, LakeConfig(s"$dir/keyed", dim = dim,
@@ -191,6 +214,42 @@ class ReshardSpec extends SparkSpec {
     val direct = Lake(spark, LakeConfig(s"$dir/direct", dim = dim, numHashes = 6))
     direct.ingest(rows(50))
     assert(rowSet(fin) === rowSet(direct))
+  }
+
+  test("reshard completes under CONCURRENT ingest: step-lock retries ride out append markers, nothing is lost") {
+    val dir = tmp()
+    val old = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
+    old.ingest(rows(400))
+    // begin the transition first so the appender thread can run at the
+    // (now declared) target width for the whole step phase
+    val wide = old.reshard(5, maxDirs = 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = pool.submit(new Runnable {
+      override def run(): Unit = {
+        val mine = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 5))
+        var i = 0
+        // keep trying until at least one batch lands (between-step
+        // windows, or right after completion) — a batch either fully
+        // lands (gate taken) or refuses BEFORE writing (a reshard step
+        // holds the lock); never partial
+        while ((!stop.get() || appended.get() == 0) && i < 500) {
+          try { mine.ingest(rows(2, s"c$i")); appended.addAndGet(2); () }
+          catch { case _: java.util.ConcurrentModificationException =>
+            Thread.sleep(100) }
+          i += 1
+        }
+      }
+    })
+    val fin = wide.reshard(5, dirsPerCommit = 1) // steps + retries
+    stop.set(true)
+    appender.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(fin.reshardStatus().isEmpty, "reshard must complete under traffic")
+    assert(appended.get() > 0, "the appender must have landed batches")
+    assert(fin.read().count() === 400L + appended.get())
+    assert(fin.validate().head().getAs[Long]("misrouted") === 0L)
   }
 
   test("zone map survives a reshard: readTimeRange stays correct at the new width") {
