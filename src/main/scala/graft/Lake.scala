@@ -2134,17 +2134,52 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       else df.withColumn(partCol,
         (col(partCol) + lsh.shardColFrom(col("vector"), entryBits))
           .cast(IntegerType))
-    // mergeSchema: the default read infers from ONE footer (the
-    // lexicographically first file), so an EXTRA column in any other
-    // file would slip through null-filled instead of failing the
-    // validation; merging unions every footer so added-column drift in
-    // ANY file surfaces here. Known residual gap: a foreign file with a
-    // SUBSET of the columns still unions to the canonical set and reads
-    // null-filled — catching that needs per-footer comparison (an
-    // O(files) metadata pass), same per-loaded-frame limitation as the
-    // reference's validation (index.py:249-250). compact() rewrites
-    // homogenize such files away. Footer merging stays cheap via
-    // compact()'s O(shards) file-count discipline.
+    // SCHEMA RESOLUTION, two regimes (round 11 — previously every
+    // branch ran mergeSchema):
+    //
+    //  - MANIFEST-GOVERNED branches (generation trees) read with the
+    //    SIDECAR-PINNED schema, zero footer I/O at plan time. The old
+    //    posture merged every live footer ON EVERY READ to catch an
+    //    out-of-contract foreign file — an O(live files) distributed
+    //    planning job per query, which at object-store scale is the
+    //    difference between millisecond and minute planning. The
+    //    write path already guarantees the shape (one withDerived,
+    //    requireWriteConfigMatch both directions), the SQL format has
+    //    always served the pinned schema, and drift detection moved
+    //    to [[validate]]'s `drift_cols` audit — the one place an
+    //    O(files) footer sweep belongs. A foreign file inside a
+    //    generation now reads null-padded/projected instead of
+    //    failing the read; validate() convicts it.
+    //  - The LEGACY/ROOT branch (pre-v2 flat lakes, foreign data
+    //    dropped at the location) keeps mergeSchema + the final
+    //    column-set validation below: that data is NOT
+    //    manifest-governed, so a foreign schema must fail loudly
+    //    with the full diff, never bootstrap silently.
+    // the reference round-trips last_update (+ index attrs) through
+    // file metadata readable off the frame (index.py:296-305) — the
+    // pinned read keeps that surface by stamping the SIDECAR's attrs
+    // onto the timestamp field (the sidecar is the canonical fast
+    // path; with footer merging the surfaced stamp was whichever
+    // file's footer won the merge, the sidecar's latest is strictly
+    // better defined). The raw per-file footers still carry their
+    // write-time stamps (FooterMetaSpec reads them with parquet-hadoop
+    // directly).
+    val pinnedFields = storedFieldsOf(st).map {
+      case f if f.name == "timestamp" =>
+        val md = new MetadataBuilder()
+          .putString("graft.last_update", st.lastUpdate.getOrElse(""))
+          .putLong("graft.dim", cfg.dim.toLong)
+          .putString("graft.metric", cfg.metric)
+          .build()
+        f.copy(metadata = md)
+      case f => f
+    }
+    def pinnedBranch(basePath: Option[String], paths: Seq[String]): DataFrame = {
+      var r = spark.read.schema(
+        StructType(pinnedFields :+ StructField(partCol, partType)))
+      basePath.foreach(b => r = r.option("basePath", b))
+      r.parquet(paths: _*)
+    }
     def branch(basePath: Option[String], paths: Seq[String]): DataFrame = {
       var r = spark.read.option("mergeSchema", "true")
       basePath.foreach(b => r = r.option("basePath", b))
@@ -2181,9 +2216,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         Seq(widen(
           if (curSinkOwned)
             spark.read
-              .schema(StructType(storedFieldsOf(st) :+ StructField(partCol, partType)))
+              .schema(StructType(pinnedFields :+ StructField(partCol, partType)))
               .parquet(cur.toString)
-          else branch(None, Seq(cur.toString)), stateBits))
+          else pinnedBranch(None, Seq(cur.toString)), stateBits))
       else Nil
     // older-generation branches split by reshard membership: pending
     // entries were routed at the reshard's FROM width and re-derive
@@ -2194,7 +2229,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .groupBy(e => (e._2, reshardPending.contains(e)))
       .toSeq.sortBy(_._1).map { case ((g, isPending), entries) =>
         val base = genPath(g)
-        widen(branch(Some(base.toString),
+        widen(pinnedBranch(Some(base.toString),
           entries.map(_._1).distinct
             .map(d => new org.apache.hadoop.fs.Path(base, d).toString)),
           if (isPending) st.reshard.get.fromBits else stateBits)
@@ -2217,7 +2252,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (branches.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(storedFieldsOf(st) :+ StructField(partCol, partType)))
+        StructType(pinnedFields :+ StructField(partCol, partType)))
     val df = branches.reduce(_ unionByName _)
     val got = df.columns.toSet
     val want = storedColsOf(st).toSet + partCol
@@ -4962,6 +4997,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val df = read()
     val skew = shardSkewStats()
     val pendingDirs = reshardStatus().map(_._3).getOrElse(0L)
+    // FOOTER-DRIFT audit (round 11): the O(live files) mergeSchema
+    // sweep that used to run on EVERY read now runs only here, where
+    // an audit-priced pass belongs — count data columns any live
+    // manifest-governed file carries beyond the declared stored set
+    // (an out-of-contract foreign write; the pinned-schema read
+    // serves such a file null-padded/projected instead of failing).
+    // -1 = no live files to audit; unreadable footers surface as the
+    // read error they are.
+    val driftCols: Long = {
+      val fs = fsOfRoot
+      val files = liveShardFiles(fs, readState())
+        .values.flatten.map(_._1).toSeq
+      if (files.isEmpty) -1L
+      else {
+        val merged = spark.read.option("mergeSchema", "true")
+          .parquet(files: _*).schema.fieldNames.map(_.toLowerCase).toSet
+        val declared = (storedColsNow :+ partCol).map(_.toLowerCase).toSet
+        (merged -- declared).size.toLong
+      }
+    }
     // every branch must be an AGGREGATE expression (a bare literal is
     // rejected by agg); "not configured" = max of a constant -1
     def unconfigured: Column = coalesce(max(lit(-1L)), lit(-1L))
@@ -5014,6 +5069,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .withColumn("reshard_recommended",
         lit(pendingDirs == 0L &&
           skew.exists(_._1 > Lake.defaultTargetShardBytes)))
+      .withColumn("drift_cols", lit(driftCols))
   }
 
   /** Test/tooling hook: the current generation's subtree path (appends
@@ -5215,6 +5271,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .getOrElse(Nil)
     val sidecarShards = """"num_shards"\s*:\s*(-?\d+)""".r
       .findFirstMatchIn(json).map(_.group(1).toLong)
+    val lastUpdate = """"last_update"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(json).map(_.group(1))
     // in-flight reshard: pending entries are {"d": dir, "g": gen}
     // OBJECTS, deliberately shaped so the `live` pair-regex above can
     // never absorb them (and vice versa)
@@ -5231,7 +5289,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq,
       """"reshard_skip"\s*:\s*true""".r.findFirstIn(json).isDefined)
     LakeState(gen, live, genHasData, isSealed, extraCols, sidecarShards,
-      reshard)
+      reshard, lastUpdate)
   }
 
   /** Best-effort `last_update` stamp for the streaming path. The
@@ -5828,7 +5886,8 @@ object Lake {
       isSealed: Boolean = false,
       extraCols: Seq[(String, String)] = Nil,
       sidecarShards: Option[Long] = None,
-      reshard: Option[ReshardState] = None)
+      reshard: Option[ReshardState] = None,
+      lastUpdate: Option[String] = None)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

@@ -122,19 +122,31 @@ class LakeSpec extends SparkSpec {
     assert(df.where(col("tenant") === "a").count() === 1L)
   }
 
-  test("read() refuses a drifted on-disk schema loudly (reference validates on load)") {
+  test("in-generation schema drift: reads serve the PINNED sidecar schema; validate()'s footer audit convicts the rogue file") {
+    // round-11 contract change: generation trees read with the
+    // sidecar-pinned schema (zero footer I/O at plan time — at
+    // object-store scale the per-read mergeSchema sweep this replaces
+    // was an O(live files) planning job per query, and the SQL format
+    // has always served the pinned schema). An out-of-contract foreign
+    // file inside a generation therefore no longer fails the READ —
+    // its rogue column is projected away, its known columns serve —
+    // and the O(files) drift detection moved to validate(), the
+    // audit-priced pass.
     val lake = freshLake()
     lake.ingest(vecsDF(Seq(Seq(0.1, 0.2, 0.3, 0.4, 0.5))))
-    // a foreign writer adds a file with an extra column: the validated
-    // read must fail with the schema diff, never silently widen/narrow.
-    // shard=9 sorts AFTER the legit data's shard dir — without
-    // mergeSchema the single-footer inference would pick the legit file
-    // and miss the drift entirely (empirically confirmed in review)
+    assert(lake.validate().head().getAs[Long]("drift_cols") === 0L)
     Seq((Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f), "doc", 42L))
       .toDF("vector", "document", "rogue_col")
       .write.mode("append").parquet(s"${lake.currentGenDir}/shard=9")
-    val e = intercept[IllegalArgumentException](lake.read())
-    assert(e.getMessage.contains("schema mismatch"))
+    val df = lake.read()
+    assert(!df.columns.contains("rogue_col"),
+      "the pinned read must serve exactly the declared columns")
+    assert(df.count() === 2L)
+    assert(lake.validate().head().getAs[Long]("drift_cols") === 1L,
+      "the footer audit must count the rogue column")
+    // ROOT-LEVEL foreign data keeps the loud read-time refusal: it is
+    // not manifest-governed, so nothing else ever audits it
+    // (EdgeCaseSpec pins that half of the contract)
   }
 
   test("similaritySearch projects (document, metadata, dist) - LangChain adapter analog") {
