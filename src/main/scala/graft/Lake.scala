@@ -1373,6 +1373,26 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s"applyChanges: the delta is missing stored column(s) " +
         s"${missing.mkString(", ")} — not a change-feed frame (see " +
         "changesBetween/changesSince; only evolved extras may be absent)")
+    // ROUTING-WIDTH guard on the carried shard values: the feed is
+    // byte-preserving (no re-route), so a delta cut from a source that
+    // RESHARDED to a wider routing than this replica carries shard ids
+    // this lake's width can never probe — they would land in
+    // directories single-probe topK never reads, a silent recall hole.
+    // O(churn) like every other delta pass. (The inverse skew — a
+    // NARROWER source's ids, all in range but routed under fewer
+    // planes — is not detectable from values alone: [[syncFrom]]'s
+    // instance-config equality covers the aligned path, and validate()
+    // counts such rows as misrouted after the fact.)
+    if (cfg.partitionKey.isEmpty && insCount > 0L) {
+      val outOfWidth = insRaw
+        .where(col(partCol) < 0 || col(partCol) >= lsh.numShards).count()
+      require(outOfWidth == 0L,
+        s"applyChanges at ${cfg.location}: $outOfWidth delta rows carry " +
+          s"shard ids outside this lake's ${lsh.numShards}-shard width — " +
+          "the source was resharded to a wider routing; reshard this " +
+          "replica to the same width first (routing is deterministic, " +
+          "both sides then converge), or re-clone")
+    }
     // auto-evolve: delta columns beyond the stored set ride the feed
     // (inline sidecar commit under the held writer lock, so no
     // re-entrant evolve() — but the SAME validation: a legit source's
@@ -3481,22 +3501,32 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           s"${outOfScope.mkString(", ")}")
     }
     val batchSet = batch.toSet
+    val producedDirs: Seq[String] =
+      if (expected == 0L) Nil
+      else fs.listStatus(tmp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName)
+    // COMMIT — the generation POINTER does not move: the split
+    // directories land as EXPLICIT live entries in their fresh
+    // (non-current) generation, the batch's source pairs fall out, and
+    // the current generation — where appends land, and which a
+    // mid-reshard ingestStream may have pinned with its _spark_metadata
+    // manifest — is never touched. (An earlier version rolled the
+    // pointer per step, which would have re-parented a stream-owned
+    // generation into raw live entries and broken manifest-governed
+    // file visibility.)
     writeState(LakeState(
-      if (expected > 0L) newGen else st.generation,
-      liveEntries(st).filterNot(batchSet),
+      st.generation,
+      st.live.filter(_._2 != st.generation).filterNot(batchSet) ++
+        producedDirs.map(_ -> newGen),
       extraCols = st.extraCols, sidecarShards = st.sidecarShards,
       reshard = Some(r.copy(pending = r.pending.filterNot(batchSet)))))
     // auxiliary refresh: the skip index is absent mid-reshard (dropped
     // at transition); the FILE-keyed zone map refreshes for the
     // retired and produced values
-    val produced: Set[Option[String]] =
-      if (expected == 0L) Set.empty
-      else fs.listStatus(genPath(newGen))
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(s => unescapePartitionValue(s.getPath.getName.split("=", 2)(1)))
-        .toSet
-    refreshZoneMapShards(produced ++
-      batch.map(p => unescapePartitionValue(p._1.split("=", 2)(1))).toSet)
+    refreshZoneMapShards(
+      producedDirs.map(d => unescapePartitionValue(d.split("=", 2)(1))).toSet ++
+        batch.map(p => unescapePartitionValue(p._1.split("=", 2)(1))).toSet)
   }
 
   /** Row-level DELETE WHERE — the targeted maintenance op the reference
@@ -4909,9 +4939,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * worst-routed query) against the typical one. Pure listings,
     * O(live dirs), no row reads — cheap enough for every
     * [[maintain]]/[[validate]] tick. */
-  private def shardSkewStats(): Option[(Long, Long)] = {
+  private def shardSkewStats(st: LakeState): Option[(Long, Long)] = {
     val fs = fsOfRoot
-    val st = readState()
     val perShard = liveEntries(st)
       .map { case (d, g) =>
         unescapePartitionValue(d.split("=", 2)(1)) ->
@@ -4932,12 +4961,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       ttlMs: Long = -1L,
       targetShardBytes: Long = Lake.defaultTargetShardBytes): Lake.MaintenanceReport = {
     if (!exists()) return Lake.MaintenanceReport(0L, false, false, 0L)
-    // an IN-FLIGHT reshard owns the structure: the rewrite steps
-    // (compact/expire/index builds) would be refused anyway, so skip
-    // them quietly, keep the always-safe vacuum + recalibration, and
-    // surface the pending count — the cron-driven maintain() tick
-    // stays a useful health probe mid-reshard instead of a throw
-    val reshardInFlight = reshardStatus()
+    // ONE sidecar read serves the tick's own telemetry (reshard state,
+    // shard skew) — each sub-op below still re-reads under its own
+    // lock, which is the serialization that matters. An in-flight
+    // reshard owns the structure: the rewrite steps (compact/expire/
+    // index builds) would be refused anyway, so skip them quietly,
+    // keep the always-safe vacuum + recalibration, and surface the
+    // pending count — the cron-driven maintain() tick stays a useful
+    // health probe mid-reshard instead of a throw
+    val tickState = readState()
+    val reshardInFlight = tickState.reshard.map(r =>
+      (1L << r.fromBits, 1L << r.toBits, r.pending.size.toLong))
     // retention FIRST: rows about to expire must not be paid for again
     // by the compaction rewrite below (and a wholesale retirement may
     // itself leave shards under the file-count slack). ttlMs < 0 = off.
@@ -4983,7 +5017,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // operator decision: it rewrites the lake once and temporarily
     // refuses other maintenance); mid-reshard the recommendation stays
     // down and the pending count reports progress instead
-    val skew = shardSkewStats()
+    // NOTE the skew reads the PRE-maintenance state deliberately: the
+    // tick's own compaction/expiry do not change per-shard BYTE skew
+    // materially (they rewrite within shards), and one state serves
+    // the whole report
+    val skew = shardSkewStats(tickState)
     Lake.MaintenanceReport(compacted, skip, zone, swept, recalibrated,
       expired,
       maxShardBytes = skew.map(_._1).getOrElse(0L),
@@ -4993,10 +5031,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       reshardPendingDirs = reshardInFlight.map(_._3).getOrElse(0L))
   }
 
-  def validate(): DataFrame = {
+  def validate(targetShardBytes: Long = Lake.defaultTargetShardBytes): DataFrame = {
     val df = read()
-    val skew = shardSkewStats()
-    val pendingDirs = reshardStatus().map(_._3).getOrElse(0L)
+    // ONE sidecar read serves every driver-side audit input below
+    // (skew, reshard state, drift, the stored-column set) — on an
+    // object store each readState is a remote GET, and an audit should
+    // not pay five of them
+    val auditState = readState()
+    val skew = shardSkewStats(auditState)
+    val pendingDirs = auditState.reshard.map(_.pending.size.toLong).getOrElse(0L)
     // FOOTER-DRIFT audit (round 11): the O(live files) mergeSchema
     // sweep that used to run on EVERY read now runs only here, where
     // an audit-priced pass belongs — count data columns any live
@@ -5007,13 +5050,14 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // read error they are.
     val driftCols: Long = {
       val fs = fsOfRoot
-      val files = liveShardFiles(fs, readState())
+      val files = liveShardFiles(fs, auditState)
         .values.flatten.map(_._1).toSeq
       if (files.isEmpty) -1L
       else {
         val merged = spark.read.option("mergeSchema", "true")
           .parquet(files: _*).schema.fieldNames.map(_.toLowerCase).toSet
-        val declared = (storedColsNow :+ partCol).map(_.toLowerCase).toSet
+        val declared = (storedColsOf(auditState) :+ partCol)
+          .map(_.toLowerCase).toSet
         (merged -- declared).size.toLong
       }
     }
@@ -5066,9 +5110,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       .withColumn("max_shard_bytes", lit(skew.map(_._1).getOrElse(-1L)))
       .withColumn("median_shard_bytes", lit(skew.map(_._2).getOrElse(-1L)))
       .withColumn("reshard_pending_dirs", lit(pendingDirs))
+      // same threshold semantics as maintain(targetShardBytes) — pass
+      // the deployment's tuned value for a consistent verdict (the
+      // no-arg form and the SQL `validate` view use the default)
       .withColumn("reshard_recommended",
-        lit(pendingDirs == 0L &&
-          skew.exists(_._1 > Lake.defaultTargetShardBytes)))
+        lit(pendingDirs == 0L && skew.exists(_._1 > targetShardBytes)))
       .withColumn("drift_cols", lit(driftCols))
   }
 

@@ -35,12 +35,11 @@ final case class Lsh(dim: Int, numHashes: Int, seed: Long = 42L) {
   }
 
   /** Shard id as a codegen-friendly expression:
-    * Σ_j 2^j · (dot(plane_j, v) > 0). */
-  def shardCol(vec: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(VectorFunctions.dot(vec, VectorFunctions.vecLit(p.toSeq)) > 0.0,
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    * Σ_j 2^j · (dot(plane_j, v) > 0) — the fromBit = 0 case of
+    * [[shardColFrom]] (ONE definition of the sign-bit weighting, so
+    * the > 0.0 tie rule reshard refinement exactness rests on cannot
+    * fork). */
+  def shardCol(vec: Column): Column = shardColFrom(vec, 0)
 
   /** Contribution of hyperplanes [fromBit, numHashes) alone —
     * Σ_{j ≥ fromBit} 2^j · (dot(plane_j, v) > 0): the REFINEMENT bits

@@ -23,6 +23,28 @@ class FollowSpec extends SparkSpec {
       s"doc-$i", s"id-$i")
   }.toDF("vector", "document", "id")
 
+  /** Retry a source mutation that collides with the follow stream's
+    * per-trigger seal: the stream takes the SOURCE's writer lock for
+    * each sync point, so a concurrent writer legitimately sees the
+    * documented ConcurrentModificationException and retries — exactly
+    * the operator posture the error message prescribes. Without this,
+    * the test races the stream's polling cadence (the faster the read
+    * path gets, the more often the stream seals, the wider the
+    * collision window — it started flaking when round 11's pinned
+    * reads sped polling up). */
+  private def retrying[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 20) throw e
+          Thread.sleep(150); attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def fingerprint(l: Lake): Set[String] = {
     val df = l.read()
     val cols = df.schema.fields.sortBy(_.name).map { f =>
@@ -48,12 +70,14 @@ class FollowSpec extends SparkSpec {
       assert(fingerprint(replica) === fingerprint(src),
         "bootstrap snapshot landed the full source state")
 
-      // live mutation mix: delete, shard-moving replacement, insert
-      src.deleteWhere(col("document").isin("doc-1", "doc-2"))
-      src.upsert(src.read().where(col("document") === "doc-4")
+      // live mutation mix: delete, shard-moving replacement, insert —
+      // each retried on collision with the stream's own sync-point
+      // seals (see [[retrying]])
+      retrying(src.deleteWhere(col("document").isin("doc-1", "doc-2")))
+      retrying(src.upsert(src.read().where(col("document") === "doc-4")
         .select(transform(col("vector"), v => -v).as("vector"),
-          col("document"), col("id")))
-      src.ingest(rows(100, 3))
+          col("document"), col("id"))))
+      retrying(src.ingest(rows(100, 3)))
       q.processAllAvailable()
       assert(fingerprint(replica) === fingerprint(src),
         "the follower converged on the mutated source")

@@ -252,6 +252,67 @@ class ReshardSpec extends SparkSpec {
     assert(fin.validate().head().getAs[Long]("misrouted") === 0L)
   }
 
+  test("a streaming sink started MID-RESHARD stays manifest-governed: step commits never re-parent or orphan its generation") {
+    // review finding (round 11): reshard steps used to ROLL the
+    // generation pointer per commit, which would have re-parented a
+    // stream-owned generation into raw live entries (serving in-flight
+    // sink task files) or orphaned later sink batches. Steps now land
+    // their split directories as explicit non-current entries and
+    // never move the pointer.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val old = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
+    old.ingest(rows(300))
+    // begin the transition, then start a stream at the target width
+    val wide = old.reshard(5, maxDirs = 0)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Seq[Float], String)]
+    val q = wide.ingestStream(
+      stream.toDF().toDF("vector", "document"), s"$dir/ckpt")
+    try {
+      stream.addData((Seq(0.9f, 0.1f, -0.2f, 0.3f), "streamed a"))
+      q.processAllAvailable()
+      assert(wide.read().where(col("document") === "streamed a").count() === 1L)
+      // drive the reshard to completion WHILE the sink owns the
+      // current generation — every step must leave the pointer alone
+      val fin = wide.reshard(5, dirsPerCommit = 2)
+      assert(fin.reshardStatus().isEmpty)
+      // the sink keeps committing into its manifest-governed tree...
+      stream.addData((Seq(-0.7f, 0.2f, 0.4f, -0.1f), "streamed b"))
+      q.processAllAvailable()
+      // ...and EVERYTHING is visible: base rows at the new width plus
+      // both streamed rows
+      assert(fin.read().count() === 302L)
+      assert(fin.read().where(col("document").startsWith("streamed")).count() === 2L)
+      assert(fin.validate().head().getAs[Long]("misrouted") === 0L)
+    } finally q.stop()
+  }
+
+  test("applyChanges refuses a wider-routed source's delta: carried shard ids outside this width fail loudly") {
+    // review finding (round 11): the feed is byte-preserving, so a
+    // replica that lagged a source RESHARD would have landed rows in
+    // directories its own routing can never probe — silent recall loss
+    val dir = tmp()
+    val src = Lake(spark, LakeConfig(s"$dir/src", dim = dim, numHashes = 3))
+    src.ingest(rows(200))
+    val rep = src.cloneTo(s"$dir/rep")
+    val v1 = src.seal()
+    val wideSrc = src.reshard(5)
+    wideSrc.ingest(rows(10, tag = "post"))
+    val v2 = wideSrc.seal()
+    val delta = wideSrc.changesBetween(v1, v2)
+    val e = intercept[IllegalArgumentException](rep.applyChanges(delta))
+    assert(e.getMessage.contains("resharded"), e.getMessage)
+    assert(rep.read().count() === 200L, "the refused apply landed nothing")
+    // the documented recovery converges: reshard the replica to the
+    // same width, then apply the same delta
+    val wideRep = rep.reshard(5)
+    wideRep.applyChanges(delta)
+    assert(wideRep.read().count() === wideSrc.read().count())
+    val audit = wideSrc.diffStats(wideRep).collect()
+    assert(audit.forall(_.getBoolean(3)),
+      s"post-reshard sync must converge: ${audit.filterNot(_.getBoolean(3)).mkString(", ")}")
+  }
+
   test("zone map survives a reshard: readTimeRange stays correct at the new width") {
     val dir = tmp()
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
