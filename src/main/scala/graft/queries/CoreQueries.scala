@@ -526,6 +526,34 @@ object CoreQueries {
                     round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
              FROM embeddings GROUP BY 1 ORDER BY shard"""))
 
+  /** Single-probe kNN SERVED THROUGH the resharded lake — the end use
+    * the reshard exists for, oracle-checked: the query routes at the
+    * NEW 7-hyperplane width, the pruned read crosses the fixture's
+    * mixed layout (reshard-step generations + post-reshard ingests),
+    * and the oracle recomputes the same top-10 from raw `embeddings`
+    * with direct width-7 routing — so hash-equality proves the
+    * resharded lake serves pruned search exactly as a natively
+    * width-7 lake would. Deterministic by the house rule: round
+    * before ordering, full document tiebreak. */
+  val qKnnResharded = Q(
+    "q_knn_resharded",
+    (s, dir) => {
+      val lake = reshardStatsLake(s, dir)
+      val routed = Lsh(64, 7).shardOf(Qv)
+      lake.read().where(col("shard") === routed)
+        .select(col("document"),
+          V.round6z(V.cosineDist(col("vector"), V.vecLit(Qv))).as("dist"))
+        .orderBy(col("dist"), col("document"))
+        .limit(10)
+    },
+    Some {
+      val routed = Lsh(64, 7).shardOf(Qv)
+      s"""SELECT 'doc-' || vec_id AS document,
+                ${V.sqlRound6z(V.sqlCosineDistLit("embedding", Qv))} AS dist
+          FROM embeddings WHERE ${Lsh(64, 7).sqlShardExpr("embedding")} = $routed
+          ORDER BY dist, document LIMIT 10"""
+    })
+
   /** The fixture lake read back through the `graft` DSv2 FORMAT and
     * aggregated in PURE SQL over a temp view — the SQL-only user's
     * whole path (`spark.read.format("graft")` / `CREATE TABLE ...
@@ -1152,5 +1180,5 @@ object CoreQueries {
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qSqlDml, qCloneStats, qSyncStats,
     qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qReshardStats,
-    qHybridRrf, qMaxSim)
+    qKnnResharded, qHybridRrf, qMaxSim)
 }
