@@ -197,6 +197,13 @@ object Bench {
       // also the right posture for a long-lived session serving many
       // distinct query shapes.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // co-located derived joins (Lake.joinDerived) key on (shard, id)
+      // over scans key-grouped by shard alone — accepting that
+      // co-partitioning needs the relaxed mode (the Iceberg SPJ
+      // recipe). Semantics-preserving for every other query: the conf
+      // only lets the planner ACCEPT existing co-partitioning it would
+      // otherwise re-shuffle.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb codegen/JIT/classloading so the first timed

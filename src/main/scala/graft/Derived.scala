@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+
+/** A CO-LOCATED derived feature table: per-row features computed FROM a
+  * [[Lake]] and stored in a sibling tree partitioned by the SAME LSH
+  * shard values as the base rows they describe, so joining features back
+  * to the corpus is a storage-partitioned join — ZERO exchange on either
+  * side ([[Lake.joinDerived]]; DerivedSpec pins the plan). This is the
+  * feature-store-next-to-corpus pattern a training-data pipeline needs
+  * at 100 TB: quality scores, token counts, language IDs, PQ codes,
+  * toxicity labels — computed once, stored WITHOUT duplicating the heavy
+  * base columns (vectors, documents, binary assets), and joined back at
+  * the cost of streaming co-located directory pairs instead of
+  * re-hashing both tables across the wire.
+  *
+  * Layout mirrors the lake's generation-pointer commit, minus the parts
+  * a projection does not need (no append gate — a derived table has ONE
+  * writer verb, [[Lake.deriveTo]], and every write is a whole-snapshot
+  * or per-shard-incremental rewrite):
+  *
+  * {{{
+  * <root>/_derived.<v>.json      versioned sidecar, highest version wins,
+  *                               each commit is ONE atomic create
+  * <root>/gen-N/shard=K/         parquet feature rows for base shard K
+  * }}}
+  *
+  * The sidecar records the base lake's identity (location + routing
+  * fingerprint: dim, num_shards, lsh_seed, metric), the base SIDECAR
+  * VERSION the features were computed at (a [[Lake.seal]] sync point —
+  * the anchor [[Lake.deriveTo]]'s incremental refresh diffs from), the
+  * pinned feature schema, and the live directory manifest. Old sidecar
+  * versions are never rotated (they are O(shards) bytes each, one per
+  * refresh — the audit trail is worth more than the bytes).
+  *
+  * INVARIANT the whole design rests on: a feature row lives in the same
+  * shard directory as the base row it describes. [[Lake.deriveTo]]
+  * enforces it by contract (the transform must pass `id` and `shard`
+  * through untouched) plus a per-row range guard at write time; a
+  * transform that re-keys rows to a wrong-but-in-range shard has broken
+  * its contract and the join will under-serve those rows — the same
+  * trust boundary as any bucketed table's bucket spec.
+  *
+  * Reads go through the `graft` DSv2 format (the sidecar is
+  * self-describing, so `spark.read.format("graft").load(path)` serves a
+  * derived table read-only with the pinned schema, partition pruning on
+  * `shard`, and the same SPJ opt-in as a lake scan). Derived tables are
+  * deliberately NOT lakes: no ingest, no vector column, no maintenance
+  * surface — they are projections, and their one lifecycle verb is
+  * "re-derive" (incremental at O(base churn), or full rebuild).
+  */
+final class DerivedTable private[graft] (
+    val spark: SparkSession,
+    val location: String,
+    private[graft] val state: DerivedTable.State) {
+
+  /** Qualified location of the base lake this table was derived from. */
+  def baseLocation: String = state.baseLocation
+
+  /** The base sidecar version (a seal sync point) the features reflect. */
+  def baseVersion: Long = state.baseVersion
+
+  /** Routing width the feature rows are co-located at. */
+  def numShards: Int = state.numShards
+
+  /** The pinned feature schema (stored columns, `shard` last). */
+  def schema: StructType = StructType.fromDDL(state.schemaDdl)
+
+  /** The feature rows, served through the `graft` DSv2 format (pinned
+    * schema, partition pruning on `shard`). */
+  def read(): DataFrame =
+    spark.read.format("graft").load(location)
+
+  /** Whether the base lake has committed anything since this table was
+    * derived — new appends, rewrites, retention, anything. A stale
+    * derived table still joins correctly for the rows it has
+    * ([[Lake.joinDerived]]'s `allowStale`), but rows changed since are
+    * served as if absent. */
+  def isStale(base: Lake): Boolean =
+    base.latestSidecarVersion != state.baseVersion
+
+  /** Fails unless `base` is the lake this table derives from, at the
+    * routing width the feature rows are co-located at. A width mismatch
+    * (the base was [[Lake.reshard]]ed since) is non-negotiable: feature
+    * rows carry no vectors, so their shard cannot be re-derived — the
+    * recovery is a full rebuild (`deriveTo(..., rebuild = true)`). */
+  private[graft] def requireMatches(base: Lake, qualifiedBase: String): Unit = {
+    require(state.baseLocation == qualifiedBase,
+      s"derived table at $location was built from ${state.baseLocation}, " +
+        s"not from $qualifiedBase")
+    require(state.dim == base.cfg.dim && state.seed == base.cfg.seed &&
+      state.metric == base.cfg.metric,
+      s"derived table at $location was built under routing config " +
+        s"(dim=${state.dim}, seed=${state.seed}, metric=${state.metric}) " +
+        s"but the base lake resolves (dim=${base.cfg.dim}, " +
+        s"seed=${base.cfg.seed}, metric=${base.cfg.metric})")
+    require(state.numShards == (1 << base.cfg.numHashes),
+      s"derived table at $location is co-located at ${state.numShards} " +
+        s"shards but the base lake now routes ${1 << base.cfg.numHashes} " +
+        "— the base was resharded since this table was derived, and " +
+        "feature rows carry no vectors to re-derive their shard from; " +
+        "rebuild with deriveTo(location, rebuild = true)(f)")
+  }
+}
+
+object DerivedTable {
+
+  /** Parsed `_derived.<v>.json` contents. `live` entries are relative
+    * directory paths of the form `gen-N/shard=K`. */
+  private[graft] final case class State(
+      baseLocation: String,
+      baseVersion: Long,
+      dim: Int,
+      numShards: Int,
+      seed: Long,
+      metric: String,
+      generation: Long,
+      live: Seq[String],
+      schemaDdl: String)
+
+  /** Load an existing derived table, failing loudly if `location` holds
+    * none (an empty dir, a lake, anything else). */
+  def load(spark: SparkSession, location: String): DerivedTable =
+    tryLoad(spark, location).getOrElse(throw new IllegalArgumentException(
+      s"no derived-table sidecar (_derived.<v>.json) at $location — " +
+        "is this a Lake.deriveTo target?"))
+
+  private[graft] def tryLoad(spark: SparkSession,
+      location: String): Option[DerivedTable] = {
+    val fs = fsOf(spark, location)
+    val root = new Path(location)
+    if (!fs.exists(root)) return None
+    val versions = listVersions(fs, root)
+    if (versions.isEmpty) None
+    else {
+      val (_, p) = versions.maxBy(_._1)
+      val json = readFully(fs, p)
+      Some(new DerivedTable(spark, location, parse(json, location)))
+    }
+  }
+
+  /** Parse a derived sidecar loaded FROM `location` (for messages). */
+  private[graft] def parse(json: String, location: String): State = {
+    def num(name: String): Long =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"derived sidecar at $location: missing numeric field '$name'"))
+    def str(name: String): String =
+      Lake.escapedStrField(json, name).getOrElse(throw new IllegalStateException(
+        s"derived sidecar at $location: missing string field '$name'"))
+    // live is the LAST field the writer emits, so a non-greedy bracket
+    // capture cannot be confused by brackets in schema_ddl (there are
+    // none today — catalog DDL uses <>— but field order is cheap armor)
+    val live = """"live"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(e => Lake.unescapeJson(e.group(1))).toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"derived sidecar at $location: missing 'live' manifest"))
+    State(str("derived_of"), num("base_version"), num("dim").toInt,
+      num("num_shards").toInt, num("lsh_seed"), str("metric"),
+      num("generation"), live, str("schema_ddl"))
+  }
+
+  private[graft] def render(st: State): String = {
+    val liveField = st.live.map(d => s""""${Lake.escapeJson(d)}"""")
+      .mkString("[", ", ", "]")
+    s"""{"derived": true, "derived_of": "${Lake.escapeJson(st.baseLocation)}", """ +
+      s""""base_version": ${st.baseVersion}, "dim": ${st.dim}, """ +
+      s""""num_shards": ${st.numShards}, "lsh_seed": ${st.seed}, """ +
+      s""""metric": "${Lake.escapeJson(st.metric)}", """ +
+      s""""generation": ${st.generation}, """ +
+      s""""schema_ddl": "${Lake.escapeJson(st.schemaDdl)}", """ +
+      s""""live": $liveField}"""
+  }
+
+  /** Commit `st` as the next sidecar version — ONE atomic
+    * `create(overwrite = false)`; a concurrent deriveTo to the same
+    * location loses the create and fails loudly (derived tables have a
+    * single writer verb, so a race is always a caller bug, not a
+    * coordination case worth a lock file). */
+  private[graft] def commit(spark: SparkSession, location: String,
+      st: State): Long = {
+    val fs = fsOf(spark, location)
+    val root = new Path(location)
+    fs.mkdirs(root)
+    val v = listVersions(fs, root).map(_._1).foldLeft(0L)(math.max) + 1
+    val p = new Path(root, s"_derived.$v.json")
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
+          s"derived commit at $location lost the version-$v create — a " +
+            "concurrent deriveTo is writing the same location", e)
+      }
+    try out.write(render(st).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  private[graft] def fsOf(spark: SparkSession,
+      location: String): org.apache.hadoop.fs.FileSystem =
+    new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, Path)] = {
+    val pat = """_derived\.(\d+)\.json""".r
+    fs.listStatus(root).toSeq.collect {
+      case s if s.isFile => s.getPath.getName match {
+        case pat(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      }
+      case _ => None
+    }.flatten
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Shard value of a live manifest entry (`gen-N/shard=K` → K). */
+  private[graft] def shardOf(rel: String): Int =
+    rel.split("/").last.split("=", 2)(1).toInt
+}

@@ -1409,3 +1409,113 @@ object DmlBench {
     spark.stop()
   }
 }
+
+/** CO-LOCATED DERIVED TABLE cost shapes ([[Lake.deriveTo]] /
+  * [[Lake.joinDerived]]) at 1× and 10× data:
+  *
+  *  - full build vs INCREMENTAL refresh after shard-confined churn —
+  *    the refresh diffs the change feed and rewrites only affected
+  *    shard directories, so its cost tracks the churn's directory
+  *    footprint, not the corpus (the rebuild is the O(corpus)
+  *    ceiling);
+  *  - the feature join with SPJ vs forced-stock — the headline is the
+  *    exchange count (0 vs >0): at local[32] toy scale the wire is
+  *    cheap, on a 1000-executor cluster every exchange re-hashes
+  *    corpus + features across the network.
+  *
+  * Args: [rows] [dim]. */
+object DerivedBench {
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def time[T](f: => T): (Double, T) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(q.plan)
+      }.sum
+    def rowsDf(n: Long) = spark.range(n)
+      .select(col("id").as("num"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id") * 7919 + i * 104729) * 0.15)
+          .cast("array<float>").as("vector"))
+      .select(col("vector"), concat(lit("r-"), col("num")).as("id"),
+        concat(lit("doc "), col("num")).as("document"))
+    def feat(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), col("shard"), length(col("document")).as("doc_len"),
+      round(graft.functions.VectorFunctions.l2Norm(col("vector")), 6)
+        .as("norm"))
+    def run(scale: Int, tag: String, report: Boolean): Unit = {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_derived_bench_$tag"
+      val lake = Lake(spark, LakeConfig(s"$root/lake", dim = dim, numHashes = 5))
+      lake.delete()
+      lake.ingest(rowsDf(baseRows * scale))
+      val floc = s"$root/feat"
+      graft.DerivedTable.fsOf(spark, floc)
+        .delete(new org.apache.hadoop.fs.Path(floc), true)
+      val (tFull, d0) = time(lake.deriveTo(floc)(feat))
+      // SHARD-CONFINED churn: 500 new rows reusing one stored vector
+      // (identical routing), then half of them deleted — the feed
+      // names one shard, the refresh rewrites one directory
+      val v0 = lake.read().select("vector").head()
+        .getSeq[Float](0).toArray
+      val churn = (0 until 500).map(i =>
+        (v0.toSeq, s"churn-$i", s"churn doc $i"))
+        .toDF("vector", "id", "document")
+      lake.ingest(churn)
+      lake.deleteWhere(col("id").startsWith("churn-2"))
+      val (tRefresh, d1) = time(lake.deriveTo(floc)(feat))
+      require(d1.baseVersion > d0.baseVersion, "refresh did not advance")
+      val (tRebuild, _) = time(lake.deriveTo(floc, rebuild = true)(feat))
+      val dFinal = graft.DerivedTable.load(spark, floc)
+      def join(spj: Boolean): (Double, Int, Long) = {
+        // per-SHARD aggregate consumption: rides the key-grouped
+        // partitioning, so the whole spj plan (scan → join → agg) is
+        // exchange-free; a global agg would add its own single-row
+        // shuffle and muddy the 0-vs-stock headline
+        val df = lake.joinDerived(dFinal, spj = spj)
+          .groupBy(col("shard"))
+          .agg(sum(col("doc_len")).as("s"), count(lit(1)).as("n"))
+        val (t, r) = time(df.collect())
+        (t, shuffles(df.queryExecution.executedPlan),
+          r.map(_.getLong(2)).sum)
+      }
+      val (tSpj, exSpj, nSpj) = join(spj = true)
+      val (tStock, exStock, nStock) = join(spj = false)
+      require(nSpj == nStock, s"join modes disagree: $nSpj vs $nStock")
+      if (report)
+        println(s"""{"probe":"derived","rows":${baseRows * scale},""" +
+          s""""full_sec":${f"$tFull%.2f"},""" +
+          s""""refresh_sec":${f"$tRefresh%.2f"},""" +
+          s""""rebuild_sec":${f"$tRebuild%.2f"},""" +
+          s""""join_spj_sec":${f"$tSpj%.2f"},"join_spj_exchanges":$exSpj,""" +
+          s""""join_stock_sec":${f"$tStock%.2f"},""" +
+          s""""join_stock_exchanges":$exStock,"join_rows":$nSpj}""")
+      lake.delete()
+      graft.DerivedTable.fsOf(spark, floc)
+        .delete(new org.apache.hadoop.fs.Path(floc), true)
+      ()
+    }
+    run(1, "warm", report = false) // codegen/classload warm-up
+    run(1, "x1", report = true)
+    run(10, "x10", report = true)
+    spark.stop()
+  }
+}

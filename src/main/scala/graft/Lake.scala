@@ -612,7 +612,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * finally) strands the lock and every later mutation fails loudly:
     * inspect, then [[repair]] (or `vacuum(force = true)`, which
     * refuses locks younger than `lockMaxAgeMs`) to recover. */
-  private def withWriterLock[T](op: String)(body: => T): T = {
+  private[graft] def withWriterLock[T](op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(cfg.location, lockName)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString
@@ -627,24 +627,55 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // the create below would silently clobber a HELD lock — an existing
     // marker is contention regardless of filesystem semantics
     if (fs.exists(lock)) contention(new java.io.IOException("lock file present"))
-    val out =
-      try fs.create(lock, false)
-      catch {
-        // only a genuinely-held lock is contention; any other
-        // IOException (permission, quota, network) must surface as
-        // itself — mapping it to "lock is held" would steer the
-        // operator toward force-vacuum, which could then delete a lock
-        // a LIVE writer actually holds
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
-        case e: java.io.IOException if fs.exists(lock) => contention(e)
+    val payload =
+      s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}", "holder": "$token"}"""
+        .getBytes("UTF-8")
+    // ACQUIRE — with the platform's atomic exclusive create where one
+    // exists. Hadoop's LOCAL create(overwrite=false) is check-then-act
+    // (RawLocalFileSystem tests existence, then opens a truncating
+    // stream), so two writers landing in the window both "create": the
+    // second TRUNCATES the first's just-written lock, and if the
+    // first's verify-after-write read ran before the truncation, BOTH
+    // proceed — observed as two DML commits rewriting one generation
+    // concurrently (the loser's sanity-abort then deleted the winner's
+    // committed tree: the full lost-update sequence). POSIX
+    // open(O_CREAT|O_EXCL) via NIO CREATE_NEW closes the window
+    // outright on file:// filesystems; HDFS's create(overwrite=false)
+    // is atomic at the namenode already; plain-PUT object stores keep
+    // the verify-after-write mitigation below (the documented lock
+    // residual).
+    if (fs.getScheme == "file") {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          contention(new java.io.IOException("lock file present", e))
       }
-    try {
-      out.write(
-        s"""{"op": "$op", "taken_at": "${java.time.Instant.now()}", "holder": "$token"}"""
-          .getBytes("UTF-8"))
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          // only a genuinely-held lock is contention; any other
+          // IOException (permission, quota, network) must surface as
+          // itself — mapping it to "lock is held" would steer the
+          // operator toward force-vacuum, which could then delete a lock
+          // a LIVE writer actually holds
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
+          case e: java.io.IOException if fs.exists(lock) => contention(e)
+        }
+      out.write(payload)
       out.close()
+    }
+    try {
       // verify-after-write: the lease survives only if OUR token is
-      // what the store now serves (see scaladoc: object-store race)
+      // what the store now serves (see scaladoc: object-store race).
+      // Redundant on file:// (the atomic create above already
+      // arbitrated) and on HDFS; load-bearing on plain-PUT stores.
       if (!lockHolder(fs, lock).exists(_.contains(token)))
         contention(new java.io.IOException("lost lock-create race"))
       // shared-marker check AFTER our lock is visible (store-then-load
@@ -1705,6 +1736,240 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         (convicted.size.toLong, n)
       }
     }
+  }
+
+  // ------------------------------------------------ derived tables --
+
+  /** Newest sidecar version on disk — the staleness anchor
+    * [[DerivedTable.isStale]] and [[joinDerived]] compare against.
+    * One root listing; 0 for a lake that has never committed. */
+  private[graft] def latestSidecarVersion: Long = {
+    val fs = fsOfRoot
+    metaVersionsFrom(listRoot(fs)).map(_._1).foldLeft(0L)(math.max)
+  }
+
+  /** This lake's location as the filesystem qualifies it — the stable
+    * identity derived sidecars record (`/tmp/x` and `file:/tmp/x` must
+    * name one base). */
+  private def qualifiedLocation: String = {
+    val p = new org.apache.hadoop.fs.Path(cfg.location)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Derive a CO-LOCATED feature table at `location`: compute
+    * `f(rows)` over this lake's rows (f must pass `id` and `shard`
+    * through untouched — filters and new feature columns are the whole
+    * point, re-keying is a contract breach) and store the result
+    * partitioned by the SAME shard values, so [[joinDerived]] serves
+    * features back as a storage-partitioned join with zero exchange.
+    * See [[DerivedTable]] for the layout and the 100 TB posture.
+    *
+    * INCREMENTAL by default: called again on an existing derived
+    * location, it seals the base, diffs the change feed from the
+    * recorded sync point ([[changesBetween]], netted), recomputes `f`
+    * over only the INSERTED rows, and rewrites only the AFFECTED shard
+    * directories (deleted/replaced ids drop, new feature rows land) —
+    * O(base churn), never O(corpus). A no-churn refresh commits only a
+    * new sync point. `rebuild = true` forces the full snapshot path
+    * (required after a base [[reshard]] or when `f`'s output schema
+    * changed — both refused loudly by the incremental path, which
+    * could not serve them correctly).
+    *
+    * Seals the base each call (the change-feed sync-point discipline —
+    * a refresh must diff two immutable states). Transform contract,
+    * enforced at the door: output carries `id` (non-null string) and
+    * `shard` (int, in `[0, numShards)` — range-guarded per row at
+    * write); everything else is the caller's feature payload. Derived
+    * tables key on LSH routing, so a user-keyed lake is refused. */
+  def deriveTo(location: String, rebuild: Boolean = false)(
+      f: DataFrame => DataFrame): DerivedTable = {
+    require(cfg.partitionKey.isEmpty,
+      s"deriveTo at ${cfg.location}: derived co-location keys on LSH " +
+        "shard routing; this lake is user-keyed")
+    require(location != cfg.location,
+      "deriveTo: the derived location must not be the lake itself")
+    routingChecked
+    val qualBase = qualifiedLocation
+    val prior = DerivedTable.tryLoad(spark, location)
+    prior match {
+      case Some(d) if !rebuild => deriveIncremental(location, d, f, qualBase)
+      case _ => deriveFull(location, prior, f, qualBase)
+    }
+  }
+
+  /** Join this lake's rows with a [[deriveTo]] feature table on
+    * `(shard, id)` — the CO-LOCATED join: with `spj` (default) both
+    * sides read through the `graft` format in storage-partitioned
+    * mode, so the join plans with ZERO exchange (DerivedSpec pins the
+    * plan; q_derived_join oracle-checks the rows). At 100 TB that is
+    * the difference between streaming co-located directory pairs and
+    * re-hashing corpus + features across the wire.
+    *
+    * STALENESS is refused by default: a base commit after the derive
+    * point means rows the feature table has never seen — an inner join
+    * would silently drop them, a left join would silently null them.
+    * Refresh first (`deriveTo` again — O(churn)), or pass
+    * `allowStale = true` to accept the recorded snapshot's coverage
+    * (changed rows join as if absent). `how` ∈ inner | left (left
+    * serves base rows with no feature row — a filtering `f` — with
+    * null features).
+    *
+    * The zero-exchange shape needs the session opted in (rows are
+    * correct under ANY conf — Spark just shuffles when the opt-ins are
+    * off): `spark.sql.sources.v2.bucketing.enabled` and
+    * `...pushPartValues.enabled` (both default true on this line) plus
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` — the join
+    * keys (shard, id) are a SUPERSET of the partition keys (shard),
+    * and the strict default demands every join key be a partition key
+    * (the same relaxation Iceberg's SPJ docs prescribe). `graft.Bench`
+    * and `graft.Verify` sessions ship it; DerivedSpec pins the
+    * zero-exchange plan under exactly these confs. */
+  def joinDerived(derived: DerivedTable, how: String = "inner",
+      spj: Boolean = true, allowStale: Boolean = false): DataFrame = {
+    require(Set("inner", "left", "left_outer")(how),
+      s"joinDerived: how must be inner or left, got '$how' — other join " +
+        "types have no feature-lookup reading")
+    derived.requireMatches(this, qualifiedLocation)
+    if (!allowStale) {
+      val latest = latestSidecarVersion
+      require(latest == derived.baseVersion,
+        s"derived table at ${derived.location} is STALE: base " +
+          s"${cfg.location} moved from version ${derived.baseVersion} to " +
+          s"$latest — deriveTo again to refresh (O(churn)), or pass " +
+          "allowStale = true (rows changed since will join as if absent)")
+    }
+    val b = spark.read.format("graft").option("spj", spj.toString)
+      .load(cfg.location)
+    val d = spark.read.format("graft").option("spj", spj.toString)
+      .load(derived.location)
+    b.join(d, Seq("shard", "id"), how)
+  }
+
+  /** Full-snapshot derive: seal, transform, write ONE new generation,
+    * commit. `prior` (a rebuild's predecessor) only advances the
+    * generation counter so the new tree never collides with a live
+    * one. */
+  private def deriveFull(location: String, prior: Option[DerivedTable],
+      f: DataFrame => DataFrame, qualBase: String): DerivedTable = {
+    val v = seal()
+    val feats = validateDerivedOutput(f(readAt(v)), location)
+    val gen = prior.map(_.state.generation + 1).getOrElse(1L)
+    writeDerivedGen(location, gen, feats)
+    val st = DerivedTable.State(qualBase, v, cfg.dim, 1 << cfg.numHashes,
+      cfg.seed, cfg.metric, gen, listDerivedDirs(location, gen),
+      feats.schema.toDDL)
+    DerivedTable.commit(spark, location, st)
+    DerivedTable.load(spark, location)
+  }
+
+  /** Incremental refresh: diff the base change feed from the recorded
+    * sync point, recompute `f` over inserted rows only, rewrite only
+    * affected shard directories. Refuses (with the rebuild recovery)
+    * what it cannot serve: a resharded base (feature rows carry no
+    * vectors to re-derive shards from — and a reshard's rewrite nets
+    * to zero in the feed, so silence here would keep stale-width
+    * directories forever) and a changed feature schema (the pinned
+    * read schema is the table). */
+  private def deriveIncremental(location: String, d: DerivedTable,
+      f: DataFrame => DataFrame, qualBase: String): DerivedTable = {
+    d.requireMatches(this, qualBase)
+    val v2 = seal()
+    val delta = changesBetween(d.state.baseVersion, v2).cache()
+    try {
+      // bounded: ≤ numShards values (the upsert/deleteWhere pattern)
+      val affected = delta.select(col(partCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) {
+        DerivedTable.commit(spark, location,
+          d.state.copy(baseVersion = v2))
+      } else {
+        val inserts = delta.where(col("change") === "insert").drop("change")
+        val newFeats = validateDerivedOutput(f(inserts), location)
+        require(newFeats.schema.toDDL == d.state.schemaDdl,
+          s"deriveTo refresh at $location: f's output schema changed — " +
+            s"recorded '${d.state.schemaDdl}' vs computed " +
+            s"'${newFeats.schema.toDDL}'; the pinned read schema is the " +
+            "table, so rebuild: deriveTo(location, rebuild = true)(f)")
+        // every touched id (deletes AND inserts — an upsert's insert
+        // replaces its stale feature row) drops from the kept side
+        val touched = delta.select(col(partCol), col("id")).distinct()
+        val ordered = d.schema.fieldNames.toSeq
+        val kept = d.read()
+          .where(col(partCol).isin(affected.toSeq: _*))
+          .join(touched, Seq(partCol, "id"), "left_anti")
+          .select(ordered.map(col): _*)
+        val gen = d.state.generation + 1
+        writeDerivedGen(location, gen,
+          kept.unionByName(newFeats.select(ordered.map(col): _*)))
+        val keptDirs = d.state.live
+          .filterNot(rel => affected.contains(DerivedTable.shardOf(rel)))
+        DerivedTable.commit(spark, location, d.state.copy(
+          baseVersion = v2, generation = gen,
+          live = keptDirs ++ listDerivedDirs(location, gen)))
+      }
+      DerivedTable.load(spark, location)
+    } finally { delta.unpersist(); () }
+  }
+
+  /** The deriveTo transform contract, enforced at the door: `id`
+    * (string) and `shard` (int) present, per-row null/range guards in
+    * the plan (codegen'd — no extra scan), feature columns reordered
+    * so `shard` is last (the partition column's canonical slot in the
+    * pinned schema). */
+  private def validateDerivedOutput(out: DataFrame,
+      location: String): DataFrame = {
+    val cols = out.columns.toSeq
+    require(cols.contains("id") && cols.contains(partCol),
+      s"deriveTo at $location: the transform must pass 'id' and " +
+        s"'$partCol' through (got columns ${cols.mkString(", ")}) — they " +
+        "are the co-location key the join serves on")
+    require(out.schema(partCol).dataType == IntegerType,
+      s"deriveTo at $location: '$partCol' must stay the lake's int " +
+        s"shard, got ${out.schema(partCol).dataType.simpleString}")
+    require(out.schema("id").dataType == StringType,
+      s"deriveTo at $location: 'id' must stay the lake's string id, " +
+        s"got ${out.schema("id").dataType.simpleString}")
+    val n = 1 << cfg.numHashes
+    val others = cols.filterNot(_ == partCol).map(col)
+    out.select((others :+ col(partCol)): _*)
+      .withColumn("id",
+        when(col("id").isNull, raise_error(lit(
+          s"deriveTo at $location: null id — every feature row must " +
+            "name the base row it describes")).cast(StringType))
+          .otherwise(col("id")))
+      .withColumn(partCol,
+        when(col(partCol).isNull || col(partCol) < 0 || col(partCol) >= n,
+          raise_error(concat(
+            lit(s"deriveTo at $location: shard "),
+            col(partCol).cast(StringType),
+            lit(s" outside [0, $n) — the transform re-keyed rows off " +
+              "their base shard, breaking co-location")))
+            .cast(IntegerType))
+          .otherwise(col(partCol)))
+  }
+
+  /** Stage one derived generation tree — same clustering exchange and
+    * codec as the lake's own writes; invisible until the sidecar
+    * commit names it. Overwrite, for the same reason rewritePartitions
+    * overwrites: a crashed prior attempt strands an UNCOMMITTED tree
+    * under the same next-generation name, and the retry must converge
+    * over it, not refuse. */
+  private def writeDerivedGen(location: String, gen: Long,
+      rows: DataFrame): Unit =
+    rows.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", cfg.codec)
+      .partitionBy(partCol)
+      .parquet(s"$location/gen-$gen")
+
+  private def listDerivedDirs(location: String, gen: Long): Seq[String] = {
+    val fs = DerivedTable.fsOf(spark, location)
+    val genDir = new org.apache.hadoop.fs.Path(s"$location/gen-$gen")
+    if (!fs.exists(genDir)) Nil
+    else fs.listStatus(genDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(s => s"gen-$gen/${s.getPath.getName}")
   }
 
   /** The canonical stored schema + partition column — what an empty

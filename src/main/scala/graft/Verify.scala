@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // co-located derived joins (Lake.joinDerived scaladoc): accept
+      // join keys ⊃ partition keys without a shuffle
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

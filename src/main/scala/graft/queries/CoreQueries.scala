@@ -1062,6 +1062,70 @@ object CoreQueries {
            FROM vecs a JOIN vecs b ON a.label < b.label
            ORDER BY a_label, b_label"""))
 
+  // --------------------------------------------- co-located derived table --
+
+  /** A base lake plus its CO-LOCATED derived feature table
+    * ([[graft.Lake.deriveTo]]), built through the full lifecycle the
+    * feature exists for: ingest HALF the corpus → derive (full build) →
+    * ingest the other half AND delete every id ending in "3" → derive
+    * AGAIN (the INCREMENTAL path: change-feed diff, f recomputed over
+    * inserted rows only, only affected shard dirs rewritten). Built once
+    * per (session, sfDir). */
+  private def derivedJoinFixture(s: SparkSession,
+      dir: String): (Lake, graft.DerivedTable) =
+    BuiltFixtures.once(s, dir, "derived_join") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "derivbase")
+      val base = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 6))
+      base.delete()
+      val rows = Tables.embeddings(s, dir).select(
+        concat(lit("doc-"), col("vec_id")).as("id"),
+        col("embedding").as("vector"),
+        concat(lit("text "), col("vec_id")).as("document"),
+        pmod(col("vec_id"), lit(2)).as("m"))
+      def feat(df: DataFrame): DataFrame = df.select(
+        col("id"), col("shard"),
+        round(V.l2Norm(col("vector")), 6).as("norm"),
+        length(col("document")).as("doc_len"))
+      val dloc = BuiltFixtures.sessionTmp(s, dir, "derivfeat")
+      base.ingest(rows.where(col("m") === 0).drop("m"))
+      base.deriveTo(dloc)(feat)
+      base.ingest(rows.where(col("m") =!= 0).drop("m"))
+      base.deleteWhere(col("id").endsWith("3"))
+      (base, base.deriveTo(dloc)(feat))
+    }
+
+  /** CO-LOCATED feature join ([[graft.Lake.joinDerived]]) over the
+    * lifecycle fixture — the derived-table correctness gate the driver
+    * can hash-check: the oracle recomputes id, routing (at the lake's
+    * width, straight from raw `embeddings`), both stored features, and
+    * the delete filter from scratch, so hash-equality proves (a) the
+    * full build landed features for every row, (b) the INCREMENTAL
+    * refresh folded in the second ingest and dropped the deleted ids'
+    * feature rows, and (c) the join served every surviving pair exactly
+    * once. Scale shape: both sides read key-grouped on shard and the
+    * join keys (shard, id) contain the partition key, so the plan is
+    * the ZERO-EXCHANGE storage-partitioned join (DerivedSpec pins it;
+    * Bench/Verify sessions carry the co-partition conf) — at 100 TB
+    * the refresh is O(churn) and the serve never re-hashes corpus or
+    * features across the wire. */
+  val qDerivedJoin = Q(
+    "q_derived_join",
+    (s, dir) => {
+      val (base, d) = derivedJoinFixture(s, dir)
+      base.joinDerived(d)
+        .select(col("id"), col("shard"), col("document"),
+          col("norm"), col("doc_len"))
+        .orderBy("id")
+    },
+    Some(s"""SELECT 'doc-' || vec_id AS id,
+                    ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    'text ' || vec_id AS document,
+                    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+                    CAST(length('text ' || vec_id) AS INT) AS doc_len
+             FROM embeddings
+             WHERE ('doc-' || vec_id) NOT LIKE '%3'
+             ORDER BY id"""))
+
   // --------------------------------------------------- hybrid retrieval --
 
   /** Hybrid search with reciprocal-rank fusion — the query shape a
@@ -1180,5 +1244,5 @@ object CoreQueries {
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qSqlDml, qCloneStats, qSyncStats,
     qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qReshardStats,
-    qKnnResharded, qHybridRrf, qMaxSim)
+    qKnnResharded, qDerivedJoin, qHybridRrf, qMaxSim)
 }

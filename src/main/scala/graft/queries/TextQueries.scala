@@ -292,7 +292,32 @@ object TextQueries {
           FROM g ORDER BY lang"""
     })
 
+  /** MISRA-GRIES heavy hitters ([[graft.expressions.HeavyHittersAggregate]])
+    * over (source, lang) — frequent-items WITHOUT shuffling the key
+    * universe: the typed aggregate is map-side combinable, so each
+    * input partition ships at most `capacity` counters into the
+    * shuffle (top domains over 100 TB cost capacity × partitions wire
+    * bytes; the exact groupBy this oracle runs shuffles every distinct
+    * key). Capacity 128 exceeds the fixture's ~100 distinct pairs at
+    * every SF, so the sketch runs in its EXACT regime (zero reductions
+    * anywhere, err = 0 — the scaladoc guarantee) and the counts
+    * hash-match the exact GROUP BY; the N/(capacity+1) error bound on
+    * overflowing data is HeavyHittersSpec's job. */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => Tables.documents(s, dir)
+      .agg(graft.expressions.HeavyHittersAggregate.heavyHitters(
+        concat(col("source"), lit(":"), col("lang")), 128).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.key").as("key"), col("h.cnt").as("cnt"),
+        col("h.err").as("err"))
+      .orderBy(desc("cnt"), asc("key")),
+    Some("""SELECT source || ':' || lang AS key,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(0 AS BIGINT) AS err
+            FROM documents GROUP BY 1 ORDER BY cnt DESC, key"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
     qPiiScrub, qRarityScore, qApproxDistinct, qKmvDistinct, qCooccur,
-    qBoilerplate)
+    qBoilerplate, qHeavyHitters)
 }

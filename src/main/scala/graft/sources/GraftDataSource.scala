@@ -279,17 +279,29 @@ object GraftDataSource {
     * opens it. At least one version file exists at every instant once
     * the lake exists, so a miss is transient by construction: re-list
     * a few times before concluding the lake has no sidecar. */
-  private def sidecarJson(spark: SparkSession, location: String): Option[String] = {
+  private def sidecarJson(spark: SparkSession, location: String): Option[String] =
+    rootSidecar(spark, location).collect { case (false, json) => json }
+
+  /** The location's newest sidecar from ONE root listing, tagged:
+    * `(false, json)` = a lake's `_meta.<v>.json`, `(true, json)` = a
+    * [[graft.DerivedTable]]'s `_derived.<v>.json` (a lake sidecar wins
+    * if both somehow exist — a lake location can never legitimately
+    * grow a derived sidecar, and the lake is the self-describing one).
+    * Shared by lake resolution and derived-table resolution so a
+    * derived read costs the same single listing as a lake read. */
+  private def rootSidecar(spark: SparkSession,
+      location: String): Option[(Boolean, String)] = {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versioned = """_meta\.(\d+)\.json""".r
+    val derivedVersioned = """_derived\.(\d+)\.json""".r
     // Left(retryable) — the directory HAS entries but no visible
     // sidecar (the readdir-race signature: a lake with any content
     // always has one) or the listed newest version vanished before the
     // read; Right(answer) — a definitive yes/no (missing or empty root
     // = a genuinely fresh location, answered immediately so the
     // empty-lake bootstrap path never pays a retry).
-    def attempt(): Either[Unit, Option[String]] = {
+    def attempt(): Either[Unit, Option[(Boolean, String)]] = {
       if (!fs.exists(root)) return Right(None)
       val all = fs.listStatus(root)
       if (all.isEmpty) return Right(None)
@@ -308,14 +320,19 @@ object GraftDataSource {
           (s.isFile && s.getPath.getName.endsWith(".parquet"))
       }
       val entries = all.filter(_.isFile)
-      val p = entries.flatMap(s => s.getPath.getName match {
+      val lakePath = entries.flatMap(s => s.getPath.getName match {
         case versioned(v) => Some(v.toLong -> s.getPath)
         case _ => None
       }).sortBy(_._1).lastOption.map(_._2)
         .orElse(entries.find(_.getPath.getName == "_meta.json").map(_.getPath))
+      val p = lakePath.map(_ -> false).orElse(
+        entries.flatMap(s => s.getPath.getName match {
+          case derivedVersioned(v) => Some(v.toLong -> s.getPath)
+          case _ => None
+        }).sortBy(_._1).lastOption.map(_._2 -> true))
       p match {
         case None => if (hasGenDir) Left(()) else Right(None)
-        case Some(path) =>
+        case Some((path, derived)) =>
           try {
             val in = fs.open(path)
             try {
@@ -323,7 +340,8 @@ object GraftDataSource {
               val buf = new Array[Byte](4096)
               var n = in.read(buf)
               while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-              Right(Some(new String(bytes.toByteArray, "UTF-8")))
+              Right(Some(derived ->
+                new String(bytes.toByteArray, "UTF-8")))
             } finally in.close()
           } catch {
             // rotated out between list and read — a rival committed a
@@ -384,11 +402,22 @@ object GraftDataSource {
     * brand-new lake through the sink). */
   private[graft] def resolveConfig(spark: SparkSession,
       options: CaseInsensitiveStringMap): LakeConfig = {
-    val location = opt(options, "path").orElse(opt(options, "location"))
+    val location = locationOf(options)
+    resolveConfigWith(spark, options, location, sidecarJson(spark, location))
+  }
+
+  private def locationOf(options: CaseInsensitiveStringMap): String =
+    opt(options, "path").orElse(opt(options, "location"))
       .getOrElse(throw new IllegalArgumentException(
         "graft format needs a path: spark.read.format(\"graft\").load(path) " +
           "or CREATE TABLE ... USING graft LOCATION '...'"))
-    val json = sidecarJson(spark, location)
+
+  /** [[resolveConfig]] with the sidecar already in hand — [[makeTable]]
+    * resolves the root ONCE (lake or derived) and passes the lake json
+    * through, so table resolution never pays a second listing. */
+  private def resolveConfigWith(spark: SparkSession,
+      options: CaseInsensitiveStringMap, location: String,
+      json: Option[String]): LakeConfig = {
     val dim = opt(options, "dim").map(_.toInt)
       .orElse(json.flatMap(longField(_, "dim")).map(_.toInt))
       .getOrElse(throw new IllegalArgumentException(
@@ -453,8 +482,24 @@ object GraftDataSource {
     * (Catalyst folds it to a LocalRelation — no file scan planned). */
   private[sources] def makeTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
-    val cfg = resolveConfig(spark, options)
-    val location = cfg.location
+    val location = locationOf(options)
+    val sidecar = rootSidecar(spark, location)
+    sidecar match {
+      // a Lake.deriveTo feature table: read-only, pinned schema, SPJ
+      // opt-in — the lake verbs (write, DML, views, time travel) have
+      // no meaning over a projection
+      case Some((true, json)) =>
+        val st = graft.DerivedTable.parse(json, location)
+        val pinned = StructType.fromDDL(st.schemaDdl)
+        val partField = pinned.fields.last
+        val roots = st.live.map(rel =>
+          (s"$location/$rel", Some(rel.split("/").last)))
+        return new GraftDerivedTable(s"graft-derived:$location", spark,
+          options, roots, partField, pinned)
+      case _ => ()
+    }
+    val cfg = resolveConfigWith(spark, options, location,
+      sidecar.collect { case (false, json) => json })
     val lake = Lake(spark, cfg)
     opt(options, "view").foreach { v =>
       val df = v match {
@@ -515,6 +560,43 @@ final class GraftViewTable(name0: String,
           df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
             .queryExecution.executedPlan.executeCollect()
       }
+    }
+}
+
+/** A [[graft.DerivedTable]] served through the format: the same
+  * manifest-built partition spec, pinned schema, DPP wrapping, and SPJ
+  * opt-in as a lake scan ([[GraftScanBuilder]]), READ-ONLY — a derived
+  * table is a projection; its one lifecycle verb is
+  * [[graft.Lake.deriveTo]] (re-derive), so the write/DML/catalog
+  * surfaces have nothing correct to mean here. */
+final class GraftDerivedTable(
+    name0: String,
+    spark: SparkSession,
+    scanOpts: CaseInsensitiveStringMap,
+    roots: Seq[(String, Option[String])],
+    partField: StructField,
+    pinned: StructType)
+  extends Table with SupportsRead {
+
+  private val parquet = new GraftBackingTable(
+    name0, spark, scanOpts, roots, partField, Some(pinned))
+
+  override def name(): String = name0
+  override def schema(): StructType = parquet.schema
+  override def partitioning(): Array[Transform] = parquet.partitioning()
+  override def properties(): JMap[String, String] = parquet.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    parquet.newScanBuilder(options) match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+        val spj = Option(options.get("spj")).map(_.toBoolean).getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.spj", "false").toBoolean)
+        new GraftScanBuilder(p, partField, spj)
+      case other => other
     }
 }
 

@@ -1,0 +1,284 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** CO-LOCATED DERIVED TABLES ([[Lake.deriveTo]] / [[Lake.joinDerived]] /
+  * [[DerivedTable]]): per-row feature tables sharded identically to
+  * their base lake, refreshed incrementally off the change feed, and
+  * joined back as a storage-partitioned join with zero exchange. Every
+  * plan pin also pins row equality against a recomputed truth — the
+  * plan may never buy its shape with wrong rows. */
+class DerivedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range) =
+    ids.map { i =>
+      (s"r-$i", Seq(math.sin(i * 3).toFloat, math.cos(i * 7).toFloat,
+        (i % 5 - 2).toFloat / 3), s"doc $i word" * (1 + i % 3))
+    }.toDF("id", "vector", "document")
+
+  private def freshLake(tag: String, hashes: Int = 3): Lake = {
+    val dir = Files.createTempDirectory(s"graft_derived_$tag").toString
+    val lake = Lake(spark, LakeConfig(s"$dir/lake", dim = 3, numHashes = hashes))
+    lake.delete()
+    lake
+  }
+
+  private def feat(df: DataFrame): DataFrame =
+    df.select(col("id"), col("shard"),
+      length(col("document")).as("doc_len"),
+      round(graft.functions.VectorFunctions.l2Norm(col("vector")), 6)
+        .as("norm"))
+
+  /** Expected feature-join rows recomputed straight from the lake. */
+  private def truth(lake: Lake): Seq[(String, Int, Int, Double)] =
+    lake.read()
+      .select(col("id"), col("shard"), length(col("document")).as("doc_len"),
+        round(graft.functions.VectorFunctions.l2Norm(col("vector")), 6)
+          .as("norm"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+
+  private def joined(lake: Lake, d: DerivedTable,
+      spj: Boolean = true): DataFrame =
+    lake.joinDerived(d, spj = spj)
+      .select(col("id"), col("shard"), col("doc_len"), col("norm"))
+
+  private def collected(df: DataFrame): Seq[(String, Int, Int, Double)] =
+    df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+
+  test("full build + co-located join serves exactly the recomputed features") {
+    val lake = freshLake("build")
+    lake.ingest(rows(0 until 120))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    assert(d.baseLocation.endsWith("/lake"))
+    assert(d.numShards === 8)
+    assert(!d.isStale(lake))
+    assert(collected(joined(lake, d)) === truth(lake))
+    // and through the stock shuffled plan too — same rows
+    assert(collected(joined(lake, d, spj = false)) === truth(lake))
+  }
+
+  test("the derived location reads through the format: pinned schema, shard-pruned") {
+    val lake = freshLake("fmt")
+    lake.ingest(rows(0 until 60))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    val df = spark.read.format("graft").load(dloc)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "doc_len", "norm", "shard"))
+    assert(df.count() === lake.read().count())
+    // partition pruning on the derived shard column
+    val some = d.read().select("shard").distinct().head().getInt(0)
+    val pruned = df.where(col("shard") === some)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }
+      .flatMap(_.inputRDD.partitions.length :: Nil).sum
+    assert(pruned.count() === d.read().where(col("shard") === some).count())
+    assert(scanned <= 1, s"shard-pruned derived scan planned $scanned partitions")
+  }
+
+  test("staleness: a base commit after derive refuses the join; allowStale serves the snapshot; refresh clears it") {
+    val lake = freshLake("stale")
+    lake.ingest(rows(0 until 40))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    lake.ingest(rows(40 until 60))
+    assert(d.isStale(lake))
+    val e = intercept[IllegalArgumentException](lake.joinDerived(d))
+    assert(e.getMessage.contains("STALE"))
+    // the stale snapshot still serves ITS rows (inner join covers the
+    // derive-time corpus only)
+    assert(lake.joinDerived(d, allowStale = true).count() === 40L)
+    val d2 = lake.deriveTo(dloc)(feat)
+    assert(!d2.isStale(lake))
+    assert(collected(joined(lake, d2)) === truth(lake))
+  }
+
+  test("incremental refresh is O(churn): appends, deletes, and an upsert land; untouched shard directories stay byte-in-place") {
+    val lake = freshLake("incr")
+    lake.ingest(rows(0 until 100))
+    val dloc = lake.cfg.location + "_feat"
+    val d1 = lake.deriveTo(dloc)(feat)
+    val liveBefore = d1.state.live.toSet
+
+    // churn: new rows, a delete, and an upsert replacing a document
+    lake.ingest(rows(100 until 130))
+    lake.deleteWhere(col("id").endsWith("7"))
+    val up = lake.read().where(col("id") === "r-4")
+      .select(col("vector"), lit("rewritten doc").as("document"), col("id"))
+    lake.upsert(up)
+
+    val d2 = lake.deriveTo(dloc)(feat)
+    assert(collected(joined(lake, d2)) === truth(lake))
+    // the rewrite touched ONLY shards the churn named: every kept live
+    // entry is the IDENTICAL directory (same gen path), not a rewrite
+    val changedShards = d2.state.live.toSet.diff(liveBefore)
+      .map(DerivedTable.shardOf)
+    val keptDirs = d2.state.live.toSet.intersect(liveBefore)
+    assert(keptDirs.nonEmpty, "refresh rewrote every shard — not O(churn)")
+    keptDirs.foreach(rel => assert(!changedShards.contains(DerivedTable.shardOf(rel))))
+    // an upsert's replaced feature row carries the NEW document length
+    val r4 = joined(lake, d2).where(col("id") === "r-4").head()
+    assert(r4.getInt(2) === "rewritten doc".length)
+  }
+
+  test("no-churn refresh commits only a new sync point (no new generation)") {
+    val lake = freshLake("nochurn")
+    lake.ingest(rows(0 until 30))
+    val dloc = lake.cfg.location + "_feat"
+    val d1 = lake.deriveTo(dloc)(feat)
+    val d2 = lake.deriveTo(dloc)(feat) // nothing changed between seals
+    assert(d2.state.generation === d1.state.generation)
+    assert(d2.state.live === d1.state.live)
+    assert(d2.baseVersion > d1.baseVersion)
+    assert(collected(joined(lake, d2)) === truth(lake))
+  }
+
+  test("zero-exchange: the co-located join plans with no shuffle on either side") {
+    val lake = freshLake("spj")
+    lake.ingest(rows(0 until 400))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    val confs = Seq(
+      "spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // join keys (shard, id) ⊃ partition keys (shard): co-partition
+      // acceptance needs the relaxed (Iceberg-documented) mode — the
+      // strict default demands EVERY join key be a partition key
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = joined(lake, d)
+      assert(collected(q) === truth(lake))
+      val plan = q.queryExecution.executedPlan
+      val shuffles = exchangesOf(plan)
+      assert(shuffles.isEmpty,
+        s"co-located derived join planned ${shuffles.size} exchange(s):\n$plan")
+      // the stock run (spj = false) DOES shuffle — the A/B that proves
+      // the zero-exchange shape is the SPJ, not a toy-plan accident
+      val stock = joined(lake, d, spj = false)
+      assert(exchangesOf(stock.queryExecution.executedPlan).nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def exchangesOf(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        exchangesOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchangesOf(q.plan)
+    }.flatten
+
+  test("transform contract: dropped id refused; out-of-range shard refused per row; schema drift on refresh refused with the rebuild recovery") {
+    val lake = freshLake("contract")
+    lake.ingest(rows(0 until 20))
+    val dloc = lake.cfg.location + "_feat"
+    val e1 = intercept[IllegalArgumentException](
+      lake.deriveTo(dloc + "1")(df => df.select(col("shard"), col("document"))))
+    assert(e1.getMessage.contains("must pass 'id'"))
+    val e2 = intercept[Exception](
+      lake.deriveTo(dloc + "2")(df =>
+        df.select(col("id"), (col("shard") + 100).as("shard"))))
+    assert(e2.getMessage.contains("outside [0, 8)") ||
+      Option(e2.getCause).exists(_.getMessage.contains("outside [0, 8)")))
+    // schema drift on an incremental refresh: refused, rebuild heals
+    val d = lake.deriveTo(dloc)(feat)
+    lake.ingest(rows(20 until 30))
+    val wider = (df: DataFrame) => feat(df).withColumn("extra", lit(1))
+    val e3 = intercept[IllegalArgumentException](lake.deriveTo(dloc)(wider))
+    assert(e3.getMessage.contains("rebuild"))
+    val d2 = lake.deriveTo(dloc, rebuild = true)(wider)
+    assert(d2.schema.fieldNames.contains("extra"))
+    assert(lake.joinDerived(d2).count() === lake.read().count())
+    assert(d.baseVersion < d2.baseVersion)
+  }
+
+  test("a resharded base refuses incremental refresh AND the join; rebuild re-co-locates at the new width") {
+    val lake = freshLake("reshard", hashes = 2)
+    lake.ingest(rows(0 until 80))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    val wide = lake.reshard(4)
+    val e1 = intercept[IllegalArgumentException](wide.joinDerived(d))
+    assert(e1.getMessage.contains("resharded"))
+    val e2 = intercept[IllegalArgumentException](wide.deriveTo(dloc)(feat))
+    assert(e2.getMessage.contains("resharded"))
+    val d2 = wide.deriveTo(dloc, rebuild = true)(feat)
+    assert(d2.numShards === 16)
+    assert(collected(joined(wide, d2)) === truth(wide))
+  }
+
+  test("refusals: user-keyed lake; deriving onto the lake itself; loading a non-derived location") {
+    val dir = Files.createTempDirectory("graft_derived_refuse").toString
+    val user = Lake(spark, LakeConfig(s"$dir/user", dim = 3,
+      partitionKey = Some("tenant")))
+    user.ingest(Seq((Seq(1f, 0f, 0f), "a")).toDF("vector", "tenant"))
+    val e1 = intercept[IllegalArgumentException](
+      user.deriveTo(s"$dir/feat")(identity))
+    assert(e1.getMessage.contains("user-keyed"))
+    val lake = freshLake("refuse")
+    lake.ingest(rows(0 until 5))
+    val e2 = intercept[IllegalArgumentException](
+      lake.deriveTo(lake.cfg.location)(identity))
+    assert(e2.getMessage.contains("must not be the lake itself"))
+    val e3 = intercept[IllegalArgumentException](
+      DerivedTable.load(spark, lake.cfg.location))
+    assert(e3.getMessage.contains("no derived-table sidecar"))
+    // and a foreign base refuses the join
+    val other = freshLake("refuse2")
+    other.ingest(rows(0 until 5))
+    val d = lake.deriveTo(lake.cfg.location + "_feat")(feat)
+    val e4 = intercept[IllegalArgumentException](other.joinDerived(d))
+    assert(e4.getMessage.contains("was built from"))
+  }
+
+  test("a crashed prior attempt's stranded staging tree does not block the retry (converges over it)") {
+    val lake = freshLake("crash")
+    lake.ingest(rows(0 until 60))
+    val dloc = lake.cfg.location + "_feat"
+    lake.deriveTo(dloc)(feat)
+    // what a crash between writeDerivedGen and the sidecar commit
+    // leaves behind: an UNCOMMITTED next-generation tree
+    Seq(("junk", 99, 9, 9.9)).toDF("id", "shard", "doc_len", "norm")
+      .write.parquet(s"$dloc/gen-2/stranded")
+    lake.ingest(rows(60 until 80))
+    val d2 = lake.deriveTo(dloc)(feat) // refresh stages gen-2 again
+    assert(d2.state.generation === 2L)
+    assert(collected(joined(lake, d2)) === truth(lake))
+  }
+
+  test("left join serves feature-less base rows with null features (a filtering transform)") {
+    val lake = freshLake("left")
+    lake.ingest(rows(0 until 40))
+    val dloc = lake.cfg.location + "_feat"
+    // features only for even ids — a curation-style partial projection
+    val d = lake.deriveTo(dloc)(df =>
+      feat(df).where(col("doc_len") % 2 === 0))
+    val out = lake.joinDerived(d, how = "left")
+    assert(out.count() === 40L)
+    val expectMissing = lake.read().where(length(col("document")) % 2 =!= 0).count()
+    assert(out.where(col("doc_len").isNull).count() === expectMissing)
+    // inner join = exactly the featured subset
+    assert(lake.joinDerived(d).count() === 40L - expectMissing)
+  }
+}

@@ -27,6 +27,52 @@ class WriterLockSpec extends SparkSpec {
   private def lockPath(lake: Lake) =
     new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
 
+  test("MUTUAL EXCLUSION under contention storm: at most one writer ever inside the lock") {
+    // Regression for the local-FS acquisition race: Hadoop's local
+    // create(overwrite=false) is check-then-act, so two writers in the
+    // window could BOTH pass verify-after-write (the second's create
+    // truncates the first's just-written token before the first read it
+    // back) — observed as two DML commits rewriting one generation
+    // concurrently. The fix acquires through POSIX O_EXCL on file://.
+    // This storm drives the window hard: many threads, tiny critical
+    // sections, immediate re-tries.
+    val lake = freshLake()
+    seed(lake)
+    val inside = new java.util.concurrent.atomic.AtomicInteger()
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger()
+    val acquired = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (0 until 8).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          var rounds = 0
+          while (rounds < 200) {
+            try lake.withWriterLock("stress") {
+              val n = inside.incrementAndGet()
+              maxInside.getAndAccumulate(n, math.max)
+              acquired.incrementAndGet()
+              inside.decrementAndGet()
+              ()
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+            rounds += 1
+          }
+        }
+      })
+    }
+    gate.countDown()
+    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(maxInside.get() === 1,
+      s"writer-lock exclusion broke: ${maxInside.get()} writers inside at once")
+    assert(acquired.get() > 0, "storm never acquired — vacuous")
+    // the lock never strands: one more mutation goes straight through
+    lake.compact()
+  }
+
   private def fsOf(lake: Lake) =
     lockPath(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
