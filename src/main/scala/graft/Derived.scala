@@ -73,6 +73,11 @@ final class DerivedTable private[graft] (
   def read(): DataFrame =
     spark.read.format("graft").load(location)
 
+  /** Reclaim storage superseded by refreshes/rebuilds — see
+    * [[DerivedTable.vacuum]]. */
+  def vacuum(keepVersions: Int = 3): (Int, Int) =
+    DerivedTable.vacuum(spark, location, keepVersions)
+
   /** Whether the base lake has committed anything since this table was
     * derived — new appends, rewrites, retention, anything. A stale
     * derived table still joins correctly for the rows it has
@@ -176,11 +181,17 @@ object DerivedTable {
       s""""live": $liveField}"""
   }
 
-  /** Commit `st` as the next sidecar version — ONE atomic
-    * `create(overwrite = false)`; a concurrent deriveTo to the same
-    * location loses the create and fails loudly (derived tables have a
-    * single writer verb, so a race is always a caller bug, not a
-    * coordination case worth a lock file). */
+  /** Commit `st` as the next sidecar version — ONE atomic exclusive
+    * create; a concurrent deriveTo to the same location loses the
+    * create and fails loudly (derived tables have a single writer
+    * verb, so a race is always a caller bug, not a coordination case
+    * worth a lock file). Same acquisition discipline as the writer
+    * lock: POSIX O_EXCL via NIO on `file://` (Hadoop's local
+    * create(overwrite=false) is check-then-act — the second racer
+    * would silently truncate the first's sidecar), atomic namenode
+    * create on HDFS, and only a create that LOST to an existing file
+    * maps to the concurrency error — any other IOException (quota,
+    * permission, network) surfaces as itself. */
   private[graft] def commit(spark: SparkSession, location: String,
       st: State): Long = {
     val fs = fsOf(spark, location)
@@ -188,16 +199,59 @@ object DerivedTable {
     fs.mkdirs(root)
     val v = listVersions(fs, root).map(_._1).foldLeft(0L)(math.max) + 1
     val p = new Path(root, s"_derived.$v.json")
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
-          s"derived commit at $location lost the version-$v create — a " +
-            "concurrent deriveTo is writing the same location", e)
-      }
-    try out.write(render(st).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    def lost(e: Throwable): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"derived commit at $location lost the version-$v create — a " +
+          "concurrent deriveTo is writing the same location", e)
+    val bytes = render(st).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+          bytes, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } catch { case e: java.nio.file.FileAlreadyExistsException => lost(e) }
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
+          case e: java.io.IOException if fs.exists(p) => lost(e)
+        }
+      try out.write(bytes) finally out.close()
+    }
     v
+  }
+
+  /** Reclaim DEAD derived storage: generation trees referenced by NONE
+    * of the newest `keepVersions` sidecars (superseded by refreshes, or
+    * orphaned by a rebuild/crash), plus sidecar versions older than the
+    * kept window. The same retention trade as the lake's vacuum — a
+    * reader that resolved paths from a now-retired sidecar loses its
+    * files — bounded the same way: keep a window. Derived tables have
+    * one writer verb, so serialize this with your deriveTo scheduler
+    * (there is deliberately no lock file here). Returns (generation
+    * trees deleted, sidecar versions deleted). */
+  def vacuum(spark: SparkSession, location: String,
+      keepVersions: Int = 3): (Int, Int) = {
+    require(keepVersions >= 1, "keepVersions must be at least 1")
+    val fs = fsOf(spark, location)
+    val root = new Path(location)
+    val versions = listVersions(fs, root).sortBy(-_._1)
+    require(versions.nonEmpty,
+      s"no derived-table sidecar at $location — nothing to vacuum")
+    val (kept, dead) = versions.splitAt(keepVersions)
+    val liveGens: Set[String] = kept
+      .map { case (_, p) => parse(readFully(fs, p), location) }
+      .flatMap(st => st.live.map(_.split("/").head) :+ s"gen-${st.generation}")
+      .toSet
+    val genRe = """gen-\d+""".r.pattern
+    val deadTrees = fs.listStatus(root).toSeq.filter(s =>
+      s.isDirectory && genRe.matcher(s.getPath.getName).matches() &&
+        !liveGens.contains(s.getPath.getName))
+    deadTrees.foreach(s => fs.delete(s.getPath, true))
+    dead.foreach { case (_, p) => fs.delete(p, false) }
+    (deadTrees.size, dead.size)
   }
 
   private[graft] def fsOf(spark: SparkSession,
@@ -217,16 +271,7 @@ object DerivedTable {
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+      p: Path): String = Lake.readControlFile(fs, p)
 
   /** Shard value of a live manifest entry (`gen-N/shard=K` → K). */
   private[graft] def shardOf(rel: String): Int =

@@ -767,18 +767,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * read() call may legally return a short prefix on some streams —
     * truncating a lock body would drop the holder token and truncating
     * a sidecar would tear the manifest, so EVERY control-file read goes
-    * through this loop. */
+    * through this loop (the derived-table sidecar reader shares it:
+    * [[Lake.readControlFile]]). */
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, "UTF-8")
-    } finally in.close()
-  }
+      p: org.apache.hadoop.fs.Path): String = Lake.readControlFile(fs, p)
 
   private def lockHolder(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path): Option[String] =
@@ -1787,10 +1779,25 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     require(cfg.partitionKey.isEmpty,
       s"deriveTo at ${cfg.location}: derived co-location keys on LSH " +
         "shard routing; this lake is user-keyed")
-    require(location != cfg.location,
-      "deriveTo: the derived location must not be the lake itself")
     routingChecked
     val qualBase = qualifiedLocation
+    // self/overlap guard on QUALIFIED paths: a raw string compare would
+    // let a trailing slash or a `file:` spelling of the lake's own root
+    // through, and writeDerivedGen's Overwrite would then DESTROY lake
+    // generations. Prefix containment is refused in both directions —
+    // a derived tree inside the lake root would be swept as foreign
+    // data by lake audits, and a lake inside the derived root would be
+    // clobbered by a rebuild.
+    val qualTarget = {
+      val p = new org.apache.hadoop.fs.Path(location)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    require(qualTarget != qualBase &&
+      !qualTarget.startsWith(qualBase + "/") &&
+      !qualBase.startsWith(qualTarget + "/"),
+      s"deriveTo: the derived location ($qualTarget) must not be, or " +
+        s"overlap, the lake itself ($qualBase)")
     val prior = DerivedTable.tryLoad(spark, location)
     prior match {
       case Some(d) if !rebuild => deriveIncremental(location, d, f, qualBase)
@@ -1860,7 +1867,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       cfg.seed, cfg.metric, gen, listDerivedDirs(location, gen),
       feats.schema.toDDL)
     DerivedTable.commit(spark, location, st)
-    DerivedTable.load(spark, location)
+    // the committed state IS the result — a re-load here would pay a
+    // second listing and, under a lost commit race, could return a
+    // rival writer's snapshot as our own
+    new DerivedTable(spark, location, st)
   }
 
   /** Incremental refresh: diff the base change feed from the recorded
@@ -1880,9 +1890,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       // bounded: ≤ numShards values (the upsert/deleteWhere pattern)
       val affected = delta.select(col(partCol)).distinct()
         .collect().map(_.getInt(0)).toSet
-      if (affected.isEmpty) {
-        DerivedTable.commit(spark, location,
-          d.state.copy(baseVersion = v2))
+      val committed: DerivedTable.State = if (affected.isEmpty) {
+        val st = d.state.copy(baseVersion = v2)
+        DerivedTable.commit(spark, location, st)
+        st
       } else {
         val inserts = delta.where(col("change") === "insert").drop("change")
         val newFeats = validateDerivedOutput(f(inserts), location)
@@ -1904,11 +1915,13 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           kept.unionByName(newFeats.select(ordered.map(col): _*)))
         val keptDirs = d.state.live
           .filterNot(rel => affected.contains(DerivedTable.shardOf(rel)))
-        DerivedTable.commit(spark, location, d.state.copy(
+        val st = d.state.copy(
           baseVersion = v2, generation = gen,
-          live = keptDirs ++ listDerivedDirs(location, gen)))
+          live = keptDirs ++ listDerivedDirs(location, gen))
+        DerivedTable.commit(spark, location, st)
+        st
       }
-      DerivedTable.load(spark, location)
+      new DerivedTable(spark, location, committed)
     } finally { delta.unpersist(); () }
   }
 
@@ -1959,6 +1972,12 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       rows: DataFrame): Unit =
     rows.repartition(col(partCol))
       .write.mode(SaveMode.Overwrite)
+      // STATIC overwrite pinned per-write: under a session's
+      // partitionOverwriteMode=dynamic, only the shards present in
+      // `rows` would clear — a crashed prior attempt's stranded shard
+      // dirs would survive under the same gen name and be ADOPTED by
+      // the manifest listing below as committed data
+      .option("partitionOverwriteMode", "static")
       .option("compression", cfg.codec)
       .partitionBy(partCol)
       .parquet(s"$location/gen-$gen")
@@ -5990,6 +6009,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
 }
 
 object Lake {
+  /** The ONE short-read-safe control-file reader (class Lake, the
+    * DSv2 provider, and DerivedTable all read sidecar-sized files
+    * through it — a short-read fix must land once). */
+  private[graft] def readControlFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   private[graft] def escapeJson(s: String): String =
     s.flatMap {
       case '"' => "\\\""

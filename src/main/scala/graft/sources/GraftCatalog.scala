@@ -175,8 +175,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (listed by the `history` view); a vacuumed one fails loudly by
     * name, and the snapshot table is read-only — both inherited from
     * the format's own `asOf` option, which this delegates to. */
+  /** Derived feature tables ([[graft.DerivedTable]]) are read-only
+    * projections with no version history of their own — time travel
+    * and ALTER must refuse BY NAME rather than fall through to lake
+    * config resolution (whose "needs dim" bootstrap error would point
+    * the user at the wrong recovery). */
+  private def refuseDerived(loc: String, what: String): Unit =
+    if (graft.DerivedTable.tryLoad(spark, loc).isDefined)
+      throw new UnsupportedOperationException(
+        s"graft catalog: $loc is a derived feature table — a read-only " +
+          s"projection of its base lake; $what has no meaning here " +
+          "(re-derive with Lake.deriveTo instead)")
+
   override def loadTable(ident: Identifier, version: String): Table = {
     val loc = locationOrThrow(ident)
+    refuseDerived(loc, "VERSION AS OF")
     val v =
       try java.lang.Long.parseLong(version)
       catch { case _: NumberFormatException =>
@@ -196,6 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * vacuum that is the honest answer. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val loc = locationOrThrow(ident)
+    refuseDerived(loc, "TIMESTAMP AS OF")
     val cut = java.time.Instant.EPOCH.plus(
       timestamp, java.time.temporal.ChronoUnit.MICROS)
     val cfg = GraftDataSource.resolveConfig(spark,
@@ -227,7 +241,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val external = opt("location")
     val loc = external.getOrElse(tablePath(ident).toString)
 
-    if (hasSidecar(new Path(loc))) {
+    if (graft.DerivedTable.tryLoad(spark, loc).isDefined) {
+      // ADOPT a Lake.deriveTo feature table (external registration,
+      // read-only through SQL): its _derived sidecar is the schema
+      // authority, and NOTHING may be written here — the lake
+      // bootstrap below would stamp a _meta sidecar beside _derived
+      // and corrupt the read surface (lake sidecars win resolution)
+      require(external.isDefined,
+        "graft catalog: a derived feature table cannot be catalog-" +
+          "managed — it is owned by its base lake's deriveTo lifecycle; " +
+          "register it with LOCATION")
+      require(schema.isEmpty,
+        s"graft catalog: the location '$loc' already holds a derived " +
+          "feature table — register it without a column list (its " +
+          "sidecar is the schema authority)")
+    } else if (hasSidecar(new Path(loc))) {
       // ADOPT an existing lake (external registration): config comes
       // from its sidecar; a column list would be a second source of
       // schema truth and is refused
@@ -280,6 +308,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val loc = locationOrThrow(ident)
+    refuseDerived(loc, "ALTER TABLE")
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     require(adds.size == changes.size,
       "graft catalog: only ALTER TABLE ... ADD COLUMNS is supported " +

@@ -333,17 +333,8 @@ object GraftDataSource {
       p match {
         case None => if (hasGenDir) Left(()) else Right(None)
         case Some((path, derived)) =>
-          try {
-            val in = fs.open(path)
-            try {
-              val bytes = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](4096)
-              var n = in.read(buf)
-              while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-              Right(Some(derived ->
-                new String(bytes.toByteArray, "UTF-8")))
-            } finally in.close()
-          } catch {
+          try Right(Some(derived -> graft.Lake.readControlFile(fs, path)))
+          catch {
             // rotated out between list and read — a rival committed a
             // newer version; re-list
             case _: java.io.FileNotFoundException => Left(())

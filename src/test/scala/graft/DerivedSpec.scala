@@ -228,6 +228,47 @@ class DerivedSpec extends SparkSpec {
     assert(collected(joined(wide, d2)) === truth(wide))
   }
 
+  test("self/overlap guard compares QUALIFIED paths: slash, scheme, and nested spellings of the lake all refuse (no Overwrite reaches the lake tree)") {
+    val lake = freshLake("overlap")
+    lake.ingest(rows(0 until 25))
+    val before = lake.read().count()
+    Seq(
+      lake.cfg.location + "/",
+      "file:" + lake.cfg.location,
+      lake.cfg.location + "/nested/feat"
+    ).foreach { spelled =>
+      val e = intercept[IllegalArgumentException](lake.deriveTo(spelled)(feat))
+      assert(e.getMessage.contains("must not be, or overlap"), spelled)
+    }
+    // ...and a lake INSIDE the derived target refuses too
+    val parent = lake.cfg.location.stripSuffix("/lake")
+    val e = intercept[IllegalArgumentException](lake.deriveTo(parent)(feat))
+    assert(e.getMessage.contains("must not be, or overlap"))
+    assert(lake.read().count() === before, "a refused derive touched data")
+  }
+
+  test("vacuum reclaims superseded generations and old sidecars; the live snapshot keeps serving") {
+    val lake = freshLake("vacuum")
+    lake.ingest(rows(0 until 50))
+    val dloc = lake.cfg.location + "_feat"
+    lake.deriveTo(dloc)(feat)
+    lake.ingest(rows(50 until 70))
+    lake.deriveTo(dloc)(feat) // refresh: gen-2 + kept gen-1 dirs
+    val d3 = lake.deriveTo(dloc, rebuild = true)(feat) // orphans gens 1-2
+    val (trees, sidecars) = d3.vacuum(keepVersions = 1)
+    assert(trees >= 1, "rebuild left no dead generation tree?")
+    assert(sidecars >= 1)
+    assert(collected(joined(lake, d3)) === truth(lake))
+    // only live generations remain on disk
+    val fs = DerivedTable.fsOf(spark, dloc)
+    val liveGens = d3.state.live.map(_.split("/").head).toSet +
+      s"gen-${d3.state.generation}"
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dloc)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk.subsetOf(liveGens), s"dead trees survived: ${onDisk -- liveGens}")
+  }
+
   test("refusals: user-keyed lake; deriving onto the lake itself; loading a non-derived location") {
     val dir = Files.createTempDirectory("graft_derived_refuse").toString
     val user = Lake(spark, LakeConfig(s"$dir/user", dim = 3,
@@ -240,7 +281,7 @@ class DerivedSpec extends SparkSpec {
     lake.ingest(rows(0 until 5))
     val e2 = intercept[IllegalArgumentException](
       lake.deriveTo(lake.cfg.location)(identity))
-    assert(e2.getMessage.contains("must not be the lake itself"))
+    assert(e2.getMessage.contains("must not be, or overlap"))
     val e3 = intercept[IllegalArgumentException](
       DerivedTable.load(spark, lake.cfg.location))
     assert(e3.getMessage.contains("no derived-table sidecar"))
@@ -265,6 +306,45 @@ class DerivedSpec extends SparkSpec {
     val d2 = lake.deriveTo(dloc)(feat) // refresh stages gen-2 again
     assert(d2.state.generation === 2L)
     assert(collected(joined(lake, d2)) === truth(lake))
+  }
+
+  test("SQL face: a derived table registers in the catalog read-only (adopt by LOCATION; writes, column lists, and managed mode refuse; DROP keeps the tree)") {
+    val lake = freshLake("sqlface")
+    lake.ingest(rows(0 until 30))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    val wh = Files.createTempDirectory("graft_derived_cat").toString
+    spark.conf.set("spark.sql.catalog.dcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dcat.default")
+    spark.sql(
+      s"CREATE TABLE dcat.default.feats USING graft LOCATION '$dloc'")
+    val got = spark.sql(
+      "SELECT id, doc_len, norm, shard FROM dcat.default.feats ORDER BY id")
+    assert(got.count() === 30L)
+    // read-only: the derived table advertises BATCH_READ only
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT INTO dcat.default.feats VALUES ('x', 1, 1.0, 0)"))
+    assert(e1.getMessage.toLowerCase.contains("does not support") ||
+      e1.getMessage.toLowerCase.contains("append"))
+    // a column list is a second schema authority — refused
+    spark.sql("DROP TABLE IF EXISTS dcat.default.feats2")
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE dcat.default.feats2 (id string) USING graft LOCATION '$dloc'"))
+    assert(e2.getMessage.contains("without a column list"))
+    // time travel / ALTER refuse BY NAME (not a misleading lake-config
+    // error): a derived table has no version history of its own
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT * FROM dcat.default.feats VERSION AS OF 1").collect())
+    assert(e4.getMessage.contains("derived feature table"), e4.getMessage)
+    val e5 = intercept[Exception](spark.sql(
+      "ALTER TABLE dcat.default.feats ADD COLUMNS (extra int)"))
+    assert(e5.getMessage.contains("derived feature table"), e5.getMessage)
+    // DROP unregisters; the derived tree survives (external semantics)
+    spark.sql("DROP TABLE dcat.default.feats")
+    assert(DerivedTable.load(spark, dloc).baseVersion === d.baseVersion)
+    assert(lake.joinDerived(d).count() === 30L)
   }
 
   test("left join serves feature-less base rows with null features (a filtering transform)") {
