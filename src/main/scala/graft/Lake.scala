@@ -1764,9 +1764,11 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * directories (deleted/replaced ids drop, new feature rows land) —
     * O(base churn), never O(corpus). A no-churn refresh commits only a
     * new sync point. `rebuild = true` forces the full snapshot path
-    * (required after a base [[reshard]] or when `f`'s output schema
-    * changed — both refused loudly by the incremental path, which
-    * could not serve them correctly).
+    * (required after a base [[reshard]], when `f`'s output schema
+    * changed, or when [[vacuum]] retired the recorded sync point — all
+    * refused loudly by the incremental path with this recovery named;
+    * an automatic fallback would silently turn O(churn) into
+    * O(corpus)).
     *
     * Seals the base each call (the change-feed sync-point discipline —
     * a refresh must diff two immutable states). Transform contract,

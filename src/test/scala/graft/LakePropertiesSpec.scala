@@ -50,6 +50,7 @@ class LakePropertiesSpec extends SparkSpec {
     var lake = Lake(spark, LakeConfig(s"$dir/lake", dim = dim, numHashes = 3))
     var width = 3
     val reshardRng = new scala.util.Random(seed ^ 0x5eed)
+    val derivedRng = new scala.util.Random(seed ^ 0xde51ed)
     var model = Map.empty[String, (Seq[Float], String)] // id -> (vector, doc)
     // id -> synthetic ingest day (rows carry EXPLICIT event times so
     // the zone-map window reads below have a model to check against)
@@ -161,6 +162,47 @@ class LakePropertiesSpec extends SparkSpec {
         replica = replica.map(_.reshard(width))
         opsRun += "reshard"
         check(s"step $step: reshard")
+      }
+      // CO-LOCATED DERIVED TABLE side-channel on ~1/8 of steps, on its
+      // OWN seeded stream (the primary op sequence stays byte-identical
+      // to earlier rounds'): refresh a feature table over whatever
+      // churn the sequence produced — appends, deletes, upserts, DML,
+      // expire, compaction, reshard — and require the CO-LOCATED JOIN
+      // to reproduce the model exactly. Recoveries exercised as they
+      // arise: a resharded base and a vacuumed-away sync point both
+      // refuse the incremental path and heal by rebuild; a
+      // streaming-owned generation skips the step (seal refuses).
+      if (derivedRng.nextInt(8) == 0 && lake.exists() && model.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, length}
+        val dloc = s"$dir/fuzz_derived"
+        val f = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(col("id"), col("shard"),
+            length(col("document")).as("doc_len"))
+        def tryDerive(rebuild: Boolean): Option[DerivedTable] =
+          try Some(lake.deriveTo(dloc, rebuild)(f))
+          catch {
+            // seal/changesBetween refuse under a stream-owned
+            // generation (require -> IllegalArgumentException)
+            case e: Exception if Option(e.getMessage)
+                .exists(_.contains("streaming")) => None
+            case e: IllegalArgumentException
+                if !rebuild && (e.getMessage.contains("resharded") ||
+                  e.getMessage.contains("vacuumed") ||
+                  e.getMessage.contains("no sidecar version")) =>
+              tryDerive(rebuild = true)
+          }
+        val d = tryDerive(rebuild = false)
+        d.foreach { dt =>
+          val got = lake.joinDerived(dt)
+            .select("id", "doc_len").collect()
+            .map(r => r.getString(0) -> r.getInt(1)).toMap
+          val want = model.map { case (id, (_, doc)) => id -> doc.length }
+          assert(got === want,
+            s"step $step: derived join diverged from the model " +
+              s"(join-only: ${(got.keySet -- want.keySet).take(5)}, " +
+              s"model-only: ${(want.keySet -- got.keySet).take(5)})")
+          opsRun += "derive"
+        }
       }
       val op = rng.nextInt(28) match {
         case 26 | 27 =>
@@ -464,6 +506,9 @@ class LakePropertiesSpec extends SparkSpec {
     assert(opsRun.contains("reshard"),
       s"the reshard prelude never fired in 40 steps (both pinned seeds " +
         s"are known to draw it — a dispatch change broke coverage): $opsRun")
+    assert(opsRun.contains("derive"),
+      s"the derived-table side-channel never fired in 40 steps (both " +
+        s"pinned seeds are known to draw it): $opsRun")
     // end state: unique ids, audit clean, snapshot history readable
     val audit = lake.validate().head()
     assert(audit.getLong(1) === 0L && audit.getLong(2) === 0L &&
