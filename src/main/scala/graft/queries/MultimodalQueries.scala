@@ -441,6 +441,80 @@ object AnnQueries {
           ORDER BY cell, rank"""
     })
 
+  /** A base lake WITHOUT inline PQ plus a CO-LOCATED derived table of
+    * its PQ codes ([[graft.Lake.deriveTo]]) — the RETROFIT pattern: a
+    * 100 TB corpus ingested before anyone wanted PQ gains the index
+    * WITHOUT a corpus rewrite (the alternative is re-ingesting every
+    * row to add a `pq_code` column). Built through the incremental
+    * lifecycle — half the corpus, derive, the other half, derive again
+    * (change-feed refresh) — once per (session, sfDir). */
+  private def derivedPqFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): (graft.Lake, graft.DerivedTable, graft.operators.Pq.PqModel) =
+    graft.queries.BuiltFixtures.once(s, dir, "derived_pq") {
+      val emb = graft.Tables.embeddings(s, dir)
+      val m = cachedPqModel(s, dir, emb)
+      val tmp = graft.queries.BuiltFixtures.sessionTmp(s, dir, "pqbase")
+      val base = graft.Lake(s, graft.LakeConfig(tmp, dim = 64, numHashes = 6))
+      base.delete()
+      val rows = emb.select(
+        concat(lit("doc-"), col("vec_id")).as("id"),
+        col("embedding").as("vector"),
+        pmod(col("vec_id"), lit(2)).as("h"))
+      def codes(df: org.apache.spark.sql.DataFrame) = df.select(
+        (Seq(col("id"), col("shard")) ++
+          (0 until m.m).map(mi => m.codeCol(col("vector"), mi).as(s"c$mi"))): _*)
+      val dloc = graft.queries.BuiltFixtures.sessionTmp(s, dir, "pqcodes")
+      base.ingest(rows.where(col("h") === 0).drop("h"))
+      base.deriveTo(dloc)(codes)
+      base.ingest(rows.where(col("h") =!= 0).drop("h"))
+      (base, base.deriveTo(dloc)(codes), m)
+    }
+
+  /** PQ serving THROUGH the retrofit: ADC-rank on the derived table's
+    * STORED codes ALONE (8 literal-LUT lookups per row — the top-30
+    * candidate cut never touches the corpus; TakeOrderedAndProject
+    * over the bytes-per-row code table), then the ≤30 survivors join
+    * back by BROADCAST — which runtime-prunes the base lake's shard
+    * directories (the q_dpp_join machinery) — and rerank exactly. The
+    * oracle recomputes codes, ADC, and the exact rerank straight from
+    * raw `embeddings`, so hash-equality proves the derived codes match
+    * direct encoding (through the incremental refresh), the
+    * stored-code ADC matches vector-side ADC, and the join-back lost
+    * nobody. Scale shape: corpus bytes read = the candidate shards'
+    * directories only, for 30 rows — NOT a corpus-wide join under a
+    * limit (a limit never pushes below a join). */
+  def qKnnDerivedPq = Q(
+    "q_knn_derived_pq",
+    (s, dir) => {
+      val (base, d, m) = derivedPqFixture(s, dir)
+      val q = graft.Fixtures.queryVec
+      val pqDist = round((0 until m.m).map(mi =>
+        element_at(graft.functions.VectorFunctions.vecLit(m.lutFor(q, mi)),
+          col(s"c$mi") + 1)).reduce(_ + _), 6)
+      val cand = d.read()
+        .withColumn("pq_dist", pqDist)
+        .orderBy(col("pq_dist"), col("id")).limit(30)
+        .select(col("shard"), col("id"))
+      s.read.format("graft").load(base.cfg.location)
+        .join(broadcast(cand), Seq("shard", "id"))
+        .select(col("id"),
+          graft.functions.VectorFunctions.round6z(
+            graft.functions.VectorFunctions.cosineDist(col("vector"),
+              graft.functions.VectorFunctions.vecLit(q))).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(10)
+    },
+    soleModel(pqModels).map { m =>
+      val q = graft.Fixtures.queryVec
+      s"""WITH cand AS (SELECT 'doc-' || vec_id AS id, embedding,
+                               ${m.sqlAdcDistExpr("embedding", q)} AS pq_dist
+                        FROM embeddings
+                        ORDER BY pq_dist, id LIMIT 30)
+          SELECT id,
+                 ${graft.functions.VectorFunctions.sqlRound6z(
+                   graft.functions.VectorFunctions.sqlCosineDistLit("embedding", q))} AS dist
+          FROM cand ORDER BY dist, id LIMIT 10"""
+    })
+
   def all: Seq[Q] = Seq(qAnnIvf, qKnnPq, qPqRecall, qIvfPq, qKnnJl, qSemDedup,
-    qClusterLabels)
+    qClusterLabels, qKnnDerivedPq)
 }

