@@ -78,13 +78,15 @@ final class DerivedTable private[graft] (
   def vacuum(keepVersions: Int = 3): (Int, Int) =
     DerivedTable.vacuum(spark, location, keepVersions)
 
-  /** Whether the base lake has committed anything since this table was
-    * derived — new appends, rewrites, retention, anything. A stale
-    * derived table still joins correctly for the rows it has
+  /** Whether the base lake's ROW SET may have changed since this table
+    * was derived — appends, rewrites, retention. Pure seal commits
+    * (including SIBLING feature tables' deriveTo refreshes) never move
+    * rows and do not stale a table ([[Lake.rowSetUnchangedSince]]). A
+    * stale derived table still joins correctly for the rows it has
     * ([[Lake.joinDerived]]'s `allowStale`), but rows changed since are
     * served as if absent. */
   def isStale(base: Lake): Boolean =
-    base.latestSidecarVersion != state.baseVersion
+    !base.rowSetUnchangedSince(state.baseVersion)
 
   /** Fails unless `base` is the lake this table derives from, at the
     * routing width the feature rows are co-located at. A width mismatch

@@ -1740,6 +1740,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     metaVersionsFrom(listRoot(fs)).map(_._1).foldLeft(0L)(math.max)
   }
 
+  /** True iff the lake's ROW SET provably did not change since sidecar
+    * `version` — the derived-table freshness test. Seal commits never
+    * move rows (they roll an empty generation), and every row-changing
+    * path commits a NON-seal version (appends stamp under the gate;
+    * maintenance/DML write their rewrite commits), so the row set is
+    * unchanged when every commit after `version` is a seal. Two guards
+    * keep this safe, never merely plausible: the version chain since
+    * `version` must be CONTIGUOUS (inline rotation retires old non-seal
+    * versions — a hole could hide one, so a hole reads as changed), and
+    * any unreadable sidecar reads as changed. Without this relaxation,
+    * sibling feature tables could never be jointly fresh: every
+    * [[deriveTo]] seals, so table A's refresh would permanently
+    * "stale" table B under a strict latest-version equality. */
+  private[graft] def rowSetUnchangedSince(version: Long): Boolean = {
+    val fs = fsOfRoot
+    val since = metaVersionsFrom(listRoot(fs))
+      .filter(_._1 > version).sortBy(_._1)
+    since.isEmpty || (
+      since.map(_._1) == (version + 1 to since.last._1) &&
+        since.forall { case (_, p) =>
+          try parseState(readFully(fs, p)).isSealed
+          catch { case scala.util.control.NonFatal(_) => false }
+        })
+  }
+
   /** This lake's location as the filesystem qualifies it — the stable
     * identity derived sidecars record (`/tmp/x` and `file:/tmp/x` must
     * name one base). */
@@ -1835,24 +1860,41 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * and `graft.Verify` sessions ship it; DerivedSpec pins the
     * zero-exchange plan under exactly these confs. */
   def joinDerived(derived: DerivedTable, how: String = "inner",
+      spj: Boolean = true, allowStale: Boolean = false): DataFrame =
+    joinDerivedAll(Seq(derived), how, spj, allowStale)
+
+  /** [[joinDerived]] over SEVERAL feature tables at once — the
+    * multi-feature-store read: every derived side reads key-grouped on
+    * the same shard values, so the whole join CHAIN plans with zero
+    * exchange under the SPJ opt-in (each pairwise join's keys contain
+    * the shared partition key; DerivedSpec pins the chained plan).
+    * Feature column names must be distinct across tables (Spark only
+    * errors on reference, not on join) — that is the caller's naming
+    * contract, same as any SELECT *. */
+  def joinDerivedAll(derived: Seq[DerivedTable], how: String = "inner",
       spj: Boolean = true, allowStale: Boolean = false): DataFrame = {
+    require(derived.nonEmpty, "joinDerivedAll: no derived tables given")
     require(Set("inner", "left", "left_outer")(how),
       s"joinDerived: how must be inner or left, got '$how' — other join " +
         "types have no feature-lookup reading")
-    derived.requireMatches(this, qualifiedLocation)
+    val qual = qualifiedLocation
+    derived.foreach(_.requireMatches(this, qual))
     if (!allowStale) {
-      val latest = latestSidecarVersion
-      require(latest == derived.baseVersion,
-        s"derived table at ${derived.location} is STALE: base " +
-          s"${cfg.location} moved from version ${derived.baseVersion} to " +
-          s"$latest — deriveTo again to refresh (O(churn)), or pass " +
-          "allowStale = true (rows changed since will join as if absent)")
+      // freshness = the ROW SET is provably unchanged since each
+      // table's sync point ([[rowSetUnchangedSince]]): pure seals —
+      // including sibling deriveTo refreshes — do not stale a table
+      derived.foreach(d =>
+        require(rowSetUnchangedSince(d.baseVersion),
+          s"derived table at ${d.location} is STALE: base " +
+            s"${cfg.location} has row-changing (or unprovable) commits " +
+            s"after its sync point ${d.baseVersion} — deriveTo again to " +
+            "refresh (O(churn)), or pass allowStale = true (rows changed " +
+            "since will join as if absent)"))
     }
-    val b = spark.read.format("graft").option("spj", spj.toString)
-      .load(cfg.location)
-    val d = spark.read.format("graft").option("spj", spj.toString)
-      .load(derived.location)
-    b.join(d, Seq("shard", "id"), how)
+    def readVia(location: String): DataFrame =
+      spark.read.format("graft").option("spj", spj.toString).load(location)
+    derived.foldLeft(readVia(cfg.location))((acc, d) =>
+      acc.join(readVia(d.location), Seq("shard", "id"), how))
   }
 
   /** Full-snapshot derive: seal, transform, write ONE new generation,

@@ -470,19 +470,23 @@ object AnnQueries {
       (base, base.deriveTo(dloc)(codes), m)
     }
 
-  /** PQ serving THROUGH the retrofit: ADC-rank on the derived table's
-    * STORED codes ALONE (8 literal-LUT lookups per row — the top-30
-    * candidate cut never touches the corpus; TakeOrderedAndProject
-    * over the bytes-per-row code table), then the ≤30 survivors join
-    * back by BROADCAST — which runtime-prunes the base lake's shard
-    * directories (the q_dpp_join machinery) — and rerank exactly. The
-    * oracle recomputes codes, ADC, and the exact rerank straight from
-    * raw `embeddings`, so hash-equality proves the derived codes match
-    * direct encoding (through the incremental refresh), the
-    * stored-code ADC matches vector-side ADC, and the join-back lost
-    * nobody. Scale shape: corpus bytes read = the candidate shards'
-    * directories only, for 30 rows — NOT a corpus-wide join under a
-    * limit (a limit never pushes below a join). */
+  /** PQ serving THROUGH the retrofit, the engine's own two-phase serve
+    * idiom: (1) CANDIDATES — heap top-k (TakeOrderedAndProject) over
+    * the derived table's STORED codes alone (8 literal-LUT lookups per
+    * row; the corpus is never touched), the ≤30 survivors collected —
+    * bounded by construction, the same driver-side step every routed
+    * topK takes; (2) RERANK — the base lake read with LITERAL
+    * `shard IN (...)` + `id IN (...)` predicates, so directory pruning
+    * and parquet pushdown are GUARANTEED at plan time (PlanSpec pins
+    * the pushed partition filter — note a broadcast join-back would
+    * NOT prune: Spark's DPP benefit heuristic wants a selective filter
+    * on the build side, and a top-k limit is not one). The oracle
+    * recomputes codes, ADC, and the exact rerank straight from raw
+    * `embeddings`, so hash-equality proves derived codes ≡ direct
+    * encoding (through the incremental refresh), stored-code ADC ≡
+    * vector-side ADC, and the two-phase serve lost nobody. Scale
+    * shape: corpus bytes read = the ≤30 candidate shards' directories,
+    * filter-pushed to 30 ids. */
   def qKnnDerivedPq = Q(
     "q_knn_derived_pq",
     (s, dir) => {
@@ -494,9 +498,11 @@ object AnnQueries {
       val cand = d.read()
         .withColumn("pq_dist", pqDist)
         .orderBy(col("pq_dist"), col("id")).limit(30)
-        .select(col("shard"), col("id"))
+        .select(col("shard"), col("id")).collect() // ≤30 rows, bounded
+      val shards = cand.map(_.getInt(0)).distinct.toSeq
+      val ids = cand.map(_.getString(1)).toSeq
       s.read.format("graft").load(base.cfg.location)
-        .join(broadcast(cand), Seq("shard", "id"))
+        .where(col("shard").isin(shards: _*) && col("id").isin(ids: _*))
         .select(col("id"),
           graft.functions.VectorFunctions.round6z(
             graft.functions.VectorFunctions.cosineDist(col("vector"),

@@ -189,6 +189,57 @@ class DerivedSpec extends SparkSpec {
         exchangesOf(q.plan)
     }.flatten
 
+  test("joinDerivedAll: two feature tables chain with zero exchange; staleness of EITHER refuses") {
+    val lake = freshLake("multi")
+    lake.ingest(rows(0 until 300))
+    val d1 = lake.deriveTo(lake.cfg.location + "_f1")(feat)
+    val d2 = lake.deriveTo(lake.cfg.location + "_f2")(df =>
+      df.select(col("id"), col("shard"),
+        substring(col("document"), 1, 3).as("prefix")))
+    // d2's derive SEALED the base after d1's sync point — a pure seal
+    // moves no rows, so d1 stays jointly fresh (rowSetUnchangedSince);
+    // a strict latest-version check would make sibling feature tables
+    // permanently un-joinable
+    assert(!d1.isStale(lake) && !d2.isStale(lake))
+    val d1b = d1
+    val out = lake.joinDerivedAll(Seq(d1b, d2))
+      .select(col("id"), col("doc_len"), col("prefix"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    val want = lake.read().select("id", "document").collect()
+      .map(r => (r.getString(0), r.getString(1).length,
+        r.getString(1).take(3))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // chained zero-exchange under the SPJ opt-in
+    val confs = Seq(
+      "spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val chained = lake.joinDerivedAll(Seq(d1b, d2))
+        .select(col("id"), col("doc_len"), col("prefix"))
+      assert(chained.count() === want.size.toLong)
+      val ex = exchangesOf(chained.queryExecution.executedPlan)
+      assert(ex.isEmpty, s"chained derived join planned ${ex.size} exchange(s)")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a ROW-CHANGING commit stales BOTH tables
+    lake.ingest(rows(300 until 310))
+    assert(d1b.isStale(lake) && d2.isStale(lake))
+    val e = intercept[IllegalArgumentException](
+      lake.joinDerivedAll(Seq(d1b, d2)))
+    assert(e.getMessage.contains("STALE"))
+  }
+
   test("transform contract: dropped id refused; out-of-range shard refused per row; schema drift on refresh refused with the rebuild recovery") {
     val lake = freshLake("contract")
     lake.ingest(rows(0 until 20))

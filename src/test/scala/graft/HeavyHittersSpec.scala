@@ -69,6 +69,23 @@ class HeavyHittersSpec extends SparkSpec {
       plan.contains("Partial"), s"no partial phase in:\n$plan")
   }
 
+  test("per-group heavy hitters: the aggregate composes with groupBy like any other") {
+    val df = (0 until 900).map(i => (s"g${i % 3}", s"k-${i % 9}"))
+      .toDF("grp", "key").repartition(8)
+    val out = df.groupBy("grp")
+      .agg(heavyHitters(col("key"), 16).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("h"))
+      .select(col("grp"), col("h.key"), col("h.cnt"), col("h.err"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // each group sees 3 of the 9 keys (i%9 fixes i%3), 100 each, exact
+    assert(out.size === 9)
+    out.foreach { case (_, (cnt, err)) =>
+      assert(cnt === 100L && err === 0L)
+    }
+  }
+
   test("nulls are skipped; empty input emits an empty array") {
     val out = Seq(Some("a"), None, Some("a"), None).toDF("key")
       .agg(heavyHitters(col("key"), 4).as("hh"))

@@ -12,17 +12,18 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("q_knn_derived_pq: the candidate cut is heap top-k over the CODE table only; the corpus joins by broadcast (runtime-prunable), never corpus-wide under the limit") {
+  test("q_knn_derived_pq: the rerank plan carries LITERAL shard directory pruning + id pushdown; the candidate cut ran on the code table alone") {
+    // the registry fn's candidate phase (heap top-k over the derived
+    // code table) already ran by the time the returned frame exists —
+    // what remains IS the rerank, and its scan must prove the pruning
     val p = plan("q_knn_derived_pq")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    // the TopK subplan reads the derived location, not the lake: the
-    // base location's scan must sit UNDER the broadcast join, above
-    // the candidate cut
-    val idx = p.indexOf("TakeOrderedAndProject")
-    val candSlice = p.substring(idx)
-    assert(candSlice.contains("pqcodes") || p.contains("pqcodes"),
-      "candidate stage does not read the derived code table")
+    assert("""PartitionFilters: \[[^\]]*shard#\d+ IN(SET)?[ (]""".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("In(id, ["), p.take(3000))
+    // the rerank reads the BASE lake, not the code table
+    assert(p.contains("BatchScan graft:") && !p.contains("graft-derived:"),
+      p.take(2000))
   }
 
   test("q_derived_join plans the co-located join through the graft format on both sides") {
