@@ -1755,13 +1755,31 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * "stale" table B under a strict latest-version equality. */
   private[graft] def rowSetUnchangedSince(version: Long): Boolean = {
     val fs = fsOfRoot
-    val since = metaVersionsFrom(listRoot(fs))
-      .filter(_._1 > version).sortBy(_._1)
+    rowSetUnchangedSinceFrom(fs, metaVersionsFrom(listRoot(fs)), version,
+      scala.collection.mutable.Map.empty)
+  }
+
+  /** [[rowSetUnchangedSince]] against an already-taken listing, with a
+    * caller-scoped parse memo — [[joinDerivedAll]] judges every
+    * feature table from ONE listing snapshot and reads each immutable
+    * seal sidecar once, not once per table. */
+  private def rowSetUnchangedSinceFrom(fs: org.apache.hadoop.fs.FileSystem,
+      versions: Seq[(Long, org.apache.hadoop.fs.Path)], version: Long,
+      sealedMemo: scala.collection.mutable.Map[Long, Boolean]): Boolean = {
+    // the ANCHOR must still be listed: sync points are seal commits
+    // (rotation-exempt), so an absent anchor means vacuum retired it or
+    // the base was deleted and recreated at this location — in both
+    // cases "unchanged" is unprovable and a recreated base would
+    // otherwise pass vacuously (its version counter restarted below the
+    // sync point, leaving nothing "after" it)
+    if (!versions.exists(_._1 == version)) return false
+    val since = versions.filter(_._1 > version).sortBy(_._1)
     since.isEmpty || (
       since.map(_._1) == (version + 1 to since.last._1) &&
-        since.forall { case (_, p) =>
-          try parseState(readFully(fs, p)).isSealed
-          catch { case scala.util.control.NonFatal(_) => false }
+        since.forall { case (v, p) =>
+          sealedMemo.getOrElseUpdate(v,
+            try parseState(readFully(fs, p)).isSealed
+            catch { case scala.util.control.NonFatal(_) => false })
         })
   }
 
@@ -1882,9 +1900,15 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     if (!allowStale) {
       // freshness = the ROW SET is provably unchanged since each
       // table's sync point ([[rowSetUnchangedSince]]): pure seals —
-      // including sibling deriveTo refreshes — do not stale a table
+      // including sibling deriveTo refreshes — do not stale a table.
+      // ONE listing snapshot + a shared sidecar-parse memo judge every
+      // table consistently (N listings would each see a different
+      // base state, and seal sidecars are immutable — one read each)
+      val fs = fsOfRoot
+      val versions = metaVersionsFrom(listRoot(fs))
+      val memo = scala.collection.mutable.Map.empty[Long, Boolean]
       derived.foreach(d =>
-        require(rowSetUnchangedSince(d.baseVersion),
+        require(rowSetUnchangedSinceFrom(fs, versions, d.baseVersion, memo),
           s"derived table at ${d.location} is STALE: base " +
             s"${cfg.location} has row-changing (or unprovable) commits " +
             s"after its sync point ${d.baseVersion} — deriveTo again to " +

@@ -104,6 +104,19 @@ class DerivedSpec extends SparkSpec {
     assert(collected(joined(lake, d2)) === truth(lake))
   }
 
+  test("a deleted-and-recreated base never passes freshness: the anchor sync point must still be listed") {
+    val lake = freshLake("recreate")
+    lake.ingest(rows(0 until 20))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    lake.delete()
+    lake.ingest(rows(0 until 10)) // version counter restarted below d's sync point
+    assert(d.isStale(lake),
+      "a recreated base passed the freshness guard vacuously")
+    val e = intercept[IllegalArgumentException](lake.joinDerived(d))
+    assert(e.getMessage.contains("STALE"))
+  }
+
   test("incremental refresh is O(churn): appends, deletes, and an upsert land; untouched shard directories stay byte-in-place") {
     val lake = freshLake("incr")
     lake.ingest(rows(0 until 100))
@@ -201,8 +214,7 @@ class DerivedSpec extends SparkSpec {
     // a strict latest-version check would make sibling feature tables
     // permanently un-joinable
     assert(!d1.isStale(lake) && !d2.isStale(lake))
-    val d1b = d1
-    val out = lake.joinDerivedAll(Seq(d1b, d2))
+    val out = lake.joinDerivedAll(Seq(d1, d2))
       .select(col("id"), col("doc_len"), col("prefix"))
     val got = out.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(_._1)
@@ -223,7 +235,7 @@ class DerivedSpec extends SparkSpec {
     }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val chained = lake.joinDerivedAll(Seq(d1b, d2))
+      val chained = lake.joinDerivedAll(Seq(d1, d2))
         .select(col("id"), col("doc_len"), col("prefix"))
       assert(chained.count() === want.size.toLong)
       val ex = exchangesOf(chained.queryExecution.executedPlan)
@@ -234,9 +246,9 @@ class DerivedSpec extends SparkSpec {
     }
     // a ROW-CHANGING commit stales BOTH tables
     lake.ingest(rows(300 until 310))
-    assert(d1b.isStale(lake) && d2.isStale(lake))
+    assert(d1.isStale(lake) && d2.isStale(lake))
     val e = intercept[IllegalArgumentException](
-      lake.joinDerivedAll(Seq(d1b, d2)))
+      lake.joinDerivedAll(Seq(d1, d2)))
     assert(e.getMessage.contains("STALE"))
   }
 
