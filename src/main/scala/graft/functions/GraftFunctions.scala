@@ -63,7 +63,14 @@ object GraftFunctions {
     "bloom_might_contain" -> (exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0),
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))))
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))),
+    // Misra-Gries frequent items (round 11): heavy_hitters(key, capacity)
+    // — the map-side-combinable sketch as a SQL aggregate; emits
+    // ARRAY<STRUCT<key, cnt, err>> sorted (cnt DESC, key ASC), exact
+    // (err = 0) whenever the data's distinct keys fit the capacity
+    "heavy_hitters" -> (exprs =>
+      graft.expressions.HeavyHittersAggregate(
+        exprs(0), litInt(exprs(1), "capacity"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark)

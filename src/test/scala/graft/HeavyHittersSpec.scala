@@ -86,6 +86,18 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("SQL face: heavy_hitters(key, capacity) registers like the other kernels") {
+    graft.functions.GraftFunctions.register(spark)
+    (0 until 600).map(i => s"t-${i % 6}").toDF("key")
+      .createOrReplaceTempView("hh_input")
+    val out = spark.sql(
+      """SELECT h.key, h.cnt, h.err
+         FROM (SELECT explode(heavy_hitters(key, 8)) AS h FROM hh_input)
+         ORDER BY h.key""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === (0 until 6).map(i => (s"t-$i", 100L, 0L)))
+  }
+
   test("nulls are skipped; empty input emits an empty array") {
     val out = Seq(Some("a"), None, Some("a"), None).toDF("key")
       .agg(heavyHitters(col("key"), 4).as("hh"))
