@@ -139,12 +139,27 @@ object DerivedTable {
     val fs = fsOf(spark, location)
     val root = new Path(location)
     if (!fs.exists(root)) return None
-    val versions = listVersions(fs, root)
-    if (versions.isEmpty) None
-    else {
-      val (_, p) = versions.maxBy(_._1)
-      val json = readFully(fs, p)
-      Some(new DerivedTable(spark, location, parse(json, location)))
+    val versions = listVersions(fs, root).sortBy(-_._1)
+    if (versions.isEmpty) return None
+    // newest PARSEABLE version wins: a crash between the sidecar's
+    // exclusive create and its write leaves a torn/empty newest file,
+    // which must not brick the table — the previous commit is intact
+    // by construction (sidecars are immutable once written), and the
+    // next deriveTo allocates PAST the torn version, healing over it.
+    // All-torn (or a genuinely corrupt only-version) still fails
+    // loudly below.
+    val attempts = versions.iterator.map { case (v, p) =>
+      try Right(parse(readFully(fs, p), location))
+      catch { case scala.util.control.NonFatal(e) => Left(v -> e) }
+    }.toSeq
+    attempts.collectFirst { case Right(st) => st } match {
+      case Some(st) => Some(new DerivedTable(spark, location, st))
+      case None =>
+        val (v, e) = attempts.collectFirst { case Left(x) => x }.get
+        throw new IllegalStateException(
+          s"derived table at $location: no parseable sidecar among " +
+            s"${attempts.size} version(s) — newest ($v) failed with: " +
+            e.getMessage, e)
     }
   }
 

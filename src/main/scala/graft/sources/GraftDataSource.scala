@@ -480,7 +480,15 @@ object GraftDataSource {
       // opt-in — the lake verbs (write, DML, views, time travel) have
       // no meaning over a projection
       case Some((true, json)) =>
-        val st = graft.DerivedTable.parse(json, location)
+        // torn-newest fallback: a crash between the sidecar's create
+        // and write leaves an unparseable newest version — fall back
+        // through DerivedTable.load, which walks to the newest
+        // PARSEABLE commit (one extra listing, only on the torn path)
+        val st =
+          try graft.DerivedTable.parse(json, location)
+          catch { case scala.util.control.NonFatal(_) =>
+            graft.DerivedTable.load(spark, location).state
+          }
         val pinned = StructType.fromDDL(st.schemaDdl)
         val partField = pinned.fields.last
         val roots = st.live.map(rel =>

@@ -356,6 +356,33 @@ class DerivedSpec extends SparkSpec {
     assert(e4.getMessage.contains("was built from"))
   }
 
+  test("a torn newest sidecar (crash between create and write) falls back to the previous commit; the next derive heals over it") {
+    val lake = freshLake("torn")
+    lake.ingest(rows(0 until 30))
+    val dloc = lake.cfg.location + "_feat"
+    val d1 = lake.deriveTo(dloc)(feat)
+    // what a crash mid-commit leaves: an empty newest version file
+    val fs = DerivedTable.fsOf(spark, dloc)
+    val torn = new org.apache.hadoop.fs.Path(dloc,
+      s"_derived.${99}.json")
+    fs.create(torn, false).close()
+    val loaded = DerivedTable.load(spark, dloc)
+    assert(loaded.baseVersion === d1.baseVersion,
+      "torn newest sidecar did not fall back to the intact commit")
+    assert(collected(joined(lake, loaded)) === truth(lake))
+    // the next derive allocates PAST the torn version — heals over it
+    lake.ingest(rows(30 until 40))
+    val d2 = lake.deriveTo(dloc)(feat)
+    assert(collected(joined(lake, d2)) === truth(lake))
+    // all-torn still fails loudly
+    val dloc2 = lake.cfg.location + "_feat2"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dloc2))
+    fs.create(new org.apache.hadoop.fs.Path(dloc2, "_derived.1.json"),
+      false).close()
+    val e = intercept[IllegalStateException](DerivedTable.load(spark, dloc2))
+    assert(e.getMessage.contains("no parseable sidecar"))
+  }
+
   test("a crashed prior attempt's stranded staging tree does not block the retry (converges over it)") {
     val lake = freshLake("crash")
     lake.ingest(rows(0 until 60))
