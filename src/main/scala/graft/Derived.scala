@@ -134,6 +134,8 @@ object DerivedTable {
       s"no derived-table sidecar (_derived.<v>.json) at $location — " +
         "is this a Lake.deriveTo target?"))
 
+  private val log = org.slf4j.LoggerFactory.getLogger(DerivedTable.getClass)
+
   private[graft] def tryLoad(spark: SparkSession,
       location: String): Option[DerivedTable] = {
     val fs = fsOf(spark, location)
@@ -141,26 +143,38 @@ object DerivedTable {
     if (!fs.exists(root)) return None
     val versions = listVersions(fs, root).sortBy(-_._1)
     if (versions.isEmpty) return None
-    // newest PARSEABLE version wins: a crash between the sidecar's
-    // exclusive create and its write leaves a torn/empty newest file,
-    // which must not brick the table — the previous commit is intact
-    // by construction (sidecars are immutable once written), and the
-    // next deriveTo allocates PAST the torn version, healing over it.
-    // All-torn (or a genuinely corrupt only-version) still fails
-    // loudly below.
-    val attempts = versions.iterator.map { case (v, p) =>
-      try Right(parse(readFully(fs, p), location))
-      catch { case scala.util.control.NonFatal(e) => Left(v -> e) }
-    }.toSeq
-    attempts.collectFirst { case Right(st) => st } match {
-      case Some(st) => Some(new DerivedTable(spark, location, st))
-      case None =>
-        val (v, e) = attempts.collectFirst { case Left(x) => x }.get
-        throw new IllegalStateException(
-          s"derived table at $location: no parseable sidecar among " +
-            s"${attempts.size} version(s) — newest ($v) failed with: " +
-            e.getMessage, e)
+    // Newest PARSEABLE version wins, walked LAZILY newest-first (the
+    // healthy hot path reads exactly one file): a crash between the
+    // sidecar's exclusive create and its write leaves a torn/empty
+    // newest file, which must not brick the table — the previous
+    // commit is intact by construction (sidecars are immutable once
+    // written), and the next deriveTo allocates PAST the torn version,
+    // healing over it. ONLY an unparseable CONTENT counts as torn:
+    // a read IOException (store hiccup on a perfectly good file)
+    // propagates loudly — falling back there would silently serve a
+    // stale live set. Each skip is logged by version; all-torn still
+    // fails loudly below.
+    var firstErr: Option[(Long, Throwable)] = None
+    versions.foreach { case (v, p) =>
+      val json = readFully(fs, p) // IO failures propagate
+      try {
+        val st = parse(json, location)
+        if (firstErr.nonEmpty)
+          log.warn(s"derived table at $location: newest sidecar " +
+            s"(version ${firstErr.get._1}) is unparseable " +
+            s"(${firstErr.get._2.getMessage}) — serving version $v; " +
+            "the next deriveTo heals over it")
+        return Some(new DerivedTable(spark, location, st))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (firstErr.isEmpty) firstErr = Some(v -> e)
+      }
     }
+    val (v, e) = firstErr.get
+    throw new IllegalStateException(
+      s"derived table at $location: no parseable sidecar among " +
+        s"${versions.size} version(s) — newest ($v) failed with: " +
+        e.getMessage, e)
   }
 
   /** Parse a derived sidecar loaded FROM `location` (for messages). */
@@ -257,9 +271,27 @@ object DerivedTable {
     val versions = listVersions(fs, root).sortBy(-_._1)
     require(versions.nonEmpty,
       s"no derived-table sidecar at $location — nothing to vacuum")
+    // torn tolerance mirrors tryLoad: an unparseable kept sidecar (the
+    // crash debris heal-over deliberately leaves on disk) contributes
+    // no live generations and is RETIRED like any dead version —
+    // readers already cannot serve it, and without this the torn file
+    // would brick reclamation for keepVersions refresh cycles
     val (kept, dead) = versions.splitAt(keepVersions)
-    val liveGens: Set[String] = kept
-      .map { case (_, p) => parse(readFully(fs, p), location) }
+    val attempts = kept.map { case (v, p) =>
+      (v, p,
+        try Some(parse(readFully(fs, p), location))
+        catch { case scala.util.control.NonFatal(_) => None })
+    }
+    val torn = attempts.collect { case (v, p, None) => (v, p) }
+    torn.foreach { case (v, _) =>
+      log.warn(s"derived vacuum at $location: retiring unparseable " +
+        s"sidecar version $v (torn commit debris)")
+    }
+    val parsedStates = attempts.collect { case (_, _, Some(st)) => st }
+    require(parsedStates.nonEmpty,
+      s"derived vacuum at $location refused: no parseable sidecar in " +
+        "the keep window — nothing safe to anchor liveness on")
+    val liveGens: Set[String] = parsedStates
       .flatMap(st => st.live.map(_.split("/").head) :+ s"gen-${st.generation}")
       .toSet
     val genRe = """gen-\d+""".r.pattern
@@ -267,8 +299,8 @@ object DerivedTable {
       s.isDirectory && genRe.matcher(s.getPath.getName).matches() &&
         !liveGens.contains(s.getPath.getName))
     deadTrees.foreach(s => fs.delete(s.getPath, true))
-    dead.foreach { case (_, p) => fs.delete(p, false) }
-    (deadTrees.size, dead.size)
+    (dead ++ torn).foreach { case (_, p) => fs.delete(p, false) }
+    (deadTrees.size, dead.size + torn.size)
   }
 
   private[graft] def fsOf(spark: SparkSession,

@@ -374,6 +374,13 @@ class DerivedSpec extends SparkSpec {
     lake.ingest(rows(30 until 40))
     val d2 = lake.deriveTo(dloc)(feat)
     assert(collected(joined(lake, d2)) === truth(lake))
+    // vacuum tolerates the torn debris INSIDE its keep window: it is
+    // retired like any dead version, reclamation stays available
+    val (_, sidecarsGone) = d2.vacuum(keepVersions = 3)
+    assert(sidecarsGone >= 1, "vacuum did not retire the torn sidecar")
+    assert(!fs.exists(torn))
+    assert(collected(joined(lake, DerivedTable.load(spark, dloc)))
+      === truth(lake))
     // all-torn still fails loudly
     val dloc2 = lake.cfg.location + "_feat2"
     fs.mkdirs(new org.apache.hadoop.fs.Path(dloc2))
