@@ -75,8 +75,9 @@ final class DerivedTable private[graft] (
 
   /** Reclaim storage superseded by refreshes/rebuilds — see
     * [[DerivedTable.vacuum]]. */
-  def vacuum(keepVersions: Int = 3): (Int, Int) =
-    DerivedTable.vacuum(spark, location, keepVersions)
+  def vacuum(keepVersions: Int = 3,
+      graceMs: Long = 15L * 60 * 1000): (Int, Int) =
+    DerivedTable.vacuum(spark, location, keepVersions, graceMs)
 
   /** Whether the base lake's ROW SET may have changed since this table
     * was derived — appends, rewrites, retention. Pure seal commits
@@ -261,10 +262,14 @@ object DerivedTable {
     * reader that resolved paths from a now-retired sidecar loses its
     * files — bounded the same way: keep a window. Derived tables have
     * one writer verb, so serialize this with your deriveTo scheduler
-    * (there is deliberately no lock file here). Returns (generation
-    * trees deleted, sidecar versions deleted). */
+    * (there is deliberately no lock file here). Even unserialized, a
+    * racing deriveTo younger than `graceMs` is safe: its above-newest
+    * staging tree and its just-created (still unparseable) newest
+    * sidecar both survive the age gate. Returns (generation trees
+    * deleted, sidecar versions deleted). */
   def vacuum(spark: SparkSession, location: String,
-      keepVersions: Int = 3): (Int, Int) = {
+      keepVersions: Int = 3,
+      graceMs: Long = 15L * 60 * 1000): (Int, Int) = {
     require(keepVersions >= 1, "keepVersions must be at least 1")
     val fs = fsOf(spark, location)
     val root = new Path(location)
@@ -275,14 +280,44 @@ object DerivedTable {
     // crash debris heal-over deliberately leaves on disk) contributes
     // no live generations and is RETIRED like any dead version —
     // readers already cannot serve it, and without this the torn file
-    // would brick reclamation for keepVersions refresh cycles
-    val (kept, dead) = versions.splitAt(keepVersions)
-    val attempts = kept.map { case (v, p) =>
-      (v, p,
-        try Some(parse(readFully(fs, p), location))
-        catch { case scala.util.control.NonFatal(_) => None })
+    // would brick reclamation for keepVersions refresh cycles.
+    // EXCEPTION: the NEWEST listed version, when younger than graceMs
+    // — a concurrent deriveTo's just-created sidecar is mid-write and
+    // indistinguishable from torn debris until it ages; deleting it
+    // would lose that commit. Old torn newest (a crash, not a racer)
+    // still retires.
+    val (kept0, dead0) = versions.splitAt(keepVersions)
+    def tryParse(p: Path) =
+      try Some(parse(readFully(fs, p), location))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val attempts0 = kept0.map { case (v, p) => (v, p, tryParse(p)) }
+    // liveness must anchor on a PARSEABLE commit. A keep window made
+    // entirely of torn versions (keepVersions = 1 under a torn newest)
+    // extends to the newest parseable sidecar — the one readers are
+    // actually serving through the torn-newest fallback — instead of
+    // refusing or, worse, anchoring on nothing
+    val (attempts, dead) =
+      if (attempts0.exists(_._3.isDefined)) (attempts0, dead0)
+      else {
+        val extra = dead0.map { case (v, p) => (v, p, tryParse(p)) }
+        val idx = extra.indexWhere(_._3.isDefined)
+        require(idx >= 0,
+          s"derived vacuum at $location refused: no parseable sidecar " +
+            "on disk — nothing safe to anchor liveness on")
+        (attempts0 ++ extra.take(idx + 1), dead0.drop(idx + 1))
+      }
+    val newestListed = versions.head._1
+    val graceCut = System.currentTimeMillis() - graceMs
+    val (torn, tornInFlight) = attempts.collect {
+      case (v, p, None) => (v, p)
+    }.partition { case (v, p) =>
+      v != newestListed || fs.getFileStatus(p).getModificationTime < graceCut
     }
-    val torn = attempts.collect { case (v, p, None) => (v, p) }
+    tornInFlight.foreach { case (v, _) =>
+      log.warn(s"derived vacuum at $location: keeping unparseable NEWEST " +
+        s"sidecar version $v — younger than the ${graceMs}ms grace age, " +
+        "possibly a concurrent deriveTo mid-commit")
+    }
     torn.foreach { case (v, _) =>
       log.warn(s"derived vacuum at $location: retiring unparseable " +
         s"sidecar version $v (torn commit debris)")
@@ -294,10 +329,20 @@ object DerivedTable {
     val liveGens: Set[String] = parsedStates
       .flatMap(st => st.live.map(_.split("/").head) :+ s"gen-${st.generation}")
       .toSet
-    val genRe = """gen-\d+""".r.pattern
+    // a gen tree ABOVE the newest kept sidecar's generation is a
+    // concurrent deriveTo's in-flight staging (gen = newest+1, sidecar
+    // not yet committed) — liveness judged from sidecars alone cannot
+    // see it, so such trees are age-gated: young ones survive (the
+    // racer will commit them), old ones are crash debris and reclaim
+    // (the same posture as the lake's vacuumState above-newest gate)
+    val maxKeptGen = parsedStates.map(_.generation).max
+    val genRe = """gen-(\d+)""".r
     val deadTrees = fs.listStatus(root).toSeq.filter(s =>
-      s.isDirectory && genRe.matcher(s.getPath.getName).matches() &&
-        !liveGens.contains(s.getPath.getName))
+      s.isDirectory && (s.getPath.getName match {
+        case genRe(n) => !liveGens.contains(s.getPath.getName) &&
+          (n.toLong <= maxKeptGen || s.getModificationTime < graceCut)
+        case _ => false
+      }))
     deadTrees.foreach(s => fs.delete(s.getPath, true))
     (dead ++ torn).foreach { case (_, p) => fs.delete(p, false) }
     (deadTrees.size, dead.size + torn.size)

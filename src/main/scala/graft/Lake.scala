@@ -1959,6 +1959,17 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       val affected = delta.select(col(partCol)).distinct()
         .collect().map(_.getInt(0)).toSet
       val committed: DerivedTable.State = if (affected.isEmpty) {
+        // no churn, but f's OUTPUT SCHEMA may still have drifted —
+        // probe it on an empty frame (analysis only, no job) so a
+        // changed transform is refused NOW with the rebuild recovery,
+        // not silently accepted until the next churnful refresh
+        val probe = validateDerivedOutput(
+          f(delta.drop("change").limit(0)), location)
+        require(probe.schema.toDDL == d.state.schemaDdl,
+          s"deriveTo refresh at $location: f's output schema changed — " +
+            s"recorded '${d.state.schemaDdl}' vs computed " +
+            s"'${probe.schema.toDDL}'; the pinned read schema is the " +
+            "table, so rebuild: deriveTo(location, rebuild = true)(f)")
         val st = d.state.copy(baseVersion = v2)
         DerivedTable.commit(spark, location, st)
         st

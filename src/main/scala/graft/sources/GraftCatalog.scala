@@ -181,7 +181,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * config resolution (whose "needs dim" bootstrap error would point
     * the user at the wrong recovery). */
   private def refuseDerived(loc: String, what: String): Unit =
-    if (graft.DerivedTable.tryLoad(spark, loc).isDefined)
+    // a location holding BOTH sidecars (corrupt, but possible) resolves
+    // as a LAKE in GraftDataSource.rootSidecar — the catalog must agree,
+    // so the lake check gates the derived refusal here too
+    if (!hasSidecar(new Path(loc)) &&
+        graft.DerivedTable.tryLoad(spark, loc).isDefined)
       throw new UnsupportedOperationException(
         s"graft catalog: $loc is a derived feature table — a read-only " +
           s"projection of its base lake; $what has no meaning here " +
@@ -241,7 +245,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val external = opt("location")
     val loc = external.getOrElse(tablePath(ident).toString)
 
-    if (graft.DerivedTable.tryLoad(spark, loc).isDefined) {
+    if (hasSidecar(new Path(loc))) {
+      // ADOPT an existing lake (external registration): config comes
+      // from its sidecar; a column list would be a second source of
+      // schema truth and is refused. Checked BEFORE the derived probe
+      // so a corrupt both-sidecars location is adopted as what reads
+      // will actually serve — GraftDataSource.rootSidecar resolves
+      // lake-over-derived, and DDL must agree with the read path
+      require(schema.isEmpty,
+        s"graft catalog: the location '$loc' already holds a lake — " +
+          "register it without a column list (its sidecar is the " +
+          "schema authority)")
+    } else if (graft.DerivedTable.tryLoad(spark, loc).isDefined) {
       // ADOPT a Lake.deriveTo feature table (external registration,
       // read-only through SQL): its _derived sidecar is the schema
       // authority, and NOTHING may be written here — the lake
@@ -255,14 +270,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: the location '$loc' already holds a derived " +
           "feature table — register it without a column list (its " +
           "sidecar is the schema authority)")
-    } else if (hasSidecar(new Path(loc))) {
-      // ADOPT an existing lake (external registration): config comes
-      // from its sidecar; a column list would be a second source of
-      // schema truth and is refused
-      require(schema.isEmpty,
-        s"graft catalog: the location '$loc' already holds a lake — " +
-          "register it without a column list (its sidecar is the " +
-          "schema authority)")
     } else {
       val dim = opt("dim").map(_.toInt).getOrElse(
         throw new IllegalArgumentException(

@@ -480,6 +480,16 @@ object GraftDataSource {
       // opt-in — the lake verbs (write, DML, views, time travel) have
       // no meaning over a projection
       case Some((true, json)) =>
+        // lake verbs must REFUSE here, not silently no-op: an ignored
+        // asOf would serve the LATEST derived snapshot as if it were
+        // the pinned one — the catalog already refuses time travel on
+        // derived tables by name, and the format must agree with it
+        Seq("asOf", "view").foreach(k => opt(options, k).foreach(v =>
+          throw new UnsupportedOperationException(
+            s"graft format at $location: '$k' ($v) has no meaning on a " +
+              "derived feature table — a read-only projection with no " +
+              "version history of its own (re-derive with Lake.deriveTo " +
+              "instead)")))
         // torn-newest fallback: a crash between the sidecar's create
         // and write leaves an unparseable newest version — fall back
         // through DerivedTable.load, which walks to the newest

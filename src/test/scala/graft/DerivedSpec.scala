@@ -444,6 +444,107 @@ class DerivedSpec extends SparkSpec {
     assert(lake.joinDerived(d).count() === 30L)
   }
 
+  test("format options asOf/view refuse on a derived location (never silently serve the latest snapshot)") {
+    val lake = freshLake("asofopt")
+    lake.ingest(rows(0 until 20))
+    val dloc = lake.cfg.location + "_feat"
+    lake.deriveTo(dloc)(feat)
+    lake.ingest(rows(20 until 30))
+    lake.deriveTo(dloc)(feat) // two snapshots — the silent bug served THIS one
+    val e1 = intercept[Exception](
+      spark.read.format("graft").option("asOf", "1").load(dloc).collect())
+    assert(e1.getMessage.contains("derived feature table"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.read.format("graft").option("view", "history").load(dloc).collect())
+    assert(e2.getMessage.contains("derived feature table"), e2.getMessage)
+    // plain reads are untouched
+    assert(spark.read.format("graft").load(dloc).count() === 30L)
+  }
+
+  test("a no-churn refresh still refuses a transform whose output schema drifted") {
+    val lake = freshLake("nochurn")
+    lake.ingest(rows(0 until 20))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    // zero row churn since the sync point, but f now yields a WIDER
+    // schema — before the fix this committed a new sync point silently
+    val e = intercept[IllegalArgumentException](
+      lake.deriveTo(dloc)(df => feat(df).withColumn("extra", lit(1))))
+    assert(e.getMessage.contains("output schema changed"), e.getMessage)
+    // the recorded snapshot is untouched and still serves...
+    val still = DerivedTable.load(spark, dloc)
+    assert(still.state.generation === d.state.generation)
+    assert(collected(joined(lake, still)) === truth(lake))
+    // ...and the unchanged transform's no-churn refresh stays a cheap
+    // sync-point advance (same generation, no rewrite)
+    val d2 = lake.deriveTo(dloc)(feat)
+    assert(d2.state.generation === d.state.generation)
+  }
+
+  test("vacuum never reclaims a racing deriveTo's young staging tree or its just-created sidecar; aged crash debris still retires") {
+    val lake = freshLake("vacguard")
+    lake.ingest(rows(0 until 30))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat) // gen-1, version 1
+    // a concurrent deriveTo mid-commit: staged gen-2 tree on disk,
+    // sidecar created but not yet written (both look dead/torn to a
+    // sidecar-anchored liveness judgment)
+    Seq(("inflight", 0, 1, 1.0)).toDF("id", "shard", "doc_len", "norm")
+      .write.parquet(s"$dloc/gen-2/shard=0")
+    val fs = DerivedTable.fsOf(spark, dloc)
+    val young = new org.apache.hadoop.fs.Path(dloc, "_derived.2.json")
+    fs.create(young, false).close()
+    val (trees, sidecars) = d.vacuum(keepVersions = 1)
+    assert(trees === 0, "vacuum deleted an in-flight staging tree")
+    assert(sidecars === 0, "vacuum retired a possibly-in-flight newest sidecar")
+    assert(fs.exists(young))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dloc/gen-2")))
+    // aged past the grace window it is crash debris, not a racer —
+    // the torn sidecar retires and the orphan staging tree reclaims
+    val (trees2, sidecars2) = d.vacuum(keepVersions = 1, graceMs = 0L)
+    assert(trees2 === 1)
+    assert(sidecars2 === 1)
+    assert(!fs.exists(young))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dloc/gen-2")))
+    assert(collected(joined(lake, DerivedTable.load(spark, dloc)))
+      === truth(lake))
+  }
+
+  test("a location holding BOTH sidecars resolves as a lake everywhere: reads, DDL adoption, and time travel agree") {
+    val lake = freshLake("bothsc")
+    lake.ingest(rows(0 until 15))
+    val loc = lake.cfg.location
+    // corruption: a stray _derived sidecar lands inside a lake tree.
+    // rootSidecar resolves lake-over-derived for reads; the catalog
+    // must agree on every path or DDL and reads describe two tables
+    val other = freshLake("bothsc2")
+    other.ingest(rows(0 until 5))
+    val dloc = other.cfg.location + "_feat"
+    val dstate = other.deriveTo(dloc)(feat).state
+    val fs = DerivedTable.fsOf(spark, loc)
+    val stray = new org.apache.hadoop.fs.Path(loc, "_derived.1.json")
+    val out = fs.create(stray, false)
+    out.write(DerivedTable.render(dstate)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // the format serves the LAKE
+    assert(spark.read.format("graft").load(loc).count() === 15L)
+    val wh = Files.createTempDirectory("graft_both_cat").toString
+    spark.conf.set("spark.sql.catalog.bcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bcat.default")
+    // adoption goes down the LAKE path (the derived path would demand
+    // LOCATION-only registration with a different message)
+    spark.sql(s"CREATE TABLE bcat.default.both USING graft LOCATION '$loc'")
+    assert(spark.sql("SELECT * FROM bcat.default.both").count() === 15L)
+    // time travel works as the lake, not refused as derived
+    val v = lake.history().agg(max(col("version"))).head().getLong(0)
+    assert(spark.sql(
+      s"SELECT * FROM bcat.default.both VERSION AS OF $v").count() === 15L)
+    spark.sql("DROP TABLE bcat.default.both")
+  }
+
   test("left join serves feature-less base rows with null features (a filtering transform)") {
     val lake = freshLake("left")
     lake.ingest(rows(0 until 40))
