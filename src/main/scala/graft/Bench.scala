@@ -272,6 +272,14 @@ object Bench {
     val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_CONTENDED", "1").toInt
     val cooldownMaxSec =
       sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "120").toInt
+    // second retry trigger: DISPERSION. A co-tenant arriving mid-run
+    // evades the loadavg rule (start clean, end excused by the
+    // self-load allowance) but smears per-query spreads — clean runs
+    // on this registry read unstable_n ≤ 11, poisoned ones 20-40
+    // (BENCHNOTES r11). Past the bound, re-measure within the same
+    // retry budget so the committed artifact is a calm number.
+    val unstableRetryBound = sys.env.get("SPARK_GRAFT_UNSTABLE_RETRY")
+      .map(_.toInt).getOrElse(math.max(12, names.size / 8))
     val attempts = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Boolean, Seq[(String, QueryResult)])]
     var go = true
@@ -280,10 +288,13 @@ object Bench {
       val (fullLine, compactLine) =
         formatLines(results, reps, sfDir, la, loadThreshold, cpus, elapsed,
           tailReps)
-      val contended = isContended(la, loadThreshold, cpus, elapsed)
+      val unstableN = results.count(_._2.spread > 0.5)
+      val contended = isContended(la, loadThreshold, cpus, elapsed) ||
+        unstableN > unstableRetryBound
       attempts += ((fullLine, compactLine, contended, results))
       if (contended && attempts.size <= retryMax) {
-        System.err.println(s"[bench] contended (loadavg $la): cooling " +
+        System.err.println(s"[bench] contended (loadavg $la, unstable_n " +
+          s"$unstableN/bound $unstableRetryBound): cooling " +
           s"down up to ${cooldownMaxSec}s, then retrying once")
         val deadline = System.nanoTime() + cooldownMaxSec * 1000000000L
         while (loadavg1m() > loadThreshold && System.nanoTime() < deadline)

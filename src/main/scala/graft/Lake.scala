@@ -594,18 +594,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * manifest update. The reference's posture is last-persist-wins
     * (index.py:294-308).
     *
-    * Object-store posture (plain S3, where exclusive-create is just a
-    * PUT): the lock body carries a per-acquisition HOLDER TOKEN, and
-    * after writing, the writer READS THE LOCK BACK — if another
-    * writer's PUT landed over ours, the token mismatches and we abort
-    * without touching the lock (release also only deletes when the
-    * stored token is still ours). Together with the exists() pre-check
-    * this narrows the unguarded HEAD-then-PUT window to the few
-    * milliseconds between a writer's own PUT and its read-back;
-    * RESIDUAL: two writers whose PUT+verify fully interleave inside
-    * that window can both proceed — closing it needs a conditional PUT
-    * (If-None-Match), which plain S3A does not expose. On HDFS/POSIX
-    * the atomic create makes the gate exact.
+    * Object-store posture: where the store advertises CONDITIONAL
+    * CREATE (s3a on Hadoop 3.4.x+, probed per path — see
+    * [[Lake.conditionalCreateKey]]), acquisition is an If-None-Match
+    * PUT that the store itself arbitrates at close(): the gate is
+    * EXACT, same as HDFS/POSIX. On plain-PUT stores without it, the
+    * lock body carries a per-acquisition HOLDER TOKEN, and after
+    * writing, the writer READS THE LOCK BACK — if another writer's PUT
+    * landed over ours, the token mismatches and we abort without
+    * touching the lock (release also only deletes when the stored
+    * token is still ours). Together with the exists() pre-check this
+    * narrows the unguarded HEAD-then-PUT window to the few
+    * milliseconds between a writer's own PUT and its read-back; two
+    * writers whose PUT+verify fully interleave inside that window can
+    * both proceed — on such stores, upgrade to a client or endpoint
+    * with conditional writes for the exact gate.
     *
     * Underscore-prefixed files are invisible to Spark's file index, so
     * readers never see the lock. A crashed writer (JVM death skips
@@ -656,6 +659,35 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         case e: java.nio.file.FileAlreadyExistsException =>
           contention(new java.io.IOException("lock file present", e))
       }
+    } else if (conditionalCreate(fs, lock)) {
+      // CONDITIONAL CREATE (Hadoop 3.4.2+, HADOOP-19256): the store
+      // itself arbitrates with an If-None-Match PUT — the create
+      // commits at close() and FAILS there if any rival object landed
+      // first, closing the plain-PUT interleave window exactly. s3a
+      // advertises the capability when fs.s3a.create.conditional.enabled
+      // (default true); the builder option is rejected by stores that
+      // don't, which is why this path is capability-gated.
+      val b = fs.createFile(lock)
+      b.overwrite(false)
+      b.must(Lake.conditionalCreateKey, true)
+      val out =
+        try b.build().asInstanceOf[org.apache.hadoop.fs.FSDataOutputStream]
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
+          case e: java.io.IOException if fs.exists(lock) => contention(e)
+        }
+      try {
+        out.write(payload)
+        out.close() // the conditional PUT commits HERE
+      } catch {
+        // s3a surfaces a failed precondition at close as
+        // RemoteFileChangedException (an IOException subclass); a lock
+        // now on disk that is not ours is contention, anything else
+        // (network, quota) surfaces as itself
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => contention(e)
+        case e: java.io.IOException
+            if !lockHolder(fs, lock).exists(_.contains(token)) => contention(e)
+      }
     } else {
       val out =
         try fs.create(lock, false)
@@ -674,8 +706,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     try {
       // verify-after-write: the lease survives only if OUR token is
       // what the store now serves (see scaladoc: object-store race).
-      // Redundant on file:// (the atomic create above already
-      // arbitrated) and on HDFS; load-bearing on plain-PUT stores.
+      // Redundant on file:// and HDFS (atomic create) and under
+      // conditional create (the store arbitrated at close);
+      // load-bearing on plain-PUT stores without it.
       if (!lockHolder(fs, lock).exists(_.contains(token)))
         contention(new java.io.IOException("lost lock-create race"))
       // shared-marker check AFTER our lock is visible (store-then-load
@@ -776,6 +809,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       lock: org.apache.hadoop.fs.Path): Option[String] =
     try Some(readFully(fs, lock)).filter(_.nonEmpty)
     catch { case _: Throwable => None }
+
+  /** Whether the store advertises conditional (If-None-Match) create
+    * for this path — the probe that picks the exact object-store lock
+    * acquisition over the verify-after-write fallback. A store that
+    * cannot answer (old client, RPC error) answers no: the fallback is
+    * always safe, merely weaker. */
+  private def conditionalCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try fs.hasPathCapability(p, Lake.conditionalCreateKey)
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Path of generation `g`'s subtree under the root. */
   private def genPath(g: Long): org.apache.hadoop.fs.Path =
@@ -6142,6 +6185,15 @@ object Lake {
   /** Writer-lock marker file name, under the lake root. Underscore
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
+
+  /** Hadoop's createFile builder key for a conditional (If-None-Match)
+    * create, and the path-capability name a store advertises when it
+    * honors it (HADOOP-19256, s3a since 3.4.x:
+    * `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`).
+    * Spelled out so this compiles against hadoop-client-api without
+    * the s3a jar on the classpath. */
+  private[graft] val conditionalCreateKey: String =
+    "fs.option.create.conditional.overwrite"
 
   /** What one [[Lake.maintain]] call actually ran — all-zero/false on
     * a converged lake. */

@@ -67,6 +67,73 @@ class RivalPutFs extends PutBucketFs {
   }
 }
 
+object CondPutFs {
+  /** When armed, a rival writer's plain PUT lands INSIDE the next
+    * conditional create's PUT→close window — the interleave that
+    * plain-PUT verify-after-write could not always catch. The store's
+    * If-None-Match arbitration at close must refuse ours. */
+  @volatile var rivalAtClose: Boolean = false
+  /** The store's arbitration atom — stands in for a real object
+    * store's internally-consistent conditional PUT. */
+  private[graft] val atom = new Object
+}
+
+/** [[PutBucketFs]] that ADVERTISES and honors Hadoop's conditional
+  * create (If-None-Match PUT, HADOOP-19256 — what s3a exposes on
+  * 3.4.x+ with fs.s3a.create.conditional.enabled): a createFile
+  * builder carrying `fs.option.create.conditional.overwrite` with
+  * overwrite=false buffers its bytes and commits at close(), failing
+  * with FileAlreadyExistsException if ANY object exists by then. Plain
+  * create() keeps the sloppy clobbering PUT — exactly a real store
+  * where only the conditional path is exclusive. */
+class CondPutFs extends PutBucketFs {
+  override def getScheme: String = "conds3"
+  override def getUri: URI = URI.create("conds3:///")
+  override def hasPathCapability(p: org.apache.hadoop.fs.Path,
+      capability: String): Boolean =
+    capability == "fs.option.create.conditional.overwrite" ||
+      super.hasPathCapability(p, capability)
+  override def createFile(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStreamBuilder[_, _] =
+    new CondCreateBuilder(this, p).create()
+}
+
+/** The conditional-create builder for [[CondPutFs]]. */
+class CondCreateBuilder(cfs: CondPutFs, p: org.apache.hadoop.fs.Path)
+    extends org.apache.hadoop.fs.FSDataOutputStreamBuilder[
+      org.apache.hadoop.fs.FSDataOutputStream, CondCreateBuilder](cfs, p) {
+  override def getThisBuilder: CondCreateBuilder = this
+  override def build(): org.apache.hadoop.fs.FSDataOutputStream = {
+    val conditional = getOptions.getBoolean(
+      "fs.option.create.conditional.overwrite", false)
+    val overwrite =
+      getFlags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE)
+    if (!conditional) return cfs.create(getPath, overwrite)
+    val buf = new java.io.ByteArrayOutputStream()
+    new org.apache.hadoop.fs.FSDataOutputStream(
+      new java.io.FilterOutputStream(buf) {
+        override def close(): Unit = {
+          super.close()
+          if (CondPutFs.rivalAtClose) {
+            CondPutFs.rivalAtClose = false
+            val rival = cfs.create(getPath, true)
+            rival.write(RivalPutFs.rivalJson.getBytes("UTF-8"))
+            rival.close()
+          }
+          CondPutFs.atom.synchronized {
+            if (!overwrite && cfs.exists(getPath))
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"$getPath: conditional create refused (If-None-Match: " +
+                  "an object already exists)")
+            val out = cfs.create(getPath, true)
+            out.write(buf.toByteArray)
+            out.close()
+          }
+        }
+      }, null)
+  }
+}
+
 /** Exercises the S3 tier posture (SURVEY.md §2.1 S3/S4): the lake's
   * location is an opaque Hadoop FS URI, so pointing it at a non-local
   * scheme must work end-to-end with zero code changes — the same way a
@@ -392,6 +459,74 @@ class ObjectStoreSpec extends SparkSpec {
     assert(body.contains("rival-token"))
     fs.delete(lock, false)
     assert(lake.count() === 1L, "the refused delete removed nothing")
+  }
+
+  test("conditional-create store: a rival PUT inside the PUT-to-close window is refused by the store itself") {
+    // THE interleave plain-PUT verify-after-write cannot always catch:
+    // the rival lands after our PUT begins and before our commit. On a
+    // store advertising conditional create, the If-None-Match close
+    // arbitrates — our acquisition fails as contention, the rival's
+    // lock survives, nothing is mutated. The residual is CLOSED here.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.conds3.impl", classOf[CondPutFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conds3").toString
+    val lake = Lake(spark, LakeConfig(s"conds3://$dir/lake", dim = 3, numHashes = 3))
+    lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
+    CondPutFs.rivalAtClose = true
+    val e = intercept[java.util.ConcurrentModificationException](
+      lake.deleteWhere(col("id").isNotNull))
+    assert(e.getMessage.contains("writer lock"))
+    val lock = new org.apache.hadoop.fs.Path(lake.cfg.location, Lake.lockName)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(lock), "loser deleted the winner's lock")
+    val in = fs.open(lock)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(body.contains("rival-token"))
+    fs.delete(lock, false)
+    assert(lake.count() === 1L, "the refused delete removed nothing")
+  }
+
+  test("conditional-create store: exclusion storm admits exactly one writer at a time; uncontended ops pass end-to-end") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.conds3.impl", classOf[CondPutFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conds3s").toString
+    val lake = Lake(spark, LakeConfig(s"conds3://$dir/lake", dim = 3, numHashes = 3))
+    lake.ingest((0 until 12).map(i =>
+      (s"r$i", Seq(i.toFloat, 1f, 0f), s"d$i")).toDF("id", "vector", "document"))
+    val inside = new java.util.concurrent.atomic.AtomicInteger()
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger()
+    val acquired = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (0 until 6).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          var rounds = 0
+          while (rounds < 60) {
+            try lake.withWriterLock("storm") {
+              val n = inside.incrementAndGet()
+              maxInside.getAndAccumulate(n, math.max)
+              acquired.incrementAndGet()
+              inside.decrementAndGet()
+              ()
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+            rounds += 1
+          }
+        }
+      })
+    }
+    gate.countDown()
+    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(maxInside.get() === 1,
+      s"conditional-create exclusion broke: ${maxInside.get()} writers inside")
+    assert(acquired.get() > 0, "storm never acquired — vacuous")
+    // the lock never strands; a real maintenance op still goes through
+    lake.deleteWhere(col("id") === "r0")
+    assert(lake.count() === 11L)
   }
 
   test("graft-changes streaming source round-trips on a non-file: FS") {
