@@ -73,6 +73,14 @@ final class DerivedTable private[graft] (
   def read(): DataFrame =
     spark.read.format("graft").load(location)
 
+  /** Re-co-locate this table after its base was [[Lake.reshard]]ed:
+    * re-keys the feature rows from the base's (id, shard) mapping and
+    * recomputes `f` only over real base churn — O(feature bytes),
+    * never O(recompute). See [[Lake.reshardDerived]]. */
+  def reshardTo(base: Lake)(
+      f: DataFrame => DataFrame): DerivedTable =
+    base.reshardDerived(location)(f)
+
   /** Reclaim storage superseded by refreshes/rebuilds — see
     * [[DerivedTable.vacuum]]. */
   def vacuum(keepVersions: Int = 3,
@@ -109,6 +117,7 @@ final class DerivedTable private[graft] (
         s"shards but the base lake now routes ${1 << base.cfg.numHashes} " +
         "— the base was resharded since this table was derived, and " +
         "feature rows carry no vectors to re-derive their shard from; " +
+        "re-key with reshardTo(base)(f) — O(feature bytes) — or " +
         "rebuild with deriveTo(location, rebuild = true)(f)")
   }
 }

@@ -2047,6 +2047,96 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     } finally { delta.unpersist(); () }
   }
 
+  /** Re-co-locate a derived feature table after THIS lake was
+    * [[reshard]]ed — O(feature bytes + base churn), never re-running
+    * `f` over the corpus (the full-rebuild recovery is O(recompute):
+    * at 100 TB that is re-reading documents and re-running models for
+    * rows whose features never changed).
+    *
+    * Feature rows carry no vectors, so the refined shard cannot be
+    * derived locally; it is JOINED in from the base's (id, shard)
+    * mapping — a 2-column projection of the lake, shuffled on `id`
+    * against the feature bytes (a zero-exchange shape is impossible
+    * here by construction: the extra routing bits live only with the
+    * vectors, and the old and new layouts share no partitioning).
+    *
+    * The base may have taken REAL churn around the reshard too. The
+    * change feed across a reshard is O(data) relocation noise
+    * (delete+insert per moved row — see [[changesBetween]]), so this
+    * re-nets the delta with the shard column EXCLUDED from row
+    * identity ([[Lake.netInsertsDeletes]] excludeKeys): relocations
+    * cancel, surviving rows are the genuine inserts/deletes/upserts.
+    * `f` is recomputed over exactly those inserts; deleted/upserted
+    * ids drop from the re-keyed side (deleted ids also vanish from
+    * the mapping — the inner join enforces it). The commit advances
+    * the sync point, so the next [[deriveTo]] refresh diffs from
+    * AFTER the reshard and stays O(churn).
+    *
+    * When the widths already match there is nothing to re-key — the
+    * call degrades to a plain [[deriveTo]] refresh. Refuses a foreign
+    * table, a foreign base, and a changed output schema exactly like
+    * the incremental refresh. */
+  def reshardDerived(location: String)(
+      f: DataFrame => DataFrame): DerivedTable = {
+    require(cfg.partitionKey.isEmpty,
+      s"reshardDerived at ${cfg.location}: derived co-location keys on " +
+        "LSH shard routing; this lake is user-keyed")
+    routingChecked
+    val qualBase = qualifiedLocation
+    val d = DerivedTable.load(spark, location)
+    require(d.state.baseLocation == qualBase,
+      s"derived table at $location was built from ${d.state.baseLocation}, " +
+        s"not from $qualBase")
+    require(d.state.dim == cfg.dim && d.state.seed == cfg.seed &&
+      d.state.metric == cfg.metric,
+      s"derived table at $location was built under routing config " +
+        s"(dim=${d.state.dim}, seed=${d.state.seed}, " +
+        s"metric=${d.state.metric}) but the base lake resolves " +
+        s"(dim=${cfg.dim}, seed=${cfg.seed}, metric=${cfg.metric})")
+    val newShards = 1 << cfg.numHashes
+    require(d.state.numShards <= newShards,
+      s"derived table at $location is co-located at ${d.state.numShards} " +
+        s"shards, WIDER than the base's $newShards — reshard only " +
+        "refines, so this table belongs to a different (wider) lake")
+    if (d.state.numShards == newShards)
+      return deriveTo(location)(f) // nothing to re-key: a plain refresh
+    val v2 = seal()
+    val rawDelta = changesBetween(d.state.baseVersion, v2)
+    val ordered = d.schema.fieldNames.toSeq
+    // relocation noise cancels with `shard` out of row identity; what
+    // survives is the real churn (bounded by actual base mutations)
+    val churn = Lake.netInsertsDeletes(
+      rawDelta.where(col("change") === "insert").drop("change"),
+      rawDelta.where(col("change") === "delete").drop("change"),
+      excludeKeys = Set(partCol)).cache()
+    try {
+      val inserts = churn.where(col("change") === "insert").drop("change")
+      val newFeats = validateDerivedOutput(f(inserts), location)
+      require(newFeats.schema.toDDL == d.state.schemaDdl,
+        s"reshardDerived at $location: f's output schema changed — " +
+          s"recorded '${d.state.schemaDdl}' vs computed " +
+          s"'${newFeats.schema.toDDL}'; the pinned read schema is the " +
+          "table, so rebuild: deriveTo(location, rebuild = true)(f)")
+      // the mapping join re-keys every surviving feature row; touched
+      // ids (upserts AND deletes) drop from the kept side first —
+      // their features are stale or orphaned
+      val touched = churn.select(col("id")).distinct()
+      val mapping = read().select(col("id"), col(partCol))
+      val kept = d.read().drop(partCol)
+        .join(touched, Seq("id"), "left_anti")
+        .join(mapping, Seq("id"))
+        .select(ordered.map(col): _*)
+      val gen = d.state.generation + 1
+      writeDerivedGen(location, gen,
+        kept.unionByName(newFeats.select(ordered.map(col): _*)))
+      val st = d.state.copy(
+        baseVersion = v2, numShards = newShards, generation = gen,
+        live = listDerivedDirs(location, gen))
+      DerivedTable.commit(spark, location, st)
+      new DerivedTable(spark, location, st)
+    } finally { churn.unpersist(); () }
+  }
+
   /** The deriveTo transform contract, enforced at the door: `id`
     * (string) and `shard` (int) present, per-row null/range guards in
     * the plan (codegen'd — no extra scan), feature columns reordered
@@ -4419,10 +4509,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * filesystem. A mismatch here is silent pruning loss (the safe
     * direction, but permanently dead), hence the two-sided
     * normalization. */
-  private def zoneKey(p: String): String =
-    (try Option(new java.net.URI(p).getPath)
-     catch { case _: java.net.URISyntaxException => None })
-      .getOrElse(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+  private def zoneKey(p: String): String = Lake.zoneKey(p)
 
   /** The zone map as a frame, reading its part files EXPLICITLY — the
     * `_`-prefixed dir is hidden from discovery-style listings (same
@@ -4714,14 +4801,20 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     * fallback — optionally pre-cut to `dirNames` partition
     * directories. Control-plane cost is O(live files in scope), the
     * same order as the listing itself (and as Spark's own file index):
-    * ONE pass over the map collecting (file, intersects), PRE-FILTERED
-    * in the plan to the scoped directories when a shard cut is given
-    * (a serving call must not pull the whole lake's map to consult
-    * nprobe shards' verdicts; a path-spelling miss in that filter only
-    * drops a verdict → that file is scanned, never wrong). A file the
-    * map knows and marks disjoint is pruned; a mapped-and-overlapping
-    * or UNMAPPED file is scanned — and so is everything when the map
-    * lacks `minCol` entirely (the collect throws, verdicts empty).
+    * ONE pass over the map, PRE-FILTERED in the plan to the scoped
+    * directories when a shard cut is given (a serving call must not
+    * pull the whole lake's map to consult nprobe shards' verdicts; a
+    * path-spelling miss in that filter only drops a verdict → that
+    * file is scanned, never wrong). Below
+    * `graft.zone.distributedVerdictMinFiles` live files the per-file
+    * verdicts collect to the driver (no extra job — the cheap serve
+    * path); at or above it the pass runs as a DISTRIBUTED join against
+    * the listing and only the surviving file list returns, so driver
+    * memory never grows a second O(files) structure at 100× file
+    * counts. A file the map knows and marks disjoint is pruned; a
+    * mapped-and-overlapping or UNMAPPED file is scanned — and so is
+    * everything when the map lacks `minCol` entirely (the pass throws,
+    * fallback = scan all).
     * `requireFp`: FIELD reads pass the fingerprint of the spec they
     * resolved, and a row whose `spec_fp` differs contributes NO
     * verdict (its f<i> columns may belong to a different field list —
@@ -4747,7 +4840,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       case None => liveEntries(st)
     }
     val owners = fileOwners(fs, dirs, op)
-    val verdicts: Map[String, Boolean] =
+    val kept: Map[String, Long] =
       try readZone(fs, merged = requireFp.isDefined).map { z =>
         val scoped = dirNames match {
           case Some(keep) =>
@@ -4759,15 +4852,52 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
           case Some(fp) => scoped.where(col("spec_fp") === fp)
           case None => scoped
         }
-        trusted.select(col("file"),
-          (col(maxCol) >= lo && col(minCol) <= hi).as("hit"))
-          .collect()
-          .map(r => zoneKey(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
-          .toMap
-      }.getOrElse(Map.empty)
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
-    readFileSlice(owners.filter { case (f, _) =>
-      verdicts.getOrElse(zoneKey(f), true) }, extraFieldsOf(st))
+        // null bounds contribute a MISS (never mapped-and-unknown —
+        // zoneRows always writes real min/max), identical on both
+        // regimes below
+        val hitCol =
+          coalesce(col(maxCol) >= lo && col(minCol) <= hi, lit(false))
+        // TWO verdict regimes, chosen by live-file count. Small scopes
+        // (the overwhelmingly common serve: a routed read consults
+        // nprobe shards' entries) collect the per-file verdicts — one
+        // driver pass, no extra Spark job. Past the bound, the
+        // per-file pass moves OFF the driver: the listing joins the
+        // map on the normalized path and only the SURVIVING file list
+        // comes back — which the driver must hold anyway to plan the
+        // read. Driver memory stays O(listing), never
+        // O(listing + verdict map), and the verdict scan parallelizes
+        // with the map's partition count at 100× file counts.
+        val minDistributed = spark.conf
+          .get("graft.zone.distributedVerdictMinFiles", "4096").toInt
+        if (owners.size < minDistributed) {
+          val verdicts = trusted.select(col("file"), hitCol.as("hit"))
+            .collect()
+            .map(r => zoneKey(r.getString(0)) -> r.getBoolean(1))
+            .toMap
+          owners.filter { case (f, _) =>
+            verdicts.getOrElse(zoneKey(f), true) }
+        } else {
+          // the zone side's paths normalize per row on executors; the
+          // listing side normalizes while building the frame (already
+          // driver-resident). A udf is fine HERE: this is control-plane
+          // metadata (one row per file), never corpus rows.
+          val zk = udf((s: String) => Lake.zoneKey(s))
+          val listing = spark.createDataFrame(
+            owners.keys.toSeq.map(f => (f, zoneKey(f))))
+            .toDF("path", "zkey")
+          // left join: an UNMAPPED file (no zone row) must be scanned
+          // unconditionally — hit is null only for those
+          val keptPaths = listing.join(
+              trusted.select(zk(col("file")).as("zkey"), hitCol.as("hit")),
+              Seq("zkey"), "left")
+            .where(col("hit").isNull || col("hit"))
+            .select("path").distinct()
+            .collect().map(_.getString(0)).toSet
+          owners.filter { case (f, _) => keptPaths(f) }
+        }
+      }.getOrElse(owners)
+      catch { case scala.util.control.NonFatal(_) => owners }
+    readFileSlice(kept, extraFieldsOf(st))
   }
 
   /** Rows whose NESTED-METADATA numeric field `path` lies in [lo, hi]
@@ -6186,6 +6316,16 @@ object Lake {
     * prefix keeps it out of Spark's file index (never read as data). */
   private[graft] val lockName: String = "_lock"
 
+  /** One canonical spelling of a data-file path for zone-map matching
+    * (see the instance-side scaladoc at the call sites). STATIC so the
+    * distributed verdict join's udf closure captures a plain function,
+    * never the Lake instance (which holds the SparkSession and cannot
+    * ship to executors). */
+  private[graft] def zoneKey(p: String): String =
+    (try Option(new java.net.URI(p).getPath)
+     catch { case _: java.net.URISyntaxException => None })
+      .getOrElse(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+
   /** Hadoop's createFile builder key for a conditional (If-None-Match)
     * create, and the path-capability name a store advertises when it
     * honors it (HADOOP-19256, s3a since 3.4.x:
@@ -6292,7 +6432,7 @@ object Lake {
     * full row — the join keys ARE the data, so the shuffle is the
     * delta itself, never the lake. */
   private[graft] def netInsertsDeletes(ins: DataFrame,
-      del: DataFrame): DataFrame = {
+      del: DataFrame, excludeKeys: Set[String] = Set.empty): DataFrame = {
     val dataCols = ins.columns.toSeq
     val mapCols = ins.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
@@ -6301,7 +6441,12 @@ object Lake {
       mapCols.foldLeft(df)((d, c) =>
         d.withColumn("\u0001mcmp_" + c, array_sort(map_entries(col(c)))))
     val li = prep(ins); val rd = prep(del)
-    val keys = dataCols.filterNot(mapCols) ++ mapCols.map("\u0001mcmp_" + _)
+    // excludeKeys drops columns from ROW IDENTITY only (they stay in
+    // the output): the reshard re-key diff cancels a relocated row --
+    // same content, new shard -- by netting with the partition column
+    // excluded
+    val keys = (dataCols.filterNot(mapCols) ++ mapCols.map("\u0001mcmp_" + _))
+      .filterNot(excludeKeys)
     val cond = keys.map(k => li(k) <=> rd(k)).reduce(_ && _)
     li.join(rd, cond, "left_anti").withColumn("change", lit("insert"))
       .unionByName(

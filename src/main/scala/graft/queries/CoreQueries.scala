@@ -1126,6 +1126,66 @@ object CoreQueries {
              WHERE ('doc-' || vec_id) NOT LIKE '%3'
              ORDER BY id"""))
 
+  /** The reshard-recovery lifecycle for derived tables
+    * ([[graft.Lake.reshardDerived]]): half the corpus → derive → the
+    * other half + deletes (real churn) → base RESHARD 32→64 shards →
+    * re-key. The re-key transform deliberately differs (+1000 on
+    * doc_len) so the oracle can prove WHICH rows ran it: surviving
+    * batch-1 rows must keep the original doc_len (re-keyed, never
+    * recomputed — the O(feature bytes) contract), batch-2 churn rows
+    * carry the +1000 variant. Built once per (session, sfDir). */
+  private def derivedRekeyFixture(s: SparkSession,
+      dir: String): (Lake, graft.DerivedTable) =
+    BuiltFixtures.once(s, dir, "derived_rekey") {
+      val tmp = BuiltFixtures.sessionTmp(s, dir, "rekeybase")
+      val base = Lake(s, LakeConfig(tmp, dim = 64, numHashes = 5))
+      base.delete()
+      val rows = Tables.embeddings(s, dir).select(
+        concat(lit("doc-"), col("vec_id")).as("id"),
+        col("embedding").as("vector"),
+        concat(lit("text "), col("vec_id")).as("document"),
+        pmod(col("vec_id"), lit(2)).as("m"))
+      def feat(df: DataFrame): DataFrame = df.select(
+        col("id"), col("shard"),
+        round(V.l2Norm(col("vector")), 6).as("norm"),
+        length(col("document")).as("doc_len"))
+      def featAlt(df: DataFrame): DataFrame = df.select(
+        col("id"), col("shard"),
+        round(V.l2Norm(col("vector")), 6).as("norm"),
+        (length(col("document")) + 1000).as("doc_len"))
+      val dloc = BuiltFixtures.sessionTmp(s, dir, "rekeyfeat")
+      base.ingest(rows.where(col("m") === 0).drop("m"))
+      val d = base.deriveTo(dloc)(feat)
+      base.ingest(rows.where(col("m") =!= 0).drop("m"))
+      base.deleteWhere(col("id").endsWith("7"))
+      val wide = base.reshard(6)
+      (wide, d.reshardTo(wide)(featAlt))
+    }
+
+  /** Post-re-key co-located join — hash-equality against an oracle
+    * that recomputes routing at the NEW width straight from raw
+    * embeddings proves (a) every surviving feature row landed on its
+    * refined shard, (b) original feature values survived the re-key
+    * untouched while churn rows got the new transform, (c) deleted
+    * ids dropped, and (d) the join still serves zero-exchange
+    * (DerivedSpec pins the plan). */
+  val qDerivedRekey = Q(
+    "q_derived_rekey",
+    (s, dir) => {
+      val (base, d) = derivedRekeyFixture(s, dir)
+      base.joinDerived(d)
+        .select(col("id"), col("shard"), col("norm"), col("doc_len"))
+        .orderBy("id")
+    },
+    Some(s"""SELECT 'doc-' || vec_id AS id,
+                    ${Lsh(64, 6).sqlShardExpr("embedding")} AS shard,
+                    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+                    CAST(length('text ' || vec_id) +
+                         CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1000 END AS INT) AS doc_len
+             FROM embeddings
+             WHERE ('doc-' || vec_id) NOT LIKE '%7'
+             ORDER BY id"""))
+
   // --------------------------------------------------- hybrid retrieval --
 
   /** Hybrid search with reciprocal-rank fusion — the query shape a
@@ -1244,5 +1304,5 @@ object CoreQueries {
     qTextStats, qEventsWindow, qEventsRollup,
     qShardStats, qSqlScan, qSqlInsert, qSqlDml, qCloneStats, qSyncStats,
     qExpireStats, qDppJoin, qReplicaDiff, qReplicaHeal, qReshardStats,
-    qKnnResharded, qDerivedJoin, qHybridRrf, qMaxSim)
+    qKnnResharded, qDerivedJoin, qDerivedRekey, qHybridRrf, qMaxSim)
 }

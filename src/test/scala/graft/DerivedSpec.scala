@@ -444,6 +444,58 @@ class DerivedSpec extends SparkSpec {
     assert(lake.joinDerived(d).count() === 30L)
   }
 
+  test("reshardTo re-keys after a base reshard without recompute: surviving features keep their ORIGINAL values, only churn runs the transform") {
+    val lake = freshLake("rekey", hashes = 2)
+    lake.ingest(rows(0 until 80))
+    val dloc = lake.cfg.location + "_feat"
+    val d = lake.deriveTo(dloc)(feat)
+    // churn BEFORE the reshard: inserts, a delete, an upsert
+    lake.ingest(rows(80 until 100))
+    lake.deleteWhere(col("id") === "r-5")
+    lake.upsert(Seq(("r-6", Seq(0.5f, 0.5f, 0.5f), "replaced r-6 doc"))
+      .toDF("id", "vector", "document"))
+    val wide = lake.reshard(4)
+    // churn AFTER the reshard too — the delta spans all of it
+    wide.ingest(rows(100 until 110))
+    val e = intercept[IllegalArgumentException](wide.joinDerived(d))
+    assert(e.getMessage.contains("reshardTo"), e.getMessage)
+    // a DIFFERENT (schema-compatible) transform proves which rows ran
+    // it: re-keyed survivors must keep the ORIGINAL doc_len, churn
+    // rows get the +1000 variant — f never re-ran over the corpus
+    def featAlt(df: DataFrame): DataFrame =
+      df.select(col("id"), col("shard"),
+        (length(col("document")) + 1000).as("doc_len"),
+        round(graft.functions.VectorFunctions.l2Norm(col("vector")), 6)
+          .as("norm"))
+    val d2 = d.reshardTo(wide)(featAlt)
+    assert(d2.numShards === 16)
+    assert(!d2.isStale(wide))
+    val got = wide.joinDerived(d2)
+      .select("id", "doc_len").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val docs = wide.read().select(col("id"), length(col("document")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got.keySet === docs.keySet, "re-key lost or invented rows")
+    val untouched = (0 until 80).map(i => s"r-$i").toSet - "r-5" - "r-6"
+    got.foreach { case (id, len) =>
+      if (untouched.contains(id))
+        assert(len === docs(id), s"$id: transform re-ran over an unchanged row")
+      else
+        assert(len === docs(id) + 1000, s"$id: churn row missed the transform")
+    }
+    // shard values are the base's — the co-located join still plans
+    // zero exchanges
+    val spjPlan = wide.joinDerived(d2).queryExecution.executedPlan
+    assert(spjPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.isEmpty, "re-keyed derived join lost the zero-exchange shape")
+    // ...and the NEXT refresh is a plain O(churn) incremental, diffing
+    // from after the reshard
+    wide.ingest(rows(110 until 115))
+    val d3 = wide.deriveTo(dloc)(featAlt)
+    assert(wide.joinDerived(d3).count() === wide.read().count())
+  }
+
   test("format options asOf/view refuse on a derived location (never silently serve the latest snapshot)") {
     val lake = freshLake("asofopt")
     lake.ingest(rows(0 until 20))
