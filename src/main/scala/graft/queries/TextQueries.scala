@@ -153,6 +153,14 @@ object TextQueries {
                    min(regexp_replace(props, '[0-9]+', '#', 'g')) AS sample_masked
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** HLL++ approximate distinct per lang, ORACLE-CHECKED through a
+    * tolerance boolean: the raw sketch value is engine-specific (DuckDB
+    * cannot reproduce Spark's HLL bits), but `within_tol` — relative
+    * error against the exact count under 8%, four sigma at rsd 0.02 —
+    * is a fact both engines agree on, so the row hashes. A sketch that
+    * drifts past the bound fails the driver compare instead of hiding
+    * behind a rows-only check (this key was no-oracle for 11 rounds;
+    * its value-exact twin is q_kmv_distinct). */
   val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, dir) => Tables.documents(s, dir)
@@ -160,8 +168,16 @@ object TextQueries {
       .agg(count(lit(1)).as("n"),
         countDistinct("text").as("exact_distinct"),
         approx_count_distinct("text", 0.02).as("approx_distinct"))
+      .select(col("lang"), col("n"), col("exact_distinct"),
+        (abs(col("approx_distinct").cast("double") -
+             col("exact_distinct").cast("double")) <=
+          lit(0.08) * col("exact_distinct").cast("double"))
+          .as("within_tol"))
       .orderBy("lang"),
-    None)
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_tol
+            FROM documents GROUP BY lang ORDER BY lang"""))
 
   /** Token co-occurrence over the top-50 vocabulary: which frequent
     * terms appear in the SAME documents — the association table behind
@@ -317,7 +333,59 @@ object TextQueries {
                    CAST(0 AS BIGINT) AS err
             FROM documents GROUP BY 1 ORDER BY cnt DESC, key"""))
 
+  /** The Misra-Gries sketch in its REDUCTION regime — capacity 32
+    * under ~100 distinct keys, so decrements fire in updates AND
+    * merges — audited through its THEOREMS, which hold regardless of
+    * partition layout or merge order (the reported key SET is
+    * layout-dependent; the guarantees are not, so they are what an
+    * oracle can check):
+    *   - bounds_hold: stored ≤ exact ≤ stored + err for every
+    *     reported key (exact recomputed by a plain groupBy),
+    *   - err_bound_holds: err ≤ N / (capacity + 1),
+    *   - recall_holds: every key with exact > N / (capacity + 1) is
+    *     reported (true count minus stored never exceeds err, so such
+    *     a key's counter is positive).
+    * DuckDB asserts all three TRUE plus the exact row total — a
+    * hash-green run proves the sketch honored its contract on this
+    * data at this scale, not just in HeavyHittersSpec's fixture. The
+    * exact sides are one groupBy + one-row broadcast aggregates; the
+    * sketch side ships ≤ capacity counters per partition. */
+  val qHhSketchBound = Q(
+    "q_hh_sketch_bound",
+    (s, dir) => {
+      val K = 32
+      val docs = Tables.documents(s, dir)
+        .select(concat(col("source"), lit(":"), col("lang")).as("key"))
+      val sk = docs
+        .agg(graft.expressions.HeavyHittersAggregate.heavyHitters(
+          col("key"), K).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.cnt").as("cnt"),
+          col("h.err").as("err"))
+      val exact = docs.groupBy("key").agg(count(lit(1)).as("exact"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val bound = col("n").cast("double") / lit(K + 1)
+      val checks = sk.join(exact, Seq("key"))
+        .crossJoin(broadcast(tot))
+        .agg(
+          coalesce(min(col("cnt") <= col("exact") &&
+            col("exact") <= col("cnt") + col("err")), lit(true))
+            .as("bounds_hold"),
+          coalesce(min(col("err").cast("double") <= bound), lit(true))
+            .as("err_bound_holds"))
+      val missed = exact.crossJoin(broadcast(tot))
+        .where(col("exact").cast("double") > bound)
+        .join(sk.select("key"), Seq("key"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      checks.crossJoin(missed).crossJoin(broadcast(tot))
+        .select(col("bounds_hold"), col("err_bound_holds"),
+          (col("n_missed") === 0L).as("recall_holds"), col("n"))
+    },
+    Some("""SELECT TRUE AS bounds_hold, TRUE AS err_bound_holds,
+                   TRUE AS recall_holds, CAST(count(*) AS BIGINT) AS n
+            FROM documents"""))
+
   def all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenStats, qRepetition,
     qPiiScrub, qRarityScore, qApproxDistinct, qKmvDistinct, qCooccur,
-    qBoilerplate, qHeavyHitters)
+    qBoilerplate, qHeavyHitters, qHhSketchBound)
 }

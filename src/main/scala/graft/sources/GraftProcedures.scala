@@ -44,7 +44,26 @@ private[graft] object GraftProcedures {
   /** Procedure names under the catalog's `system` namespace. */
   val names: Seq[String] =
     Seq("maintain", "compact", "vacuum", "repair", "seal", "clone", "sync",
-      "diff", "heal", "expire", "reshard")
+      "diff", "heal", "expire", "reshard", "derive", "derive_rekey")
+
+  /** A [[graft.Lake.deriveTo]] transform from SQL text: the input
+    * frame registers under a unique temp view, `__base__` substitutes
+    * to it, and the view drops immediately — analysis is eager, so the
+    * returned frame's plan holds the RESOLVED subtree, never the view
+    * name. Works identically for the build (sealed base), the refresh
+    * (inserted delta), and the no-churn schema probe (empty frame). */
+  private def sqlTransform(sqlText: String)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => {
+      require(sqlText.contains("__base__"),
+        "graft derive: the transform SELECT must read FROM __base__ " +
+          "(the placeholder the engine binds to the base rows)")
+      val v = "graft_base_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      df.createOrReplaceTempView(v)
+      try df.sparkSession.sql(sqlText.replace("__base__", v))
+      finally { df.sparkSession.catalog.dropTempView(v); () }
+    }
 
   def load(name: String, resolve: String => Lake): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType, comment: String): ProcedureParameter =
@@ -257,6 +276,58 @@ private[graft] object GraftProcedures {
             maxDirs = in.getInt(2), dirsPerCommit = in.getInt(3))
           InternalRow(after.lsh.numShards.toLong,
             after.reshardStatus().map(_._3).getOrElse(0L))
+        }))
+      case "derive" => Some(new LakeProcedure(
+        "derive", resolve,
+        Array(table,
+          p("target", StringType,
+            "derived-table root path (the Lake.deriveTo location; " +
+              "register it afterwards with CREATE TABLE ... USING " +
+              "graft LOCATION for pure-SQL joins)"),
+          p("transform", StringType,
+            "SELECT producing id, shard, and the feature columns from " +
+              "the placeholder table __base__ (the sealed base on a " +
+              "build, the inserted delta on a refresh — the same " +
+              "contract as deriveTo's transform)"),
+          pd("rebuild", BooleanType, "false",
+            "force the full-snapshot path (required after a changed " +
+              "transform schema or a vacuumed sync point)")),
+        StructType(Seq(
+          StructField("base_version", LongType, nullable = false),
+          StructField("generation", LongType, nullable = false),
+          StructField("num_shards", LongType, nullable = false),
+          StructField("live_dirs", LongType, nullable = false))),
+        "create or incrementally refresh a co-located derived feature " +
+          "table (SQL face of Lake.deriveTo: the first call builds, " +
+          "later calls diff the change feed and rewrite only affected " +
+          "shards — O(churn), never O(corpus))",
+        (lake, in) => {
+          val d = lake.deriveTo(in.getUTF8String(1).toString,
+            rebuild = in.getBoolean(3))(
+            sqlTransform(in.getUTF8String(2).toString))
+          InternalRow(d.state.baseVersion, d.state.generation,
+            d.numShards.toLong, d.state.live.size.toLong)
+        }))
+      case "derive_rekey" => Some(new LakeProcedure(
+        "derive_rekey", resolve,
+        Array(table,
+          p("target", StringType, "derived-table root path"),
+          p("transform", StringType,
+            "the SAME __base__ SELECT the table was derived with — " +
+              "recomputed only over real churn around the reshard")),
+        StructType(Seq(
+          StructField("base_version", LongType, nullable = false),
+          StructField("generation", LongType, nullable = false),
+          StructField("num_shards", LongType, nullable = false))),
+        "re-co-locate a derived table after the base lake was " +
+          "resharded: re-keys feature rows from the base's (id, shard) " +
+          "mapping — O(feature bytes), never re-running the transform " +
+          "over the corpus (SQL face of Lake.reshardDerived)",
+        (lake, in) => {
+          val d = lake.reshardDerived(in.getUTF8String(1).toString)(
+            sqlTransform(in.getUTF8String(2).toString))
+          InternalRow(d.state.baseVersion, d.state.generation,
+            d.numShards.toLong)
         }))
       case "heal" => Some(new LakeProcedure(
         "heal", resolve,

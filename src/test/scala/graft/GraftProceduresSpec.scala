@@ -177,6 +177,50 @@ class GraftProceduresSpec extends SparkSpec {
     assert(m2.getAs[Long]("reshard_pending_dirs") === 0L)
   }
 
+  test("CALL derive builds, refreshes, and re-keys a co-located feature table from pure SQL; the join works by name") {
+    val name = mkTable("dervsql")
+    ingestBatches(name, 2)
+    val dloc = Files.createTempDirectory("graft_proc_derv").toString + "/feat"
+    val transform =
+      "SELECT id, shard, length(document) AS doc_len FROM __base__"
+    // BUILD
+    val r1 = sql(s"""CALL plakes.system.derive(table => 'default.$name',
+      target => '$dloc', transform => '$transform')""").collect().head
+    assert(r1.getLong(2) === 4L, "num_shards should be 2^2")
+    // pure-SQL join: register the derived location and join by name
+    sql(s"CREATE TABLE plakes.default.dervsql_feat USING graft LOCATION '$dloc'")
+    def joined() = sql(
+      s"""SELECT b.id, b.document, f.doc_len
+          FROM plakes.default.$name b
+          JOIN plakes.default.dervsql_feat f ON b.shard = f.shard AND b.id = f.id""")
+    assert(joined().count() === 6L)
+    assert(joined().where("doc_len <> length(document)").count() === 0L)
+    // REFRESH: more rows, same CALL — incremental
+    ingestBatches(name, 1)
+    val r2 = sql(s"""CALL plakes.system.derive(table => 'default.$name',
+      target => '$dloc', transform => '$transform')""").collect().head
+    assert(r2.getLong(1) > r1.getLong(1), "refresh should commit a new generation")
+    assert(joined().count() === 9L)
+    // RESHARD then RE-KEY: the width changes, derive refuses with the
+    // re-key recovery, derive_rekey restores the co-location
+    sql(s"CALL plakes.system.reshard(table => 'default.$name', num_hashes => 3)")
+    val e = intercept[Exception](sql(
+      s"""CALL plakes.system.derive(table => 'default.$name',
+          target => '$dloc', transform => '$transform')""").collect())
+    assert(e.getMessage.contains("resharded"), e.getMessage)
+    val r3 = sql(s"""CALL plakes.system.derive_rekey(table => 'default.$name',
+      target => '$dloc', transform => '$transform')""").collect().head
+    assert(r3.getLong(2) === 8L, "re-key should land at the new width")
+    assert(joined().count() === 9L)
+    assert(joined().where("doc_len <> length(document)").count() === 0L)
+    // a transform without the placeholder refuses loudly
+    val e2 = intercept[Exception](sql(
+      s"""CALL plakes.system.derive(table => 'default.$name',
+          target => '$dloc', transform => 'SELECT 1')""").collect())
+    assert(e2.getMessage.contains("__base__"))
+    sql("DROP TABLE plakes.default.dervsql_feat")
+  }
+
   test("discovery and refusals: SHOW PROCEDURES, DESCRIBE, unknown name, wrong namespace, missing table") {
     warehouse
     val names = sql("SHOW PROCEDURES IN plakes.system").collect()

@@ -189,6 +189,40 @@ heal2 = spark.sql(
 check("a second CALL heal is a no-op",
       heal2.shards_repaired == 0 and heal2.rows_rewritten == 0)
 
+# derived feature table from SQL: CALL derive builds, a second CALL
+# refreshes incrementally, and the registered LOCATION table joins
+# co-located by (shard, id)
+dloc = wh + "/pysmoke_feat"
+drv = spark.sql(
+    f"""CALL lakes.system.derive(table => 'default.pysmoke',
+          target => '{dloc}',
+          transform => 'SELECT id, shard, length(document) AS doc_len FROM __base__')"""
+).head()
+check("CALL derive built the feature table", drv.generation == 1)
+spark.sql(
+    f"CREATE TABLE lakes.default.pysmoke_feat USING graft LOCATION '{dloc}'")
+n_base = spark.sql("SELECT count(*) c FROM lakes.default.pysmoke").head().c
+check("derived join serves every base row with correct features", spark.sql(
+    """SELECT count(*) c FROM lakes.default.pysmoke b
+       JOIN lakes.default.pysmoke_feat f
+         ON b.shard = f.shard AND b.id = f.id
+       WHERE f.doc_len = length(b.document)""").head().c == n_base)
+spark.sql("INSERT INTO lakes.default.pysmoke (vector, document) VALUES "
+          "(array(CAST(0.5 AS FLOAT), CAST(9 AS FLOAT), CAST(9 AS FLOAT), "
+          "CAST(1 AS FLOAT)), 'derive-me')")
+drv2 = spark.sql(
+    f"""CALL lakes.system.derive(table => 'default.pysmoke',
+          target => '{dloc}',
+          transform => 'SELECT id, shard, length(document) AS doc_len FROM __base__')"""
+).head()
+check("a second CALL derive refreshes incrementally",
+      drv2.generation == 2 and drv2.base_version > drv.base_version)
+check("refreshed join covers the new row", spark.sql(
+    """SELECT count(*) c FROM lakes.default.pysmoke b
+       JOIN lakes.default.pysmoke_feat f
+         ON b.shard = f.shard AND b.id = f.id
+       WHERE f.doc_len = length(b.document)""").head().c == n_base + 1)
+
 # incremental reshard from SQL: grow the routing width, count preserved,
 # the table reads back at the new width (resume semantics: a second
 # identical CALL is a no-op with 0 pending)
