@@ -252,6 +252,31 @@ object DerivedTable {
           java.nio.file.StandardOpenOption.WRITE)
         ()
       } catch { case e: java.nio.file.FileAlreadyExistsException => lost(e) }
+    } else if (
+      try fs.hasPathCapability(p, graft.Lake.conditionalCreateKey)
+      catch { case scala.util.control.NonFatal(_) => false }) {
+      // conditional (If-None-Match) create where the store advertises
+      // it (s3a on Hadoop 3.4.x+): the version allocation becomes
+      // EXACT on object stores — two racing deriveTo commits can no
+      // longer both "win" the same version inside the PUT window.
+      // This path matters more here than on the lake (which has a
+      // writer lock in front): derived commits are deliberately
+      // lockless, arbitrated only by this create.
+      val b = fs.createFile(p)
+      b.overwrite(false)
+      b.must(graft.Lake.conditionalCreateKey, true)
+      val out =
+        try b.build().asInstanceOf[org.apache.hadoop.fs.FSDataOutputStream]
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
+          case e: java.io.IOException if fs.exists(p) => lost(e)
+        }
+      try {
+        out.write(bytes)
+        out.close() // the conditional PUT commits HERE
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
+      }
     } else {
       val out =
         try fs.create(p, false)

@@ -68,11 +68,12 @@ class RivalPutFs extends PutBucketFs {
 }
 
 object CondPutFs {
-  /** When armed, a rival writer's plain PUT lands INSIDE the next
-    * conditional create's PUT→close window — the interleave that
-    * plain-PUT verify-after-write could not always catch. The store's
+  /** When non-null, a rival writer's plain PUT lands INSIDE the next
+    * conditional create's PUT→close window for any path whose name
+    * contains this substring — the interleave that plain-PUT
+    * verify-after-write could not always catch. The store's
     * If-None-Match arbitration at close must refuse ours. */
-  @volatile var rivalAtClose: Boolean = false
+  @volatile var rivalAtCloseFor: String = null
   /** The store's arbitration atom — stands in for a real object
     * store's internally-consistent conditional PUT. */
   private[graft] val atom = new Object
@@ -114,8 +115,9 @@ class CondCreateBuilder(cfs: CondPutFs, p: org.apache.hadoop.fs.Path)
       new java.io.FilterOutputStream(buf) {
         override def close(): Unit = {
           super.close()
-          if (CondPutFs.rivalAtClose) {
-            CondPutFs.rivalAtClose = false
+          val arm = CondPutFs.rivalAtCloseFor
+          if (arm != null && getPath.getName.contains(arm)) {
+            CondPutFs.rivalAtCloseFor = null
             val rival = cfs.create(getPath, true)
             rival.write(RivalPutFs.rivalJson.getBytes("UTF-8"))
             rival.close()
@@ -472,7 +474,7 @@ class ObjectStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_conds3").toString
     val lake = Lake(spark, LakeConfig(s"conds3://$dir/lake", dim = 3, numHashes = 3))
     lake.ingest(Seq((Seq(1f, 0f, 0f), "d")).toDF("vector", "document"))
-    CondPutFs.rivalAtClose = true
+    CondPutFs.rivalAtCloseFor = "_lock"
     val e = intercept[java.util.ConcurrentModificationException](
       lake.deleteWhere(col("id").isNotNull))
     assert(e.getMessage.contains("writer lock"))
@@ -527,6 +529,38 @@ class ObjectStoreSpec extends SparkSpec {
     // the lock never strands; a real maintenance op still goes through
     lake.deleteWhere(col("id") === "r0")
     assert(lake.count() === 11L)
+  }
+
+  test("conditional-create store: a racing derived-table commit loses its version create loudly; the rival's sidecar survives") {
+    // derived commits are deliberately LOCKLESS — the version-file
+    // create is the only arbitration. On a conditional-create store it
+    // must be exact: a rival sidecar landing inside our PUT-to-close
+    // window fails OUR commit (ConcurrentModificationException), never
+    // both.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.conds3.impl", classOf[CondPutFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conds3d").toString
+    val lake = Lake(spark, LakeConfig(s"conds3://$dir/lake", dim = 3, numHashes = 2))
+    lake.ingest((0 until 10).map(i =>
+      (s"r$i", Seq(i.toFloat, 1f, 0f), s"d$i")).toDF("id", "vector", "document"))
+    val dloc = s"conds3://$dir/feat"
+    val feat = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), col("shard"),
+        length(col("document")).as("doc_len"))
+    CondPutFs.rivalAtCloseFor = "_derived."
+    val e = intercept[java.util.ConcurrentModificationException](
+      lake.deriveTo(dloc)(feat))
+    assert(e.getMessage.contains("lost the version"), e.getMessage)
+    // the rival's sidecar body is what the store serves
+    val fs = DerivedTable.fsOf(spark, dloc)
+    val p = new org.apache.hadoop.fs.Path(dloc, "_derived.1.json")
+    val in = fs.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(body.contains("rival-token"), "loser overwrote the winner's commit")
+    // a clean retry converges: allocates PAST the rival's version
+    fs.delete(p, false) // the rival body is not a parseable sidecar
+    val d = lake.deriveTo(dloc)(feat)
+    assert(lake.joinDerived(d).count() === 10L)
   }
 
   test("graft-changes streaming source round-trips on a non-file: FS") {
