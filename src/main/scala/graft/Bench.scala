@@ -204,6 +204,18 @@ object Bench {
       // only lets the planner ACCEPT existing co-partitioning it would
       // otherwise re-shuffle.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // file discovery: Spark launches a DISTRIBUTED listing job once a
+      // read spans >32 paths (the default threshold) — on a sharded
+      // lake that is one extra cluster job per read, and at bench scale
+      // it dominated every lake-backed query's build (~0.3-0.7 s each;
+      // q_knn_resharded 0.78→0.29 s with driver-side listing). Local
+      // listStatus is microseconds per dir; a distributed listing only
+      // pays off when per-path listing LATENCY × paths ≫ job overhead
+      // (object stores with thousands of partitions) — set the env to
+      // restore Spark's default there. Scale-adaptive by parameter,
+      // never by hard-coding the cluster's shape (guide §2/§6).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_DISCOVERY_THRESHOLD", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb codegen/JIT/classloading so the first timed

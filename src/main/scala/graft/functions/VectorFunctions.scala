@@ -98,8 +98,18 @@ object VectorFunctions {
   def round6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** A literal vector as an ARRAY<DOUBLE> column. */
-  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+  /** A literal vector as an ARRAY<DOUBLE> column — ONE ArrayType
+    * `Literal` (a constant reference object in codegen), not
+    * `array(lit, lit, …)`: a CreateArray of 64 literals survives into
+    * codegen as 64 per-row element stores inside every expression that
+    * consumes it, which blew the IVF/PQ queries' generated source to
+    * ~57 KB (16 centroids × 64 dims inlined per row) and their
+    * execution time to 2-4× the no-codegen path. Values, type and
+    * containsNull=false are identical to the CreateArray form. */
+  def vecLit(v: Seq[Double]): Column = wrap(
+    org.apache.spark.sql.catalyst.expressions.Literal.create(v,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)))
 
   /** Sign-bit packing: bit i ⇔ vᵢ > 0, first min(64, dim) dims — the
     * binarized-embedding compression (fused kernel

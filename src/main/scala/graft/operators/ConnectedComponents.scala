@@ -42,13 +42,26 @@ object ConnectedComponents {
   def components(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val cut: DataFrame => DataFrame = Materialize.cutter(checkpointDir, "cc-step")
+    // both edge directions from ONE pass over `edges` (explode, not a
+    // union of two scans): the upstream pair plan is often the expensive
+    // part (an LSH band join), and a union evaluates it twice before the
+    // cut can help (guide §2.4 — don't compute things twice)
     val sym = cut(edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
 
-    var labels = cut(sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
+    // round 0 fused: under identity labels every neighbor's component IS
+    // its id, so min-label propagation is a single aggregate over sym —
+    // no identity-label table to build/cut and no join (two fewer jobs
+    // per call than initializing labels = id and running a full round)
+    var labels = cut(sym.groupBy(col("src"))
+      .agg(min("dst").as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("component")))
+    var changedPrev = labels.where(col("component") =!= col("id")).count()
 
     def round(): Long = {
       val neighborMin = sym
@@ -66,8 +79,10 @@ object ConnectedComponents {
       changed
     }
 
-    var changed = 1L
-    var i = 0
+    // the fused aggregate above IS propagation round 0 (i starts at 1),
+    // so the maxIter bound still counts total propagation rounds
+    var changed = changedPrev
+    var i = 1
     while (changed > 0 && i < maxIter) { changed = round(); i += 1 }
     // a run whose LAST permitted round still changed labels may in fact
     // have just reached the fixpoint (diameter == maxIter); only a

@@ -719,7 +719,15 @@ object CurationQueries {
         .select(col("doc_id"),
           explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      // df from tf, not from a second pass over toks: tf already holds
+      // one row per distinct (doc, term), so counting tf rows per term
+      // IS the document frequency — and counting the (never-null) tf
+      // COLUMN rather than lit(1) keeps this subtree byte-identical to
+      // the join's left input, so AQE reuses ONE materialized tf stage
+      // for both consumers (count(lit(1)) let column pruning drop the
+      // count from this branch and broke the reuse). One tokenize pass
+      // instead of two, no countDistinct expansion (guide §2.3/§2.4).
+      val df = tf.groupBy("token").agg(count(col("tf")).as("df"))
       val n = Tables.documents(s, dir)
         .agg(countDistinct("doc_id").as("n_docs"))
       tf.join(df, Seq("token"))

@@ -189,10 +189,14 @@ object TextQueries {
   val qCooccur = Q(
     "q_cooccur",
     (s, dir) => {
+      // tokenize ONCE (lineage cut): the tokens feed both the vocab agg
+      // and pair generation, and without the cut the regexp scan ran 3×
+      // (vocab + both sides of a doc_id self-join — guide §2.4)
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(
             regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))).as("token"))
+        .transform(graft.operators.Materialize.cut(_))
       val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("token")).limit(50)
         .select("token")
