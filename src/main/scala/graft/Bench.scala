@@ -313,7 +313,18 @@ object Bench {
           Thread.sleep(5000L)
       } else go = false
     }
-    val (fullLine, compactLine, _, results) = attempts.last
+    // commit the CALMEST attempt, not blindly the last: the retry's
+    // whole premise is that dispersion (unstable_n) flags ambient
+    // contamination, so when the retry lands in a WORSE window than the
+    // attempt that triggered it (steady co-tenant arriving mid-cooldown
+    // — observed: attempt 1 unstable_n 30, retry 123), committing the
+    // retry would publish the noisier measurement. Selection key is
+    // dispersion then total (a calmer window is also the faster one —
+    // ambient load only ever adds time); every attempt's full line is
+    // still recorded first as provenance.
+    val (fullLine, compactLine, _, results) = attempts.minBy { a =>
+      (a._4.count(_._2.spread > 0.5), a._4.map(_._2.sec).sum)
+    }
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
@@ -327,7 +338,8 @@ object Bench {
     // recorded `parsed: None` with a log-noise tail).
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    attempts.dropRight(1).foreach(a => println(a._1)) // contended provenance
+    // contended provenance: every non-chosen attempt's full line first
+    attempts.filter(_._1 ne fullLine).foreach(a => println(a._1))
     println(fullLine)
     println(compactLine)
     System.out.flush()
