@@ -46,9 +46,16 @@ object Bench {
     * stamp that makes the artifact regression-sensitive on its heavy
     * tail: a reader comparing two rounds can tell "2× but the spread
     * band already covers it" from "2× outside the band" without
-    * hunting down fresh reruns. */
+    * hunting down fresh reruns. `taskSec` is the median across passes
+    * of the query's summed executor task time (SparkListener
+    * accounting) — the parallel-work evidence the wall clock cannot
+    * carry at a fixed-cost-floored SF: taskSec/wall is the query's
+    * average parallelism, and it is what an 8-core-vs-32-core
+    * comparison should ratio (round-12 PERF flagged
+    * `suspect_cpus_ignored` because wall alone cannot show
+    * parallelism when per-query driver machinery dominates). */
   final case class QueryResult(sec: Double, err: Option[String],
-      failedReps: Int, spread: Double = 0.0)
+      failedReps: Int, spread: Double = 0.0, taskSec: Double = 0.0)
 
   /** (max−min)/median of the timed samples — 0 for degenerate input. */
   def spreadOf(xs: Seq[Double]): Double = {
@@ -74,7 +81,8 @@ object Bench {
   def summarize(names: Seq[String],
       passes: Seq[Map[String, (Double, Option[String])]],
       tailPasses: Seq[Map[String, (Double, Option[String])]],
-      warmedUp: Boolean): Seq[(String, QueryResult)] = names.map { name =>
+      warmedUp: Boolean,
+      taskSecs: Map[String, Seq[Double]] = Map.empty): Seq[(String, QueryResult)] = names.map { name =>
     val runs = passes.map(_(name)) ++ tailPasses.flatMap(_.get(name))
     // a failing pass can exit far faster than a real run and would
     // drag the median below the query's true cost — time successful
@@ -86,7 +94,8 @@ object Bench {
         tailPasses.flatMap(_.get(name))).filter(_._2.isEmpty)
     name -> QueryResult(median(timed.map(_._1)),
       runs.flatMap(_._2).headOption, runs.count(_._2.isDefined),
-      spreadOf(spreadSamples.map(_._1)))
+      spreadOf(spreadSamples.map(_._1)),
+      taskSecs.get(name).filter(_.nonEmpty).map(median).getOrElse(0.0))
   }
 
   /** JSON string literal: truncate BEFORE escaping (a cut through the
@@ -118,7 +127,7 @@ object Bench {
       tailReps: Int = 0): (String, String) = {
     val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, QueryResult(_, Some(m), _, _)) =>
+    val errs = results.collect { case (k, QueryResult(_, Some(m), _, _, _)) =>
       jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val failedReps = results.collect { case (k, r) if r.failedReps > 0 =>
       jstr(k) + ":" + r.failedReps }.mkString("{", ",", "}")
@@ -130,11 +139,19 @@ object Bench {
       .mkString("{", ",", "}")
     val unstable = results.filter(_._2.spread > 0.5)
     val total = results.map(_._2.sec).sum
+    // per-query parallel-work accounting (scaling evidence — see
+    // QueryResult.taskSec): full map on the full line, one total on
+    // the compact line. Additions-only to both JSON shapes.
+    val taskSecs = results.map { case (k, r) => jstr(k) + ":" + r3(r.taskSec) }
+      .mkString("{", ",", "}")
+    val taskSecTotal = results.map(_._2.taskSec).sum
     val la = s"[${r3(loadavg._1)},${r3(loadavg._2)}]"
     val contended = isContended(loadavg, loadThreshold, cpus, elapsedSec)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"spread":$spreads,"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
-    val budget = 1300
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$failedReps,"spread":$spreads,"task_sec":$taskSecs,"task_sec_total":${r3(taskSecTotal)},"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"loadavg":$la,"contended":$contended,"sf":"$sfDir"}"""
+    // 30 chars ceded to the compact line's task_sec_total field so the
+    // whole line stays under the same harness tail bound as before
+    val budget = 1270
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var omitted = 0
@@ -145,12 +162,12 @@ object Bench {
       else { omitted += 1; omittedSum += r.sec }
     }
     val errsCompact = results
-      .collect { case (k, QueryResult(_, Some(m), _, _)) => jstr(k) + ":" + jstr(m.take(60)) }
+      .collect { case (k, QueryResult(_, Some(m), _, _, _)) => jstr(k) + ":" + jstr(m.take(60)) }
       .take(3).mkString("{", ",", "}")
     val nErrs = results.count(_._2.err.isDefined)
     val nFailedReps = results.count(_._2.failedReps > 0)
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"n_queries":${results.size},"loadavg":$la,"contended":$contended,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted_n":$omitted,"omitted_sum":${r3(omittedSum)},"errors":$errsCompact,"errors_n":$nErrs,"failed_reps_n":$nFailedReps,"task_sec_total":${r3(taskSecTotal)},"unstable_n":${unstable.size},"reps":$reps,"tail_reps":$tailReps,"n_queries":${results.size},"loadavg":$la,"contended":$contended,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     (fullLine, compactLine)
   }
 
@@ -238,13 +255,43 @@ object Bench {
     // ~12 queries × 4 reps ≈ one extra pass of wall time.
     val tailReps = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "4").toInt)
+    // parallel-work accounting: summed task wall time per query run,
+    // via a listener (the QueryProbe discipline). Queries run strictly
+    // sequentially, so attributing by snapshot delta is sound up to
+    // listener-bus lag; the snapshot is taken OUTSIDE the timed window
+    // after a short drain-until-stable wait, so accounting never
+    // inflates the committed seconds and residual lag only smears a
+    // few ms of task time into the neighbouring query.
+    val taskNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            taskNs.addAndGet(t.taskInfo.duration * 1000000L)
+      })
+    def taskSnap(): Long = {
+      var prev = -1L
+      var cur = taskNs.get
+      var waited = 0
+      while (cur != prev && waited < 50) { // drain the async bus
+        prev = cur; Thread.sleep(2L); waited += 2; cur = taskNs.get
+      }
+      cur
+    }
+    val taskSecs = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     def runOne(name: String): (Double, Option[String]) = {
+      val task0 = taskNs.get
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (err.isEmpty)
+        taskSecs(name) = taskSecs(name) :+ ((taskSnap() - task0) / 1e9)
+      (sec, err)
     }
     // one UNTIMED warm-up pass (default on; SPARK_GRAFT_WARMUP_REPS=0
     // disables) runs the whole registry before any timed sample: it
@@ -263,6 +310,7 @@ object Bench {
       // it is self-load, and the contention rule's duration-aware
       // allowance must cover it or a clean run would self-flag
       (0 until warmupReps).foreach { _ => names.foreach(runOne) }
+      taskSecs.clear() // warmup pays one-time builds; account timed passes only
       val passes: Seq[Map[String, (Double, Option[String])]] =
         (0 until reps).map { _ => names.map(n => n -> runOne(n)).toMap }
       val prelim = summarize(names, passes, Nil, warmupReps > 0)
@@ -270,7 +318,8 @@ object Bench {
         .take(math.max(1, names.size / 10)).map(_._1)
       val tailPasses: Seq[Map[String, (Double, Option[String])]] =
         (0 until tailReps).map { _ => tail.map(n => n -> runOne(n)).toMap }
-      (summarize(names, passes, tailPasses, warmupReps > 0),
+      (summarize(names, passes, tailPasses, warmupReps > 0,
+          taskSecs.toMap),
         (loadStart, loadavg1m()),
         (System.nanoTime() - wallStart) / 1e9)
     }
@@ -278,9 +327,10 @@ object Bench {
     // "external load poisoned me" is re-run ONCE after a cooldown (wait
     // for the 1-minute EWMA to decay below threshold, bounded), so the
     // committed artifact is a fresh number whenever the machine allows
-    // — not a flagged one a reader must discount. Both attempts' full
-    // lines are recorded (provenance first, fresh last); the parse-me
-    // LAST line is always the final attempt.
+    // — not a flagged one a reader must discount. Every attempt's full
+    // line is recorded as provenance; the parse-me LAST lines are the
+    // COMMITTED attempt — the calmest one (lowest unstable_n, total
+    // seconds as tiebreak), selected below, not blindly the final one.
     val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_CONTENDED", "1").toInt
     val cooldownMaxSec =
       sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "120").toInt
@@ -322,14 +372,24 @@ object Bench {
     // dispersion then total (a calmer window is also the faster one —
     // ambient load only ever adds time); every attempt's full line is
     // still recorded first as provenance.
-    val (fullLine, compactLine, _, results) = attempts.minBy { a =>
+    // track the chosen attempt BY INDEX — filtering provenance on
+    // reference identity (`ne`) silently depended on each attempt's
+    // line being a distinct String instance
+    val chosenIdx = attempts.zipWithIndex.minBy { case (a, _) =>
       (a._4.count(_._2.spread > 0.5), a._4.map(_._2.sec).sum)
-    }
+    }._2
+    val (fullLine, compactLine, _, results) = attempts(chosenIdx)
     try {
+      // deterministic detail artifact (the driver-readable full map):
+      // non-chosen attempts in order as provenance, the COMMITTED
+      // attempt's full line LAST — same order as stdout, so "last line
+      // of the detail file" always names the committed numbers
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-        attempts.map(_._1 + "\n").mkString.getBytes("UTF-8"))
+        (attempts.zipWithIndex.collect {
+          case (a, i) if i != chosenIdx => a._1 + "\n" }.mkString +
+          fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // cwd may be unwritable; stdout still carries it
     // Emit the JSON lines LAST, after the session is down and its logging
     // silenced: Spark's shutdown INFO logs go to stderr and interleave
@@ -339,7 +399,8 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // contended provenance: every non-chosen attempt's full line first
-    attempts.filter(_._1 ne fullLine).foreach(a => println(a._1))
+    attempts.zipWithIndex.foreach { case (a, i) =>
+      if (i != chosenIdx) println(a._1) }
     println(fullLine)
     println(compactLine)
     System.out.flush()

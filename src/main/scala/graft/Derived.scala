@@ -125,7 +125,13 @@ final class DerivedTable private[graft] (
 object DerivedTable {
 
   /** Parsed `_derived.<v>.json` contents. `live` entries are relative
-    * directory paths of the form `gen-N/shard=K`. */
+    * directory paths of the form `gen-N/shard=K`. `liveFiles` is the
+    * FILE-level manifest keyed by those same relative paths — recorded
+    * at commit ([[commit]]) so format reads plan with zero per-directory
+    * listings (the [[graft.Lake.LakeState.liveFiles]] posture; a
+    * committed generation directory is immutable until vacuumDerived
+    * retires its whole tree). Entries absent from the map fall back to
+    * listing. */
   private[graft] final case class State(
       baseLocation: String,
       baseVersion: Long,
@@ -135,7 +141,8 @@ object DerivedTable {
       metric: String,
       generation: Long,
       live: Seq[String],
-      schemaDdl: String)
+      schemaDdl: String,
+      liveFiles: Map[String, Seq[Lake.LiveFile]] = Map.empty)
 
   /** Load an existing derived table, failing loudly if `location` holds
     * none (an empty dir, a lake, anything else). */
@@ -205,20 +212,51 @@ object DerivedTable {
         .map(e => Lake.unescapeJson(e.group(1))).toSeq)
       .getOrElse(throw new IllegalStateException(
         s"derived sidecar at $location: missing 'live' manifest"))
+    // FILE-level manifest entries — same shape and fallback posture as
+    // the lake sidecar's (Lake.parseState): a torn entry is dropped,
+    // never thrown, and its directory is simply listed by readers
+    val liveFiles: Map[String, Seq[Lake.LiveFile]] =
+      """\{\s*"fd"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"fn"\s*:\s*"([^"]*)"\s*,\s*"fl"\s*:\s*"([^"]*)"\s*,\s*"fm"\s*:\s*"([^"]*)"\s*\}""".r
+        .findAllMatchIn(json).flatMap { m =>
+          try {
+            def parts(s: String): Seq[String] =
+              if (s.isEmpty) Nil else s.split(";", -1).toSeq
+            val names = parts(m.group(2))
+            val lens = parts(m.group(3)).map(_.toLong)
+            val mods = parts(m.group(4)).map(_.toLong)
+            if (names.size != lens.size || names.size != mods.size) None
+            else Some(Lake.unescapeJson(m.group(1)) ->
+              names.indices.map(i => Lake.LiveFile(names(i), lens(i), mods(i))))
+          } catch { case _: NumberFormatException => None }
+        }.toMap
     State(str("derived_of"), num("base_version"), num("dim").toInt,
       num("num_shards").toInt, num("lsh_seed"), str("metric"),
-      num("generation"), live, str("schema_ddl"))
+      num("generation"), live, str("schema_ddl"), liveFiles)
   }
 
   private[graft] def render(st: State): String = {
     val liveField = st.live.map(d => s""""${Lake.escapeJson(d)}"""")
       .mkString("[", ", ", "]")
+    // files rides BEFORE live so live stays the last field (the parse
+    // comment above relies on that order as armor); names/lengths/mods
+    // are ';'-joined strings so nothing here can collide with the
+    // live-array string regex
+    val filesField =
+      if (st.liveFiles.isEmpty) ""
+      else st.live.distinct.flatMap(d => st.liveFiles.get(d).map(d -> _))
+        .map { case (d, fl) =>
+          s"""{"fd": "${Lake.escapeJson(d)}", """ +
+            s""""fn": "${fl.map(_.name).mkString(";")}", """ +
+            s""""fl": "${fl.map(_.len).mkString(";")}", """ +
+            s""""fm": "${fl.map(_.mod).mkString(";")}"}"""
+        }.mkString(""""files": [""", ", ", "], ")
     s"""{"derived": true, "derived_of": "${Lake.escapeJson(st.baseLocation)}", """ +
       s""""base_version": ${st.baseVersion}, "dim": ${st.dim}, """ +
       s""""num_shards": ${st.numShards}, "lsh_seed": ${st.seed}, """ +
       s""""metric": "${Lake.escapeJson(st.metric)}", """ +
       s""""generation": ${st.generation}, """ +
       s""""schema_ddl": "${Lake.escapeJson(st.schemaDdl)}", """ +
+      filesField +
       s""""live": $liveField}"""
   }
 
@@ -233,18 +271,54 @@ object DerivedTable {
     * create on HDFS, and only a create that LOST to an existing file
     * maps to the concurrency error — any other IOException (quota,
     * permission, network) surfaces as itself. */
+  /** Record each live directory's data files into the state at COMMIT
+    * time (the [[graft.Lake]] writeState posture): entries already
+    * recorded by the previous sidecar are reused (committed generation
+    * directories are immutable until vacuumDerived), new ones are
+    * listed once, here on the write path; a directory whose names
+    * cannot ride the ';'-joined encoding is left unrecorded and
+    * readers list it. */
+  private def recordFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, location: String,
+      versions: Seq[(Long, Path)], st: State): State = {
+    if (st.live.isEmpty) return st
+    val prev: Map[String, Seq[Lake.LiveFile]] =
+      if (st.liveFiles.nonEmpty) st.liveFiles
+      else versions.sortBy(-_._1).headOption.flatMap { case (_, p) =>
+        try Some(parse(readFully(fs, p), location).liveFiles)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse(Map.empty)
+    def safe(n: String): Boolean =
+      !n.contains(';') && !n.contains('"') && !n.contains('\\') &&
+        n.forall(_ >= ' ')
+    val recorded = st.live.distinct.flatMap { d =>
+      val files = prev.get(d).orElse {
+        try Some(fs.listStatus(new Path(root, d)).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => Lake.LiveFile(s.getPath.getName, s.getLen,
+            s.getModificationTime)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      files.filter(_.forall(f => safe(f.name))).map(d -> _)
+    }
+    st.copy(liveFiles = recorded.toMap)
+  }
+
   private[graft] def commit(spark: SparkSession, location: String,
       st: State): Long = {
     val fs = fsOf(spark, location)
     val root = new Path(location)
     fs.mkdirs(root)
-    val v = listVersions(fs, root).map(_._1).foldLeft(0L)(math.max) + 1
+    val versions = listVersions(fs, root)
+    val v = versions.map(_._1).foldLeft(0L)(math.max) + 1
     val p = new Path(root, s"_derived.$v.json")
     def lost(e: Throwable): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"derived commit at $location lost the version-$v create — a " +
           "concurrent deriveTo is writing the same location", e)
-    val bytes = render(st).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = render(recordFiles(fs, root, location, versions, st))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (fs.getScheme == "file") {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),

@@ -2277,6 +2277,28 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     dirs ++ legacy
   }
 
+  /** [[scanRoots]]' FILE-level companion for the DSv2 format: for each
+    * root whose (dir, generation) entry carries a sidecar-recorded file
+    * manifest, the exact files to plan — keyed by the same root path
+    * string scanRoots returns. Roots absent from the map (the current
+    * generation tree, legacy data, pre-field sidecars) are listed by
+    * the index as before. One sidecar read, no listing. */
+  private[graft] def scanRootFiles(asOf: Option[Long]): Map[String, Seq[Lake.LiveFile]] = {
+    val fs = fsOfRoot
+    val entries = listRoot(fs)
+    val st = asOf match {
+      case Some(v) => vacuumCheckedStateAt(v, fs, entries)
+      case None => readStateFrom(fs, entries)
+    }
+    // never serve a manifest for a CURRENT-generation entry: that tree
+    // is live-by-rule (appends land there without a commit), so only a
+    // listing is truthful for it
+    st.live.distinct.filter(_._2 != st.generation).flatMap { case e @ (d, g) =>
+      st.liveFiles.get(e).map(fl =>
+        new org.apache.hadoop.fs.Path(genPath(g), d).toString -> fl)
+    }.toMap
+  }
+
   /** The live data files as a frame — (file, partition, generation,
     * bytes, modified_ms), the capacity-planning / small-files view
     * behind the format's `option("view", "files")`. One root listing +
@@ -2459,8 +2481,9 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "a streaming sink — its manifest governs file visibility, so a " +
         "physical diff would count uncommitted files; stop the stream first")
     changeFrame(
-      fileOwners(fs, stOld.live, s"changesSince($version)"),
-      fileOwners(fs, liveEntries(stNew), "changesSince: current state"),
+      fileOwners(fs, stOld.live, s"changesSince($version)", stOld.liveFiles),
+      fileOwners(fs, liveEntries(stNew), "changesSince: current state",
+        stNew.liveFiles),
       netted, extraFieldsOf(stNew))
   }
 
@@ -2487,8 +2510,10 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     val stTo = stateAt(toVersion, fs, entries)
     requireSealedSync(toVersion, stTo)
     changeFrame(
-      fileOwners(fs, stFrom.live, s"changesBetween($fromVersion, _)"),
-      fileOwners(fs, stTo.live, s"changesBetween(_, $toVersion)"),
+      fileOwners(fs, stFrom.live, s"changesBetween($fromVersion, _)",
+        stFrom.liveFiles),
+      fileOwners(fs, stTo.live, s"changesBetween(_, $toVersion)",
+        stTo.liveFiles),
       netted,
       // CURRENT extras (not either endpoint's): a replayed pre-evolve
       // batch then null-fills the new columns instead of changing shape
@@ -2529,7 +2554,16 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         "foreign) data present — the manifest does not govern it")
     val st = stateAt(version, fs, entries)
     requireSealedSync(version, st)
-    mapDirsPooled(st.live.distinct) { (d, g) =>
+    // manifest-recorded entries serve name+length straight from the
+    // sidecar (zero listing — the fileOwners posture, loudness moved
+    // to the scan that opens the files); the rest pay one pooled LIST
+    val (recorded, toList) = st.live.distinct.partition(st.liveFiles.contains)
+    val served = recorded.flatMap { case e @ (d, g) =>
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(genPath(g), d))
+      st.liveFiles(e).map(f =>
+        (new org.apache.hadoop.fs.Path(p, f.name).toString, f.len, d))
+    }
+    served ++ mapDirsPooled(toList) { (d, g) =>
       val p = new org.apache.hadoop.fs.Path(genPath(g), d)
       try dataFilesIn(fs, p).map(s => (s.getPath.toString, s.getLen, d))
       catch {
@@ -2544,13 +2578,30 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
   }
 
   /** Every data file of the given live (escaped-dir, generation)
-    * entries, as file-path → owning generation. One LIST per directory
-    * from a bounded pool (the [[liveShardFiles]] object-store
-    * discipline). A named directory that is gone means vacuum swept
-    * past the sync point — loud, never a partial delta. */
+    * entries, as file-path → owning generation. An entry the sidecar's
+    * FILE-level manifest records is served straight from it — zero
+    * listing (guide §6; sound because committed entries are immutable
+    * until vacuum retires them wholesale); the rest pay one LIST per
+    * directory from a bounded pool (the [[liveShardFiles]] object-store
+    * discipline). A LISTED directory that is gone means vacuum swept
+    * past the sync point — loud, never a partial delta; a
+    * manifest-served entry vacuum swept fails equally loudly when the
+    * delta scan opens its files (the [[readFileSlice]] cost contract:
+    * only delta files are opened), never silently partial. */
   private def fileOwners(fs: org.apache.hadoop.fs.FileSystem,
-      dirs: Seq[(String, Long)], context: String): Map[String, Long] =
-    mapDirsPooled(dirs.distinct) { (d, g) =>
+      dirs: Seq[(String, Long)], context: String,
+      manifest: Map[(String, Long), Seq[Lake.LiveFile]] = Map.empty): Map[String, Long] = {
+    val (recorded, toList) = dirs.distinct.partition(manifest.contains)
+    // QUALIFIED exactly as a listing would return them: [[changeFrame]]
+    // diffs the two sides by path STRING, so a manifest-served
+    // `/x/f.parquet` against a listed `file:/x/f.parquet` would report
+    // the same file as both insert and delete
+    val served = recorded.flatMap { case e @ (d, g) =>
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(genPath(g), d))
+      manifest(e).map(f =>
+        new org.apache.hadoop.fs.Path(p, f.name).toString -> g)
+    }
+    (served ++ mapDirsPooled(toList) { (d, g) =>
       val p = new org.apache.hadoop.fs.Path(genPath(g), d)
       try dataFilesIn(fs, p).map(_.getPath.toString -> g)
       catch {
@@ -2560,7 +2611,8 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
               "longer on disk — vacuum has swept past this sync " +
               "point (see vacuum(retainMs) for the consumer window)")
       }
-    }.flatten.toMap
+    }.flatten).toMap
+  }
 
   /** Read an explicit file set with the canonical schema, one branch
     * per owning generation so partition values resolve against the
@@ -2578,8 +2630,22 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // pinned schema: parquet null-fills a requested column absent from
     // a pre-evolve file, so both change-feed sides share one shape
     files.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, fm) =>
-      spark.read.option("basePath", genPath(g).toString).schema(full)
+      try spark.read.option("basePath", genPath(g).toString).schema(full)
         .parquet(fm.keys.toSeq.sorted: _*)
+      catch {
+        // a sidecar-recorded file gone from disk: the sync point's data
+        // was vacuumed while its sealed sidecar lingered. Manifest-served
+        // resolution performs no per-directory LIST, so this is where
+        // the sweep becomes visible — translate to the same loud
+        // contract the listing path threw, never a partial delta.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          throw new IllegalStateException(
+            s"reading manifest-recorded data files at ${cfg.location}: a " +
+              "recorded file is no longer on disk — vacuum has swept past " +
+              "this sync point (see vacuum(retainMs) for the consumer " +
+              "window)", e)
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -2740,14 +2806,34 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
     // entries were routed at the reshard's FROM width and re-derive
     // the missing bits; everything else is at the state's width
     // (mid-reshard, that is the target width — completed steps and
-    // post-transition appends)
+    // post-transition appends). A branch whose every entry carries a
+    // FILE-level manifest (recorded at commit) is planned straight
+    // from the sidecar — zero listStatus against the data tree
+    // ([[graft.sources.GraftManifestFileIndex]], guide §6); entries
+    // predating the field fall back to the listing read, branch by
+    // branch.
     val oldBranches = st.live.filter(_._2 != st.generation)
       .groupBy(e => (e._2, reshardPending.contains(e)))
       .toSeq.sortBy(_._1).map { case ((g, isPending), entries) =>
         val base = genPath(g)
-        widen(pinnedBranch(Some(base.toString),
-          entries.map(_._1).distinct
-            .map(d => new org.apache.hadoop.fs.Path(base, d).toString)),
+        val dirs = entries.distinct
+        val branchDf =
+          if (dirs.forall(st.liveFiles.contains)) {
+            val qBase = fs.makeQualified(base)
+            graft.sources.GraftManifestFileIndex.frame(spark,
+              StructType(pinnedFields), StructField(partCol, partType),
+              dirs.map { case e @ (d, _) =>
+                val dir = new org.apache.hadoop.fs.Path(qBase, d)
+                (dir,
+                  graft.sources.GraftDataSource.partValue(Some(d), partType),
+                  st.liveFiles(e).map(f => graft.sources
+                    .GraftManifestFileIndex.status(dir, f.name, f.len, f.mod))
+                    .toArray)
+              })
+          } else pinnedBranch(Some(base.toString),
+            dirs.map(_._1).distinct
+              .map(d => new org.apache.hadoop.fs.Path(base, d).toString))
+        widen(branchDf,
           if (isPending) st.reshard.get.fromBits else stateBits)
       }
     // pre-v2 flat tree or foreign data at the root: a dedicated branch,
@@ -4348,11 +4434,21 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         vals.contains(unescapePartitionValue(d.split("=", 2)(1))) }
       case None => all
     }
-    mapDirsPooled(entries) { (d, g) =>
+    // entries the sidecar's FILE-level manifest records skip their LIST
+    // (guide §6 — committed entries are immutable until vacuum); the
+    // rest (current generation, pre-field sidecars) pay one pooled LIST
+    val (recorded, toList) = entries.partition(st.liveFiles.contains)
+    val served = recorded.map { case e @ (d, g) =>
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(genPath(g), d))
+      unescapePartitionValue(d.split("=", 2)(1)) ->
+        st.liveFiles(e).map(f =>
+          (new org.apache.hadoop.fs.Path(p, f.name).toString, f.len))
+    }
+    (served ++ mapDirsPooled(toList) { (d, g) =>
       unescapePartitionValue(d.split("=", 2)(1)) ->
         dataFilesIn(fs, new org.apache.hadoop.fs.Path(genPath(g), d))
           .map(s => (s.getPath.toString, s.getLen))
-    }.groupBy(_._1).map { case (v, xs) => v -> xs.flatMap(_._2) }
+    }).groupBy(_._1).map { case (v, xs) => v -> xs.flatMap(_._2) }
   }
 
   /** Data files of one directory (markers and hidden files excluded). */
@@ -4839,7 +4935,7 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       case Some(keep) => liveEntries(st).filter(d => keep(d._1.split("/").last))
       case None => liveEntries(st)
     }
-    val owners = fileOwners(fs, dirs, op)
+    val owners = fileOwners(fs, dirs, op, st.liveFiles)
     val kept: Map[String, Long] =
       try readZone(fs, merged = requireFp.isDefined).map { z =>
         val scoped = dirNames match {
@@ -5870,8 +5966,30 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
         .findAllMatchIn(json)
         .map(m => unescapeJson(m.group(1)) -> m.group(2).toLong).toSeq,
       """"reshard_skip"\s*:\s*true""".r.findFirstIn(json).isDefined)
+    // FILE-level manifest entries: {"fd": dir, "fg": gen, "fn": "a;b",
+    // "fl": "1;2", "fm": "3;4"} objects — keys deliberately distinct
+    // from the reshard-pending {"d","g"} shape so neither regex can
+    // absorb the other, names/lengths/mods as ';'-joined strings so no
+    // nested array can collide with the `live` pair-regex above
+    val liveFiles: Map[(String, Long), Seq[LiveFile]] =
+      """\{\s*"fd"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"fg"\s*:\s*(\d+)\s*,\s*"fn"\s*:\s*"([^"]*)"\s*,\s*"fl"\s*:\s*"([^"]*)"\s*,\s*"fm"\s*:\s*"([^"]*)"\s*\}""".r
+        .findAllMatchIn(json).flatMap { m =>
+          // a torn/hand-edited entry (mismatched arity, non-numeric
+          // length) is dropped, not thrown: absence just means the
+          // reader lists that directory
+          try {
+            def parts(s: String): Seq[String] =
+              if (s.isEmpty) Nil else s.split(";", -1).toSeq
+            val names = parts(m.group(3))
+            val lens = parts(m.group(4)).map(_.toLong)
+            val mods = parts(m.group(5)).map(_.toLong)
+            if (names.size != lens.size || names.size != mods.size) None
+            else Some((unescapeJson(m.group(1)) -> m.group(2).toLong) ->
+              names.indices.map(i => LiveFile(names(i), lens(i), mods(i))))
+          } catch { case _: NumberFormatException => None }
+        }.toMap
     LakeState(gen, live, genHasData, isSealed, extraCols, sidecarShards,
-      reshard, lastUpdate)
+      reshard, lastUpdate, liveFiles)
   }
 
   /** Best-effort `last_update` stamp for the streaming path. The
@@ -5962,7 +6080,52 @@ final class Lake(spark: SparkSession, val cfg: LakeConfig) {
       s""", "reshard_from": ${1L << r.fromBits}, "reshard_to": ${1L << r.toBits}, "reshard_pending": $pend""" +
         (if (r.hadSkipIndex) s""", "reshard_skip": true""" else "")
     }.getOrElse("")
-    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": $numShardsField$seedField$pqField$packField$partKeyField$sealedField$extraField$reshardField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
+    // FILE-level manifest (guide §6): record each live entry's data
+    // files AT COMMIT TIME so reads plan with zero per-directory
+    // listings. Committed (dir, generation) entries are immutable until
+    // vacuum retires them wholesale (appends land only in the CURRENT
+    // generation; every rewrite publishes into a FRESH generation), so
+    // entries carried forward reuse the lists already recorded — only
+    // entries NEW to the manifest are listed, once, here on the write
+    // path. States constructed without the carried map (most callers
+    // build fresh LakeStates) recover it from the newest committed
+    // sidecar: any committed copy is equally valid by the immutability
+    // invariant. An entry whose file names cannot ride the ';'-joined
+    // encoding (foreign tooling) is simply not recorded — readers fall
+    // back to listing that directory, never misread it.
+    val filesField: String = {
+      if (st.live.isEmpty) ""
+      else {
+        val prev: Map[(String, Long), Seq[Lake.LiveFile]] =
+          if (st.liveFiles.nonEmpty) st.liveFiles
+          else readStateFrom(fs, rootEntries).liveFiles
+        def safe(n: String): Boolean =
+          !n.contains(';') && !n.contains('"') && !n.contains('\\') &&
+            n.forall(_ >= ' ')
+        // CURRENT-generation entries are excluded: that tree is
+        // live-by-rule (appends land there without a commit), so a
+        // recorded list would go stale the moment one lands — readers
+        // list it, always
+        val recorded = st.live.distinct.filter(_._2 != st.generation)
+          .flatMap { case e @ (d, g) =>
+          val files = prev.get(e).orElse {
+            try Some(dataFilesIn(fs, new org.apache.hadoop.fs.Path(genPath(g), d))
+              .map(s => Lake.LiveFile(s.getPath.getName, s.getLen,
+                s.getModificationTime)))
+            catch { case _: java.io.FileNotFoundException => None }
+          }
+          files.filter(_.forall(f => safe(f.name))).map(e -> _)
+        }
+        if (recorded.isEmpty) ""
+        else recorded.map { case ((d, g), fl) =>
+          s"""{"fd": "${escapeJson(d)}", "fg": $g, """ +
+            s""""fn": "${fl.map(_.name).mkString(";")}", """ +
+            s""""fl": "${fl.map(_.len).mkString(";")}", """ +
+            s""""fm": "${fl.map(_.mod).mkString(";")}"}"""
+        }.mkString(""", "files": [""", ", ", "]")
+      }
+    }
+    val json = s"""{"last_update": "${java.time.Instant.now()}", "dim": ${cfg.dim}, "metric": "${cfg.metric}", "num_shards": $numShardsField$seedField$pqField$packField$partKeyField$sealedField$extraField$reshardField$filesField, "generation": ${st.generation}, "live": $liveField, "gen_has_data": $genHasData}"""
     // ATOMIC publish: the body lands in a root-sibling tmp (a name no
     // discovery regex matches) and is RENAMED into its version name.
     // A create-in-place briefly exposes an EMPTY `_meta.<v>.json`
@@ -6491,6 +6654,13 @@ object Lake {
       fromBits: Int, toBits: Int, pending: Seq[(String, Long)],
       hadSkipIndex: Boolean = false)
 
+  /** One data file of a live manifest entry, as recorded in the
+    * sidecar at commit time (name is directory-relative; len/mod are
+    * the exact [[org.apache.hadoop.fs.FileStatus]] values a listing
+    * would return — readers build scan splits from them, so `len`
+    * must be the true byte length). */
+  private[graft] final case class LiveFile(name: String, len: Long, mod: Long)
+
   /** Committed layout-v2 state: `generation` is the current append
     * target (its whole subtree is live); `live` names directories still
     * live in OLDER generations as (escaped-dir-name, generation) pairs
@@ -6500,7 +6670,16 @@ object Lake {
     * sidecars): carried so per-operation width checks and snapshot
     * re-derivation can see the width a STATE was written at, not just
     * the session's. `reshard` is the in-flight incremental reshard, if
-    * any. */
+    * any. `liveFiles` is the FILE-level manifest (guide §6 "table
+    * formats avoid directory listing altogether"): for each `live`
+    * entry whose file set was recorded at commit time, the exact data
+    * files a reader should open — so reads plan with ZERO per-directory
+    * listings. Entries absent from the map (sidecars written before
+    * this field existed, or an entry whose names could not be recorded
+    * safely) fall back to listing; presence is an optimization, never
+    * a semantics change, because a committed (dir, generation) entry
+    * is immutable until vacuum retires it wholesale — the same
+    * invariant the listing read already relied on. */
   private[graft] final case class LakeState(
       generation: Long, live: Seq[(String, Long)],
       genHasData: Option[Boolean] = None,
@@ -6508,7 +6687,8 @@ object Lake {
       extraCols: Seq[(String, String)] = Nil,
       sidecarShards: Option[Long] = None,
       reshard: Option[ReshardState] = None,
-      lastUpdate: Option[String] = None)
+      lastUpdate: Option[String] = None,
+      liveFiles: Map[(String, Long), Seq[LiveFile]] = Map.empty)
 
   /** Generation subtree directory names under the root. */
   private[graft] val genDirRe = "gen-(\\d+)".r

@@ -26,9 +26,11 @@ object QueryProbe {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_DISCOVERY_THRESHOLD", "10000"))
       .config("spark.ui.enabled", "false")
-    // hypothesis testing: SPARK_PROBE_CONF="k=v;k=v" extra session confs
+    // hypothesis testing: SPARK_PROBE_CONF="k=v;k=v" extra session
+    // confs; segments without '=' (a trailing ';', a stray token) are
+    // ignored instead of throwing at startup
     val spark = sys.env.get("SPARK_PROBE_CONF").toSeq
-      .flatMap(_.split(";")).map(_.split("=", 2))
+      .flatMap(_.split(";")).map(_.split("=", 2)).filter(_.length == 2)
       .foldLeft(b0) { (b, kv) => b.config(kv(0).trim, kv(1).trim) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,28 +70,35 @@ object QueryProbe {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         println(f"$n%-28s WARMUP-FAIL ${e.getMessage}"); }
-      val rows = (0 until reps).map { _ =>
-        val (tb, df) = ns(SparkEntry.queries(n)(spark, sfDir))
-        val (tp, _) = ns(df.queryExecution.executedPlan)
-        spark.sparkContext.setJobDescription(s"probe:$n")
-        resetCounters()
-        val c0 = compSnap()
-        val (te, _) = ns(
-          df.write.format("noop").mode("overwrite").save())
-        val c1 = compSnap()
-        val acct = (nJobs.get, nStages.get, nTasks.get, taskMs.get,
-          c1._1 - c0._1, c1._3 - c0._3)
+      // a genuinely failing query prints a FAIL row and the probe
+      // moves on — one broken query must not abort the whole sweep
+      try {
+        val rows = (0 until reps).map { _ =>
+          val (tb, df) = ns(SparkEntry.queries(n)(spark, sfDir))
+          val (tp, _) = ns(df.queryExecution.executedPlan)
+          spark.sparkContext.setJobDescription(s"probe:$n")
+          resetCounters()
+          val c0 = compSnap()
+          val (te, _) = ns(
+            df.write.format("noop").mode("overwrite").save())
+          val c1 = compSnap()
+          val acct = (nJobs.get, nStages.get, nTasks.get, taskMs.get,
+            c1._1 - c0._1, c1._3 - c0._3)
+          spark.sparkContext.setJobDescription(null)
+          val (tc, _) = ns(
+            SparkEntry.queries(n)(spark, sfDir).count())
+          (tb, tp, te, tc, acct)
+        }
+        def med(xs: Seq[Double]) = Bench.median(xs)
+        val a = rows.last._5
+        // min = the uncontended floor — the noise-robust A/B statistic on
+        // a machine with bursty co-tenant load (ambient spikes only ever
+        // ADD time)
+        println(f"$n%-28s build=${med(rows.map(_._1))}%.3f plan=${med(rows.map(_._2))}%.3f exec=${med(rows.map(_._3))}%.3f count=${med(rows.map(_._4))}%.3f minExec=${rows.map(_._3).min}%.3f minCount=${rows.map(_._4).min}%.3f jobs=${a._1} stages=${a._2} tasks=${a._3} taskSec=${a._4 / 1000.0}%.2f compiles=${a._5} methods=${a._6}")
+      } catch { case e: Throwable =>
         spark.sparkContext.setJobDescription(null)
-        val (tc, _) = ns(
-          SparkEntry.queries(n)(spark, sfDir).count())
-        (tb, tp, te, tc, acct)
+        println(f"$n%-28s FAIL ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
       }
-      def med(xs: Seq[Double]) = Bench.median(xs)
-      val a = rows.last._5
-      // min = the uncontended floor — the noise-robust A/B statistic on
-      // a machine with bursty co-tenant load (ambient spikes only ever
-      // ADD time)
-      println(f"$n%-28s build=${med(rows.map(_._1))}%.3f plan=${med(rows.map(_._2))}%.3f exec=${med(rows.map(_._3))}%.3f count=${med(rows.map(_._4))}%.3f minExec=${rows.map(_._3).min}%.3f minCount=${rows.map(_._4).min}%.3f jobs=${a._1} stages=${a._2} tasks=${a._3} taskSec=${a._4 / 1000.0}%.2f compiles=${a._5} methods=${a._6}")
     }
     spark.stop()
   }

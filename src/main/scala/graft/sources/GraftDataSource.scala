@@ -503,8 +503,13 @@ object GraftDataSource {
         val partField = pinned.fields.last
         val roots = st.live.map(rel =>
           (s"$location/$rel", Some(rel.split("/").last)))
+        // FILE-level manifest, keyed by the same root strings —
+        // derived commits record their files (DerivedTable.commit), so
+        // the scan plans with zero per-directory listings (guide §6)
+        val rootFiles = st.liveFiles.map { case (rel, fl) =>
+          s"$location/$rel" -> fl }
         return new GraftDerivedTable(s"graft-derived:$location", spark,
-          options, roots, partField, pinned)
+          options, roots, partField, pinned, rootFiles)
       case _ => ()
     }
     val cfg = resolveConfigWith(spark, options, location,
@@ -523,11 +528,12 @@ object GraftDataSource {
     }
     val asOf = opt(options, "asOf").map(_.toLong)
     val roots = lake.scanRoots(asOf)
+    val rootFiles = lake.scanRootFiles(asOf)
     val canonical = lake.canonicalSchema
     val partField = canonical.fields.last
     new GraftTable(
       s"graft:$location" + asOf.map(v => s"@$v").getOrElse(""),
-      spark, options, cfg, asOf, roots, partField,
+      spark, options, cfg, asOf, roots, rootFiles, partField,
       // the table's schema is PINNED to the sidecar-declared one
       // (stored columns + registered evolve() extras + partition col),
       // never footer-inferred: a column registered by evolve() but not
@@ -584,11 +590,12 @@ final class GraftDerivedTable(
     scanOpts: CaseInsensitiveStringMap,
     roots: Seq[(String, Option[String])],
     partField: StructField,
-    pinned: StructType)
+    pinned: StructType,
+    rootFiles: Map[String, Seq[graft.Lake.LiveFile]] = Map.empty)
   extends Table with SupportsRead {
 
   private val parquet = new GraftBackingTable(
-    name0, spark, scanOpts, roots, partField, Some(pinned))
+    name0, spark, scanOpts, roots, partField, Some(pinned), rootFiles)
 
   override def name(): String = name0
   override def schema(): StructType = parquet.schema
@@ -639,6 +646,7 @@ final class GraftTable(
     cfg: LakeConfig,
     asOf: Option[Long],
     roots: Seq[(String, Option[String])],
+    rootFiles: Map[String, Seq[graft.Lake.LiveFile]],
     partField: StructField,
     emptySchema: Option[StructType])
   extends Table with SupportsRead with SupportsWrite
@@ -657,7 +665,7 @@ final class GraftTable(
   // pruning, and the vectorized reader are unchanged — while keeping
   // this table out of every FileTable-specific rewrite rule.
   private val parquet = new GraftBackingTable(
-    name0, spark, scanOpts, roots, partField, emptySchema)
+    name0, spark, scanOpts, roots, partField, emptySchema, rootFiles)
 
   override def name(): String = name0
   override def schema(): StructType = parquet.schema
@@ -786,7 +794,8 @@ private final class GraftBackingTable(
     scanOpts: CaseInsensitiveStringMap,
     roots: Seq[(String, Option[String])],
     partField: StructField,
-    emptySchema: Option[StructType])
+    emptySchema: Option[StructType],
+    rootFiles: Map[String, Seq[graft.Lake.LiveFile]] = Map.empty)
   extends ParquetTable(name0, spark, scanOpts, roots.map(_._1).distinct,
     emptySchema, classOf[ParquetFileFormat]) {
 
@@ -806,9 +815,44 @@ private final class GraftBackingTable(
         PartitionPath(
           InternalRow(GraftDataSource.partValue(d, partField.dataType)), p)
       })
-    new InMemoryFileIndex(spark, qualified.map(_._1).distinct,
-      scanOpts.asScala.toMap, emptySchema,
-      FileStatusCache.getOrCreate(spark), Some(spec), None)
+    // FILE-level manifest fast path (guide §6 table formats): roots the
+    // sidecar recorded at commit time are served straight from it —
+    // zero listStatus against those directories; unrecorded roots (the
+    // current generation tree, legacy data, pre-field sidecars) are
+    // listed once, here, with the stock hidden-file rule. A listed root
+    // holding a SUBDIRECTORY (nested legacy layout the recursive stock
+    // index would descend into) drops the whole table back to the stock
+    // index — the fast path must never misread a layout it does not
+    // recognize. Missing-directory races resolve to empty, as the
+    // stock index's bulk lister does.
+    def stock(): PartitioningAwareFileIndex =
+      new InMemoryFileIndex(spark, qualified.map(_._1).distinct,
+        scanOpts.asScala.toMap, emptySchema,
+        FileStatusCache.getOrCreate(spark), Some(spec), None)
+    if (rootFiles.isEmpty) stock()
+    else {
+      object Nested extends Exception
+      try {
+        val byPath: Map[Path, String] =
+          roots.map { case (s, _) => qualify(s) -> s }.toMap
+        val dirFiles = qualified.map(_._1).distinct.map { q =>
+          rootFiles.get(byPath(q)) match {
+            case Some(fl) => q -> fl.map(f =>
+              GraftManifestFileIndex.status(q, f.name, f.len, f.mod)).toArray
+            case None =>
+              val listed =
+                try q.getFileSystem(hadoopConf).listStatus(q)
+                catch { case _: java.io.FileNotFoundException =>
+                  Array.empty[org.apache.hadoop.fs.FileStatus] }
+              if (listed.exists(_.isDirectory)) throw Nested
+              q -> listed.filter(s => s.isFile &&
+                !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+          }
+        }
+        new GraftManifestFileIndex(spark, spec, dirFiles)
+      } catch { case Nested => stock() }
+    }
   }
 
   override def capabilities(): java.util.Set[TableCapability] =

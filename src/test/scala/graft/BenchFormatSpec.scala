@@ -151,6 +151,33 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(withTail.head._2.spread - (1.4 - 0.8) / 1.1) < 1e-9)
   }
 
+  test("task_sec accounting: summarize medians per-query task time; both lines carry it") {
+    // taskSec is the parallel-work evidence (suspect_cpus_ignored
+    // clearance): full line carries the per-query map, compact line the
+    // total — additions-only to both shapes
+    def pass(v: Double): Map[String, (Double, Option[String])] =
+      Map("q" -> ((v, None)))
+    val rs = Bench.summarize(Seq("q"),
+      Seq(pass(1.0), pass(1.2), pass(0.8)), Nil, warmedUp = true,
+      taskSecs = Map("q" -> Seq(4.0, 4.4, 3.6)))
+    assert(rs.head._2.taskSec === 4.0)
+    // absent accounting stays 0.0 (a failing query records no sample)
+    val none = Bench.summarize(Seq("q"),
+      Seq(pass(1.0)), Nil, warmedUp = true)
+    assert(none.head._2.taskSec === 0.0)
+    val (full, compact) = formatLines(
+      Seq(("q_a", QueryResult(1.0, None, 0, taskSec = 4.0)),
+        ("q_b", QueryResult(0.5, None, 0, taskSec = 1.25))),
+      reps = 3, sfDir = "sf", loadavg = (0.0, 0.0))
+    assert(full.contains(""""task_sec":{"q_a":4.000,"q_b":1.250}"""))
+    assert(full.contains(""""task_sec_total":5.250"""))
+    assert(compact.contains(""""task_sec_total":5.250"""))
+    // the compact budget still holds with the new field at 150 queries
+    val (_, c2) = formatLines(synthetic(150).map { case (k, r) =>
+      k -> r.copy(taskSec = 12.345) }, 3, "/root/testdata/sf0.1", (0.0, 0.0))
+    assert(c2.getBytes("UTF-8").length < 1900, s"${c2.length} bytes")
+  }
+
   test("median is the middle of odd runs, mean-of-middle for even") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)

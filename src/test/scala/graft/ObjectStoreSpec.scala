@@ -34,6 +34,26 @@ class PutBucketFs extends BucketFs {
     super.create(f, true, bufferSize, replication, blockSize, progress)
 }
 
+object CountingListFs {
+  /** Every path `listStatus` was called on, in order — the LIST
+    * round-trip ledger the zero-listing read contract is pinned
+    * against. */
+  val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** [[BucketFs]] that records every `listStatus` call — an object
+  * store's LIST is the round trip the sidecar's FILE-level manifest
+  * exists to eliminate (guide §6), and this FS makes "zero listings"
+  * an assertable fact instead of a claim. */
+class CountingListFs extends BucketFs {
+  override def getScheme: String = "countfs"
+  override def getUri: URI = URI.create("countfs:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingListFs.listed.add(f.toString)
+    super.listStatus(f)
+  }
+}
+
 object RivalPutFs {
   /** When armed, the next `_lock` create gets a rival PUT landed over
     * it at close — deterministically reproducing the object-store race
@@ -699,5 +719,55 @@ class ObjectStoreSpec extends SparkSpec {
       assert(fin.vacuum() >= 1L) // the retired old-width trees sweep
       assert(fin.count() === 300L)
     }
+  }
+
+  test("manifest-recorded reads plan with ZERO data-directory listings") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingListFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_countfs").toString
+    val root = s"countfs://$dir"
+    val lake = Lake(spark, LakeConfig(s"$root/lake", dim = 4, numHashes = 3))
+    lake.ingest((0 until 60)
+      .map(i => (s"m$i", Seq(math.sin(i).toFloat, 1f, -i.toFloat, 0.5f), s"doc-$i"))
+      .toDF("id", "vector", "document"))
+    // seal rolls the append target: every live directory is now a
+    // committed OLD-generation entry, and the seal's sidecar commit
+    // recorded each one's file list — the zero-listing precondition
+    val sync1 = lake.seal()
+    // a directory listing against the data tree (a generation subtree
+    // or a shard directory inside one) — the LIST round trips the
+    // manifest exists to eliminate; root/sidecar discovery and index
+    // sidecars (_zone/_skip) are metadata, not the data tree
+    def dataListings(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      CountingListFs.listed.asScala.toSeq
+        .filter(p => p.contains("shard=") || p.matches(""".*gen-\d+$"""))
+    }
+    // Scala read path (Lake.readFrom): plan + execute, zero data LISTs
+    CountingListFs.listed.clear()
+    assert(lake.read().count() === 60L)
+    assert(dataListings().isEmpty,
+      s"read() listed data dirs: ${dataListings().mkString(", ")}")
+    // DSv2 format path (GraftBackingTable's manifest index)
+    CountingListFs.listed.clear()
+    assert(spark.read.format("graft").load(s"$root/lake").count() === 60L)
+    assert(dataListings().isEmpty,
+      s"format read listed data dirs: ${dataListings().mkString(", ")}")
+    // results identical to a listing-resolved read: the manifest serves
+    // the same files the tree holds
+    assert(spark.read.format("graft").load(s"$root/lake")
+      .select("id").as[String].collect().toSet ===
+      (0 until 60).map(i => s"m$i").toSet)
+    // change feed between two sealed sync points: both endpoints'
+    // file sets come straight from their sidecars
+    assert(lake.deleteWhere(col("id") === "m7") === 1L)
+    val sync2 = lake.seal()
+    CountingListFs.listed.clear()
+    val ch = lake.changesBetween(sync1, sync2)
+    assert(ch.where(col("change") === "delete")
+      .select("id").as[String].collect().toSeq === Seq("m7"))
+    assert(dataListings().isEmpty,
+      s"changesBetween listed data dirs: ${dataListings().mkString(", ")}")
+    lake.delete()
   }
 }
